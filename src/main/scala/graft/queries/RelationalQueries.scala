@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2 A/C/D/E/G rows) expressed
+  * over the TPC-H-ish fixture corpus, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`nation`, `region`, `supplier`) are explicitly
+  *    broadcast — no shuffle of the fact side;
+  *  - aggregations rely on partial (map-side) aggregation, which Spark
+  *    plans automatically for all algebraic aggregates used here;
+  *  - top-k queries use `orderBy+limit`, planned as TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k rows, no full sort);
+  *  - float-producing aggregates are rounded identically on both sides
+  *    because summation order differs between engines.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Flagship: TPC-H Q1-style pricing summary (A1+E aggregates) ──
+    QueryDef(
+      "q1_pricing_summary",
+      "scan+filter+groupBy with 8 algebraic aggregates (TPC-H Q1 shape)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_extendedprice), 4) AS avg_price,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // ── TPC-H Q3 shape: selective 3-way join + top-k (bench) ──
+    QueryDef(
+      "q3_shipping_priority",
+      "selective fact-fact join, grouped revenue, TakeOrdered top-10",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ── TPC-H Q5 shape: snowflake join with broadcast dims (bench) ──
+    QueryDef(
+      "q5_local_supplier",
+      "5-way snowflake join, dims broadcast, revenue by nation",
+      (s, d) => {
+        val nr = broadcast(
+          t(s, d, "nation").join(broadcast(t(s, d, "region")).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")).select("n_nationkey", "n_name"))
+        val sup = broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")))
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(nr, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name""".stripMargin),
+      bench = true),
+
+    // ── A1: scan with pushed predicates + pruned projection ──
+    QueryDef(
+      "a1_scan_pushdown",
+      "filter+projection pushed to the parquet scan (cnics_to_fhir.py:106-156)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45""".stripMargin)),
+
+    // ── A2/G2/G3: cohort selection with deterministic top-k limit ──
+    QueryDef(
+      "a2_cohort_topk",
+      "join+filter+limit cohort scan (cnics_to_fhir.py:259-266), deterministic order",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ── A4/D8: distinct projection ──
+    QueryDef(
+      "a4_distinct_projection",
+      "select distinct projection (cnics_to_fhir.py:141-147)",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ── C1: null-tolerant inequality filter ──
+    QueryDef(
+      "c1_null_tolerant_filter",
+      "(col <> x OR col IS NULL) filter (cnics_to_fhir.py:121,138,154)",
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("event_type") =!= "click" || col("event_type").isNull)
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE event_type <> 'click' OR event_type IS NULL GROUP BY event_type""".stripMargin)),
+
+    // ── C3: config-driven IN/LIKE predicate fragment via expr() ──
+    QueryDef(
+      "c3_config_predicate",
+      "INI-sourced SQL fragment parsed by expr() (settings.ini:34-114)",
+      (s, d) =>
+        t(s, d, "part")
+          .filter(expr("p_type like '%STEEL%' and p_size in (5, 15, 25, 35, 45)"))
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+      Some("""SELECT p_partkey, p_brand, p_type, p_size FROM part
+             |WHERE p_type LIKE '%STEEL%' AND p_size IN (5, 15, 25, 35, 45)""".stripMargin)),
+
+    // ── C6: bug-compatible and-guard row filter ──
+    QueryDef(
+      "c6_row_guard",
+      "keep row unless (foreign-key test AND non-blank test) — the reference's odd 'and' guard (cnics_to_fhir.py:574)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(!(col("l_suppkey") % 7 === 0 && col("l_returnflag") =!= "N"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE NOT (l_suppkey % 7 = 0 AND l_returnflag <> 'N') GROUP BY l_returnflag""".stripMargin)),
+
+    // ── D1: 3-way dim join with grouped stats ──
+    QueryDef(
+      "d1_join_3way",
+      "inner equi-joins across star dims (cnics_to_fhir.py:259-263)",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 4).as("avg_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name""".stripMargin)),
+
+    // ── D3: fan-out join replacing the reference's N+1 loop ──
+    QueryDef(
+      "d3_fanout_join",
+      "cohort ⋈ detail fan-out (replaces per-patient loop, cnics_to_fhir.py:339-351)",
+      (s, d) =>
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .join(t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")),
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority""".stripMargin),
+      bench = true),
+
+    // ── D5: left-anti join (orphan delete set) ──
+    QueryDef(
+      "d5_anti_orphans",
+      "left-anti join — store rows absent from source (cnics_to_fhir.py:328-337)",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders").select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // ── D6: broadcast dictionary lookup join ──
+    QueryDef(
+      "d6_broadcast_lookup",
+      "broadcast small-dim lookup (MRN crosswalk, cnics_to_fhir.py:290-304)",
+      (s, d) =>
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"), "left")
+          .select("s_suppkey", "s_name", "n_name"),
+      Some("""SELECT s_suppkey, s_name, n_name
+             |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // ── D7: semi-join membership (code lists) ──
+    QueryDef(
+      "d7_semi_membership",
+      "isin + left-semi membership (code lists, cnics_to_fhir.py:190-193)",
+      (s, d) =>
+        t(s, d, "part")
+          .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+          .join(t(s, d, "lineitem").select("l_partkey"), col("p_partkey") === col("l_partkey"), "left_semi")
+          .select("p_partkey", "p_brand", "p_type"),
+      Some("""SELECT p_partkey, p_brand, p_type FROM part
+             |WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+             |AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)),
+
+    // ── D9/E4: first-seen dedup per group ──
+    QueryDef(
+      "d9_first_seen_dedup",
+      "first-seen-order dedup per key (cnics_to_fhir.py:410-420)",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_custkey", "o_orderpriority")
+          .agg(date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_seen")),
+      Some("""SELECT o_custkey, o_orderpriority, strftime(min(o_orderdate), '%Y-%m-%d') AS first_seen
+             |FROM orders GROUP BY o_custkey, o_orderpriority""".stripMargin)),
+
+    // ── E2/G1: first-row-per-group via window ──
+    QueryDef(
+      "e2_first_row_per_group",
+      "row_number()=1 per group (demographics first-row, cnics_to_fhir.py:440-525)",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1""".stripMargin)),
+
+    // ── E3: collect_list per group (stringified for stable compare) ──
+    QueryDef(
+      "e3_collect_list_str",
+      "collect_list per group (session ids, cnics_to_fhir.py:391-395)",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(concat_ws(",", sort_array(collect_list("o_orderpriority"))).as("priorities")),
+      Some("""SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // ── E5: duplicate-key assertion ──
+    QueryDef(
+      "e5_dup_assertion",
+      "count>1 duplicate detection (cnics_to_fhir.py:359,906-908)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1),
+      Some("SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1")),
+
+    // ── G4: global deterministic top-k sort ──
+    QueryDef(
+      "g4_topk_price",
+      "orderBy+limit top-k (TakeOrderedAndProject, no full sort)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(25),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin)),
+
+    // ── Set ops (free from Spark; exercised for inventory completeness) ──
+    QueryDef(
+      "set_intersect_nations",
+      "INTERSECT distinct semantics",
+      (s, d) => {
+        val cn = t(s, d, "customer").join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey")).select("n_name")
+        val sn = t(s, d, "supplier").join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey")).select("n_name")
+        cn.intersect(sn)
+      },
+      Some("""SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |INTERSECT
+             |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    QueryDef(
+      "set_except_nations",
+      "EXCEPT distinct semantics",
+      (s, d) => {
+        val cn = t(s, d, "customer").join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey")).select("n_name")
+        val sn = t(s, d, "supplier").join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey")).select("n_name")
+        cn.except(sn)
+      },
+      Some("""SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |EXCEPT
+             |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // ── Rollup (grouping sets surface) ──
+    QueryDef(
+      "rollup_region_nation",
+      "GROUP BY ROLLUP hierarchy totals",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_rollup_customer")
+        t(s, d, "nation").createOrReplaceTempView("graft_rollup_nation")
+        t(s, d, "region").createOrReplaceTempView("graft_rollup_region")
+        s.sql("""SELECT r_name, n_name, count(*) AS n_cust
+                |FROM graft_rollup_customer
+                |JOIN graft_rollup_nation ON c_nationkey = n_nationkey
+                |JOIN graft_rollup_region ON n_regionkey = r_regionkey
+                |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // ── Window: running sum (deterministic order ⇒ bit-identical floats) ──
+    QueryDef(
+      "window_running_sum",
+      "cumulative sum per partition in deterministic order",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(
+              Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running")),
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |FROM orders""".stripMargin),
+      bench = true),
+
+    // ── Window: rank ──
+    QueryDef(
+      "window_rank_acctbal",
+      "rank() per partition",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            rank().over(Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)).as("rnk"))
+          .filter(col("rnk") <= 3),
+      Some("""SELECT c_nationkey, c_custkey, rnk FROM (
+             |SELECT c_nationkey, c_custkey,
+             |rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+             |FROM customer) WHERE rnk <= 3""".stripMargin)),
+
+    // ── Numeric aggregate battery ──
+    QueryDef(
+      "agg_stats_battery",
+      "min/max/avg/stddev/count-distinct per group",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(min("o_totalprice"), 2).as("min_price"),
+            round(max("o_totalprice"), 2).as("max_price"),
+            round(avg("o_totalprice"), 4).as("avg_price"),
+            round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+            countDistinct(col("o_custkey")).as("n_cust")),
+      Some("""SELECT o_orderpriority, round(min(o_totalprice), 2) AS min_price,
+             |round(max(o_totalprice), 2) AS max_price, round(avg(o_totalprice), 4) AS avg_price,
+             |round(stddev_samp(o_totalprice), 4) AS sd_price,
+             |count(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ── Approximate distinct (no SQL oracle — HLL impls differ) ──
+    QueryDef(
+      "approx_distinct_users",
+      "approx_count_distinct (HLL++) — rows-only check",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      None),
+
+    // ── F9: date formatting ──
+    QueryDef(
+      "f9_date_format",
+      "strftime-style date formatting (cnics_to_fhir.py:614,794)",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1""".stripMargin)),
+
+    // ── F10: string utility battery ──
+    QueryDef(
+      "f10_string_ops",
+      "lower/replace/trim/split utilities (cnics_to_fhir.py:354,702,et al.)",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            lower(col("c_name")).as("lname"),
+            regexp_replace(col("c_name"), "#", "-").as("repl"),
+            trim(col("c_mktsegment")).as("seg"),
+            substring_index(col("c_name"), "#", -1).as("suffix")),
+      Some("""SELECT c_custkey, lower(c_name) AS lname, replace(c_name, '#', '-') AS repl,
+             |trim(c_mktsegment) AS seg, split_part(c_name, '#', 2) AS suffix FROM customer""".stripMargin))
+  )
+}
