@@ -14,7 +14,9 @@ object SparkEntry {
   /** All query packs. Order is presentation-only; names must be unique. */
   lazy val all: Seq[QueryDef] = QueryDef.registry(Seq(
     RelationalQueries.defs,
-    TranscodeQueries.defs
+    TranscodeQueries.defs,
+    TextDedupQueries.defs,
+    SimilarityStreamQueries.defs
   ))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * surface (SURVEY.md §7.5): tokenization, quality scoring, language
+  * ID, document fingerprinting, shingling.
+  *
+  * Everything is built as Spark SQL expression text over higher-order
+  * array functions (`transform`/`aggregate`/`filter`) — native Catalyst
+  * expressions, no UDFs, fully distributed and codegen-eligible. The
+  * expression builders take column *names* so the same formula can be
+  * mirrored 1:1 into the DuckDB oracles.
+  */
+object TextFunctions {
+
+  /** Modulus for the polynomial rolling hash (a prime > 10^9). */
+  val Mod = 1000000007L
+
+  /** Strip non-printable-ASCII so ascii()/ord() agree across engines. */
+  def cleanAsciiSql(c: String): String = s"regexp_replace($c, '[^ -~]', '')"
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + charcode) % Mod.
+    * The de-facto document fingerprint (deterministic, engine-portable). */
+  def polyHashSql(e: String): String =
+    s"aggregate(filter(split($e, ''), ch -> ch <> ''), CAST(0 AS BIGINT), " +
+      s"(a, x) -> (a * 31 + ascii(x)) % ${Mod}L)"
+
+  def polyHash(c: String): Column = expr(polyHashSql(c))
+
+  /** Whitespace tokenization (the reference corpus is space-separated). */
+  def tokensSql(c: String): String = s"split(trim($c), '\\\\s+')"
+
+  /** Character k-shingles (distinct), guarded for short strings. */
+  def shinglesSql(c: String, k: Int): String =
+    s"IF(char_length($c) < $k, array(), " +
+      s"array_distinct(transform(sequence(1, char_length($c) - ${k - 1}), " +
+      s"i -> substr($c, i, $k))))"
+
+  /** Token k-shingles (distinct): the discriminative unit for MinHash
+    * over natural text (char shingles collide heavily on small-vocab
+    * corpora — measured 60% candidate-pair rate on the fixture docs). */
+  def tokenShinglesSql(c: String, k: Int): String = {
+    val toks = tokensSql(c)
+    // get() is 0-based and null-safe out of bounds (ANSI-proof)
+    val joined = (0 until k).map(o => s"get(__t, i + $o)").mkString(", ' ', ")
+    s"IF(size($toks) < $k, array(), " +
+      s"array_distinct(transform(sequence(0, size($toks) - $k), " +
+      s"i -> concat($joined))))".replace("__t", toks)
+  }
+
+  /** Token count / distinct token count. */
+  def tokenCount(c: String): Column = expr(s"size(${tokensSql(c)})")
+  def distinctTokenCount(c: String): Column = expr(s"size(array_distinct(${tokensSql(c)}))")
+
+  /** Quality signals: punctuation ratio, stopword ratio, mean token
+    * length — the classic cheap text-quality heuristics. */
+  def punctRatio(c: String): Column =
+    expr(s"round(CAST(char_length(regexp_replace($c, '[a-zA-Z0-9 ]', '')) AS DOUBLE) " +
+      s"/ greatest(char_length($c), 1), 6)")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+  private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  def stopwordRatio(c: String): Column =
+    expr(s"round(CAST(size(filter(${tokensSql(c)}, t -> array_contains($stopArr, t))) AS DOUBLE) " +
+      s"/ greatest(size(${tokensSql(c)}), 1), 6)")
+
+  def meanTokenLen(c: String): Column =
+    expr(s"round(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
+      s"/ greatest(size(${tokensSql(c)}), 1), 6)")
+
+  /** Heuristic language ID: count stopword hits per language list, take
+    * the argmax with a fixed precedence order (en, es, de, fr, zh). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "value", "table"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  def langHitCount(c: String, words: Seq[String]): Column = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"size(filter(${tokensSql(c)}, t -> array_contains($arr, t)))")
+  }
+
+  def langId(c: String): Column = {
+    val counts = LangStopwords.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+      (lang, s"size(filter(${tokensSql(c)}, t -> array_contains($arr, t)))")
+    }
+    val others = (l: String) => counts.filter(_._1 != l).map(_._2).mkString("greatest(", ", ", ")")
+    val cases = counts.map { case (l, e) => s"WHEN $e >= ${others(l)} THEN '$l'" }.mkString(" ")
+    expr(s"CASE $cases ELSE 'und' END")
+  }
+}

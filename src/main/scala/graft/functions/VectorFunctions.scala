@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Vector/similarity primitives over `array<float>` embedding columns
+  * (SURVEY.md §7.5 similarity search).
+  *
+  * Dot products fold sequentially in index order with a double
+  * accumulator — deterministic and bit-identical to a same-order fold
+  * in any IEEE-754 engine (this is what makes the DuckDB oracles exact).
+  * All built from higher-order array functions; codegen'd, no UDFs.
+  */
+object VectorFunctions {
+
+  /** Sequential double dot product of two array columns. */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def dot(a: String, b: String): Column = expr(dotSql(a, b))
+
+  /** L2 norm. */
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  def norm(a: String): Column = expr(normSql(a))
+
+  /** Cosine similarity (caller should precompute norms for reuse —
+    * see Knn.bruteForceTopK which materializes them once per side). */
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** Deterministic pseudo-random hyperplane component for LSH:
+    * w(j,i) = (((j*dim + i) + 1) * 2654435761) % 1000003 - 501501.
+    * Integer-exact in any engine, then used as a double factor. */
+  def planeWeightSql(j: String, i: String, dim: Int): String =
+    s"CAST((((($j * $dim + $i) + 1) * 2654435761) % 1000003) - 501501 AS DOUBLE)"
+
+  /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
+    * bit j = (dot(embedding, plane_j) >= 0). Returns a BIGINT bucket.
+    * At scale this turns O(n²) similarity search into a bucket-local
+    * join; the plan is a single narrow projection per row. */
+  def lshBucketSql(embCol: String, dim: Int, nPlanes: Int): String =
+    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), " +
+      s"(s, i) -> s + CAST(element_at($embCol, i + 1) AS DOUBLE) * ${planeWeightSql("j", "i", dim)}) >= 0, " +
+      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+
+  def lshBucket(embCol: String, dim: Int, nPlanes: Int): Column =
+    expr(lshBucketSql(embCol, dim, nPlanes))
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.Knn
+
+/** Similarity search over `embeddings`, multimodal binary plumbing,
+  * and the event-stream analytics surface (tumbling windows,
+  * sessionization). Batch forms here share their logic with the
+  * Structured Streaming surface in graft.streaming.
+  */
+object SimilarityStreamQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val Dim = 64
+  val NPlanes = 16
+
+  // DuckDB-side sequential double dot product (same fold order as
+  // VectorFunctions.dotSql ⇒ bit-identical doubles).
+  private def dkDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  private def dkNorm(a: String) = s"sqrt(${dkDot(a, a)})"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact cosine top-k (brute-force baseline) ──
+    QueryDef(
+      "sim_cosine_topk",
+      "brute-force cosine top-5 per query over embeddings",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, ${dkNorm("embedding")} AS qn
+              |  FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cand_id, embedding AS ce, ${dkNorm("embedding")} AS cn
+              |  FROM embeddings),
+              |scored AS (SELECT query_id, cand_id,
+              |  round(${dkDot("qe", "ce")} / (qn * cn), 8) AS cosine
+              |  FROM q CROSS JOIN c WHERE query_id <> cand_id)
+              |SELECT query_id, cand_id, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored
+              |QUALIFY rnk <= 5""".stripMargin),
+      bench = true),
+
+    // ── LSH bucket assignment (the scale path for ANN) ──
+    QueryDef(
+      "sim_lsh_bucket",
+      "sign-random-projection LSH bucket id per embedding",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), graft.functions.VectorFunctions.lshBucket("embedding", Dim, NPlanes).as("bucket")),
+      Some(s"""SELECT vec_id,
+              |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
+              |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
+              |    i -> embedding[(i + 1)::INT]::DOUBLE *
+              |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
+              |    (s2, x) -> s2 + x) >= 0
+              |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
+              |FROM embeddings""".stripMargin)),
+
+    // ── Bucket-local ANN top-k (rows-only: recall is approximate by design;
+    //    bucket parity is already oracle-checked above) ──
+    QueryDef(
+      "sim_lsh_topk",
+      "bucket-local cosine top-3 (ANN scale path)",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.lshTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", Dim, NPlanes, 3)
+      },
+      None),
+
+    // ── Multimodal binary plumbing ──
+    QueryDef(
+      "mm_binary_meta",
+      "opaque binary payload + typed metadata (decode stub plumbing)",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        (lit(1) + octet_length(col("text").cast("binary")) % 640).as("width"),
+        (lit(1) + (octet_length(col("text").cast("binary")) * 7) % 480).as("height"),
+        (lit(1) + octet_length(col("text").cast("binary")) % 16).as("n_frames")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |1 + octet_length(encode(text)) % 640 AS width,
+             |1 + (octet_length(encode(text)) * 7) % 480 AS height,
+             |1 + octet_length(encode(text)) % 16 AS n_frames
+             |FROM documents""".stripMargin)),
+
+    // ── Tumbling-window aggregation over the event stream ──
+    QueryDef(
+      "ev_window_tumbling",
+      "5-minute tumbling window counts/sums per event type",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT strftime(to_timestamp((epoch_us(ts) // 300000000) * 300),
+             | '%Y-%m-%d %H:%M:%S') AS win_start,
+             |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      bench = true),
+
+    // ── Sessionization (30-minute inactivity gap) ──
+    QueryDef(
+      "ev_sessionize",
+      "gap-based sessionization per user via lag + cumulative flag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("new_sess",
+            when(col("ts_ns") - lag("ts_ns", 1).over(w) > 1800L * 1000000000L, 1)
+              .otherwise(when(lag("ts_ns", 1).over(w).isNull, 1).otherwise(0)))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(expr("timestamp_micros(min(ts_ns) div 1000)"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+            ((max("ts_ns") - min("ts_ns")) / lit(1000000000L)).cast("long").as("dur_s"))
+      },
+      Some("""WITH flagged AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             |  CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+             |   THEN 1
+             |   WHEN lag(epoch_ns(ts)) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL THEN 1
+             |   ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (SELECT *, sum(new_sess) OVER
+             |  (PARTITION BY user_id ORDER BY tns, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |strftime(make_timestamp(min(tns) // 1000), '%Y-%m-%d %H:%M:%S') AS start_ts,
+             |(max(tns) - min(tns)) // 1000000000 AS dur_s
+             |FROM sess GROUP BY user_id, session_id""".stripMargin),
+      bench = true)
+  )
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication operator coverage over `documents`
+  * (SURVEY.md §7.5). The DuckDB oracles recompute every signature —
+  * shingles, polynomial hashes, MinHash permutations, band folds,
+  * SimHash bit majorities — from scratch in SQL, so signature parity
+  * is verified end-to-end, not just row counts.
+  */
+object TextDedupQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // DuckDB-side building blocks mirroring TextFunctions/Dedup exactly.
+  private val dkClean = "lower(regexp_replace(text, '[^ -~]', '', 'g'))"
+  private def dkPoly(e: String) =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), ch -> ord(ch)::BIGINT)), " +
+      s"(a, x) -> (a * 31 + x) % 1000000007)"
+  private val dkTokens = "regexp_split_to_array(trim(text), '\\s+')"
+  private def dkShingles(src: String) =
+    s"list_distinct(list_transform(range(1, length($src) - 1), i -> substr($src, i::INT, 3)))"
+  // token 3-shingles of the cleaned text (mirrors tokenShinglesSql)
+  private def dkTokShingles(src: String) =
+    s"list_distinct(list_transform(range(1, len(regexp_split_to_array(trim($src), '\\s+')) - 1), " +
+      s"i -> regexp_split_to_array(trim($src), '\\s+')[i] || ' ' || " +
+      s"regexp_split_to_array(trim($src), '\\s+')[i+1] || ' ' || " +
+      s"regexp_split_to_array(trim($src), '\\s+')[i+2]))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Token counting ──
+    QueryDef(
+      "txt_tokens",
+      "whitespace token counts + distinct tokens per document",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount("text").as("n_tokens"),
+          TextFunctions.distinctTokenCount("text").as("n_distinct"),
+          char_length(col("text")).as("n_chars_calc")),
+      Some(s"""SELECT doc_id, len($dkTokens) AS n_tokens,
+              |len(list_distinct($dkTokens)) AS n_distinct,
+              |length(text) AS n_chars_calc FROM documents""".stripMargin)),
+
+    // ── Quality scoring ──
+    QueryDef(
+      "txt_quality",
+      "punctuation / stopword / token-length quality heuristics",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextFunctions.punctRatio("text").as("punct_ratio"),
+          TextFunctions.stopwordRatio("text").as("stop_ratio"),
+          TextFunctions.meanTokenLen("text").as("mean_tok_len")),
+      Some(s"""SELECT doc_id,
+              |round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              |  / greatest(length(text), 1), 6) AS punct_ratio,
+              |round(len(list_filter($dkTokens, t -> list_contains(${TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))::DOUBLE
+              |  / greatest(len($dkTokens), 1), 6) AS stop_ratio,
+              |round(length(replace(text, ' ', ''))::DOUBLE
+              |  / greatest(len($dkTokens), 1), 6) AS mean_tok_len
+              |FROM documents""".stripMargin),
+      bench = true),
+
+    // ── Language ID heuristic ──
+    QueryDef(
+      "txt_langid",
+      "stopword-hit argmax language ID (n-gram heuristic class)",
+      (s, d) =>
+        t(s, d, "documents").select(col("doc_id"), TextFunctions.langId("text").as("pred_lang")),
+      Some {
+        val counts = TextFunctions.LangStopwords.map { case (lang, ws) =>
+          lang -> s"len(list_filter($dkTokens, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
+        }
+        val others = (l: String) => counts.filter(_._1 != l).map(_._2).mkString("greatest(", ", ", ")")
+        val cases = counts.map { case (l, e) => s"WHEN $e >= ${others(l)} THEN '$l'" }.mkString(" ")
+        s"SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM documents"
+      }),
+
+    // ── Document fingerprint (rolling hash) ──
+    QueryDef(
+      "txt_fingerprint",
+      "polynomial rolling-hash fingerprint of cleaned text",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
+          .select(col("doc_id"), TextFunctions.polyHash("__clean").as("fp")),
+      Some(s"SELECT doc_id, ${dkPoly(dkClean)} AS fp FROM documents")),
+
+    // ── Exact dedup ──
+    QueryDef(
+      "dedup_exact",
+      "exact duplicate groups via md5 hash-groupBy",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id"),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n
+             |FROM documents GROUP BY md5(text)""".stripMargin),
+      bench = true),
+
+    // ── n-gram Jaccard near-dup scoring (adjacent-id pairs) ──
+    QueryDef(
+      "dedup_ngram_jaccard",
+      "char-3-gram Jaccard similarity over paired documents",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
+          .select(col("doc_id"), expr(TextFunctions.shinglesSql("__clean", 3)).as("sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, col("doc_a") + 1 === col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), Dedup.jaccardCol.as("jaccard"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, ${dkShingles(dkClean)} AS s FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |round(len(list_intersect(a.s, b.s))::DOUBLE /
+              |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin)),
+
+    // ── MinHash LSH index ──
+    QueryDef(
+      "dedup_minhash_bands",
+      "MinHash signatures folded into LSH band buckets",
+      (s, d) => Dedup.minhashBands(t(s, d, "documents"), "text", "doc_id"),
+      Some(s"""WITH hh AS (SELECT doc_id,
+              |  list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")}) AS h
+              |  FROM documents),
+              |sig AS (SELECT doc_id,
+              |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+              |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+              |  FROM hh WHERE len(h) > 0)
+              |SELECT doc_id, band,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+              |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+              |FROM sig, range(0, ${Dedup.Bands}) tt(band)""".stripMargin),
+      bench = true),
+
+    // ── LSH candidate pairs ──
+    QueryDef(
+      "dedup_lsh_pairs",
+      "near-dup candidate pairs from shared LSH band buckets",
+      (s, d) => Dedup.lshCandidatePairs(
+        Dedup.minhashBands(t(s, d, "documents"), "text", "doc_id"), "doc_id"),
+      Some(s"""WITH hh AS (SELECT doc_id,
+              |  list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")}) AS h
+              |  FROM documents),
+              |sig AS (SELECT doc_id,
+              |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+              |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+              |  FROM hh WHERE len(h) > 0),
+              |bands AS (SELECT doc_id, band,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+              |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+              |  FROM sig, range(0, ${Dedup.Bands}) tt(band))
+              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |FROM bands a JOIN bands b
+              |ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin),
+      bench = true),
+
+    // ── SimHash ──
+    QueryDef(
+      "dedup_simhash",
+      "32-bit SimHash from token-hash bit majorities",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "text", "doc_id"),
+      Some(s"""WITH th AS (SELECT doc_id,
+              |  list_transform(regexp_split_to_array(trim($dkClean), '\\s+'), t -> ${dkPoly("t")}) AS h
+              |  FROM documents)
+              |SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT, range(0, 32)), (acc, b) -> acc +
+              |    CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
+              |      (s2, x) -> s2 + CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              |FROM th""".stripMargin))
+  )
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY.md §7.5 / H): the same transforms the batch queries use,
+  * expressed on an unbounded stream with watermarked event time.
+  *
+  * The reference is pure batch; its reconcile-against-store behavior is
+  * micro-batch CDC, which maps to `foreachBatch(merge)` here. At scale
+  * the stream is partitioned by source; state (windows, sessions) is
+  * keyed and spills through the state store.
+  */
+object EventStreams {
+
+  /** Parquet-on-disk schema of `events` when read with nanosAsLong. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds (TIMESTAMP(NANOS) on disk)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  /** Watermarked 5-minute tumbling counts — streaming twin of the
+    * `ev_window_tumbling` batch query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+}

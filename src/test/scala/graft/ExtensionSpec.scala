@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Knn, Multimodal}
+
+/** Dedup / similarity / multimodal operator semantics on controlled
+  * inputs (the fixture-corpus parity is covered by the oracle gate). */
+class ExtensionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "entirely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates under one fingerprint") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length === 3)
+    val dup = g.find(_.getAs[Long]("n") === 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("jaccard: identical=1, near-dup high, disjoint low") {
+    val sh = docs.withColumn("sh",
+      expr(graft.functions.TextFunctions.shinglesSql("lower(text)", 3)))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val j = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Dedup.jaccardCol.as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.7)
+    assert(j((0L, 3L)) < 0.1)
+  }
+
+  test("minhash bands: identical docs share all bands; LSH finds the pair") {
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val byDoc = bands.collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(r => (r.getAs[Int]("band"), r.getAs[Long]("band_hash"))).toSet }
+    assert(byDoc(0L) === byDoc(1L))
+    assert(byDoc.values.forall(_.size === Dedup.Bands))
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical equal; near-dup within small hamming distance") {
+    val sh = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) === sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("brute-force knn returns the planted nearest neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Knn.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rnk").collect()
+    assert(top.head.getAs[Long]("cand_id") === 1L)
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("lsh knn: identical vectors land in the same bucket and match") {
+    val vecs = (0L until 20L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((100L, Array.tabulate(8)(j => math.sin(5 * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val res = Knn.lshTopK(dup, vecs.union(dup), "vec_id", "embedding", 8, 8, 1).collect()
+    assert(res.length === 1)
+    assert(res.head.getAs[Long]("cand_id") === 5L)
+    assert(res.head.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("multimodal: payload plumbing schema + deterministic stub decode") {
+    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
+    val ds = media.select(col("doc_id"), col("payload"), lit("text/plain").as("mime"))
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.decodeStub(spark, ds).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(spark, ds).collect().sortBy(_.doc_id)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.head.n_bytes === docs.head().getAs[String]("text").length)
+    assert(f1.forall(f => f.width >= 1 && f.width <= 640))
+  }
+
+  test("streaming tumbling counts match the batch computation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.tumblingCounts(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_test")
+        .select("win_start", "event_type", "n", "sum_value").collect().toSet
+      val batch = graft.queries.SimilarityStreamQueries.defs
+        .find(_.name == "ev_window_tumbling").get
+        .build(spark, "/root/testdata/sf0.001").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
