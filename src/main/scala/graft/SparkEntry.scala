@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.defs,
     TranscodeQueries.defs,
     TextDedupQueries.defs,
-    SimilarityStreamQueries.defs
+    SimilarityStreamQueries.defs,
+    CnicsQueries.defs
   ))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

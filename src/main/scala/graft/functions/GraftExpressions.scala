@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §7.3 preference (b): a native
+  * `Expression` with codegen beats any UDF).
+  *
+  * PolyHash replaces the higher-order `aggregate(split(...))` char fold:
+  * higher-order lambdas are interpreted per element, so hashing 260 k
+  * shingles walked an expression tree per character; this is a tight
+  * loop, codegen'd in the whole-stage plan and equally tight when
+  * evaluated inside ArrayTransform lambdas. Identical math to the
+  * DuckDB oracle (`list_reduce` over `ord()`): acc = (acc*31 + c) % p
+  * over UTF-16 units — callers strip non-ASCII first so units ==
+  * codepoints == duckdb `ord`. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(newChild)
+}
+
+object PolyHash {
+  final val Mod = 1000000007L
+
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31 + str.charAt(i)) % Mod
+      i += 1
+    }
+    acc
+  }
+}
+
+object GraftFunctions {
+  /** Idempotently register graft SQL functions on a session so
+    * expression text (including lambda bodies) can call them. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly", exprs => PolyHash(exprs.head), "built-in")
+}

@@ -22,10 +22,10 @@ object TextFunctions {
   def cleanAsciiSql(c: String): String = s"regexp_replace($c, '[^ -~]', '')"
 
   /** Polynomial rolling hash of a string: fold (acc*31 + charcode) % Mod.
-    * The de-facto document fingerprint (deterministic, engine-portable). */
-  def polyHashSql(e: String): String =
-    s"aggregate(filter(split($e, ''), ch -> ch <> ''), CAST(0 AS BIGINT), " +
-      s"(a, x) -> (a * 31 + ascii(x)) % ${Mod}L)"
+    * The de-facto document fingerprint (deterministic, engine-portable).
+    * Spark side is the codegen'd PolyHash Catalyst expression (register
+    * via GraftFunctions.register before building expression text). */
+  def polyHashSql(e: String): String = s"graft_poly($e)"
 
   def polyHash(c: String): Column = expr(polyHashSql(c))
 
@@ -40,19 +40,25 @@ object TextFunctions {
 
   /** Token k-shingles (distinct): the discriminative unit for MinHash
     * over natural text (char shingles collide heavily on small-vocab
-    * corpora — measured 60% candidate-pair rate on the fixture docs). */
-  def tokenShinglesSql(c: String, k: Int): String = {
-    val toks = tokensSql(c)
+    * corpora — measured 60% candidate-pair rate on the fixture docs).
+    *
+    * IMPORTANT: `toksCol` must be a STAGED column holding the token
+    * array, not an inline `split(...)` — expression trees are re-
+    * evaluated inside lambda bodies per element, so inlining the split
+    * makes shingling O(tokens²) string-splits per row (observed as a
+    * single-thread hotspot at sf0.1). */
+  def tokenShinglesSql(toksCol: String, k: Int): String = {
     // get() is 0-based and null-safe out of bounds (ANSI-proof)
-    val joined = (0 until k).map(o => s"get(__t, i + $o)").mkString(", ' ', ")
-    s"IF(size($toks) < $k, array(), " +
-      s"array_distinct(transform(sequence(0, size($toks) - $k), " +
-      s"i -> concat($joined))))".replace("__t", toks)
+    val joined = (0 until k).map(o => s"get($toksCol, i + $o)").mkString(", ' ', ")
+    s"IF(size($toksCol) < $k, array(), " +
+      s"array_distinct(transform(sequence(0, size($toksCol) - $k), " +
+      s"i -> concat($joined))))"
   }
 
-  /** Token count / distinct token count. */
-  def tokenCount(c: String): Column = expr(s"size(${tokensSql(c)})")
-  def distinctTokenCount(c: String): Column = expr(s"size(array_distinct(${tokensSql(c)}))")
+  /** Token count / distinct token count — `toksCol` is a STAGED token
+    * array column (see tokenShinglesSql note on lambda re-evaluation). */
+  def tokenCount(toksCol: String): Column = expr(s"size($toksCol)")
+  def distinctTokenCount(toksCol: String): Column = expr(s"size(array_distinct($toksCol))")
 
   /** Quality signals: punctuation ratio, stopword ratio, mean token
     * length — the classic cheap text-quality heuristics. */
@@ -63,13 +69,13 @@ object TextFunctions {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
   private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
-  def stopwordRatio(c: String): Column =
-    expr(s"round(CAST(size(filter(${tokensSql(c)}, t -> array_contains($stopArr, t))) AS DOUBLE) " +
-      s"/ greatest(size(${tokensSql(c)}), 1), 6)")
+  def stopwordRatio(toksCol: String): Column =
+    expr(s"round(CAST(size(filter($toksCol, t -> array_contains($stopArr, t))) AS DOUBLE) " +
+      s"/ greatest(size($toksCol), 1), 6)")
 
-  def meanTokenLen(c: String): Column =
+  def meanTokenLen(c: String, toksCol: String): Column =
     expr(s"round(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
-      s"/ greatest(size(${tokensSql(c)}), 1), 6)")
+      s"/ greatest(size($toksCol), 1), 6)")
 
   /** Heuristic language ID: count stopword hits per language list, take
     * the argmax with a fixed precedence order (en, es, de, fr, zh). */
@@ -80,15 +86,15 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "est"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  def langHitCount(c: String, words: Seq[String]): Column = {
+  def langHitCount(toksCol: String, words: Seq[String]): Column = {
     val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-    expr(s"size(filter(${tokensSql(c)}, t -> array_contains($arr, t)))")
+    expr(s"size(filter($toksCol, t -> array_contains($arr, t)))")
   }
 
-  def langId(c: String): Column = {
+  def langId(toksCol: String): Column = {
     val counts = LangStopwords.map { case (lang, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-      (lang, s"size(filter(${tokensSql(c)}, t -> array_contains($arr, t)))")
+      (lang, s"size(filter($toksCol, t -> array_contains($arr, t)))")
     }
     val others = (l: String) => counts.filter(_._1 != l).map(_._2).mkString("greatest(", ", ", ")")
     val cases = counts.map { case (l, e) => s"WHEN $e >= ${others(l)} THEN '$l'" }.mkString(" ")

@@ -29,34 +29,71 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Spread compute-heavy narrow stages across the session's shuffle
+    * parallelism: a single small parquet file arrives as ONE partition,
+    * serializing signature math onto one core (observed at sf0.1). At
+    * 100 TB inputs are many-filed and this is a no-op in spirit; the
+    * round-robin shuffle of the raw rows is cheap relative to the
+    * per-row expression work it parallelizes. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions < math.min(target, 8)) df.repartition(target) else df
+  }
+
+  /** Stage computed columns BELOW a repartition exchange.
+    *
+    * Catalyst's project collapsing rewrites `withColumn` staging into
+    * inline expression duplication — references inside higher-order-
+    * function lambdas are re-evaluated per element, which turned the
+    * staged token array back into O(positions) re-splits of the text
+    * (measured 115 s at sf0.1). A Repartition node is a collapse
+    * barrier, so the staged columns are materialized exactly once into
+    * the shuffle — which these operators need for parallelism anyway. */
+  private[graft] def stageThenSpread(df: DataFrame, cols: (String, org.apache.spark.sql.Column)*): DataFrame = {
+    val staged = cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    staged.repartition(target)
+  }
+
   /** Stage per-doc distinct token-shingle hashes (narrow projection).
     * Token shingles, not char shingles: on small-vocab text, char
     * 3-grams collide so heavily that LSH candidate generation degrades
     * toward the cross product (measured on the fixture corpus). */
-  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
-    df.withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql(textCol)})"))
-      .withColumn("__sh", expr(TextFunctions.tokenShinglesSql("__clean", k)))
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    stageThenSpread(df,
+      "__toks" -> expr(TextFunctions.tokensSql(s"lower(${TextFunctions.cleanAsciiSql(textCol)})")))
+      .withColumn("__sh", expr(TextFunctions.tokenShinglesSql("__toks", k)))
       .withColumn("shingle_hashes", expr(
         s"transform(__sh, sh -> ${TextFunctions.polyHashSql("sh")})"))
-      .drop("__clean", "__sh")
+      .drop("__toks", "__sh")
+  }
 
-  /** MinHash signature (length NumHashes) from staged shingle hashes:
-    * sig[i] = min over shingles of (a_i*h + b_i) mod P. */
-  def minhashSigCol: Column = expr(
-    s"transform(sequence(0, ${NumHashes - 1}), i -> " +
-      s"array_min(transform(shingle_hashes, h -> ((2*i + 3) * h + (7919*i + 13)) % ${MinhashP}L)))")
-
-  /** Explode signature into (id, band, band_hash) rows — the LSH index.
-    * band_hash folds the band's rows so equal bands ⇒ equal hash. */
-  def minhashBands(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
-    withShingleHashes(df, textCol, k)
+  /** MinHash LSH index: (id, band, band_hash) rows.
+    *
+    * Formulated as explode → groupBy with NumHashes `min` aggregates:
+    * partial (map-side) aggregation, whole-stage codegen, one shuffle
+    * keyed on the doc id. The earlier nested-array-lambda formulation
+    * was correct but Catalyst's project collapsing inlined the staged
+    * shingle-hash transform into every permutation lambda — 256×
+    * recompute per doc (measured 175 s at sf0.1 vs ~2 s this way). */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val exploded = withShingleHashes(df, textCol, k)
       .filter(size(col("shingle_hashes")) > 0)
-      .withColumn("__sig", minhashSigCol)
-      .select(col(idCol), expr(
-        s"explode(transform(sequence(0, ${Bands - 1}), b -> struct(b AS band, " +
-          s"aggregate(slice(__sig, b*${RowsPerBand} + 1, ${RowsPerBand}), CAST(0 AS BIGINT), " +
-          s"(a, x) -> (a * 31 + x) % ${BandP}L) AS band_hash)))").as("bb"))
+      .select(col(idCol), explode(col("shingle_hashes")).as("h"))
+    val sigAggs = (0 until NumHashes).map(i =>
+      min(expr(s"((2*$i + 3) * h + (7919*$i + 13)) % ${MinhashP}L")).as(s"sig_$i"))
+    val sig = exploded.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val fold = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 31 + sig_${b * RowsPerBand + r}) % ${BandP}L)"
+      }
+      s"struct($b AS band, $fold AS band_hash)"
+    }
+    sig.select(col(idCol),
+        expr(s"explode(array(${bandStructs.mkString(", ")}))").as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
 
   /** LSH candidate pairs: equal (band, band_hash) ⇒ candidate. The join
     * shuffles on the bucket key only — no cross product. */
@@ -68,24 +105,29 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** SimHash (32-bit) over whitespace tokens from a staged
-    * `token_hashes` array column: bit b set iff the majority of token
-    * hashes have bit b set. */
-  def simhash32Col: Column = expr(
-    s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-      s"IF(aggregate(token_hashes, CAST(0 AS BIGINT), " +
-      s"(s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0, " +
-      s"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
+  /** SimHash (32-bit): bit b set iff the majority of token hashes have
+    * bit b set. Same explode → groupBy shape as MinHash (32 codegen'd
+    * sum aggregates, one shuffle) for the same project-collapse reason. */
 
-  def withTokenHashes(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql(textCol)})"))
+  def withTokenHashes(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    stageThenSpread(df,
+      "__toks" -> expr(TextFunctions.tokensSql(s"lower(${TextFunctions.cleanAsciiSql(textCol)})")))
       .withColumn("token_hashes", expr(
-        s"transform(${TextFunctions.tokensSql("__clean")}, t -> ${TextFunctions.polyHashSql("t")})"))
-      .drop("__clean")
+        s"transform(__toks, t -> ${TextFunctions.polyHashSql("t")})"))
+      .drop("__toks")
+  }
 
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    withTokenHashes(df, textCol)
-      .select(col(idCol), simhash32Col.as("simhash"))
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = withTokenHashes(df, textCol)
+      .select(col(idCol), explode(col("token_hashes")).as("h"))
+    val bitAggs = (0 until 32).map(b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"bit_$b"))
+    exploded.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol),
+        expr((0 until 32).map(b => s"IF(bit_$b > 0, ${1L << b}L, CAST(0 AS BIGINT))")
+          .mkString(" + ")).as("simhash"))
+  }
 
   /** n-gram Jaccard similarity for a pre-paired frame carrying shingle
     * arrays `sh_a`, `sh_b` (distinct char k-shingles). */

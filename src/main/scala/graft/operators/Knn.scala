@@ -23,7 +23,7 @@ object Knn {
       idCol: String, embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_norm", VectorFunctions.norm("q_emb"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
+    val c = Dedup.spread(candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb")))
       .withColumn("c_norm", VectorFunctions.norm("c_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
@@ -38,7 +38,7 @@ object Knn {
 
   /** Bucket assignment via sign-random-projection LSH. */
   def withLshBucket(df: DataFrame, embCol: String, dim: Int, nPlanes: Int): DataFrame =
-    df.withColumn("bucket", VectorFunctions.lshBucket(embCol, dim, nPlanes))
+    Dedup.spread(df).withColumn("bucket", VectorFunctions.lshBucket(embCol, dim, nPlanes))
 
   /** Bucket-local cosine top-k: same contract as bruteForceTopK but the
     * candidate set per query is its LSH bucket — the 100 TB scale path. */

@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.FhirResources
+import graft.operators.Merge
+import graft.sinks.FhirStore
+
+/** The reference's job, re-expressed as one declarative DAG per
+  * (site, resourceType) — SURVEY.md §3.
+  *
+  * Where the reference loops patient-by-patient issuing 6 SQL queries
+  * and ≥4 HTTP round-trips each (N+1), this pipeline:
+  *  - assembles the cohort with joins (fan-out join D3);
+  *  - takes the first demographic row per patient with a window (E2);
+  *  - aggregates session ids / PRO identifiers per patient (E3/D9,
+  *    deterministic first-seen order by sorted SessionId);
+  *  - builds resources as nested structs (one narrow projection);
+  *  - reconciles against the store snapshot with a full-outer merge
+  *    keyed on the business identifier (D4/F12);
+  *  - hands insert/update/delete sets to the sink (B1/B2).
+  *
+  * Ids are deterministic client-assigned (`cnics-<site>-<key>`), which
+  * removes the reference's store-assigned-id sequential barrier
+  * (SURVEY.md §3.2): children derive subject references without
+  * waiting for write-backs.
+  */
+final case class CnicsInputs(
+    patient: DataFrame,
+    demographic: DataFrame,
+    diagnosis: DataFrame,
+    medication: DataFrame,
+    lab: DataFrame,
+    pro: DataFrame,       // ProAltered: (PatientId, SessionId)
+    proDb: DataFrame,     // PRO db join: (SessionID, PatientID, MRN)
+    crosswalk: DataFrame, // (hmrn, umrn, SitePatientId, __order) — last wins
+    conditionsFilter: String,
+    medicationsFilter: String,
+    observationsFilter: String,
+    standardDiagnoses: Seq[String])
+
+class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site: String) {
+
+  private val siteLower = site.toLowerCase
+  private def emptyStrArr = array().cast("array<string>")
+
+  /** C1 — (Historical <> 'Yes' OR Historical IS NULL), cnics:121/138/154. */
+  private def historicalFilter: Column =
+    coalesce(col("Historical") =!= "Yes", lit(true))
+
+  /** Cohort: Patient ⋈ Demographic restricted to site (A2), distinct
+    * on the patient key (the reference may enqueue duplicates when a
+    * patient has several demographic rows — idempotent either way). */
+  def cohort(limit: Int = Int.MaxValue): DataFrame =
+    in.patient
+      .filter(col("Site") === site)
+      .join(in.demographic.select("PatientId").distinct(), Seq("PatientId"))
+      .select(col("PatientId"), col("SitePatientId").cast("string").as("site_pat_id"))
+      .distinct()
+      .limit(limit)
+
+  /** E2 — first demographic row per patient by DemographicId. */
+  def demoFirst: DataFrame =
+    in.demographic
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("PatientId").orderBy(col("DemographicId"))))
+      .filter(col("__rn") === 1)
+      .select(col("PatientId"), col("Race"), col("Hispanic"), col("Sex"))
+
+  /** A4/E3 — distinct session ids per patient, deterministic order. */
+  def sessionsPerPatient: DataFrame =
+    in.pro.select("PatientId", "SessionId").distinct()
+      .groupBy("PatientId")
+      .agg(sort_array(collect_list("SessionId")).as("session_ids"))
+
+  /** D9/E4 — PRO-db fallback identifiers: first-seen-order distinct
+    * PatientIDs and MRNs across the patient's sessions (order pinned
+    * to sorted SessionId — the reference inherits DB order, G4). */
+  def proFallback: DataFrame =
+    in.pro.select("PatientId", "SessionId").distinct()
+      .join(in.proDb
+        .withColumnRenamed("SessionID", "SessionId")
+        .withColumnRenamed("PatientID", "pro_pat_id"), // avoid case-insensitive clash
+        Seq("SessionId"))
+      .groupBy("PatientId")
+      .agg(
+        expr("array_distinct(transform(array_sort(" +
+          "collect_list(IF(pro_pat_id IS NOT NULL, struct(SessionId, pro_pat_id), NULL))" +
+          "), s -> s.pro_pat_id))").as("pro_pat_ids"),
+        expr("array_distinct(transform(array_sort(" +
+          "collect_list(IF(MRN IS NOT NULL, struct(SessionId, MRN), NULL))" +
+          "), s -> s.MRN))").as("pro_mrns"))
+
+  /** A6 — crosswalk with last-wins dedup on SitePatientId. */
+  def crosswalkLastWins: DataFrame =
+    in.crosswalk
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("SitePatientId").orderBy(col("__order").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("SitePatientId").as("site_pat_id"), col("hmrn"), col("umrn"),
+        lit(true).as("in_crosswalk"))
+
+  /** Assembled patient resources: (PatientId, key, id, json). */
+  def patientResources(limit: Int = Int.MaxValue): DataFrame = {
+    val base = cohort(limit)
+      .join(demoFirst, Seq("PatientId"), "left")
+      .join(sessionsPerPatient, Seq("PatientId"), "left")
+      .join(broadcast(crosswalkLastWins), Seq("site_pat_id"), "left")
+      .join(proFallback, Seq("PatientId"), "left")
+      .withColumn("session_ids", coalesce(col("session_ids"), emptyStrArr))
+      .withColumn("in_crosswalk", coalesce(col("in_crosswalk"), lit(false)))
+      .withColumn("pro_pat_ids",
+        coalesce(col("pro_pat_ids"), array().cast("array<long>")))
+      .withColumn("pro_mrns", coalesce(col("pro_mrns"), emptyStrArr))
+    base.select(
+      col("PatientId"),
+      col("site_pat_id").as("key"),
+      concat(lit(s"cnics-$siteLower-"), col("site_pat_id")).as("id"),
+      to_json(FhirResources.patient(
+        lit(siteLower), col("site_pat_id"), col("session_ids"),
+        col("in_crosswalk"), col("hmrn"), col("umrn"),
+        col("pro_pat_ids"), col("pro_mrns"),
+        col("Race"), col("Hispanic"), col("Sex"))).as("json"))
+  }
+
+  /** Generic reconcile+write for one resource type. */
+  private def reconcile(resourceType: String, source: DataFrame): Map[String, Long] = {
+    val snap = store.snapshot(spark, resourceType).filter(col("key").isNotNull)
+    val actions = Merge.classify(source, snap, Seq("key"))
+      .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
+      .withColumnRenamed(Merge.ActionCol, "merge_action")
+    store.applyActions(resourceType, actions.select("key", "id", "json", "merge_action"))
+  }
+
+  private def childSource(detail: DataFrame, nameCol: String, iniFilter: String,
+      cohortIds: DataFrame): DataFrame =
+    detail
+      .filter(historicalFilter && length(col(nameCol)) > 0 && expr(iniFilter))
+      .join(cohortIds, Seq("PatientId"))
+
+  def runPatients(limit: Int = Int.MaxValue): Map[String, Long] =
+    reconcile("Patient", patientResources(limit))
+
+  def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val src = childSource(in.diagnosis, "DiagnosisName", in.conditionsFilter, ids)
+      .withColumn("key", col("DiagnosisId").cast("string"))
+      .select(col("key"),
+        concat(lit(s"cnics-dx-$siteLower-"), col("key")).as("id"),
+        to_json(FhirResources.condition(
+          lit(siteLower),
+          concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
+          col("DiagnosisId").cast("string"), col("DiagnosisDate"),
+          col("DiagnosisSource"), col("DiagnosisName"),
+          col("DiagnosisName").isin(in.standardDiagnoses: _*))).as("json"))
+    reconcile("Condition", src)
+  }
+
+  def runMedications(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val src = childSource(in.medication, "MedicationName", in.medicationsFilter, ids)
+      .withColumn("key", col("MedicationId").cast("string"))
+      .select(col("key"),
+        concat(lit(s"cnics-med-$siteLower-"), col("key")).as("id"),
+        to_json(FhirResources.medicationRequest(
+          lit(siteLower),
+          concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
+          col("MedicationId").cast("string"), col("MedicationName"),
+          col("StartDate"), col("EndDate"), col("EndType"))).as("json"))
+    reconcile("MedicationRequest", src)
+  }
+
+  def runObservations(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val src = childSource(in.lab, "TestName", in.observationsFilter, ids)
+      .withColumn("key", col("LabId")) // LabId is already a string (§1.4)
+      .select(col("key"),
+        concat(lit(s"cnics-lab-$siteLower-"), col("key")).as("id"),
+        to_json(FhirResources.observation(
+          lit(siteLower),
+          concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
+          col("LabId"), col("TestName"), col("TestDate"),
+          col("Result"), col("Units"), col("ReferenceLow"), col("ReferenceHigh"))).as("json"))
+    reconcile("Observation", src)
+  }
+
+  /** Full job for one site: returns the reference's 12-counter audit
+    * (E1: {Patient, Condition, MedicationRequest, Observation} ×
+    * {inserted, updated, deleted}). */
+  def run(resourceList: Set[String] = Set("patients", "conditions", "medicationrequests", "observations"),
+      limit: Int = Int.MaxValue): Map[(String, String), Long] = {
+    var audit = Map[(String, String), Long]()
+    def add(rt: String, counts: Map[String, Long]): Unit =
+      Seq("insert", "update", "delete").foreach { a =>
+        audit += (rt, a) -> counts.getOrElse(a, 0L)
+      }
+    if (resourceList("patients")) add("Patient", runPatients(limit))
+    if (resourceList("conditions")) add("Condition", runConditions(limit))
+    if (resourceList("medicationrequests")) add("MedicationRequest", runMedications(limit))
+    if (resourceList("observations")) add("Observation", runObservations(limit))
+    audit
+  }
+}

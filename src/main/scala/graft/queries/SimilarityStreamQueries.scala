@@ -52,7 +52,7 @@ object SimilarityStreamQueries {
     QueryDef(
       "sim_lsh_bucket",
       "sign-random-projection LSH bucket id per embedding",
-      (s, d) => t(s, d, "embeddings")
+      (s, d) => graft.operators.Dedup.spread(t(s, d, "embeddings"))
         .select(col("vec_id"), graft.functions.VectorFunctions.lshBucket("embedding", Dim, NPlanes).as("bucket")),
       Some(s"""SELECT vec_id,
               |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +

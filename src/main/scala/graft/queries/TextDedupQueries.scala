@@ -37,11 +37,13 @@ object TextDedupQueries {
       "txt_tokens",
       "whitespace token counts + distinct tokens per document",
       (s, d) =>
-        t(s, d, "documents").select(
-          col("doc_id"),
-          TextFunctions.tokenCount("text").as("n_tokens"),
-          TextFunctions.distinctTokenCount("text").as("n_distinct"),
-          char_length(col("text")).as("n_chars_calc")),
+        t(s, d, "documents")
+          .withColumn("__toks", expr(TextFunctions.tokensSql("text")))
+          .select(
+            col("doc_id"),
+            TextFunctions.tokenCount("__toks").as("n_tokens"),
+            TextFunctions.distinctTokenCount("__toks").as("n_distinct"),
+            char_length(col("text")).as("n_chars_calc")),
       Some(s"""SELECT doc_id, len($dkTokens) AS n_tokens,
               |len(list_distinct($dkTokens)) AS n_distinct,
               |length(text) AS n_chars_calc FROM documents""".stripMargin)),
@@ -51,11 +53,13 @@ object TextDedupQueries {
       "txt_quality",
       "punctuation / stopword / token-length quality heuristics",
       (s, d) =>
-        t(s, d, "documents").select(
-          col("doc_id"),
-          TextFunctions.punctRatio("text").as("punct_ratio"),
-          TextFunctions.stopwordRatio("text").as("stop_ratio"),
-          TextFunctions.meanTokenLen("text").as("mean_tok_len")),
+        graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(
+            col("doc_id"),
+            TextFunctions.punctRatio("text").as("punct_ratio"),
+            TextFunctions.stopwordRatio("__toks").as("stop_ratio"),
+            TextFunctions.meanTokenLen("text", "__toks").as("mean_tok_len")),
       Some(s"""SELECT doc_id,
               |round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
               |  / greatest(length(text), 1), 6) AS punct_ratio,
@@ -71,7 +75,9 @@ object TextDedupQueries {
       "txt_langid",
       "stopword-hit argmax language ID (n-gram heuristic class)",
       (s, d) =>
-        t(s, d, "documents").select(col("doc_id"), TextFunctions.langId("text").as("pred_lang")),
+        graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"), TextFunctions.langId("__toks").as("pred_lang")),
       Some {
         val counts = TextFunctions.LangStopwords.map { case (lang, ws) =>
           lang -> s"len(list_filter($dkTokens, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
@@ -85,10 +91,12 @@ object TextDedupQueries {
     QueryDef(
       "txt_fingerprint",
       "polynomial rolling-hash fingerprint of cleaned text",
-      (s, d) =>
-        t(s, d, "documents")
-          .withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
-          .select(col("doc_id"), TextFunctions.polyHash("__clean").as("fp")),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
+          "__clean" -> expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
+          .select(col("doc_id"), TextFunctions.polyHash("__clean").as("fp"))
+      },
       Some(s"SELECT doc_id, ${dkPoly(dkClean)} AS fp FROM documents")),
 
     // ── Exact dedup ──
@@ -105,8 +113,8 @@ object TextDedupQueries {
       "dedup_ngram_jaccard",
       "char-3-gram Jaccard similarity over paired documents",
       (s, d) => {
-        val sh = t(s, d, "documents")
-          .withColumn("__clean", expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
+        val sh = graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
+          "__clean" -> expr(s"lower(${TextFunctions.cleanAsciiSql("text")})"))
           .select(col("doc_id"), expr(TextFunctions.shinglesSql("__clean", 3)).as("sh"))
         val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

