@@ -45,10 +45,60 @@ object PolyHash {
   }
 }
 
+/** Hashes of all k-token windows of a token array, in one tight loop —
+  * equivalent to `transform(tokenShingles(toks,k), sh -> poly(sh))` but
+  * with no intermediate shingle strings and no interpreted lambda
+  * evals (those cost ~10 s per million shingles). Duplicate shingles
+  * are retained: MinHash minima are unaffected by multiplicity, which
+  * is the only consumer. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.hashWindows(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.hashWindows($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def hashWindows(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) acc = (acc * 31 + ' ') % PolyHash.Mod
+        val s = arr.getUTF8String(i + j).toString
+        var c = 0
+        while (c < s.length) { acc = (acc * 31 + s.charAt(c)) % PolyHash.Mod; c += 1 }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_poly", exprs => PolyHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
 }

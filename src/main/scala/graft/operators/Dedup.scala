@@ -63,10 +63,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     stageThenSpread(df,
       "__toks" -> expr(TextFunctions.tokensSql(s"lower(${TextFunctions.cleanAsciiSql(textCol)})")))
-      .withColumn("__sh", expr(TextFunctions.tokenShinglesSql("__toks", k)))
-      .withColumn("shingle_hashes", expr(
-        s"transform(__sh, sh -> ${TextFunctions.polyHashSql("sh")})"))
-      .drop("__toks", "__sh")
+      .withColumn("shingle_hashes", expr(s"graft_shingle_hashes(__toks, $k)"))
+      .drop("__toks")
   }
 
   /** MinHash LSH index: (id, band, band_hash) rows.
@@ -98,8 +96,13 @@ object Dedup {
   /** LSH candidate pairs: equal (band, band_hash) ⇒ candidate. The join
     * shuffles on the bucket key only — no cross product. */
   def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    // materialize the band index once — the self-join would otherwise
+    // recompute the whole signature pipeline for each side (exchange
+    // reuse does not survive the per-side renames). At scale you'd
+    // write the LSH index to storage; persist is the local analogue.
+    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = cached.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -113,8 +116,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     stageThenSpread(df,
       "__toks" -> expr(TextFunctions.tokensSql(s"lower(${TextFunctions.cleanAsciiSql(textCol)})")))
-      .withColumn("token_hashes", expr(
-        s"transform(__toks, t -> ${TextFunctions.polyHashSql("t")})"))
+      .withColumn("token_hashes", expr("graft_shingle_hashes(__toks, 1)"))
       .drop("__toks")
   }
 
