@@ -105,6 +105,35 @@ object SimilarityStreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       bench = true),
 
+    // ── As-of join: each click matched to the latest prior view ──
+    QueryDef(
+      "asof_join_events",
+      "as-of join (latest right row with time <= left time per key) — union+window composition vs DuckDB native ASOF JOIN",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("user_id", "ts_ns").orderBy(col("event_id").desc)))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ts_ns", "event_id", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts_ns", "event_id")
+        graft.operators.AsofJoin.asof(clicks, views, "user_id", "ts_ns", Seq("event_id", "value"))
+          .select(
+            col("user_id"),
+            col("event_id").as("click_id"),
+            col("asof_match.event_id").as("view_id"),
+            expr("(ts_ns - asof_match.ts_ns) div 1000000000").as("gap_s"))
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value FROM events
+             |  WHERE event_type = 'view'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id DESC) = 1),
+             |c AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             | (c.tns - v.tns) // 1000000000 AS gap_s
+             |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.tns <= c.tns""".stripMargin),
+      bench = true),
+
     // ── Sessionization (30-minute inactivity gap) ──
     QueryDef(
       "ev_sessionize",

@@ -95,6 +95,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(f1.forall(f => f.width >= 1 && f.width <= 640))
   }
 
+  test("asof join: inclusive <= at equal times; unmatched lefts dropped") {
+    val views = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0), (2L, 500L, 12L, 3.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val clicks = Seq(
+      (1L, 200L, 90L),  // equal ts -> matches view 11 (inclusive)
+      (1L, 150L, 91L),  // between  -> matches view 10
+      (1L, 50L, 92L),   // before all -> dropped
+      (3L, 999L, 93L)   // no views for key -> dropped
+    ).toDF("user_id", "ts_ns", "event_id")
+    val out = graft.operators.AsofJoin.asof(clicks, views, "user_id", "ts_ns", Seq("event_id", "value"))
+      .select(col("event_id"), col("asof_match.event_id").as("vid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(90L -> 11L, 91L -> 10L))
+  }
+
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
