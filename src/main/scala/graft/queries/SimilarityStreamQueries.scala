@@ -74,6 +74,39 @@ object SimilarityStreamQueries {
       },
       None),
 
+    // ── Embedding near-dup: bucket-local cosine pairs over threshold ──
+    QueryDef(
+      "sim_emb_neardup",
+      "embedding-cosine near-dup pairs within LSH buckets (cosine >= 0.3)",
+      (s, d) => {
+        val withB = Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+          .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
+        val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("bucket"))
+        val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", round(
+            graft.functions.VectorFunctions.dot("ea", "eb") / (col("na") * col("nb")), 8))
+          .filter(col("cosine") >= 0.3)
+          .select("id_a", "id_b", "cosine")
+      },
+      Some(s"""WITH wb AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+              |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
+              |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
+              |    i -> embedding[(i + 1)::INT]::DOUBLE *
+              |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
+              |    (s2, x) -> s2 + x) >= 0
+              |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
+              |FROM embeddings)
+              |SELECT * FROM (
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 8) AS cosine
+              |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |) WHERE cosine >= 0.3""".stripMargin)),
+
     // ── Multimodal binary plumbing ──
     QueryDef(
       "mm_binary_meta",

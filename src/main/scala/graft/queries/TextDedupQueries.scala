@@ -169,6 +169,42 @@ object TextDedupQueries {
               |ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin),
       bench = true),
 
+    // ── Full near-dup pipeline: LSH candidates → exact Jaccard rescore ──
+    QueryDef(
+      "dedup_neardup_pipeline",
+      "MinHash-LSH candidate generation + Jaccard rescore at 0.8 (the production near-dup shape)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.lshCandidatePairs(Dedup.minhashBands(docs, "text", "doc_id"), "doc_id")
+        val hs = Dedup.withShingleHashes(docs, "text")
+          .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+        cands
+          .join(hs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+          .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      },
+      Some(s"""WITH hh AS (SELECT doc_id,
+              |  list_distinct(list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")})) AS h
+              |  FROM documents),
+              |sig AS (SELECT doc_id,
+              |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+              |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+              |  FROM hh WHERE len(h) > 0),
+              |bands AS (SELECT doc_id, band,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+              |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+              |  FROM sig, range(0, ${Dedup.Bands}) tt(band)),
+              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+              |SELECT * FROM (
+              |SELECT id_a, id_b, round(len(list_intersect(x.h, y.h))::DOUBLE /
+              |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+              |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b
+              |) WHERE jaccard >= 0.8""".stripMargin),
+      bench = true),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",
