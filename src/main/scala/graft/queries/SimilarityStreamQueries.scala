@@ -193,9 +193,9 @@ object SimilarityStreamQueries {
              |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL THEN 1
              |   ELSE 0 END AS new_sess
              |  FROM events),
-             |sess AS (SELECT *, sum(new_sess) OVER
+             |sess AS (SELECT *, CAST(sum(new_sess) OVER
              |  (PARTITION BY user_id ORDER BY tns, event_id
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, count(*) AS n_events,
              |strftime(make_timestamp(min(tns) // 1000), '%Y-%m-%d %H:%M:%S') AS start_ts,
