@@ -67,20 +67,59 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
+  /** Window hash = polynomial hash of "tok_i tok_{i+1} … tok_{i+k-1}".
+    *
+    * Each token is reduced ONCE to (h_t, 31^len_t mod p); a window then
+    * combines in O(k): folding a token of length m into accumulator a
+    * yields a·31^m + h_t (mod p). The earlier formulation re-converted
+    * every token to a fresh String k times per window — ~3× allocation
+    * churn in the engine's hottest loop (GC-sensitive under bench
+    * contention). Tokens are ASCII after cleanAsciiSql, so the byte
+    * fast path equals the UTF-16 fold; non-ASCII falls back to chars
+    * to keep PolyHash semantics identical. */
   def hashWindows(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int):
       org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n) // token polynomial hash
+    val tp = new Array[Long](n) // 31^len(token) mod p
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      val nb = s.numBytes()
+      var acc = 0L
+      var pow = 1L
+      var ascii = true
+      var b = 0
+      while (b < nb && ascii) { if (s.getByte(b) < 0) ascii = false; b += 1 }
+      if (ascii) {
+        b = 0
+        while (b < nb) {
+          acc = (acc * 31 + s.getByte(b)) % PolyHash.Mod
+          pow = (pow * 31) % PolyHash.Mod
+          b += 1
+        }
+      } else {
+        val str = s.toString
+        var c = 0
+        while (c < str.length) {
+          acc = (acc * 31 + str.charAt(c)) % PolyHash.Mod
+          pow = (pow * 31) % PolyHash.Mod
+          c += 1
+        }
+      }
+      th(t) = acc
+      tp(t) = pow
+      t += 1
+    }
     val out = new Array[Long](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      var acc = 0L
-      var j = 0
+      var acc = th(i)
+      var j = 1
       while (j < k) {
-        if (j > 0) acc = (acc * 31 + ' ') % PolyHash.Mod
-        val s = arr.getUTF8String(i + j).toString
-        var c = 0
-        while (c < s.length) { acc = (acc * 31 + s.charAt(c)) % PolyHash.Mod; c += 1 }
+        // append separator then token t: ((acc·31 + ' ')·31^len_t + h_t) mod p
+        acc = (((acc * 31 + ' ') % PolyHash.Mod) * tp(i + j) + th(i + j)) % PolyHash.Mod
         j += 1
       }
       out(i) = acc

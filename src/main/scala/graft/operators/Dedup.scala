@@ -37,7 +37,11 @@ object Dedup {
     * per-row expression work it parallelizes. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions < math.min(target, 8)) df.repartition(target) else df
+    // df.rdd.getNumPartitions would force full RDD lineage conversion on
+    // every query build; the input-file count is analysis-only and a good
+    // proxy (a many-filed scan at 100 TB already arrives spread out).
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files < math.min(target, 8)) df.repartition(target) else df
   }
 
   /** Stage computed columns BELOW a repartition exchange.
@@ -75,8 +79,15 @@ object Dedup {
     * was correct but Catalyst's project collapsing inlined the staged
     * shingle-hash transform into every permutation lambda — 256×
     * recompute per doc (measured 175 s at sf0.1 vs ~2 s this way). */
-  def minhashBands(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
-    val exploded = withShingleHashes(df, textCol, k)
+  def minhashBands(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    minhashBandsFromHashes(withShingleHashes(df, textCol, k), idCol)
+
+  /** Same as [[minhashBands]] over an already-staged `shingle_hashes`
+    * frame, so one (possibly persisted / stored) hash frame can feed
+    * both the band index and a downstream Jaccard rescore without
+    * re-tokenizing the corpus per stage. */
+  def minhashBandsFromHashes(hashed: DataFrame, idCol: String): DataFrame = {
+    val exploded = hashed
       .filter(size(col("shingle_hashes")) > 0)
       .select(col(idCol), explode(col("shingle_hashes")).as("h"))
     val sigAggs = (0 until NumHashes).map(i =>
@@ -93,16 +104,49 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
+  /** Buckets larger than this are dropped from candidate generation: a
+    * degenerate bucket (boilerplate text, zero vectors) turns a
+    * bucket-local self-join quadratic — cap² rows instead of n² at
+    * 100 TB. Oracles mirror the cap with a window-count QUALIFY. */
+  val MaxBucket = 1000
+
+  /** Drop rows of buckets whose row count exceeds `maxBucket`, logging
+    * how many buckets were dropped. The histogram-above-cap is
+    * metadata-sized by construction (≤ totalRows / cap buckets), so
+    * collecting it to the driver for the log + broadcast anti-join is
+    * not a data-plane collect; the big side is never shuffled by the
+    * guard (broadcast hash anti-join is narrow). */
+  def dropHotBuckets(rows: DataFrame, keyCols: Seq[String], maxBucket: Int,
+      what: String): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > maxBucket)
+      .select(keyCols.map(col): _*)
+    val hotRows = hot.collect()
+    if (hotRows.isEmpty) rows
+    else {
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"$what: dropping ${hotRows.length} hot buckets (> $maxBucket rows each)")
+      val schema = org.apache.spark.sql.types.StructType(
+        keyCols.map(k => rows.schema(k)))
+      val hotDf = rows.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), schema)
+      rows.join(broadcast(hotDf), keyCols, "left_anti")
+    }
+  }
+
   /** LSH candidate pairs: equal (band, band_hash) ⇒ candidate. The join
-    * shuffles on the bucket key only — no cross product. */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    // materialize the band index once — the self-join would otherwise
-    // recompute the whole signature pipeline for each side (exchange
-    // reuse does not survive the per-side renames). At scale you'd
-    // write the LSH index to storage; persist is the local analogue.
-    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cached.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = cached.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    * shuffles on the bucket key only — no cross product — and buckets
+    * over `maxBucket` are dropped (see [[dropHotBuckets]]).
+    *
+    * The band index is computed once per side reference; callers that
+    * reuse it across stages (pairs + rescore, or repeated queries)
+    * should persist it or write it to storage first — the query layer
+    * memoizes one persisted index per (session, dataset). */
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val pruned = dropHotBuckets(bands, Seq("band", "band_hash"), maxBucket, "lshCandidatePairs")
+    val a = pruned.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = pruned.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -43,14 +43,26 @@ object Knn {
   /** Bucket-local cosine top-k: same contract as bruteForceTopK but the
     * candidate set per query is its LSH bucket — the 100 TB scale path. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, embCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+      idCol: String, embCol: String, dim: Int, nPlanes: Int, k: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val q = withLshBucket(queries, embCol, dim, nPlanes)
       .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("bucket"))
       .withColumn("q_norm", VectorFunctions.norm("q_emb"))
     val c = withLshBucket(candidates, embCol, dim, nPlanes)
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("bucket"))
       .withColumn("c_norm", VectorFunctions.norm("c_emb"))
-    c.join(q, Seq("bucket"))
+    lshTopKFromBuckets(q, c, k, maxBucket)
+  }
+
+  /** Same, over pre-bucketed sides — queries (query_id, q_emb, bucket,
+    * q_norm), candidates (cand_id, c_emb, bucket, c_norm) — so a stored
+    * or persisted ANN index is scored without re-deriving buckets, and
+    * degenerate candidate buckets are dropped (Dedup.dropHotBuckets)
+    * before the bucket-keyed join can go quadratic. */
+  def lshTopKFromBuckets(queries: DataFrame, candidates: DataFrame, k: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val c = Dedup.dropHotBuckets(candidates, Seq("bucket"), maxBucket, "lshTopK")
+    c.join(queries, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))

@@ -17,6 +17,20 @@ object SimilarityStreamQueries {
   val Dim = 64
   val NPlanes = 16
 
+  // One persisted (vec_id, embedding, bucket, nrm) frame per (session,
+  // dataset): bucket assignment + norms are shared by the LSH-bucket,
+  // ANN-top-k and embedding-near-dup queries instead of recomputed per
+  // query. Bounded cache; the scale analogue is a stored ANN index table.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embBuckets(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d),
+      Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // DuckDB-side sequential double dot product (same fold order as
   // VectorFunctions.dotSql ⇒ bit-identical doubles).
   private def dkDot(a: String, b: String) =
@@ -52,8 +66,7 @@ object SimilarityStreamQueries {
     QueryDef(
       "sim_lsh_bucket",
       "sign-random-projection LSH bucket id per embedding",
-      (s, d) => graft.operators.Dedup.spread(t(s, d, "embeddings"))
-        .select(col("vec_id"), graft.functions.VectorFunctions.lshBucket("embedding", Dim, NPlanes).as("bucket")),
+      (s, d) => embBuckets(s, d).select("vec_id", "bucket"),
       Some(s"""SELECT vec_id,
               |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
               |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
@@ -63,25 +76,46 @@ object SimilarityStreamQueries {
               |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
               |FROM embeddings""".stripMargin)),
 
-    // ── Bucket-local ANN top-k (rows-only: recall is approximate by design;
-    //    bucket parity is already oracle-checked above) ──
+    // ── Bucket-local ANN top-k. The bucket function and the rounded
+    //    cosine are integer/fold-deterministic, so the full ANN result is
+    //    exactly reproducible in DuckDB — a real oracle, not rows-only. ──
     QueryDef(
       "sim_lsh_topk",
       "bucket-local cosine top-3 (ANN scale path)",
       (s, d) => {
-        val emb = t(s, d, "embeddings")
-        Knn.lshTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", Dim, NPlanes, 3)
+        val wb = embBuckets(s, d)
+        val q = wb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("bucket"), col("nrm").as("q_norm"))
+        val c = wb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col("bucket"), col("nrm").as("c_norm"))
+        Knn.lshTopKFromBuckets(q, c, 3)
       },
-      None),
+      Some(s"""WITH wb AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+              |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
+              |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
+              |    i -> embedding[(i + 1)::INT]::DOUBLE *
+              |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
+              |    (s2, x) -> s2 + x) >= 0
+              |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
+              |FROM embeddings),
+              |c AS (SELECT * FROM wb
+              |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
+              |  FROM wb q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32)
+              |SELECT query_id, cand_id, bucket, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored QUALIFY rnk <= 3""".stripMargin)),
 
     // ── Embedding near-dup: bucket-local cosine pairs over threshold ──
     QueryDef(
       "sim_emb_neardup",
       "embedding-cosine near-dup pairs within LSH buckets (cosine >= 0.3)",
       (s, d) => {
-        val withB = Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
-          .select(col("vec_id"), col("embedding"), col("bucket"))
-          .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
+        val withB = graft.operators.Dedup.dropHotBuckets(embBuckets(s, d),
+          Seq("bucket"), graft.operators.Dedup.MaxBucket, "sim_emb_neardup")
         val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
           col("nrm").as("na"), col("bucket"))
         val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
@@ -100,7 +134,8 @@ object SimilarityStreamQueries {
               |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
               |    (s2, x) -> s2 + x) >= 0
               |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
-              |FROM embeddings)
+              |FROM embeddings
+              |QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.Dedup.MaxBucket})
               |SELECT * FROM (
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |  round(${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 8) AS cosine

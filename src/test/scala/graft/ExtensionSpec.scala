@@ -110,6 +110,36 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out === Map(90L -> 11L, 91L -> 10L))
   }
 
+  test("hot-bucket guard drops degenerate buckets without quadratic blowup") {
+    // 50 docs share one degenerate band bucket (would emit 1225 pairs);
+    // 2 docs share a healthy bucket. With the cap at 10, only the
+    // healthy pair survives.
+    val hot = (0L until 50L).map(i => (i, 0, 12345L))
+    val ok = Seq((100L, 1, 777L), (101L, 1, 777L))
+    val bands = (hot ++ ok).toDF("doc_id", "band", "band_hash")
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+    // default cap keeps everything on healthy data
+    val all = Dedup.lshCandidatePairs(bands, "doc_id").count()
+    assert(all === 1225 + 1)
+  }
+
+  test("shingle hashes equal polynomial hash of the joined window (incl. non-ASCII fallback)") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("café", "naïve", "résumé", "x"))) // non-ASCII path
+      .toDF("id", "toks")
+      .select(col("id"), expr("graft_shingle_hashes(toks, 3)").as("hs"),
+        expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> graft_poly(concat_ws(' ', slice(toks, i + 1, 3))))").as("expect"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"row ${r.getLong(0)}")
+    }
+  }
+
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
