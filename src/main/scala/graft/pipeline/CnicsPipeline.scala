@@ -92,14 +92,18 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           "collect_list(IF(MRN IS NOT NULL, struct(SessionId, MRN), NULL))" +
           "), s -> s.MRN))").as("pro_mrns"))
 
-  /** A6 — crosswalk with last-wins dedup on SitePatientId. */
+  /** A6 — crosswalk with PER-FIELD last-wins merge on SitePatientId
+    * (cnics_to_fhir.py:296-304): hmrn is overwritten by every duplicate
+    * row, umrn only by rows whose umrn is present — so a later
+    * duplicate with a NULL umrn keeps the earlier umrn. One map-side
+    * combinable aggregation (max_by ignores null ordering keys). */
   def crosswalkLastWins: DataFrame =
     in.crosswalk
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("SitePatientId").orderBy(col("__order").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("SitePatientId").as("site_pat_id"), col("hmrn"), col("umrn"),
-        lit(true).as("in_crosswalk"))
+      .groupBy(col("SitePatientId").as("site_pat_id"))
+      .agg(
+        max_by(col("hmrn"), col("__order")).as("hmrn"),
+        max_by(col("umrn"), when(col("umrn").isNotNull, col("__order"))).as("umrn"))
+      .withColumn("in_crosswalk", lit(true))
 
   /** Assembled patient resources: (PatientId, key, id, json). */
   def patientResources(limit: Int = Int.MaxValue): DataFrame = {
@@ -124,14 +128,26 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
         col("Race"), col("Hispanic"), col("Sex"))).as("json"))
   }
 
-  /** Generic reconcile+write for one resource type. */
-  private def reconcile(resourceType: String, source: DataFrame): Map[String, Long] = {
-    val snap = store.snapshot(spark, resourceType).filter(col("key").isNotNull)
+  /** Generic reconcile+write for one resource type. Child types pass
+    * the cohort's subject ids so the store side is the distributed
+    * per-subject snapshot (A7) — never a full-store driver pager — and
+    * so store∖source deletes are scoped to this cohort's subjects
+    * (resources owned by other sites/cohorts are untouchable). */
+  private def reconcile(resourceType: String, source: DataFrame,
+      subjects: Option[DataFrame] = None): Map[String, Long] = {
+    val snap = subjects
+      .map(s => store.snapshotForSubjects(spark, resourceType, s))
+      .getOrElse(store.snapshot(spark, resourceType))
+      .filter(col("key").isNotNull)
     val actions = Merge.classify(source, snap, Seq("key"))
       .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
       .withColumnRenamed(Merge.ActionCol, "merge_action")
     store.applyActions(resourceType, actions.select("key", "id", "json", "merge_action"))
   }
+
+  /** Subject resource ids of the cohort (the `Patient/<id>` targets). */
+  private def cohortSubjects(ids: DataFrame): DataFrame =
+    ids.select(concat(lit(s"cnics-$siteLower-"), col("site_pat_id")).as("subject_id"))
 
   private def childSource(detail: DataFrame, nameCol: String, iniFilter: String,
       cohortIds: DataFrame): DataFrame =
@@ -154,7 +170,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           col("DiagnosisId").cast("string"), col("DiagnosisDate"),
           col("DiagnosisSource"), col("DiagnosisName"),
           col("DiagnosisName").isin(in.standardDiagnoses: _*))).as("json"))
-    reconcile("Condition", src)
+    reconcile("Condition", src, Some(cohortSubjects(ids)))
   }
 
   def runMedications(limit: Int = Int.MaxValue): Map[String, Long] = {
@@ -168,7 +184,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
           col("MedicationId").cast("string"), col("MedicationName"),
           col("StartDate"), col("EndDate"), col("EndType"))).as("json"))
-    reconcile("MedicationRequest", src)
+    reconcile("MedicationRequest", src, Some(cohortSubjects(ids)))
   }
 
   def runObservations(limit: Int = Int.MaxValue): Map[String, Long] = {
@@ -182,7 +198,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
           col("LabId"), col("TestName"), col("TestDate"),
           col("Result"), col("Units"), col("ReferenceLow"), col("ReferenceHigh"))).as("json"))
-    reconcile("Observation", src)
+    reconcile("Observation", src, Some(cohortSubjects(ids)))
   }
 
   /** Full job for one site: returns the reference's 12-counter audit

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   */
 trait FhirStore {
   def snapshot(spark: SparkSession, resourceType: String): DataFrame
+
+  /** Snapshot of a child resource type restricted to the given subject
+    * resources — the distributed twin of the reference's per-patient
+    * child GETs (`cnics_to_fhir.py:543-546, 640-643, 723-726`).
+    * `subjectIds` is a one-column frame of subject resource ids (the
+    * `Patient/<id>` target without the type prefix). Scoping matters
+    * for correctness, not just scale: the reconcile's delete set is
+    * store∖source, and only store entries belonging to the cohort's
+    * subjects are legitimately deletable. */
+  def snapshotForSubjects(spark: SparkSession, resourceType: String,
+      subjectIds: DataFrame): DataFrame
+
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long]
 }
 
@@ -35,6 +47,20 @@ class InMemoryFhirStore extends FhirStore with Serializable {
 
   def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
     val rows = data.collect { case ((rt, key), (id, _)) if rt == resourceType =>
+      Row(key, id)
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), FhirStore.snapshotSchema)
+  }
+
+  /** Subject-scoped snapshot: filters stored resources on their
+    * serialized `subject.reference`. Driver-side like the rest of the
+    * double (test-harness plumbing, not the data plane). */
+  def snapshotForSubjects(spark: SparkSession, resourceType: String,
+      subjectIds: DataFrame): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wanted = subjectIds.collect().map(r => "Patient/" + r.get(0).toString).toSet
+    val rows = data.collect { case ((rt, key), (id, json)) if rt == resourceType &&
+        wanted.contains(mapper.readTree(json).path("subject").path("reference").asText("")) =>
       Row(key, id)
     }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), FhirStore.snapshotSchema)
@@ -111,6 +137,43 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5) extends FhirStore with
     }
     spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 10000)),
       FhirStore.snapshotSchema)
+  }
+
+  /** Distributed per-subject child snapshot: the cohort's subject ids
+    * fan out across executors via `mapPartitions`; each partition runs
+    * one pooled client issuing paged `?subject=Patient/<id>` searches
+    * and emits (key, id) rows. No driver-side buffering — the store
+    * page loop runs where the rows land, and the snapshot scales with
+    * cohort partitions instead of total store size. */
+  def snapshotForSubjects(spark: SparkSession, resourceType: String,
+      subjectIds: DataFrame): DataFrame = {
+    val url = baseUrl
+    import spark.implicits._
+    val idCol = subjectIds.columns.head
+    subjectIds.select(col(idCol).cast("string")).as[String]
+      .mapPartitions { sids =>
+        val c = HttpClient.newHttpClient()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        sids.flatMap { sid =>
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          var u = s"$url/$resourceType?subject=Patient/$sid&_count=1000&_format=json"
+          while (u != null) {
+            val r = send(c, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val root = mapper.readTree(r.body())
+            root.path("entry").forEach { e =>
+              val res = e.path("resource")
+              val key = res.path("identifier").path(0).path("value").asText(null)
+              val id = res.path("id").asText(null)
+              if (key != null && id != null) out += ((key, id))
+            }
+            u = null
+            root.path("link").forEach { l =>
+              if (l.path("relation").asText() == "next") u = l.path("url").asText()
+            }
+          }
+          out
+        }
+      }.toDF("key", "id")
   }
 
   /** Executor-side writes; returns action counts. */

@@ -21,17 +21,24 @@ object CnicsCsv {
       .map(_.getString(0))
       .toSeq
 
-  /** A6 — MRN crosswalk: header row, literal 'NULL' strings as nulls,
-    * row order preserved for last-wins dedup (cnics_to_fhir.py:291-304).
-    * `__order` is the file row order (single-file CSV ⇒ one partition ⇒
-    * monotonically_increasing_id preserves it). */
+  /** A6 — MRN crosswalk: header row, row order preserved for the
+    * per-field last-wins merge (cnics_to_fhir.py:291-304). `__order` is
+    * the file row order (single-file CSV ⇒ one partition ⇒
+    * monotonically_increasing_id preserves it).
+    *
+    * Bug-compatible NULL handling: rows whose SitePatientId is the
+    * literal 'NULL' are skipped (`row[2] != 'NULL'`, py:298) and a
+    * literal-'NULL' umrn is treated as absent (py:302-303) — but hmrn
+    * is taken VERBATIM (py:301 assigns `str(row[0])` unconditionally,
+    * so a literal 'NULL' hmrn is emitted as the identifier value). */
   def loadCrosswalk(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
-      .option("nullValue", "NULL")
       .option("quote", "\"")
       .csv(path)
       .toDF("hmrn", "umrn", "SitePatientId")
+      .filter(col("SitePatientId").isNotNull && col("SitePatientId") =!= "NULL")
+      .withColumn("umrn", when(col("umrn") === "NULL", lit(null)).otherwise(col("umrn")))
       .withColumn("__order", monotonically_increasing_id())
 
   /** B4/A9 — the `site:id` patient-list file round-trip

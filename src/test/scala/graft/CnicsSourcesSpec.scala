@@ -22,12 +22,14 @@ class CnicsSourcesSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
     val f = tmp.resolve("xwalk.csv")
     java.nio.file.Files.writeString(f,
-      "hmrn,umrn,SitePatientId\nH1,NULL,p1\nNULL,U2,p2\nH3,U3,p1\n")
+      "hmrn,umrn,SitePatientId\nH1,NULL,p1\nNULL,U2,p2\nH3,U3,p1\nH9,U9,NULL\n")
     val df = CnicsCsv.loadCrosswalk(spark, f.toString)
     val rows = df.orderBy("__order").collect()
+    // row with SitePatientId='NULL' is skipped (py:298)
     assert(rows.length === 3)
+    // umrn 'NULL' → absent (py:302-303); hmrn kept VERBATIM (py:301)
     assert(rows(0).getString(0) === "H1" && rows(0).isNullAt(1))
-    assert(rows(1).isNullAt(0) && rows(1).getString(1) === "U2")
+    assert(rows(1).getString(0) === "NULL" && rows(1).getString(1) === "U2")
     // last-wins for p1 resolved downstream via __order (pipeline test)
     assert(rows(2).getAs[Long]("__order") > rows(0).getAs[Long]("__order"))
   }
