@@ -60,6 +60,13 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       .distinct()
       .limit(limit)
 
+  /** G3 — the reference's commented `order by rand()` cohort sampling
+    * (cnics_to_fhir.py:264), seeded for reproducibility: a random-but-
+    * deterministic n-patient cohort. rand(seed) is stable for a fixed
+    * partitioning, which cohort() pins via its distinct() shuffle. */
+  def cohortSample(n: Int, seed: Long = 42L): DataFrame =
+    cohort().orderBy(rand(seed), col("site_pat_id")).limit(n)
+
   /** E2 — first demographic row per patient by DemographicId. */
   def demoFirst: DataFrame =
     in.demographic

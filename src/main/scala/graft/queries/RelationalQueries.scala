@@ -301,6 +301,32 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin)),
 
+    // ── G3: sampling. The scale-safe reproducible form is a
+    //    multiplicative-hash mod filter — deterministic at any scale,
+    //    independent of partitioning, exactly reproducible in any
+    //    engine (unlike the reference's commented `order by rand()`,
+    //    cnics_to_fhir.py:264). A ~5% sample of orders. ──
+    QueryDef(
+      "g3_sample_hashmod",
+      "deterministic reproducible sample via multiplicative hash mod (G3)",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(expr("pmod(o_orderkey * 2654435761, 1000003) < 50000"))
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE (o_orderkey * 2654435761) % 1000003 < 50000""".stripMargin)),
+
+    // Spark's seeded Bernoulli sampler uses an engine-internal RNG, so
+    // the row set is not reproducible in DuckDB — rows-only by design;
+    // determinism under a fixed seed is pinned by a unit test instead.
+    QueryDef(
+      "g3_sample_seeded",
+      "seeded Bernoulli sample (engine-internal RNG; rows-only by design)",
+      (s, d) =>
+        t(s, d, "orders").sample(withReplacement = false, 0.05, seed = 42)
+          .select("o_orderkey", "o_custkey"),
+      None),
+
     // ── Set ops (free from Spark; exercised for inventory completeness) ──
     QueryDef(
       "set_intersect_nations",
