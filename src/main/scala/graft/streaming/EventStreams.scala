@@ -44,4 +44,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermarked 30-minute-gap sessionization — streaming twin of the
+    * batch `ev_sessionize` query, via `session_window` (merge-on-overlap
+    * keyed state instead of the batch lag+cumsum windows). Stats are
+    * computed on the raw nanosecond timestamps so start/duration agree
+    * bit-for-bit with the batch query; only the gap decision uses the
+    * µs event time (divergence possible solely for a gap of exactly
+    * 30:00.000000 — the batch `>` keeps one session, session_window's
+    * half-open windows split). Late events beyond the watermark are
+    * dropped by the state store — the late-data policy H requires. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(expr("timestamp_micros(min(ts_ns) div 1000)"),
+          "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        ((max("ts_ns") - min("ts_ns")) / lit(1000000000L)).cast("long").as("dur_s"))
+      .select("user_id", "n_events", "start_ts", "dur_s")
 }

@@ -140,6 +140,63 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session windows match the batch sessionization") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.sessionStats(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_sess_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = graft.queries.SimilarityStreamQueries.defs
+        .find(_.name == "ev_sessionize").get
+        .build(spark, "/root/testdata/sf0.001")
+        .select("user_id", "n_events", "start_ts", "dur_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessions drop late events beyond the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000L * 1000000000L // ns epoch base
+    def ev(userId: Long, offsetS: Long): (Long, Long) = (userId, t0 + offsetS * 1000000000L)
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val out = graft.streaming.EventStreams.sessionStats(events, watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("graft_late_test").start()
+    try {
+      // session A: two events for user 1; one event for user 2
+      mem.addData(ev(1L, 0L), ev(1L, 300L), ev(2L, 60L))
+      q.processAllAvailable()
+      // advance event time far ahead → watermark passes session A's end
+      mem.addData(ev(9L, 100000L))
+      q.processAllAvailable()
+      // LATE: user-1 event inside session A but behind the watermark —
+      // must be discarded, not create/extend a session
+      mem.addData(ev(1L, 600L))
+      q.processAllAvailable()
+      // flush: advance watermark again so anything (incorrectly) kept emits
+      mem.addData(ev(9L, 200000L))
+      q.processAllAvailable()
+      val got = spark.table("graft_late_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got.contains((1L, 2L, 300L))) // session A: 2 events, 300 s — late event NOT added
+      assert(got.contains((2L, 1L, 0L)))
+      assert(got.count(_._1 == 1L) === 1) // no extra user-1 session from the late event
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
