@@ -129,6 +129,47 @@ object ShingleHashes {
   }
 }
 
+/** Document chunking as a Catalyst `Generator` (the UDTF surface of
+  * SURVEY.md §2-I): one text column in, one row per overlapping
+  * token-window chunk out — the standard pre-embedding segmentation of
+  * an LLM data pipeline, feeding chunk-level dedup. A Generator plans
+  * as a Generate node (like explode), so the fan-out runs inside the
+  * scan stage with no extra shuffle; CodegenFallback is fine here
+  * because each call amortizes over its emitted rows. */
+case class ChunkTokens(child: Expression, size: Int, overlap: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(size > 0 && overlap >= 0 && overlap < size,
+    s"need size > overlap >= 0, got size=$size overlap=$overlap")
+  private val stride = size - overlap
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    if (s.isEmpty) return Iterator.empty
+    val toks = s.split("\\s+")
+    val n = toks.length
+    val count = (n + stride - 1) / stride
+    (0 until count).iterator.map { i =>
+      val start = i * stride
+      val chunk = toks.slice(start, math.min(start + size, n)).mkString(" ")
+      org.apache.spark.sql.catalyst.InternalRow(i, UTF8String.fromString(chunk))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkTokens =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. */
@@ -139,5 +180,10 @@ object GraftFunctions {
       "graft_shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunk_tokens",
+      exprs => ChunkTokens(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -225,6 +225,46 @@ object TextDedupQueries {
               |) WHERE jaccard >= 0.8""".stripMargin),
       bench = true),
 
+    // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
+    //    64-token windows, 16-token overlap (stride 48): the standard
+    //    pre-embedding segmentation; plans as a Generate over the scan.
+    QueryDef(
+      "txt_chunks",
+      "overlapping token-window chunking via the ChunkTokens Generator",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_chunk_tokens(text, 64, 16)").as(Seq("chunk_idx", "chunk")))
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |ch AS (SELECT doc_id, tk, unnest(range(0, (len(tk) + 47) // 48)) AS i FROM toks)
+             |SELECT doc_id, i::INT AS chunk_idx,
+             |  array_to_string(tk[(i*48 + 1)::INT : (i*48 + 64)::INT], ' ') AS chunk
+             |FROM ch""".stripMargin)),
+
+    // ── Chunk-level exact dedup: the chunking Generator feeding the
+    //    dedup path (boilerplate chunks collapse across documents) ──
+    QueryDef(
+      "dedup_chunks",
+      "exact duplicate chunk groups across documents (Generator → hash-groupBy)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_chunk_tokens(text, 64, 16)").as(Seq("chunk_idx", "chunk")))
+          .groupBy(md5(col("chunk")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |ch AS (SELECT doc_id, tk, unnest(range(0, (len(tk) + 47) // 48)) AS i FROM toks),
+             |chunks AS (SELECT doc_id,
+             |  array_to_string(tk[(i*48 + 1)::INT : (i*48 + 64)::INT], ' ') AS chunk FROM ch)
+             |SELECT md5(chunk) AS fp, min(doc_id) AS keep_doc, count(*) AS n
+             |FROM chunks GROUP BY md5(chunk)""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",

@@ -140,6 +140,25 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking generator: windows, overlap, short/empty/null docs") {
+    graft.functions.GraftFunctions.register(spark)
+    // 10 tokens, size 4, overlap 2 (stride 2) → starts 0,2,4,6,8
+    val docs2 = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),           // single short chunk
+      (3L, "   "),           // blank → no chunks
+      (4L, null.asInstanceOf[String])) // null → no chunks
+      .toDF("doc_id", "text")
+    val out = docs2.select(col("doc_id"),
+        expr("graft_chunk_tokens(text, 4, 2)").as(Seq("chunk_idx", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq === Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9", "t8 t9"))
+    assert(byDoc(2L).map(_._3).toSeq === Seq("a b"))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+  }
+
   test("streaming session windows match the batch sessionization") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
