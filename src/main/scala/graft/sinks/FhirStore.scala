@@ -91,7 +91,8 @@ class InMemoryFhirStore extends FhirStore with Serializable {
   *    (the distributed twin of the reference's per-patient GETs).
   * Driver never touches row data.
   */
-class HttpFhirStore(baseUrl: String, maxRetries: Int = 5) extends FhirStore with Serializable {
+class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100)
+    extends FhirStore with Serializable {
 
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   import java.net.URI
@@ -176,25 +177,39 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5) extends FhirStore with
       }.toDF("key", "id")
   }
 
-  /** Executor-side writes; returns action counts. */
+  /** Executor-side writes; returns action counts.
+    *
+    * Rows are batched into FHIR `transaction` Bundles of `bundleSize`
+    * entries POSTed to the store base — N rows cost ⌈N/bundleSize⌉
+    * HTTP round-trips instead of N (the scale form of the reference's
+    * keep-alive session, cnics_to_fhir.py:246-247). Entries are
+    * PUT-with-id upserts / DELETEs, so a failed bundle retries
+    * idempotently as a whole. */
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
     val url = baseUrl
     val retries = maxRetries
+    val bsz = math.max(1, bundleSize)
     import org.apache.spark.sql.Encoders
     val counts = actions.select("key", "id", "json", "merge_action")
       .mapPartitions { rows =>
         val c = HttpClient.newHttpClient()
         val byAction = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-        rows.foreach { r =>
-          val (id, json, act) = (r.getString(1), r.getString(2), r.getString(3))
-          val req = act match {
-            case "delete" =>
-              HttpRequest.newBuilder(URI.create(s"$url/$resourceType/$id")).DELETE().build()
-            case _ =>
-              HttpRequest.newBuilder(URI.create(s"$url/$resourceType/$id"))
-                .header("Content-Type", "application/fhir+json;charset=utf-8")
-                .PUT(HttpRequest.BodyPublishers.ofString(json)).build()
+        rows.grouped(bsz).foreach { batch =>
+          val sb = new StringBuilder("""{"resourceType":"Bundle","type":"transaction","entry":[""")
+          var first = true
+          batch.foreach { r =>
+            val (id, json, act) = (r.getString(1), r.getString(2), r.getString(3))
+            if (!first) sb.append(',')
+            first = false
+            if (act == "delete")
+              sb.append(s"""{"request":{"method":"DELETE","url":"$resourceType/$id"}}""")
+            else
+              sb.append(s"""{"resource":$json,"request":{"method":"PUT","url":"$resourceType/$id"}}""")
           }
+          sb.append("]}")
+          val req = HttpRequest.newBuilder(URI.create(url))
+            .header("Content-Type", "application/fhir+json;charset=utf-8")
+            .POST(HttpRequest.BodyPublishers.ofString(sb.toString)).build()
           var attempt = 0
           var done = false
           var last: Throwable = null
@@ -202,12 +217,13 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5) extends FhirStore with
             try {
               val resp = c.send(req, HttpResponse.BodyHandlers.ofString())
               if (resp.statusCode() < 400) done = true
-              else last = new RuntimeException(s"HTTP ${resp.statusCode()} for $act $id")
+              else last = new RuntimeException(
+                s"HTTP ${resp.statusCode()} for bundle of ${batch.size} $resourceType")
             } catch { case e: Throwable => last = e }
             if (!done) { attempt += 1; Thread.sleep(200L * attempt) }
           }
           if (!done) throw last
-          byAction(act) += 1L
+          batch.foreach(r => byAction(r.getString(3)) += 1L)
         }
         byAction.iterator
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
