@@ -181,3 +181,37 @@ object Dedup {
     "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
       "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 6)")
 }
+
+/** Typed `Aggregator` surface (SURVEY.md §2-I): per-document MinHash
+  * signature from exploded shingle hashes. The production path stays
+  * the explode → groupBy with 32 codegen'd `min` aggregates
+  * ([[Dedup.minhashBands]] — partial aggregation beats a typed
+  * buffer's serialization in the hot path); this Aggregator is the
+  * same math behind the typed API, kept signature-identical (parity
+  * pinned by test) for callers that want `Dataset`-typed composition. */
+object MinHashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+  def zero: Array[Long] = Array.fill(Dedup.NumHashes)(Long.MaxValue)
+
+  def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < buf.length) {
+      val v = ((2L * i + 3L) * h + (7919L * i + 13L)) % Dedup.MinhashP
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  def finish(buf: Array[Long]): Array[Long] = buf
+
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * transform.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real and tested. The codec itself is a STUB: the container has no
-  * image/audio libraries, so `decodeStub` derives deterministic fake
-  * features from the bytes. Swap `decodeStub` for a real codec (JNI /
-  * process-pool) without touching the surrounding plan.
+  * real and tested. Images have a REAL decode path (`decodeImages`,
+  * JDK-built-in javax.imageio: PNG/JPEG/BMP/GIF — no external
+  * libraries). Audio/video remain stubbed (`decodeStub` derives
+  * deterministic fake features; the container has no codec libraries
+  * for those) — swap in a real codec without touching the plan.
   */
 object Multimodal {
 
@@ -30,6 +31,50 @@ object Multimodal {
       struct(
         octet_length(col(textCol).cast("binary")).as("n_bytes"),
         lit("application/octet-stream").as("mime")).as("meta"))
+
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      mean_luma: Double, format: String)
+
+  /** REAL image decode via the JDK's javax.imageio — dimensions, pixel
+    * count, mean Rec.601 luminance, sniffed format. Undecodable
+    * payloads are dropped (flatMap), mirroring a production pipeline's
+    * corrupt-file policy. Pixel access is bulk (`getRGB` row batch);
+    * per-partition init amortizes reader machinery like any codec
+    * batch. Runs entirely on executors. */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var sum = 0.0
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              i += 1
+            }
+            Some(ImageFeatures(r.doc_id, w, h, w.toLong * h,
+              math.round(sum / px.length * 100) / 100.0, fmt))
+          } catch { case _: Exception => None }
+          finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+  }
 
   /** STUB decode: deterministic pseudo-features from the raw bytes.
     * Real implementation would decode image dims / sample frames here.

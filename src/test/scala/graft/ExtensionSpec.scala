@@ -140,6 +140,44 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("real image decode: dimensions, luminance, format; corrupt payloads dropped") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png(4, 2, 0xff0000), "image/png"),   // solid red
+      Multimodal.MediaRow(2L, png(3, 3, 0xffffff), "image/png"),   // solid white
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3), "image/png"))) // corrupt
+      .repartition(2)
+    val out = Multimodal.decodeImages(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L)) // corrupt payload dropped
+    assert(out(1L).width === 4 && out(1L).height === 2 && out(1L).n_pixels === 8L)
+    assert(out(1L).format === "png")
+    assert(math.abs(out(1L).mean_luma - 76.25) < 0.3)  // 0.299 * 255
+    assert(out(2L).mean_luma === 255.0)
+  }
+
+  test("typed MinHashAgg produces the same signatures as the codegen'd min-agg path") {
+    val exploded = Dedup.withShingleHashes(docs, "text")
+      .filter(size(col("shingle_hashes")) > 0)
+      .select(col("doc_id"), explode(col("shingle_hashes")).as("h"))
+    val minhashUdaf = udaf(graft.operators.MinHashAgg)
+    val typed = exploded.groupBy("doc_id")
+      .agg(minhashUdaf(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sqlAggs = (0 until Dedup.NumHashes).map(i =>
+      min(expr(s"((2*$i + 3) * h + (7919*$i + 13)) % ${Dedup.MinhashP}L")).as(s"s$i"))
+    val sql = exploded.groupBy("doc_id").agg(sqlAggs.head, sqlAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to Dedup.NumHashes).map(r.getLong(_))).toMap
+    assert(typed.keySet === sql.keySet)
+    typed.foreach { case (k, v) => assert(v === sql(k), s"doc $k") }
+  }
+
   test("chunking generator: windows, overlap, short/empty/null docs") {
     graft.functions.GraftFunctions.register(spark)
     // 10 tokens, size 4, overlap 2 (stride 2) → starts 0,2,4,6,8
