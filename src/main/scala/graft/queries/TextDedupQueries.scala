@@ -68,6 +68,28 @@ object TextDedupQueries {
               |len(list_distinct($dkTokens)) AS n_distinct,
               |length(text) AS n_chars_calc FROM documents""".stripMargin)),
 
+    // ── BPE-ish pre-tokenizer counts ──
+    //    GPT-2-style pre-tokenization classes (contraction suffixes,
+    //    space-prefixed letter runs, digit runs, punctuation runs,
+    //    whitespace) without lookahead so the same RE2-compatible
+    //    pattern runs identically in Spark (Java regex) and DuckDB
+    //    (RE2) — both leftmost-first alternation.
+    QueryDef(
+      "txt_tokens_bpe",
+      "BPE-ish pre-tokenizer token counts (GPT-2-style regex classes)",
+      (s, d) =>
+        graft.operators.Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"),
+              lit(0))).as("n_bpe_tokens"),
+            char_length(col("text")).as("n_chars")),
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text,
+             |  '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+             |length(text) AS n_chars
+             |FROM documents""".stripMargin)),
+
     // ── Quality scoring ──
     QueryDef(
       "txt_quality",

@@ -10,7 +10,10 @@ object ExplainPlans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    Seq("a1_scan_pushdown", "q5_local_supplier", "dedup_minhash_bands").foreach { n =>
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("a1_scan_pushdown", "q5_local_supplier", "dedup_minhash_bands",
+        "txt_chunks", "g3_sample_hashmod", "asof_join_events")
+    names.foreach { n =>
       println(s"===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
