@@ -47,4 +47,17 @@ object VectorFunctions {
 
   def lshBucket(embCol: String, dim: Int, nPlanes: Int): Column =
     expr(lshBucketSql(embCol, dim, nPlanes))
+
+  /** Per-TABLE bucket for multi-table LSH: table `tblCol`'s planes are
+    * rows `tbl*nPlanes .. tbl*nPlanes+nPlanes-1` of the same
+    * deterministic weight stream (tbl=0 reproduces [[lshBucketSql]]
+    * with the same nPlanes). L independent tables is the standard
+    * recall lever for sign-random-projection ANN: a true neighbor only
+    * needs to collide in ONE of the L tables. */
+  def lshBucketTableSql(embCol: String, dim: Int, nPlanes: Int, tblCol: String): String =
+    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), " +
+      s"(s, i) -> s + CAST(element_at($embCol, i + 1) AS DOUBLE) * " +
+      s"CAST((((((($tblCol * $nPlanes + j) * $dim + i) + 1) * 2654435761) % 1000003) - 501501) AS DOUBLE)) >= 0, " +
+      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
 }

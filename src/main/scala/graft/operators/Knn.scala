@@ -71,4 +71,49 @@ object Knn {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "bucket", "cosine", "rnk")
   }
+
+  /** Multi-table (tbl, bucket) assignment: one row per (id, table). */
+  def withLshTables(df: DataFrame, embCol: String, dim: Int, nPlanes: Int,
+      nTables: Int): DataFrame =
+    Dedup.spread(df)
+      .withColumn("nrm", VectorFunctions.norm(embCol))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket",
+        expr(VectorFunctions.lshBucketTableSql(embCol, dim, nPlanes, "tbl")))
+
+  /** Multi-table ANN top-k — the production recall/cost dial. Candidate
+    * pairs are the DISTINCT union of per-table bucket collisions
+    * (collide in any of L tables ⇒ candidate), scored ONCE per pair by
+    * joining embeddings back in. Plan shape: one (tbl, bucket)-keyed
+    * join producing id pairs, a distinct, two id-keyed hash joins for
+    * the embeddings, a per-query top-k window — no all-pairs stage, and
+    * the hot-bucket guard caps each table's degenerate buckets.
+    *
+    * `tabled` carries one row per (vec, table): (id, embedding, nrm,
+    * tbl, bucket) — build with [[withLshTables]] and persist/store to
+    * reuse as the ANN index. */
+  def lshTopKMultiTable(tabled: DataFrame, idCol: String, embCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val ids = tabled.select(col(idCol), col("tbl"), col("bucket"))
+    val q = ids.filter(queryPred).select(col(idCol).as("query_id"), col("tbl"), col("bucket"))
+    val c = Dedup.dropHotBuckets(ids, Seq("tbl", "bucket"), maxBucket, "lshTopKMultiTable")
+      .select(col(idCol).as("cand_id"), col("tbl"), col("bucket"))
+    val pairs = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val emb = tabled.filter(col("tbl") === 0)
+      .select(col(idCol), col(embCol), col("nrm"))
+    pairs
+      .join(emb.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_norm")), Seq("query_id"))
+      .join(emb.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+        col("nrm").as("c_norm")), Seq("cand_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cosine", "rnk")
+  }
 }

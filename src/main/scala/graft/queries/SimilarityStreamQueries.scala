@@ -16,6 +16,16 @@ object SimilarityStreamQueries {
 
   val Dim = 64
   val NPlanes = 16
+  // Multi-table ANN: L tables of k planes each. The (k, L) pair is the
+  // recall/cost dial: per-plane collision p = 1 - θ/π, per-table p^k,
+  // union 1-(1-p^k)^L, bucket-scan fraction ≈ L/2^k of the corpus.
+  // On this corpus the exact top-3 sits at mean cosine 0.344 (p≈0.61):
+  // (k=8, L=8) predicts 0.147 — measured 0.146 by sim_lsh_recall —
+  // and (k=7, L=16) predicts ≈0.41 at a ~12.5% scan fraction, which is
+  // where the dial is set. True near-dups (cosine ≥ 0.9) collide with
+  // p^k ≥ 0.8 per table and are found with near-certainty.
+  val TPlanes = 7
+  val NTables = 16
 
   // One persisted (vec_id, embedding, bucket, nrm) frame per (session,
   // dataset): bucket assignment + norms are shared by the LSH-bucket,
@@ -30,6 +40,24 @@ object SimilarityStreamQueries {
         .select(col("vec_id"), col("embedding"), col("bucket"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Multi-table ANN index (vec_id, embedding, nrm, tbl, bucket). */
+  private def embTables(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#tables"),
+      Knn.withLshTables(t(s, d, "embeddings"), "embedding", Dim, TPlanes, NTables)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  // DuckDB twin of the multi-table index (weight row = tbl*TPlanes + j).
+  private def dkTables: String =
+    s"""(SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm, tbl,
+       |list_reduce(list_prepend(0::BIGINT, range(0, $TPlanes)), (acc, j) -> acc +
+       |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
+       |    i -> embedding[(i + 1)::INT]::DOUBLE *
+       |      ((((((tbl * $TPlanes + j) * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
+       |    (s2, x) -> s2 + x) >= 0
+       |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
+       |FROM (SELECT vec_id, embedding, unnest(range(0, $NTables)) AS tbl FROM embeddings))""".stripMargin
 
   // DuckDB-side sequential double dot product (same fold order as
   // VectorFunctions.dotSql ⇒ bit-identical doubles).
@@ -76,38 +104,76 @@ object SimilarityStreamQueries {
               |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
               |FROM embeddings""".stripMargin)),
 
-    // ── Bucket-local ANN top-k. The bucket function and the rounded
+    // ── Multi-table ANN top-k. The bucket function and the rounded
     //    cosine are integer/fold-deterministic, so the full ANN result is
     //    exactly reproducible in DuckDB — a real oracle, not rows-only. ──
     QueryDef(
       "sim_lsh_topk",
-      "bucket-local cosine top-3 (ANN scale path)",
-      (s, d) => {
-        val wb = embBuckets(s, d)
-        val q = wb.filter(col("vec_id") < 32)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("bucket"), col("nrm").as("q_norm"))
-        val c = wb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-          col("bucket"), col("nrm").as("c_norm"))
-        Knn.lshTopKFromBuckets(q, c, 3)
-      },
-      Some(s"""WITH wb AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
-              |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
-              |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
-              |    i -> embedding[(i + 1)::INT]::DOUBLE *
-              |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
-              |    (s2, x) -> s2 + x) >= 0
-              |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
-              |FROM embeddings),
-              |c AS (SELECT * FROM wb
-              |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.Dedup.MaxBucket}),
-              |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket,
-              |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
-              |  FROM wb q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-              |  WHERE q.vec_id < 32)
-              |SELECT query_id, cand_id, bucket, cosine,
+      s"multi-table ($NTables×$TPlanes-plane) LSH cosine top-3 (ANN scale path)",
+      (s, d) => Knn.lshTopKMultiTable(embTables(s, d), "vec_id", "embedding",
+        col("vec_id") < 32, 3),
+      Some(s"""WITH wt AS $dkTables,
+              |cc AS (SELECT * FROM wt
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              |  FROM wt q JOIN cc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              |    AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |scored AS (SELECT query_id, cand_id,
+              |  round(${dkDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 8) AS cosine
+              |  FROM pairs JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = cand_id)
+              |SELECT query_id, cand_id, cosine,
               |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
               |FROM scored QUALIFY rnk <= 3""".stripMargin)),
+
+    // ── ANN quality: recall@3 of the LSH path vs exact brute force.
+    //    Both rankings are integer/fold-deterministic, so recall is an
+    //    exactly-oracled number, not an estimate — "measure, don't
+    //    guess" for the approximate path. ──
+    QueryDef(
+      "sim_lsh_recall",
+      "recall@3 of multi-table ANN vs exact cosine top-3 per query",
+      (s, d) => {
+        val ann = Knn.lshTopKMultiTable(embTables(s, d), "vec_id", "embedding",
+          col("vec_id") < 32, 3)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val emb = t(s, d, "embeddings")
+        val brute = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
+          "vec_id", "embedding", 3).select("query_id", "cand_id")
+        brute.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH wt AS $dkTables,
+              |cc AS (SELECT * FROM wt
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              |  FROM wt q JOIN cc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              |    AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |ann AS (SELECT * FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM pairs JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = cand_id
+              |  ) WHERE rnk <= 3),
+              |brute AS (SELECT * FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM brute b LEFT JOIN ann a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
 
     // ── Embedding near-dup: bucket-local cosine pairs over threshold ──
     QueryDef(
