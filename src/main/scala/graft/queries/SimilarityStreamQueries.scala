@@ -208,6 +208,28 @@ object SimilarityStreamQueries {
               |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |) WHERE cosine >= 0.3""".stripMargin)),
 
+    // ── Embedding int8 quantization: 4× storage compression for the
+    //    ANN index. floor-based (not round) so the math is bit-identical
+    //    across engines; zero-vector guarded. Exploded to scalar rows
+    //    for the oracle compare. ──
+    QueryDef(
+      "sim_quantize_int8",
+      "deterministic int8 scalar quantization of embeddings (floor(x·127/maxabs))",
+      (s, d) => graft.operators.Dedup.spread(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          expr("127.0D / greatest(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30D)")
+            .as("scale"))
+        .select(col("vec_id"), col("scale"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"),
+          floor(col("v").cast("double") * col("scale")).cast("long").as("qv")),
+      Some(s"""WITH sc AS (SELECT vec_id, embedding,
+              |  127.0 / greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS scale
+              |  FROM embeddings),
+              |e AS (SELECT vec_id, scale, embedding, unnest(range(0, $Dim)) AS i FROM sc)
+              |SELECT vec_id, i::INT AS i,
+              |  floor(embedding[(i + 1)::INT]::DOUBLE * scale)::BIGINT AS qv
+              |FROM e""".stripMargin)),
+
     // ── Multimodal binary plumbing ──
     QueryDef(
       "mm_binary_meta",
