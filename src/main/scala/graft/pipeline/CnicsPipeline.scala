@@ -75,29 +75,51 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       .filter(col("__rn") === 1)
       .select(col("PatientId"), col("Race"), col("Hispanic"), col("Sex"))
 
+  /** STRICT first-seen mode (D9/E4): when the `pro` / `proDb` inputs
+    * carry an `__arrival` column (the row order of the source extract),
+    * identifier order reproduces the reference's cursor order
+    * byte-for-byte (`cnics_to_fhir.py:410-420`). Without it, order is
+    * pinned to sorted SessionId — deterministic, documented divergence
+    * (the reference itself inherits undefined DB order, G4). */
+  private def strictPro: Boolean = in.pro.columns.contains("__arrival")
+
+  /** Distinct sessions per patient with their first-seen order key. */
+  private def sessionsOrdered: DataFrame =
+    if (strictPro)
+      in.pro.groupBy("PatientId", "SessionId")
+        .agg(lpad(min(col("__arrival")).cast("string"), 19, "0").as("__sess_ord"))
+    else
+      in.pro.select("PatientId", "SessionId").distinct()
+        .withColumn("__sess_ord", col("SessionId"))
+
   /** A4/E3 — distinct session ids per patient, deterministic order. */
   def sessionsPerPatient: DataFrame =
-    in.pro.select("PatientId", "SessionId").distinct()
+    sessionsOrdered
       .groupBy("PatientId")
-      .agg(sort_array(collect_list("SessionId")).as("session_ids"))
+      .agg(expr("transform(array_sort(collect_list(struct(__sess_ord, SessionId)))," +
+        " s -> s.SessionId)").as("session_ids"))
 
   /** D9/E4 — PRO-db fallback identifiers: first-seen-order distinct
-    * PatientIDs and MRNs across the patient's sessions (order pinned
-    * to sorted SessionId — the reference inherits DB order, G4). */
-  def proFallback: DataFrame =
-    in.pro.select("PatientId", "SessionId").distinct()
-      .join(in.proDb
-        .withColumnRenamed("SessionID", "SessionId")
-        .withColumnRenamed("PatientID", "pro_pat_id"), // avoid case-insensitive clash
-        Seq("SessionId"))
+    * PatientIDs and MRNs across the patient's sessions. */
+  def proFallback: DataFrame = {
+    val db0 = in.proDb
+      .withColumnRenamed("SessionID", "SessionId")
+      .withColumnRenamed("PatientID", "pro_pat_id") // avoid case-insensitive clash
+    val db = if (db0.columns.contains("__arrival"))
+      db0.withColumn("__db_ord", lpad(col("__arrival").cast("string"), 19, "0"))
+        .drop("__arrival")
+    else db0.withColumn("__db_ord", lit(""))
+    sessionsOrdered
+      .join(db, Seq("SessionId"))
       .groupBy("PatientId")
       .agg(
         expr("array_distinct(transform(array_sort(" +
-          "collect_list(IF(pro_pat_id IS NOT NULL, struct(SessionId, pro_pat_id), NULL))" +
+          "collect_list(IF(pro_pat_id IS NOT NULL, struct(__sess_ord, __db_ord, pro_pat_id), NULL))" +
           "), s -> s.pro_pat_id))").as("pro_pat_ids"),
         expr("array_distinct(transform(array_sort(" +
-          "collect_list(IF(MRN IS NOT NULL, struct(SessionId, MRN), NULL))" +
+          "collect_list(IF(MRN IS NOT NULL, struct(__sess_ord, __db_ord, MRN), NULL))" +
           "), s -> s.MRN))").as("pro_mrns"))
+  }
 
   /** A6 — crosswalk with PER-FIELD last-wins merge on SitePatientId
     * (cnics_to_fhir.py:296-304): hmrn is overwritten by every duplicate
