@@ -45,6 +45,35 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Micro-batch CDC into a FhirStore — the streaming form of the batch
+    * pipeline's reconcile (`foreachBatch(merge)`, SURVEY.md §2-H note).
+    * Each batch is a DELTA of resource rows (key, id, json, deleted):
+    * absence means "no change", so the merge's store-only rows are NOT
+    * deletes here; deletes come only from explicit tombstone rows
+    * (`deleted = true`). Inside each batch the store snapshot → classify
+    * → applyActions path is exactly the batch engine's, so streaming
+    * and batch reconciliation can never diverge semantically. */
+  def cdcUpserts(stream: DataFrame, store: graft.sinks.FhirStore,
+      resourceType: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val snap = store.snapshot(spark, resourceType).filter(col("key").isNotNull)
+        val live = batch.filter(!coalesce(col("deleted"), lit(false)))
+          .select("key", "id", "json")
+        val upserts = graft.operators.Merge.classify(live, snap, Seq("key"))
+          .filter(col(graft.operators.Merge.ActionCol) =!= "delete") // delta: absence ≠ delete
+          .withColumn("id", coalesce(col(graft.operators.Merge.StoreIdCol), col("id")))
+          .select("key", "id", "json", graft.operators.Merge.ActionCol)
+        val tombstones = batch.filter(coalesce(col("deleted"), lit(false)))
+          .select(col("key"), col("id"), lit(null).cast("string").as("json"),
+            lit("delete").as(graft.operators.Merge.ActionCol))
+        store.applyActions(resourceType, upserts.union(tombstones))
+        ()
+      }
+      .start()
+
   /** Watermarked 30-minute-gap sessionization — streaming twin of the
     * batch `ev_sessionize` query, via `session_window` (merge-on-overlap
     * keyed state instead of the batch lag+cumsum windows). Stats are

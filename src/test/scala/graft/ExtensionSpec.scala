@@ -254,6 +254,30 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC merge: upserts, tombstone deletes, delta semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new graft.sinks.InMemoryFhirStore
+    val mem = MemoryStream[(String, String, String, Boolean)]
+    val q = graft.streaming.EventStreams.cdcUpserts(
+      mem.toDF().toDF("key", "id", "json", "deleted"), store, "Patient")
+    try {
+      mem.addData(("k1", "id-1", """{"v":1}""", false), ("k2", "id-2", """{"v":2}""", false))
+      q.processAllAvailable()
+      assert(store.data((("Patient", "k1"))) === (("id-1", """{"v":1}""")))
+      assert(store.data.size === 2)
+      // delta batch: update k1, tombstone k2, insert k3 — k1's absence
+      // of other keys must NOT delete them
+      mem.addData(("k1", "id-X", """{"v":9}""", false), ("k2", "id-2", null, true),
+        ("k3", "id-3", """{"v":3}""", false))
+      q.processAllAvailable()
+      assert(store.data((("Patient", "k1")))._2 === """{"v":9}""")
+      assert(store.data((("Patient", "k1")))._1 === "id-1") // store id carried into update
+      assert(!store.data.contains(("Patient", "k2")))
+      assert(store.data((("Patient", "k3"))) === (("id-3", """{"v":3}""")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
