@@ -164,14 +164,27 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * (resources owned by other sites/cohorts are untouchable). */
   private def reconcile(resourceType: String, source: DataFrame,
       subjects: Option[DataFrame] = None): Map[String, Long] = {
-    val snap = subjects
+    val snapAll = subjects
       .map(s => store.snapshotForSubjects(spark, resourceType, s))
       .getOrElse(store.snapshot(spark, resourceType))
       .filter(col("key").isNotNull)
-    val actions = Merge.classify(source, snap, Seq("key"))
+    // E5 — multiple store resources sharing one business key: the
+    // reference aborts that row ("Multiple patient resources",
+    // cnics_to_fhir.py:359, 906-908). Route the key out of the merge
+    // entirely (no write, no delete) and surface an `error` counter.
+    val dupKeys = snapAll.groupBy("key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("key")
+    val nDup = dupKeys.count()
+    val (snap, src) =
+      if (nDup == 0) (snapAll, source)
+      else (snapAll.join(broadcast(dupKeys), Seq("key"), "left_anti"),
+        source.join(broadcast(dupKeys), Seq("key"), "left_anti"))
+    val actions = Merge.classify(src, snap, Seq("key"))
       .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
       .withColumnRenamed(Merge.ActionCol, "merge_action")
-    store.applyActions(resourceType, actions.select("key", "id", "json", "merge_action"))
+    val counts = store.applyActions(resourceType,
+      actions.select("key", "id", "json", "merge_action"))
+    if (nDup > 0) counts + ("error" -> nDup) else counts
   }
 
   /** Subject resource ids of the cohort (the `Patient/<id>` targets). */
@@ -236,10 +249,13 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
   def run(resourceList: Set[String] = Set("patients", "conditions", "medicationrequests", "observations"),
       limit: Int = Int.MaxValue): Map[(String, String), Long] = {
     var audit = Map[(String, String), Long]()
-    def add(rt: String, counts: Map[String, Long]): Unit =
+    def add(rt: String, counts: Map[String, Long]): Unit = {
       Seq("insert", "update", "delete").foreach { a =>
         audit += (rt, a) -> counts.getOrElse(a, 0L)
       }
+      // E5 abort channel — only present when duplicates were routed out
+      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+    }
     if (resourceList("patients")) add("Patient", runPatients(limit))
     if (resourceList("conditions")) add("Condition", runConditions(limit))
     if (resourceList("medicationrequests")) add("MedicationRequest", runMedications(limit))
