@@ -164,27 +164,32 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * (resources owned by other sites/cohorts are untouchable). */
   private def reconcile(resourceType: String, source: DataFrame,
       subjects: Option[DataFrame] = None): Map[String, Long] = {
+    // persisted: the dup-key scan below and the merge both read it, and
+    // for HTTP stores recomputing means re-fetching the whole snapshot
     val snapAll = subjects
       .map(s => store.snapshotForSubjects(spark, resourceType, s))
       .getOrElse(store.snapshot(spark, resourceType))
       .filter(col("key").isNotNull)
-    // E5 — multiple store resources sharing one business key: the
-    // reference aborts that row ("Multiple patient resources",
-    // cnics_to_fhir.py:359, 906-908). Route the key out of the merge
-    // entirely (no write, no delete) and surface an `error` counter.
-    val dupKeys = snapAll.groupBy("key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select("key")
-    val nDup = dupKeys.count()
-    val (snap, src) =
-      if (nDup == 0) (snapAll, source)
-      else (snapAll.join(broadcast(dupKeys), Seq("key"), "left_anti"),
-        source.join(broadcast(dupKeys), Seq("key"), "left_anti"))
-    val actions = Merge.classify(src, snap, Seq("key"))
-      .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
-      .withColumnRenamed(Merge.ActionCol, "merge_action")
-    val counts = store.applyActions(resourceType,
-      actions.select("key", "id", "json", "merge_action"))
-    if (nDup > 0) counts + ("error" -> nDup) else counts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // E5 — multiple store resources sharing one business key: the
+      // reference aborts that row ("Multiple patient resources",
+      // cnics_to_fhir.py:359, 906-908). Route the key out of the merge
+      // entirely (no write, no delete) and surface an `error` counter.
+      val dupKeys = snapAll.groupBy("key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select("key")
+      val nDup = dupKeys.count()
+      val (snap, src) =
+        if (nDup == 0) (snapAll, source)
+        else (snapAll.join(broadcast(dupKeys), Seq("key"), "left_anti"),
+          source.join(broadcast(dupKeys), Seq("key"), "left_anti"))
+      val actions = Merge.classify(src, snap, Seq("key"))
+        .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
+        .withColumnRenamed(Merge.ActionCol, "merge_action")
+      val counts = store.applyActions(resourceType,
+        actions.select("key", "id", "json", "merge_action"))
+      if (nDup > 0) counts + ("error" -> nDup) else counts
+    } finally { snapAll.unpersist(); () }
   }
 
   /** Subject resource ids of the cohort (the `Patient/<id>` targets). */
