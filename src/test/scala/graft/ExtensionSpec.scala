@@ -110,6 +110,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out === Map(90L -> 11L, 91L -> 10L))
   }
 
+  test("LSH band index round-trips through storage (the 100 TB reuse path)") {
+    // at scale the index is WRITTEN once and joined many times; the
+    // operators take any bands frame, so a parquet round-trip must
+    // produce identical candidate pairs to the in-memory path
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString + "/bands"
+    bands.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val live = Dedup.lshCandidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStore = Dedup.lshCandidatePairs(stored, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore === live)
+    assert(fromStore.contains((0L, 1L)))
+  }
+
   test("hot-bucket guard drops degenerate buckets without quadratic blowup") {
     // 50 docs share one degenerate band bucket (would emit 1225 pairs);
     // 2 docs share a healthy bucket. With the cap at 10, only the
