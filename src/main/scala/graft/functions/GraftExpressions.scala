@@ -129,6 +129,97 @@ object ShingleHashes {
   }
 }
 
+/** Whole MinHash signature (NumHashes minima) of a shingle-hash array
+  * in ONE tight codegen'd pass — turns the signature stage into a
+  * narrow per-row projection: no explode of ~hundreds of rows per doc,
+  * no shuffle, no hash-aggregate. The explode → groupBy formulation it
+  * replaces was the round-1 workaround for interpreted array lambdas;
+  * a native expression needs no workaround. Arithmetic is identical to
+  * the DuckDB oracle's permutations: min over ((2i+3)·h + (7919i+13))
+  * mod p. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(newChild)
+}
+
+object MinHashSig {
+  final val NumHashes = 32
+  final val P = 2147483647L // 2^31-1, same prime as Dedup.MinhashP
+
+  def sig(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = Array.fill(NumHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < NumHashes) {
+        val v = ((2L * i + 3L) * h + (7919L * i + 13L)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** LSH band hashes of a shingle-hash array: the full MinHash signature
+  * AND its per-band polynomial folds in one codegen'd pass, returned
+  * as array(band_hash) indexed by band. Referenced exactly ONCE inside
+  * a posexplode, so Catalyst's project collapsing cannot duplicate the
+  * computation (the re-eval trap that motivated round 1's explode →
+  * groupBy shape). Arithmetic matches the DuckDB oracles bit-for-bit. */
+case class BandHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandHashes.hashes(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BandHashes.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(newChild)
+}
+
+object BandHashes {
+  final val Bands = 8
+  final val RowsPerBand = 4
+  final val BandP = 1000000000000037L
+
+  def hashes(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = MinHashSig.sig(arr)
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var acc = 0L
+      var r = 0
+      while (r < RowsPerBand) {
+        acc = (acc * 31 + sig.getLong(b * RowsPerBand + r)) % BandP
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Document chunking as a Catalyst `Generator` (the UDTF surface of
   * SURVEY.md §2-I): one text column in, one row per overlapping
   * token-window chunk out — the standard pre-embedding segmentation of
@@ -180,6 +271,10 @@ object GraftFunctions {
       "graft_shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_hashes", exprs => BandHashes(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunk_tokens",
       exprs => ChunkTokens(exprs.head,

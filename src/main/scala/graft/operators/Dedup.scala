@@ -16,12 +16,13 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  // MinHash parameters: 32 hashes in 8 bands of 4 rows.
-  val NumHashes = 32
-  val Bands = 8
-  val RowsPerBand: Int = NumHashes / Bands
-  val MinhashP = 2147483647L // 2^31-1 (prime)
-  val BandP = 1000000000000037L
+  // MinHash parameters: 32 hashes in 8 bands of 4 rows. Single source
+  // of truth is the codegen'd expressions (MinHashSig / BandHashes).
+  val NumHashes: Int = graft.functions.MinHashSig.NumHashes
+  val Bands: Int = graft.functions.BandHashes.Bands
+  val RowsPerBand: Int = graft.functions.BandHashes.RowsPerBand
+  val MinhashP: Long = graft.functions.MinHashSig.P
+  val BandP: Long = graft.functions.BandHashes.BandP
 
   /** Exact duplicate groups: hash-groupBy on the content fingerprint.
     * One shuffle on md5(text); map-side partial agg applies. */
@@ -73,12 +74,13 @@ object Dedup {
 
   /** MinHash LSH index: (id, band, band_hash) rows.
     *
-    * Formulated as explode → groupBy with NumHashes `min` aggregates:
-    * partial (map-side) aggregation, whole-stage codegen, one shuffle
-    * keyed on the doc id. The earlier nested-array-lambda formulation
-    * was correct but Catalyst's project collapsing inlined the staged
-    * shingle-hash transform into every permutation lambda — 256×
-    * recompute per doc (measured 175 s at sf0.1 vs ~2 s this way). */
+    * Entirely NARROW: the whole 32-minima signature is one codegen'd
+    * pass per document ([[graft.functions.MinHashSig]]) and bands fold
+    * from the signature array in the same projection — no explode of
+    * per-shingle rows, no shuffle, no hash aggregate. (Round 1 used
+    * explode → groupBy min-aggregates to dodge interpreted array
+    * lambdas — measured 175 s as nested lambdas, ~2 s as aggregates;
+    * the native expression removes the remaining shuffle too.) */
   def minhashBands(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
     minhashBandsFromHashes(withShingleHashes(df, textCol, k), idCol)
 
@@ -87,21 +89,11 @@ object Dedup {
     * both the band index and a downstream Jaccard rescore without
     * re-tokenizing the corpus per stage. */
   def minhashBandsFromHashes(hashed: DataFrame, idCol: String): DataFrame = {
-    val exploded = hashed
+    graft.functions.GraftFunctions.register(hashed.sparkSession)
+    hashed
       .filter(size(col("shingle_hashes")) > 0)
-      .select(col(idCol), explode(col("shingle_hashes")).as("h"))
-    val sigAggs = (0 until NumHashes).map(i =>
-      min(expr(s"((2*$i + 3) * h + (7919*$i + 13)) % ${MinhashP}L")).as(s"sig_$i"))
-    val sig = exploded.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val fold = (0 until RowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
-        s"(($acc * 31 + sig_${b * RowsPerBand + r}) % ${BandP}L)"
-      }
-      s"struct($b AS band, $fold AS band_hash)"
-    }
-    sig.select(col(idCol),
-        expr(s"explode(array(${bandStructs.mkString(", ")}))").as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .select(col(idCol),
+        posexplode(expr("graft_band_hashes(shingle_hashes)")).as(Seq("band", "band_hash")))
   }
 
   /** Buckets larger than this are dropped from candidate generation: a
