@@ -129,6 +129,101 @@ object ShingleHashes {
   }
 }
 
+/** Count of tokens contained in a fixed word set, hashed-set lookup per
+  * token in one codegen'd pass — replaces the interpreted
+  * `size(filter(toks, t -> array_contains(array(...), t)))` pattern,
+  * which walks an expression tree per token and scans the word list
+  * linearly. */
+case class TokenSetHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val set = TokenSetHits.buildSet(words)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSetHits.hits(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokset", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSetHits.hits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+}
+
+object TokenSetHits {
+  def buildSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def hits(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    var n = 0
+    var i = 0
+    val sz = arr.numElements()
+    while (i < sz) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** Stopword-argmax language ID in ONE pass over the tokens: each token
+  * is membership-tested against every language's set; the winner is the
+  * first language (in declaration order) reaching the maximum hit
+  * count — exactly the `CASE WHEN c_l >= greatest(others)` cascade it
+  * replaces, where each count sub-expression was re-evaluated ~5× per
+  * row by the interpreted CASE tree. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdExpr.lang(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdExpr.lang($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(newChild)
+}
+
+object LangIdExpr {
+  private lazy val langs: Array[UTF8String] =
+    TextFunctions.LangStopwords.map(p => UTF8String.fromString(p._1)).toArray
+  private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    TextFunctions.LangStopwords.map(p => TokenSetHits.buildSet(p._2)).toArray
+
+  def lang(arr: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(t)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var max = counts(0)
+    var j = 1
+    while (j < counts.length) {
+      if (counts(j) > max) { best = j; max = counts(j) }
+      j += 1
+    }
+    langs(best)
+  }
+}
+
 /** Whole MinHash signature (NumHashes minima) of a shingle-hash array
   * in ONE tight codegen'd pass — turns the signature stage into a
   * narrow per-row projection: no explode of ~hundreds of rows per doc,
@@ -275,6 +370,11 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_band_hashes", exprs => BandHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stop_hits",
+      exprs => TokenSetHits(exprs.head, TextFunctions.Stopwords), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_id", exprs => LangIdExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunk_tokens",
       exprs => ChunkTokens(exprs.head,

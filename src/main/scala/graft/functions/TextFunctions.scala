@@ -67,10 +67,10 @@ object TextFunctions {
       s"/ greatest(char_length($c), 1), 6)")
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
-  private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
+  /** Codegen'd set-membership count (register GraftFunctions first). */
   def stopwordRatio(toksCol: String): Column =
-    expr(s"round(CAST(size(filter($toksCol, t -> array_contains($stopArr, t))) AS DOUBLE) " +
+    expr(s"round(CAST(graft_stop_hits($toksCol) AS DOUBLE) " +
       s"/ greatest(size($toksCol), 1), 6)")
 
   def meanTokenLen(c: String, toksCol: String): Column =
@@ -86,18 +86,9 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "est"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  def langHitCount(toksCol: String, words: Seq[String]): Column = {
-    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-    expr(s"size(filter($toksCol, t -> array_contains($arr, t)))")
-  }
-
-  def langId(toksCol: String): Column = {
-    val counts = LangStopwords.map { case (lang, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-      (lang, s"size(filter($toksCol, t -> array_contains($arr, t)))")
-    }
-    val others = (l: String) => counts.filter(_._1 != l).map(_._2).mkString("greatest(", ", ", ")")
-    val cases = counts.map { case (l, e) => s"WHEN $e >= ${others(l)} THEN '$l'" }.mkString(" ")
-    expr(s"CASE $cases ELSE 'und' END")
-  }
+  /** One-pass argmax over all language sets (codegen'd LangIdExpr;
+    * register GraftFunctions first). Semantics identical to the CASE
+    * cascade it replaces: first language in declaration order reaching
+    * the maximum hit count (all-zero ⇒ first language). */
+  def langId(toksCol: String): Column = expr(s"graft_lang_id($toksCol)")
 }

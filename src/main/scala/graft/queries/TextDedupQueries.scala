@@ -94,14 +94,16 @@ object TextDedupQueries {
     QueryDef(
       "txt_quality",
       "punctuation / stopword / token-length quality heuristics",
-      (s, d) =>
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
           "__toks" -> expr(TextFunctions.tokensSql("text")))
           .select(
             col("doc_id"),
             TextFunctions.punctRatio("text").as("punct_ratio"),
             TextFunctions.stopwordRatio("__toks").as("stop_ratio"),
-            TextFunctions.meanTokenLen("text", "__toks").as("mean_tok_len")),
+            TextFunctions.meanTokenLen("text", "__toks").as("mean_tok_len"))
+      },
       Some(s"""SELECT doc_id,
               |round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
               |  / greatest(length(text), 1), 6) AS punct_ratio,
@@ -116,10 +118,12 @@ object TextDedupQueries {
     QueryDef(
       "txt_langid",
       "stopword-hit argmax language ID (n-gram heuristic class)",
-      (s, d) =>
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
           "__toks" -> expr(TextFunctions.tokensSql("text")))
-          .select(col("doc_id"), TextFunctions.langId("__toks").as("pred_lang")),
+          .select(col("doc_id"), TextFunctions.langId("__toks").as("pred_lang"))
+      },
       Some {
         val counts = TextFunctions.LangStopwords.map { case (lang, ws) =>
           lang -> s"len(list_filter($dkTokens, t -> list_contains(${ws.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
