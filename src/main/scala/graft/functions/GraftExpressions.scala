@@ -315,6 +315,52 @@ object BandHashes {
   }
 }
 
+/** 32-bit SimHash of a token-hash array in one codegen'd pass: bit b
+  * of the result is set iff the majority of token hashes have bit b
+  * set. Narrow per-document computation — replaces the explode →
+  * groupBy formulation with 32 sum aggregates (no shuffle, no
+  * per-token row explosion). Duplicate tokens keep their multiplicity,
+  * exactly like the aggregation it replaces and the DuckDB oracle. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpr.simhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpr.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(newChild)
+}
+
+object SimHashExpr {
+  final val Bits = 32
+
+  def simhash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < Bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Document chunking as a Catalyst `Generator` (the UDTF surface of
   * SURVEY.md §2-I): one text column in, one row per overlapping
   * token-window chunk out — the standard pre-embedding segmentation of
@@ -370,6 +416,8 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_band_hashes", exprs => BandHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_stop_hits",
       exprs => TokenSetHits(exprs.head, TextFunctions.Stopwords), "built-in")

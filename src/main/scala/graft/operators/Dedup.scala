@@ -145,8 +145,8 @@ object Dedup {
   }
 
   /** SimHash (32-bit): bit b set iff the majority of token hashes have
-    * bit b set. Same explode → groupBy shape as MinHash (32 codegen'd
-    * sum aggregates, one shuffle) for the same project-collapse reason. */
+    * bit b set. One codegen'd pass per document (SimHashExpr) — a
+    * narrow projection with no explode and no shuffle. */
 
   def withTokenHashes(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -156,16 +156,9 @@ object Dedup {
       .drop("__toks")
   }
 
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = withTokenHashes(df, textCol)
-      .select(col(idCol), explode(col("token_hashes")).as("h"))
-    val bitAggs = (0 until 32).map(b =>
-      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"bit_$b"))
-    exploded.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col(idCol),
-        expr((0 until 32).map(b => s"IF(bit_$b > 0, ${1L << b}L, CAST(0 AS BIGINT))")
-          .mkString(" + ")).as("simhash"))
-  }
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    withTokenHashes(df, textCol)
+      .select(col(idCol), expr("graft_simhash(token_hashes)").as("simhash"))
 
   /** n-gram Jaccard similarity for a pre-paired frame carrying shingle
     * arrays `sh_a`, `sh_b` (distinct char k-shingles). */
