@@ -175,37 +175,46 @@ object SimilarityStreamQueries {
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
 
-    // ── Embedding near-dup: bucket-local cosine pairs over threshold ──
+    // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
+    //    of the L tables ⇒ candidate, far higher recall than a single
+    //    bucketing), distinct pairs scored once, threshold on exact
+    //    cosine — the production embedding near-dup shape. ──
     QueryDef(
       "sim_emb_neardup",
-      "embedding-cosine near-dup pairs within LSH buckets (cosine >= 0.3)",
+      "embedding-cosine near-dup pairs from multi-table LSH candidates (cosine >= 0.3)",
       (s, d) => {
-        val withB = graft.operators.Dedup.dropHotBuckets(embBuckets(s, d),
-          Seq("bucket"), graft.operators.Dedup.MaxBucket, "sim_emb_neardup")
-        val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          col("nrm").as("na"), col("bucket"))
-        val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          col("nrm").as("nb"), col("bucket"))
-        a.join(b, Seq("bucket"))
+        val wt = embTables(s, d)
+        val ids = graft.operators.Dedup.dropHotBuckets(
+          wt.select(col("vec_id"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, "sim_emb_neardup")
+        val pairs = ids.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+          .join(ids.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
           .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val e = wt.filter(col("tbl") === 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+        pairs
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+            col("nrm").as("na")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+            col("nrm").as("nb")), Seq("id_b"))
           .withColumn("cosine", round(
             graft.functions.VectorFunctions.dot("ea", "eb") / (col("na") * col("nb")), 8))
           .filter(col("cosine") >= 0.3)
           .select("id_a", "id_b", "cosine")
       },
-      Some(s"""WITH wb AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
-              |list_reduce(list_prepend(0::BIGINT, range(0, $NPlanes)), (acc, j) -> acc +
-              |  CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $Dim),
-              |    i -> embedding[(i + 1)::INT]::DOUBLE *
-              |      (((((j * $Dim + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
-              |    (s2, x) -> s2 + x) >= 0
-              |  THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
-              |FROM embeddings
-              |QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.Dedup.MaxBucket})
+      Some(s"""WITH wt AS $dkTables,
+              |cc AS (SELECT * FROM wt
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM cc a JOIN cc b ON a.tbl = b.tbl AND a.bucket = b.bucket
+              |    AND a.vec_id < b.vec_id),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings)
               |SELECT * FROM (
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  round(${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 8) AS cosine
-              |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |SELECT id_a, id_b,
+              |  round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS cosine
+              |FROM pairs JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
               |) WHERE cosine >= 0.3""".stripMargin)),
 
     // ── Embedding int8 quantization: 4× storage compression for the
