@@ -35,6 +35,19 @@ object TextDedupQueries {
       Dedup.minhashBandsFromHashes(docHashes(s, d), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** LSH candidates → exact-Jaccard rescore pairs (shared by the
+    * near-dup report query and the dedup_apply keep-list). */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val cands = Dedup.lshCandidatePairs(bandIndex(s, d), "doc_id")
+    val hs = docHashes(s, d)
+      .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+    cands
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   // DuckDB-side building blocks mirroring TextFunctions/Dedup exactly.
   private val dkClean = "lower(regexp_replace(text, '[^ -~]', '', 'g'))"
   private def dkPoly(e: String) =
@@ -49,6 +62,30 @@ object TextDedupQueries {
       s"i -> regexp_split_to_array(trim($src), '\\s+')[i] || ' ' || " +
       s"regexp_split_to_array(trim($src), '\\s+')[i+1] || ' ' || " +
       s"regexp_split_to_array(trim($src), '\\s+')[i+2]))"
+
+  /** Full near-dup CTE chain (hashes → signatures → capped bands →
+    * candidates → Jaccard-scored pairs), shared by the near-dup report
+    * and dedup_apply oracles. Terminal CTE: `scored(id_a, id_b, jaccard)`. */
+  private def dkNeardupCtes: String =
+    s"""hh AS (SELECT doc_id,
+       |  list_distinct(list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")})) AS h
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+       |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+       |  FROM hh WHERE len(h) > 0),
+       |bands AS (SELECT doc_id, band,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+       |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+       |  FROM sig, range(0, ${Dedup.Bands}) tt(band)
+       |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Dedup.MaxBucket}),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |scored AS (
+       |SELECT id_a, id_b, round(len(list_intersect(x.h, y.h))::DOUBLE /
+       |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+       |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -219,37 +256,26 @@ object TextDedupQueries {
     QueryDef(
       "dedup_neardup_pipeline",
       "MinHash-LSH candidate generation + Jaccard rescore at 0.8 (the production near-dup shape)",
-      (s, d) => {
-        val cands = Dedup.lshCandidatePairs(bandIndex(s, d), "doc_id")
-        val hs = docHashes(s, d)
-          .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
-        cands
-          .join(hs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
-          .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-      },
-      Some(s"""WITH hh AS (SELECT doc_id,
-              |  list_distinct(list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")})) AS h
-              |  FROM documents),
-              |sig AS (SELECT doc_id,
-              |  list_transform(range(0, ${Dedup.NumHashes}), i ->
-              |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
-              |  FROM hh WHERE len(h) > 0),
-              |bands AS (SELECT doc_id, band,
-              |  list_reduce(list_prepend(0::BIGINT,
-              |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
-              |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
-              |  FROM sig, range(0, ${Dedup.Bands}) tt(band)
-              |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Dedup.MaxBucket}),
-              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
-              |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-              |SELECT * FROM (
-              |SELECT id_a, id_b, round(len(list_intersect(x.h, y.h))::DOUBLE /
-              |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
-              |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b
-              |) WHERE jaccard >= 0.8""".stripMargin),
+      (s, d) => neardupPairs(s, d),
+      Some(s"""WITH $dkNeardupCtes
+              |SELECT * FROM scored WHERE jaccard >= 0.8""".stripMargin),
       bench = true),
+
+    // ── Applying the dedup: the kept corpus. Greedy pair-break (drop
+    //    the higher id of every verified near-dup pair) — one left-anti
+    //    join, the standard production policy when full connected-
+    //    components clustering isn't warranted. ──
+    QueryDef(
+      "dedup_apply",
+      "kept document ids after exact + near-dup removal (greedy pair-break)",
+      (s, d) => {
+        val drop = neardupPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+        t(s, d, "documents").select("doc_id")
+          .join(drop, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH $dkNeardupCtes
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM scored WHERE jaccard >= 0.8)""".stripMargin)),
 
     // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
     //    64-token windows, 16-token overlap (stride 48): the standard
