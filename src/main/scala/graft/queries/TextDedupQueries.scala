@@ -317,6 +317,41 @@ object TextDedupQueries {
              |SELECT md5(chunk) AS fp, min(doc_id) AS keep_doc, count(*) AS n
              |FROM chunks GROUP BY md5(chunk)""".stripMargin)),
 
+    // ── Cross-document chunk overlap (contamination detection): doc
+    //    pairs sharing at least one identical chunk, via a hash-bucketed
+    //    self-join on md5(chunk) — the eval-contamination / boilerplate-
+    //    overlap check of a training pipeline. Hot chunk hashes (e.g.
+    //    ubiquitous boilerplate) are capped like every bucket join. ──
+    QueryDef(
+      "dedup_chunk_overlap",
+      "document pairs sharing an identical chunk, with shared-chunk counts",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val chunks = Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_chunk_tokens(text, 64, 16)").as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), md5(col("chunk")).as("fp"))
+          .distinct()
+        val capped = Dedup.dropHotBuckets(chunks, Seq("fp"),
+          Dedup.MaxBucket, "dedup_chunk_overlap")
+        capped.select(col("doc_id").as("id_a"), col("fp"))
+          .join(capped.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_shared_chunks"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              |  FROM documents WHERE length(trim(text)) > 0),
+              |ch AS (SELECT doc_id, tk, unnest(range(0, (len(tk) + 47) // 48)) AS i FROM toks),
+              |chunks AS (SELECT DISTINCT doc_id,
+              |  md5(array_to_string(tk[(i*48 + 1)::INT : (i*48 + 64)::INT], ' ')) AS fp FROM ch
+              |  ),
+              |capped AS (SELECT * FROM chunks
+              |  QUALIFY count(*) OVER (PARTITION BY fp) <= ${Dedup.MaxBucket})
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_chunks
+              |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY a.doc_id, b.doc_id""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",
