@@ -41,6 +41,49 @@ object SimilarityStreamQueries {
         .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // IVF parameters: K coarse cells, nprobe probed per query. Centroids
+  // are the first K vectors — deterministic by construction, so cell
+  // assignment and search are exactly oracle-able (a trained k-means
+  // would swap in via the same frames without touching the plan).
+  val IvfK = 16
+  val IvfProbe = 4
+
+  /** IVF index: every vector with its argmax-cosine cell (one row per
+    * vector; each vector lives in exactly one cell). Broadcast the K
+    * centroids, rank cells per vector, keep rank 1. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#ivf"), {
+      val ranked = ivfRanked(s, d)
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** All (vector, cell) similarities ranked per vector — rank 1 is the
+    * home cell, ranks ≤ nprobe are a query's probe set. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cent = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      .withColumn("c_norm", graft.functions.VectorFunctions.norm("c_emb"))
+    graft.operators.Dedup.spread(emb)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        graft.functions.VectorFunctions.dot("embedding", "c_emb") /
+          (col("nrm") * col("c_norm")), 8))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+  }
+
+  // DuckDB twin: ranked (vector, cell) similarities.
+  private def dkIvfRanked: String =
+    s"""(SELECT v.vec_id, v.embedding, ${dkNorm("v.embedding")} AS nrm, c.vec_id AS cell,
+       |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |    round(${dkDot("v.embedding", "c.embedding")} /
+       |      (${dkNorm("v.embedding")} * ${dkNorm("c.embedding")}), 8) DESC, c.vec_id) AS rn
+       |FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $IvfK) c)""".stripMargin
+
   /** Multi-table ANN index (vec_id, embedding, nrm, tbl, bucket). */
   private def embTables(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#tables"),
@@ -162,6 +205,104 @@ object SimilarityStreamQueries {
               |      cand_id) AS rnk
               |  FROM pairs JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = cand_id
               |  ) WHERE rnk <= 3),
+              |brute AS (SELECT * FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM brute b LEFT JOIN ann a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
+
+    // ── IVF ANN (partition-based, the second ANN family): coarse-cell
+    //    assignment + nprobe search. Deterministic centroids ⇒ exact
+    //    oracles for the index, the search, and its recall. ──
+    QueryDef(
+      "sim_ivf_cells",
+      s"IVF coarse-cell assignment (argmax cosine over $IvfK centroids)",
+      (s, d) => ivfCells(s, d).select("vec_id", "cell"),
+      Some(s"""WITH rk AS $dkIvfRanked
+              |SELECT vec_id, cell FROM rk WHERE rn = 1""".stripMargin)),
+
+    QueryDef(
+      "sim_ivf_topk",
+      s"IVF top-3: probe the $IvfProbe best of $IvfK cells per query",
+      (s, d) => {
+        val probes = ivfRanked(s, d)
+          .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val cells = ivfCells(s, d)
+        val cands = cells.select(col("vec_id").as("cand_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_norm"), col("cell"))
+        val qemb = cells.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+        probes.join(cands, Seq("cell"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .join(qemb, Seq("query_id"))
+          .withColumn("cosine", round(
+            graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
+              (col("q_norm") * col("c_norm")), 8))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""WITH rk AS $dkIvfRanked,
+              |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
+              |scored AS (SELECT p.query_id, c.vec_id AS cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
+              |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+              |  JOIN cells q ON q.vec_id = p.query_id)
+              |SELECT query_id, cand_id, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored QUALIFY rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "sim_ivf_recall",
+      "recall@3 of IVF nprobe search vs exact cosine top-3 per query",
+      (s, d) => {
+        val probes = ivfRanked(s, d)
+          .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val cells = ivfCells(s, d)
+        val ann = probes
+          .join(cells.select(col("vec_id").as("cand_id"),
+            col("embedding").as("c_emb"), col("nrm").as("c_norm"), col("cell")), Seq("cell"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .join(cells.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
+          .withColumn("cosine", round(
+            graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
+              (col("q_norm") * col("c_norm")), 8))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val emb = t(s, d, "embeddings")
+        val brute = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
+          "vec_id", "embedding", 3).select("query_id", "cand_id")
+        brute.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH rk AS $dkIvfRanked,
+              |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
+              |ann AS (SELECT * FROM (
+              |  SELECT p.query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+              |  JOIN cells q ON q.vec_id = p.query_id) WHERE rnk <= 3),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
               |brute AS (SELECT * FROM (
               |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
               |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
