@@ -7,12 +7,14 @@ import graft.functions.TextFunctions
 /** Deduplication operators for the training-data pipeline surface
   * (SURVEY.md §7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
-  * Scale design: every path is a narrow per-row projection followed by
-  * a key-partitioned shuffle (groupBy fingerprint / band-bucket join).
-  * Nothing is quadratic in corpus size: near-dup candidate generation
-  * goes through LSH band buckets, and only bucket-local pairs are
-  * scored. All signature math is higher-order-function expressions —
-  * no UDFs, fully codegen'd, portable to the DuckDB oracles.
+  * Scale design: signature math (shingle hashes, MinHash, SimHash) is
+  * NARROW — codegen'd per-row Catalyst expressions with no shuffle;
+  * the only shuffles are the fingerprint groupBy and the band-bucket
+  * self-join, both key-partitioned. Nothing is quadratic in corpus
+  * size: near-dup candidate generation goes through LSH band buckets
+  * with a hot-bucket cap, and only bucket-local pairs are scored. No
+  * black-box UDFs anywhere; every formula is mirrored bit-for-bit in
+  * the DuckDB oracles.
   */
 object Dedup {
 

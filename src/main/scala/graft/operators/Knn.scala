@@ -15,6 +15,11 @@ import graft.functions.VectorFunctions
   * - `lshTopK` restricts scoring to same-bucket candidates (sign
   *   random projection). The bucket assignment is a per-row projection
   *   and the join shuffles on the bucket id only.
+  * - `lshTopKMultiTable` is the production recall/cost dial: L
+  *   independent tables, union of collisions, score-once per pair.
+  * - The IVF family (deterministic coarse cells + nprobe search) lives
+  *   in the query layer over the same primitives; recall of both
+  *   families is exactly measured (`sim_lsh_recall` / `sim_ivf_recall`).
   */
 object Knn {
 
