@@ -424,6 +424,22 @@ object RelationalQueries {
              |count(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Exact percentiles (linear interpolation — Spark `percentile`
+    //    and DuckDB `quantile_cont` share the definition) ──
+    QueryDef(
+      "agg_percentiles",
+      "exact interpolated median/p95 per group",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_price"),
+            round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price")),
+      Some("""SELECT o_orderpriority,
+             |round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+             |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // ── Approximate distinct (no SQL oracle — HLL impls differ) ──
     QueryDef(
       "approx_distinct_users",

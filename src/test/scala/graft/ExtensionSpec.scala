@@ -213,6 +213,36 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L) && !byDoc.contains(4L))
   }
 
+  test("chunking invariants: full coverage, stride count, overlap (n = 1..200)") {
+    val (size, overlap) = (16, 4)
+    val stride = size - overlap
+    (1 to 200).foreach { n =>
+      val toks = (0 until n).map(i => s"t$i")
+      val chunks = graft.functions.ChunkTokens(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.StringType, nullable = true),
+        size, overlap)
+      val rows = chunks.eval(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" "))))
+        .iterator.toSeq
+      assert(rows.size === (n + stride - 1) / stride, s"n=$n")
+      val covered = rows.flatMap(r => r.getUTF8String(1).toString.split(" ")).toSet
+      assert(covered === toks.toSet, s"n=$n") // every token appears in some chunk
+    }
+  }
+
+  test("minhash signature invariant under permutation and duplication of hashes") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val hs = Array.fill(1 + rnd.nextInt(300))(rnd.nextLong().abs % graft.functions.MinHashSig.P)
+      def sig(a: Array[Long]) = graft.functions.MinHashSig.sig(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a)).toLongArray.toSeq
+      val base = sig(hs)
+      assert(sig(rnd.shuffle(hs.toSeq).toArray) === base)
+      assert(sig(hs ++ hs) === base)
+    }
+  }
+
   test("streaming session windows match the batch sessionization") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
