@@ -4,6 +4,46 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import graft.sources.Tables
 
+/** Plan gate: the physical-plan properties PLANS.md documents, asserted
+  * programmatically so a regression (lost pushdown, a surprise
+  * sort-merge or cartesian, a shuffle creeping into a narrow path)
+  * fails the suite instead of waiting for a human plan read. */
+class PlanGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("a1: predicates and pruning reach the parquet scan") {
+    val p = plan("a1_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(l_returnflag"), p)
+  }
+
+  test("q5: dimension joins broadcast, no sort-merge join") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("no cartesian product in any benchmark query plan") {
+    graft.SparkEntry.benchNames.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("minhash band index is narrow: no aggregate, one deliberate exchange") {
+    // sf0.01 on purpose: the benchmark-plan test above populates the
+    // query layer's persisted cache for sf0.001, and CacheManager would
+    // substitute InMemoryRelation into a matching fresh plan
+    val bands = graft.operators.Dedup.minhashBands(
+      graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents"), "text", "doc_id")
+    val p = bands.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p) // only the parallelism spread
+  }
+}
+
 /** SparkSessionExtensions surface: the injected BroadcastDimsRule must
   * force dimension-table joins to broadcast even when the session's
   * auto-broadcast machinery is disabled (the catalog-knowledge case). */
