@@ -114,6 +114,24 @@ object RelationalQueries {
              |GROUP BY n_name""".stripMargin),
       bench = true),
 
+    // ── TPC-H Q6 shape: one-pass filter-and-sum, the scan-throughput
+    //    microbenchmark — every predicate pushes to the parquet scan
+    //    and the whole query is a single codegen'd stage. ──
+    QueryDef(
+      "q6_forecast_revenue",
+      "single-pass filtered revenue sum (pure scan throughput)",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.05 && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin),
+      bench = true),
+
     // ── A1: scan with pushed predicates + pruned projection ──
     QueryDef(
       "a1_scan_pushdown",
