@@ -442,6 +442,55 @@ object RelationalQueries {
              |count(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Correlated scalar subquery: Catalyst decorrelates
+    //    (RewriteCorrelatedScalarSubquery) into an aggregate + join —
+    //    the rewrite the reference never needed but a SQL user gets
+    //    free. Max-order-per-customer selection. ──
+    QueryDef(
+      "sub_correlated_max",
+      "correlated scalar subquery (decorrelated to aggregate+join)",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_sub_orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft_sub_orders o
+                |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                |  FROM graft_sub_orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+             |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)),
+
+    // ── EXISTS predicate subquery (RewritePredicateSubquery → semi join) ──
+    QueryDef(
+      "sub_exists_bigorder",
+      "EXISTS subquery rewritten to a left-semi join",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_sub_customer")
+        t(s, d, "orders").createOrReplaceTempView("graft_sub_orders2")
+        s.sql("""SELECT c_custkey, c_name FROM graft_sub_customer c
+                |WHERE EXISTS (SELECT 1 FROM graft_sub_orders2 o
+                |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin)),
+
+    // ── lead/lag windows: inter-order gap per customer ──
+    QueryDef(
+      "window_lead_lag",
+      "days since the customer's previous order (lag over ordered window)",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .withColumn("prev_date", lag("o_orderdate", 1).over(
+            Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+          .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+          .select("o_custkey", "o_orderkey", "gap_days"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |date_diff('day', lag(o_orderdate) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |  o_orderdate)::INT AS gap_days
+             |FROM orders""".stripMargin)),
+
     // ── Exact percentiles (linear interpolation — Spark `percentile`
     //    and DuckDB `quantile_cont` share the definition) ──
     QueryDef(
