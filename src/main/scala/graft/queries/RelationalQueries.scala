@@ -442,6 +442,31 @@ object RelationalQueries {
              |count(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Pivot: wide conditional aggregation (Spark .pivot with a known
+    //    value list → no extra distinct pass; parquet-safe aliases) ──
+    QueryDef(
+      "pivot_priority_by_year",
+      "order counts pivoted to one column per priority",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .count()
+          .select(col("yr"), // pivot yields NULL for absent combos; oracle's FILTER count yields 0
+            coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+            coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+            coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+            coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+            coalesce(col("`5-LOW`"), lit(0L)).as("p_low")),
+      Some("""SELECT year(o_orderdate)::INT AS yr,
+             |count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+             |count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+             |count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+             |count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+             |count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ── Correlated scalar subquery: Catalyst decorrelates
     //    (RewriteCorrelatedScalarSubquery) into an aggregate + join —
     //    the rewrite the reference never needed but a SQL user gets
