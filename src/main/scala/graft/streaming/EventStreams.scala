@@ -45,6 +45,26 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views from the preceding `window` — the streaming relative of the
+    * as-of join family. Both sides are watermarked, so join state for
+    * rows older than watermark + interval is evicted instead of
+    * accumulating forever (the state-retention contract that makes
+    * stream-stream joins viable at scale). */
+  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame,
+      window: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
+        col("view_ts") <= col("click_ts"))
+      .select("user_id", "click_id", "view_id")
+  }
+
   /** Micro-batch CDC into a FhirStore — the streaming form of the batch
     * pipeline's reconcile (`foreachBatch(merge)`, SURVEY.md §2-H note).
     * Each batch is a DELTA of resource rows (key, id, json, deleted):

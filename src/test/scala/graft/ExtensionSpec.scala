@@ -324,6 +324,44 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000L
+    def rows(kind: String) = Seq(
+      // (user, offsetSeconds, eventId)
+      (1L, 0L, 10L), (1L, 300L, 11L), (2L, 100L, 12L), (3L, 2000L, 13L))
+      .map { case (u, off, id) => (u, t0 + off + (if (kind == "click") 30L else 0L), id) }
+    def toDf(data: Seq[(Long, Long, Long)], mem: MemoryStream[(Long, Long, Long)]) = {
+      mem.addData(data: _*)
+      mem.toDF().toDF("user_id", "epoch_s", "event_id")
+        .withColumn("ts", expr("timestamp_seconds(epoch_s)"))
+    }
+    val cMem = MemoryStream[(Long, Long, Long)]
+    val vMem = MemoryStream[(Long, Long, Long)]
+    val clicks = toDf(rows("click"), cMem)
+    val views = toDf(rows("view"), vMem)
+    val out = graft.streaming.EventStreams.clickViewIntervalJoin(clicks, views)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_ssjoin_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin on identical rows
+      import spark.implicits._
+      def bdf(kind: String) = rows(kind).toDF("user_id", "epoch_s", "event_id")
+        .withColumn("ts", expr("timestamp_seconds(epoch_s)"))
+      val batch = graft.streaming.EventStreams
+        .clickViewIntervalJoin(bdf("click"), bdf("view")) // watermark is a no-op in batch
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.contains((1L, 10L, 10L))) // view 30s before its click
+      assert(streamed.contains((1L, 11L, 10L))) // earlier view within 10 min window
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
