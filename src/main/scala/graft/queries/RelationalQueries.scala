@@ -460,11 +460,11 @@ object RelationalQueries {
             coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
             coalesce(col("`5-LOW`"), lit(0L)).as("p_low")),
       Some("""SELECT year(o_orderdate)::INT AS yr,
-             |count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
-             |count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
-             |count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
-             |count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
-             |count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+             |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+             |count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+             |count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+             |count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+             |count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
              |FROM orders GROUP BY 1""".stripMargin)),
 
     // ── Correlated scalar subquery: Catalyst decorrelates
