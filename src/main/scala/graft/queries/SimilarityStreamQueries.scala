@@ -34,6 +34,13 @@ object SimilarityStreamQueries {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop this session's memoized index frames (see
+    * TextDedupQueries.clearMemo — benchmark cold-pass hygiene). */
+  def clearMemo(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   private def embBuckets(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
       Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)

@@ -25,6 +25,14 @@ object TextDedupQueries {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop this session's memoized index frames (benchmark hygiene: lets
+    * a repeated measurement pass rebuild the index cold instead of
+    * silently reusing the persisted frame from the previous pass). */
+  def clearMemo(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   private def docHashes(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "hashes"),
       Dedup.withShingleHashes(t(s, d, "documents"), "text")
