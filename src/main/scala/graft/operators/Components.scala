@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list, via
+  * iterative min-label propagation: every vertex starts labelled with
+  * its own id and repeatedly takes the minimum label in its closed
+  * neighborhood until a fixpoint. The natural use here is turning
+  * verified near-duplicate PAIRS into duplicate CLUSTERS — the greedy
+  * pair-break in `dedup_apply` drops the higher id of each pair, which
+  * over-keeps on transitive chains (pairs (2,3),(1,3) keep {1,2} while
+  * the true cluster {1,2,3} should keep only {1}).
+  *
+  * Scale shape: each iteration is one shuffle (a groupBy-min over the
+  * adjacency join) plus a label-of-label pointer-jumping join that
+  * doubles propagation reach per round, so convergence takes
+  * O(log diameter) rounds — near-dup clusters are shallow, so 2–4
+  * rounds is typical. Every iteration's labels are persisted and the previous
+  * generation unpersisted, so lineage never re-runs earlier rounds; a
+  * cluster deployment would additionally checkpoint every ~10 rounds to
+  * bound plan growth. Convergence is detected by the monotone label sum
+  * (strictly decreases until the fixpoint), one scalar agg per round —
+  * no driver-side collect of vertex data. For graphs with huge diameter
+  * (not duplicate clusters), the alternating star variant (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond") drops the round
+  * count to O(log^2 n); the pair-cluster workload never needs it.
+  *
+  * Reference context: `cnics_to_fhir.py` has no graph surface at all —
+  * this is part of the LLM-training-pipeline extension (SURVEY §7.5).
+  */
+object Components {
+
+  /** (id, component) for every vertex incident to an edge; `component`
+    * is the minimum vertex id in the connected component. Deterministic. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    // Undirected: keep each edge once in both orientations, self-loops dropped.
+    val adj = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val both = adj
+      .union(adj.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+
+    var labels = both.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(lvl)
+    var checksum = labels.agg(sum("comp")).head.getLong(0)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood of each vertex
+      val hop = both
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jumping: also take the label OF the label, so reach
+      // doubles per round (O(log diameter) rounds on a path instead of
+      // O(diameter) — the hash-to-min style shortcut)
+      val next = hop
+        .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), col("jump")).as("comp"))
+        .persist(lvl)
+      val nextSum = next.agg(sum("comp")).head.getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      iter += 1
+    }
+    both.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+}

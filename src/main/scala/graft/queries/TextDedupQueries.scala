@@ -285,6 +285,54 @@ object TextDedupQueries {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT id_b FROM scored WHERE jaccard >= 0.8)""".stripMargin)),
 
+    // ── Duplicate clusters: connected components over verified pairs.
+    //    Distributed min-label propagation (one shuffle per round, no
+    //    driver collect); the DuckDB oracle closes the same pair set
+    //    transitively with a recursive CTE, so cluster assignment is
+    //    verified end-to-end including convergence. ──
+    QueryDef(
+      "dedup_components",
+      "connected-component cluster ids over verified near-dup pairs",
+      (s, d) =>
+        graft.operators.Components.connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component")),
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst)
+              |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
+    // ── Applying the dedup at cluster granularity: keep exactly one
+    //    representative (the min id) per duplicate cluster. Differs from
+    //    the greedy pair-break on transitive chains: pairs (2,3),(1,3)
+    //    greedily keep {1,2} but the cluster {1,2,3} keeps only {1}. ──
+    QueryDef(
+      "dedup_apply_cc",
+      "kept document ids keeping one representative per duplicate cluster",
+      (s, d) => {
+        val comp = graft.operators.Components
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+        val drop = comp.filter(col("component") < col("id"))
+          .select(col("id").as("doc_id"))
+        t(s, d, "documents").select("doc_id")
+          .join(drop, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst)
+              |SELECT doc_id FROM documents WHERE doc_id NOT IN (
+              |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+              |  WHERE component < id)""".stripMargin)),
+
     // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
     //    64-token windows, 16-token overlap (stride 48): the standard
     //    pre-embedding segmentation; plans as a Generate over the scan.

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle and isolated pair resolve to min-id components") {
+    // chain 1-2-3-4, triangle 10-11-12 (with chord), pair 20-21
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("transitive chain where greedy pair-break over-keeps") {
+    // pairs (2,3),(1,3): greedy drops only the higher id of each pair
+    // (keeps {1,2}); the cluster is {1,2,3} with representative 1
+    val got = cc(Seq((2L, 3L), (1L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("duplicate / reversed / self-loop edges do not change the result") {
+    val got = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (7L, 7L), (6L, 7L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("long path converges within the iteration cap") {
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+  }
+}
