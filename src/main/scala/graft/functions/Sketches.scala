@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+/** Distinct-count sketches.
+  *
+  * [[KmvAgg]] is a KMV (k-minimum-values) sketch: keep the K smallest
+  * distinct values of a uniform hash; with the K-th smallest at h_K,
+  * the distinct count is ≈ (K-1)·M/h_K for hashes uniform on [0, M).
+  * Same mergeable-state single-pass shape as HyperLogLog (O(K) bytes
+  * per group, map-side partial aggregation, executor-side merge), but —
+  * unlike HLL, whose register layout differs across implementations —
+  * every step is elementary integer arithmetic, so a DuckDB oracle can
+  * replay the sketch EXACTLY (distinct hashes → k-th order statistic →
+  * integer-division estimate) and the engine's answer is verified
+  * bit-for-bit, not just "roughly close". Complements the
+  * `approx_count_distinct` (HLL++) surface, which stays rows-only.
+  *
+  * Reference context: the reference has no sketching surface; this is
+  * part of the training-pipeline extension (SURVEY §7.5).
+  */
+object Kmv {
+  val K = 256
+  /** Hash modulus 2^31-1 (prime); hashes are uniform on [0, P). */
+  val P = 2147483647L
+  val A = 2654435761L
+  val B = 40503L
+
+  def hash(x: Long): Long = (A * x + B) % P
+}
+
+/** Typed Aggregator: column of longs → KMV distinct-count estimate.
+  * Buffer = sorted array of at most K smallest distinct hashes. */
+object KmvAgg extends Aggregator[Long, Array[Long], Long] {
+  import Kmv._
+
+  def zero: Array[Long] = Array.emptyLongArray
+
+  def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    val v = hash(x)
+    if (buf.length == K && v >= buf(K - 1)) return buf
+    val pos = java.util.Arrays.binarySearch(buf, v)
+    if (pos >= 0) return buf // already present
+    val ins = -pos - 1
+    val n = math.min(buf.length + 1, K)
+    val out = new Array[Long](n)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = v
+    System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, K))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+      val v = if (takeA) { val t = a(i); i += 1; t } else { val t = b(j); j += 1; t }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Exact count below K distinct; (K-1)·P/h_K (integer division,
+    * division-by-zero guarded) once the sketch is full. */
+  def finish(buf: Array[Long]): Long =
+    if (buf.length < K) buf.length.toLong
+    else (K - 1).toLong * P / math.max(buf(K - 1), 1L)
+
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    ExpressionEncoder[Long]()
+}

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is
   * real and tested. Images have a REAL decode path (`decodeImages`,
-  * JDK-built-in javax.imageio: PNG/JPEG/BMP/GIF — no external
-  * libraries). Audio/video remain stubbed (`decodeStub` derives
-  * deterministic fake features; the container has no codec libraries
-  * for those) — swap in a real codec without touching the plan.
+  * JDK-built-in javax.imageio: PNG/JPEG/BMP/GIF) and so does audio
+  * (`decodeAudio`, JDK-built-in javax.sound.sampled: WAV/AU/AIFF
+  * PCM) — no external libraries either way. Video remains stubbed
+  * (`decodeStub` derives deterministic fake features; the container
+  * has no video codec) — swap in a real codec without touching the
+  * plan.
   */
 object Multimodal {
 
@@ -72,6 +74,60 @@ object Multimodal {
           } catch { case _: Exception => None }
           finally { reader.dispose(); iis.close() }
         }
+      }
+    }
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, duration_ms: Long, rms: Double)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AU/AIFF
+    * PCM without external libraries: format parameters, frame count,
+    * duration, and RMS amplitude (normalized to [0,1]) over the PCM
+    * samples. Undecodable payloads are dropped like corrupt images.
+    * Compressed formats (mp3/ogg) have no JDK codec and would slot in
+    * here behind the same batch shape. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val frames = ais.getFrameLength
+            val data = ais.readAllBytes()
+            val big = fmt.isBigEndian
+            var sumSq = 0.0
+            var n = 0
+            if (bits == 16) {
+              var i = 0
+              while (i + 1 < data.length) {
+                val lo = data(if (big) i + 1 else i) & 0xff
+                val hi = data(if (big) i else i + 1)
+                val s = ((hi << 8) | lo).toShort / 32768.0
+                sumSq += s * s; n += 1; i += 2
+              }
+            } else { // 8-bit PCM (signed or unsigned per encoding)
+              val signed = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              var i = 0
+              while (i < data.length) {
+                val s = (if (signed) data(i).toDouble
+                         else (data(i) & 0xff) - 128.0) / 128.0
+                sumSq += s * s; n += 1; i += 1
+              }
+            }
+            val rms = if (n == 0) 0.0
+              else math.round(math.sqrt(sumSq / n) * 1e6) / 1e6
+            Some(AudioFeatures(r.doc_id, fmt.getSampleRate.toInt,
+              fmt.getChannels, bits, frames,
+              math.round(frames * 1000.0 / fmt.getSampleRate), rms))
+          } finally ais.close()
+        } catch { case _: Exception => None }
       }
     }
   }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing: assembling documents into fixed token-budget
+  * training sequences — the last mile of an LLM data pipeline.
+  *
+  * Two policies:
+  *  - [[withGlobalCumsum]] / offset packing: assign each doc to the bin
+  *    its global running-token-offset starts in (`(cumsum - n) / budget`).
+  *    Partition-independent and exactly oracle-able; bins can overflow
+  *    by at most one document's tail.
+  *  - [[packGreedy]]: true greedy reset packing (open a new sequence
+  *    when the next doc would overflow the budget) per range partition.
+  *    Bins never span partitions, so the scan is embarrassingly
+  *    parallel; the policy is invariant-tested rather than oracled
+  *    because bin boundaries depend on partitioning.
+  *
+  * The global cumsum is the classic two-phase distributed prefix sum,
+  * Spark-shaped: range-partition on the order key (so partition i holds
+  * strictly smaller keys than partition i+1), compute per-partition
+  * cumsums with a `Window.partitionBy(partition-id)` — fully parallel,
+  * no single-partition global window — then add per-partition prefix
+  * offsets via a broadcast join. Only the per-partition TOTALS (one row
+  * per partition) ever reach the driver: metadata, not data.
+  *
+  * Reference context: no packing surface in the reference; training-
+  * pipeline extension (SURVEY §7.5).
+  */
+object Packing {
+
+  /** Adds `cumsum` = inclusive running sum of `valCol` in global
+    * `orderCol` order. Requires distinct order keys for a deterministic
+    * result. Output also carries the input columns. */
+  def withGlobalCumsum(
+      spark: SparkSession,
+      df: DataFrame,
+      orderCol: String,
+      valCol: String): DataFrame = {
+    val parted = df
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one row per partition — driver-side metadata, not the data plane
+    val totals = parted.groupBy("__pid")
+      .agg(sum(col(valCol)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val off = acc; acc += t; (pid, off)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+
+    parted
+      .withColumn("__local",
+        sum(col(valCol)).over(Window.partitionBy("__pid").orderBy(orderCol)))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cumsum", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Offset packing: (doc, n_tokens, seq_id) where seq_id is the bin
+    * the doc's global token offset starts in. Deterministic, exactly
+    * oracle-able; a bin may overflow by one document's tail. */
+  def packByOffset(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      budget: Long): DataFrame =
+    withGlobalCumsum(spark, df, idCol, tokCol)
+      .withColumn("seq_id", expr(s"(cumsum - `$tokCol`) div ${budget}L"))
+      .drop("cumsum")
+
+  /** Greedy reset packing per range partition: docs are taken in id
+    * order; a sequence closes when the next doc would push it past the
+    * budget (docs larger than the budget get a singleton sequence).
+    * Sequences never span partitions; ids are (partition << 32 | seq).
+    * Per-partition imperative state is exactly what `mapPartitions` is
+    * for — this is not expressible as a window function. */
+  def packGreedy(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      budget: Long): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var seq = 0L
+        var fill = 0L
+        rows.map { case (id, n) =>
+          if (fill > 0L && fill + n > budget) { seq += 1L; fill = 0L }
+          fill += n
+          (id, n, (pid << 32) | seq)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "seq_id")
+  }
+}

@@ -542,6 +542,33 @@ object RelationalQueries {
           .agg(approx_count_distinct(col("user_id")).as("approx_users")),
       None),
 
+    // ── Distinct sketch with EXACT oracle parity: KMV (k minimum
+    //    values). Same single-pass mergeable-state shape as HLL, but
+    //    elementary integer arithmetic end-to-end, so DuckDB replays
+    //    the sketch exactly (distinct hashes → k-th order statistic →
+    //    integer-division estimate). Typed Aggregator surface (§2-I). ──
+    QueryDef(
+      "distinct_kmv_users",
+      "KMV distinct-count sketch per event type, bit-exact vs oracle",
+      (s, d) => {
+        val kmv = udaf(graft.functions.KmvAgg)
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(kmv(col("user_id").cast("long")).as("est_users"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+              |  (${graft.functions.Kmv.A} * user_id + ${graft.functions.Kmv.B})
+              |    % ${graft.functions.Kmv.P} AS hv FROM events),
+              |r AS (SELECT event_type, hv,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS nd FROM h)
+              |SELECT event_type,
+              |  CASE WHEN max(nd) >= ${graft.functions.Kmv.K}
+              |    THEN (${graft.functions.Kmv.K - 1}::BIGINT * ${graft.functions.Kmv.P})
+              |      // greatest(max(CASE WHEN rn = ${graft.functions.Kmv.K} THEN hv END), 1)
+              |    ELSE max(nd) END AS est_users
+              |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin)),
+
     // ── F9: date formatting ──
     QueryDef(
       "f9_date_format",

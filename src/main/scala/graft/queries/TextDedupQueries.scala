@@ -408,6 +408,48 @@ object TextDedupQueries {
               |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY a.doc_id, b.doc_id""".stripMargin)),
 
+    // ── Sequence packing (offset policy): docs → fixed token-budget
+    //    training sequences. Distributed two-phase prefix sum under the
+    //    hood (range partition → per-partition window cumsum → broadcast
+    //    offset join; only per-partition totals touch the driver), so
+    //    the global running offset is exact and the oracle replays it
+    //    with a plain window sum. ──
+    QueryDef(
+      "pack_sequences",
+      "token-budget sequence assignment from the global token offset (budget 512)",
+      (s, d) => {
+        val toks = Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"),
+            TextFunctions.tokenCount("__toks").cast("long").as("n_tokens"))
+        graft.operators.Packing.packByOffset(s, toks, "doc_id", "n_tokens", 512L)
+      },
+      Some(s"""SELECT doc_id, n_tokens, (cs - n_tokens) // 512 AS seq_id FROM (
+              |  SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+              |  FROM (SELECT doc_id, len($dkTokens)::BIGINT AS n_tokens FROM documents))""".stripMargin)),
+
+    // ── Packing efficiency report over the same assignment ──
+    QueryDef(
+      "pack_stats",
+      "per-sequence document count and token fill for the offset packing",
+      (s, d) => {
+        val toks = Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"),
+            TextFunctions.tokenCount("__toks").cast("long").as("n_tokens"))
+        graft.operators.Packing.packByOffset(s, toks, "doc_id", "n_tokens", 512L)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+      },
+      Some(s"""WITH packed AS (
+              |  SELECT doc_id, n_tokens, (cs - n_tokens) // 512 AS seq_id FROM (
+              |    SELECT doc_id, n_tokens,
+              |      CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+              |    FROM (SELECT doc_id, len($dkTokens)::BIGINT AS n_tokens FROM documents)))
+              |SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+              |FROM packed GROUP BY seq_id""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",

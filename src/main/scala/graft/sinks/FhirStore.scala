@@ -88,10 +88,15 @@ class InMemoryFhirStore extends FhirStore with Serializable {
   *  - PUT-with-id upserts (client-assigned deterministic ids) make
   *    retries idempotent — no conditional-create dance needed;
   *  - snapshots of per-subject child resources fan out per partition
-  *    (the distributed twin of the reference's per-patient GETs).
+  *    (the distributed twin of the reference's per-patient GETs);
+  *  - full-store snapshots fan page offsets out across executors
+  *    (`?_count/_offset` after one `_summary=count` sizing call),
+  *    falling back to the sequential cursor pager only when the store
+  *    reports no search total.
   * Driver never touches row data.
   */
-class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100)
+class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
+    pageSize: Int = 1000)
     extends FhirStore with Serializable {
 
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
@@ -114,9 +119,59 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100)
     throw last
   }
 
-  /** Full-store snapshot via paged search (driver-side, bounded use:
-    * the Patient cohort). Child types should use snapshotForSubjects. */
+  /** Full-store snapshot, distributed: one driver `?_summary=count`
+    * round-trip sizes the store, then page OFFSETS are partitioned
+    * across executors and each partition fetches its
+    * `?_count=N&_offset=k` pages with a pooled client — snapshot time
+    * scales with executors, not store size. Servers without a search
+    * total fall back to the sequential cursor pager (`link: next`),
+    * which cannot be parallelized. Like any paged scan of a live store,
+    * the snapshot is best-effort under concurrent mutation — identical
+    * to the reference's one-shot search (cnics_to_fhir.py:215-217),
+    * which also reads a moving store without isolation. */
   def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val c = client()
+    val total: Long =
+      try {
+        val r = send(c, HttpRequest.newBuilder(
+          URI.create(s"$baseUrl/$resourceType?_summary=count&_format=json")).GET().build())
+        val t = mapper.readTree(r.body()).path("total")
+        if (t.isNumber) t.asLong() else -1L
+      } catch { case _: Throwable => -1L }
+    if (total < 0L) return snapshotCursor(spark, resourceType)
+    if (total == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
+
+    val ps = math.max(1, pageSize)
+    val offsets = 0L.until(total, ps.toLong)
+    val url = baseUrl
+    import spark.implicits._
+    spark.createDataset(offsets)
+      .repartition(math.min(offsets.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { offs =>
+        val pc = HttpClient.newHttpClient()
+        val pm = new com.fasterxml.jackson.databind.ObjectMapper()
+        offs.flatMap { off =>
+          val r = send(pc, HttpRequest.newBuilder(URI.create(
+            s"$url/$resourceType?_count=$ps&_offset=$off&_format=json")).GET().build())
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          pm.readTree(r.body()).path("entry").forEach { e =>
+            val res = e.path("resource")
+            val key = res.path("identifier").path(0).path("value").asText(null)
+            val id = res.path("id").asText(null)
+            if (key != null && id != null) out += ((key, id))
+          }
+          out
+        }
+      }.toDF("key", "id")
+  }
+
+  /** Sequential `link: next` cursor pager — the fallback when the store
+    * reports no search total. Driver-side by necessity: each page's URL
+    * comes from the previous response. */
+  private def snapshotCursor(spark: SparkSession, resourceType: String): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val c = client()
     val buf = scala.collection.mutable.ArrayBuffer[Row]()

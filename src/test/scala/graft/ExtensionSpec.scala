@@ -178,6 +178,43 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(2L).mean_luma === 255.0)
   }
 
+  test("real audio decode: format, duration, RMS; corrupt payloads dropped") {
+    // 440 Hz sine, 0.25 s, 8 kHz mono 16-bit PCM WAV, amplitude 0.5
+    def wav(amp: Double, hz: Double, secs: Double, rate: Float = 8000f): Array[Byte] = {
+      val n = (rate * secs).toInt
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, wav(0.5, 440, 0.25), "audio/wav"),
+      Multimodal.MediaRow(2L, wav(1.0, 220, 0.5), "audio/wav"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "audio/wav"))) // corrupt
+      .repartition(2)
+    val out = Multimodal.decodeAudio(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L)) // corrupt payload dropped
+    assert(out(1L).sample_rate === 8000 && out(1L).channels === 1 && out(1L).bits === 16)
+    assert(out(1L).n_frames === 2000L && out(1L).duration_ms === 250L)
+    // RMS of a sine at amplitude a is a/sqrt(2)
+    assert(math.abs(out(1L).rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(out(2L).rms - 1.0 / math.sqrt(2)) < 0.01)
+    // determinism: decoding twice gives identical features
+    val again = Multimodal.decodeAudio(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(again === out)
+  }
+
   test("typed MinHashAgg produces the same signatures as the codegen'd min-agg path") {
     val exploded = Dedup.withShingleHashes(docs, "text")
       .filter(size(col("shingle_hashes")) > 0)
