@@ -408,6 +408,104 @@ object TextDedupQueries {
               |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY a.doc_id, b.doc_id""".stripMargin)),
 
+    // ── PII redaction: the corpus carries no PII, so deterministic
+    //    synthetic PII (derived from doc_id) is injected IN the query on
+    //    both sides, then scrubbed — proving the regexes actually match
+    //    and the redaction rewrites, not just that a no-op passed. The
+    //    patterns avoid lookarounds so Java regex (Spark) and RE2
+    //    (DuckDB) agree. ──
+    QueryDef(
+      "txt_pii_redact",
+      "email/phone redaction counts + redacted-text digest (synthetic PII injected)",
+      (s, d) => {
+        val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phoneRe = """\b555-[0-9]{4}\b"""
+        t(s, d, "documents")
+          .withColumn("__pii", concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("__pii"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("__pii"), lit(phoneRe), lit(0))).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("__pii"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("red_md5"))
+      },
+      Some("""WITH pii AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@mail.example.com or call 555-' ||
+             |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS red_md5
+             |FROM pii""".stripMargin)),
+
+    // ── Per-domain document caps: bound any one source's contribution
+    //    to the corpus (window rank per source, keep the N earliest). ──
+    QueryDef(
+      "cap_per_source",
+      "per-source document cap (10 earliest docs per source)",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy("doc_id")))
+          .filter(col("rn") <= 10)
+          .select("doc_id", "source", "rn"),
+      Some("""SELECT doc_id, source,
+             |row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |FROM documents QUALIFY rn <= 10""".stripMargin)),
+
+    // ── Eval-set decontamination: docs whose id ≡ 0 (mod 50) stand in
+    //    for a held-out benchmark; any training doc sharing an identical
+    //    64-token chunk fingerprint with an eval doc is removed. The
+    //    chunk-fp join is the bucketed shape of dedup_chunk_overlap. ──
+    QueryDef(
+      "decontam_keep",
+      "training docs kept after removing eval-chunk-sharing documents",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val chunks = Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_chunk_tokens(text, 64, 16)").as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), md5(col("chunk")).as("fp"))
+        val evalFps = chunks.filter(col("doc_id") % 50 === 0).select("fp").distinct()
+        val contaminated = chunks.filter(col("doc_id") % 50 =!= 0)
+          .join(evalFps, Seq("fp")).select("doc_id").distinct()
+        t(s, d, "documents").select("doc_id")
+          .filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |ch AS (SELECT doc_id, tk, unnest(range(0, (len(tk) + 47) // 48)) AS i FROM toks),
+             |chunks AS (SELECT doc_id,
+             |  md5(array_to_string(tk[(i*48 + 1)::INT : (i*48 + 64)::INT], ' ')) AS fp FROM ch)
+             |SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND doc_id NOT IN (
+             |  SELECT DISTINCT c.doc_id FROM chunks c
+             |  JOIN (SELECT DISTINCT fp FROM chunks WHERE doc_id % 50 = 0) e USING (fp)
+             |  WHERE c.doc_id % 50 <> 0)""".stripMargin)),
+
+    // ── Intra-document repetition (Gopher-style quality signal):
+    //    1 - distinct/total over token 3-shingles. ──
+    QueryDef(
+      "txt_repetition",
+      "token-3-shingle repetition ratio per document",
+      (s, d) => Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+        .select(col("doc_id"),
+          expr("greatest(size(__toks) - 2, 0)").as("n_shingles"),
+          expr(s"round(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0), 6)").as("rep_ratio")),
+      Some(s"""SELECT doc_id, greatest(len($dkTokens) - 2, 0) AS n_shingles,
+              |round(CASE WHEN len($dkTokens) > 2
+              |  THEN 1.0 - len(${dkTokShingles("text")})
+              |    / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END, 6) AS rep_ratio
+              |FROM documents""".stripMargin)),
+
     // ── Sequence packing (offset policy): docs → fixed token-budget
     //    training sequences. Distributed two-phase prefix sum under the
     //    hood (range partition → per-partition window cumsum → broadcast
