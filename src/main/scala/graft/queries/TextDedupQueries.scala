@@ -548,6 +548,80 @@ object TextDedupQueries {
               |SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
               |FROM packed GROUP BY seq_id""".stripMargin)),
 
+    // ── Training-mix stratified sampling: per-language keep rates
+    //    (upsample scarce, downsample dominant) decided by a
+    //    deterministic hash draw — the distributed, reproducible form
+    //    of `sampleBy`, exactly replayable in SQL. ──
+    QueryDef(
+      "mix_sample_by_lang",
+      "deterministic per-language stratified sample (training mix weights)",
+      (s, d) => {
+        // permille keep-rates per language
+        val rates = Map("en" -> 500, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 1000)
+        val rateCol = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+          when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        t(s, d, "documents")
+          .withColumn("__draw", (col("doc_id") * 2654435761L + 40503L) % 1000L)
+          .filter(col("__draw") < rateCol)
+          .select("doc_id", "lang")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 2654435761 + 40503) % 1000 <
+             |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+             |            WHEN 'es' THEN 800 WHEN 'zh' THEN 1000 ELSE 0 END""".stripMargin)),
+
+    // ── Deterministic global shuffle into training shards: order by a
+    //    seeded hash (reproducible epoch-0 data order), shard by hash
+    //    mod N. Shard assignment needs no global sort at all — it is a
+    //    pure per-row projection; the within-shard position uses the
+    //    same distributed prefix machinery as packing when a writer
+    //    needs it. ──
+    QueryDef(
+      "shuffle_shards",
+      "seeded deterministic shuffle: shard id + within-shard rank per doc",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("__h", (col("doc_id") * 1103515245L + 12345L) % 2147483647L)
+          .withColumn("shard", (col("__h") % 8L).cast("long"))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("shard").orderBy("__h", "doc_id")).cast("long") - 1L)
+          .select(col("doc_id"), col("shard"), col("pos")),
+      Some("""SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
+             |FROM (SELECT doc_id,
+             |  (doc_id * 1103515245 + 12345) % 2147483647 AS h,
+             |  ((doc_id * 1103515245 + 12345) % 2147483647) % 8 AS shard
+             |FROM documents)""".stripMargin)),
+
+    // ── End-to-end corpus curation filter: language allow-list +
+    //    quality-signal thresholds (token count, punctuation ratio,
+    //    repetition) composed into one kept-corpus predicate — the
+    //    filter stage a production pipeline runs before dedup. ──
+    QueryDef(
+      "corpus_filter",
+      "kept docs after language + quality + repetition thresholds",
+      (s, d) => Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount("__toks"))
+        .withColumn("punct_ratio", TextFunctions.punctRatio("text"))
+        .withColumn("rep_ratio",
+          expr(s"round(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0), 6)"))
+        .filter(col("lang").isin("en", "de", "fr", "es") &&
+          col("n_tokens") >= 50 && col("punct_ratio") <= 0.05 &&
+          col("rep_ratio") <= 0.999)
+        .select("doc_id", "lang", "n_tokens"),
+      Some(s"""SELECT doc_id, lang, len($dkTokens) AS n_tokens FROM documents
+              |WHERE lang IN ('en', 'de', 'fr', 'es')
+              |  AND len($dkTokens) >= 50
+              |  AND round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              |    / greatest(length(text), 1), 6) <= 0.05
+              |  AND round(CASE WHEN len($dkTokens) > 2
+              |    THEN 1.0 - len(${dkTokShingles("text")})
+              |      / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END, 6) <= 0.999""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",

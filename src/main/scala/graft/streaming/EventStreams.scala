@@ -24,13 +24,17 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of events parquet files.
+    * `maxFilesPerTrigger` bounds each micro-batch (so the watermark
+    * advances between files instead of one giant batch). */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
@@ -93,6 +97,80 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** Streaming exactly-once dedup on `event_id` with bounded state:
+    * duplicates whose event times fall within the watermark window are
+    * dropped, and key state is evicted once the watermark passes — the
+    * streaming twin of batch `dropDuplicates`, viable at scale because
+    * state size tracks the watermark window, not the stream history. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One open session per burst: [startNs, lastNs] with an event count.
+    * Aggregate state only — raw events are never retained. */
+  final case class SessionAgg(startNs: Long, lastNs: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, start_ts: String, dur_s: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state surface (SURVEY §2-H) behind the same semantics as
+    * [[sessionStats]]. State per user is a list of open sessions
+    * (merged on the gap as events arrive, so out-of-order events within
+    * the watermark bridge sessions exactly like the batch cumsum); an
+    * event-time timeout fires when the watermark passes an open
+    * session's end + gap, emitting it and shrinking state to the still-
+    * open tail. Events behind the watermark are dropped by the runtime
+    * before the function sees them — the same late-data policy as
+    * `session_window`. */
+  def sessionStatsCustom(spark: SparkSession, events: DataFrame,
+      gapS: Long = 1800L, watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = gapS * 1000000000L
+
+    def fmt(ns: Long): String =
+      java.time.Instant.ofEpochSecond(0L, ns / 1000 * 1000)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+    def mergeAll(ss: List[SessionAgg]): List[SessionAgg] =
+      ss.sortBy(_.startNs).foldLeft(List.empty[SessionAgg]) { (acc, s) =>
+        acc match {
+          case h :: t if s.startNs <= h.lastNs + gapNs =>
+            SessionAgg(h.startNs, math.max(h.lastNs, s.lastNs), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
+    def handle(userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[List[SessionAgg]]): Iterator[SessionOut] = {
+      val wmNs = state.getCurrentWatermarkMs() * 1000000L
+      val current = state.getOption.getOrElse(Nil)
+      val merged = mergeAll(current ++
+        rows.map { case (_, ns, _) => SessionAgg(ns, ns, 1L) })
+      // closed = the watermark is past end + gap: no in-window event can
+      // extend the session any more (matches the batch gap split)
+      val (closed, open) = merged.partition(_.lastNs + gapNs <= wmNs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        val nextFire = open.map(_.lastNs).min / 1000000L + gapS * 1000L
+        state.setTimeoutTimestamp(math.max(nextFire, state.getCurrentWatermarkMs() + 1L))
+      }
+      closed.iterator.map(s =>
+        SessionOut(userId, s.n, fmt(s.startNs), (s.lastNs - s.startNs) / 1000000000L))
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts_ns", "ts") // ts stays: the event-time
+      .as[(Long, Long, java.sql.Timestamp)] // column anchors the timeout
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionAgg], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(handle)
+      .toDF()
+  }
 
   /** Watermarked 30-minute-gap sessionization — streaming twin of the
     * batch `ev_sessionize` query, via `session_window` (merge-on-overlap

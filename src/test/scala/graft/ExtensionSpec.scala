@@ -303,6 +303,59 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-window duplicates exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000L
+    val mem = MemoryStream[(Long, Long, Long)] // (event_id, user_id, epoch_s)
+    val df = mem.toDF().toDF("event_id", "user_id", "epoch_s")
+      .withColumn("ts", expr("timestamp_seconds(epoch_s)"))
+    val out = graft.streaming.EventStreams.dedupEvents(df)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_stream").start()
+    try {
+      mem.addData((1L, 1L, t0), (2L, 1L, t0 + 10), (1L, 1L, t0 + 5)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((2L, 2L, t0 + 20), (3L, 1L, t0 + 30)) // cross-batch dup id 2
+      q.processAllAvailable()
+      val ids = spark.table("graft_dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
+  test("custom-state sessionizer (flatMapGroupsWithState) matches the batch sessionization") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.coalesce(1).write.mode("overwrite").parquet(tmp)
+    Thread.sleep(1100) // file-source orders batches by mtime
+    // far-future sentinel: pushes the watermark past every real session
+    val maxNs = raw.agg(max("ts")).head.getLong(0)
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, maxNs + 100L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}")),
+      graft.streaming.EventStreams.rawSchema)
+      .write.mode("append").parquet(tmp)
+    val stream = graft.streaming.EventStreams.readEventStream(spark, tmp,
+      maxFilesPerTrigger = Some(1))
+    val out = graft.streaming.EventStreams.sessionStatsCustom(spark, stream)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("graft_fmgws_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_fmgws_test").collect()
+        .filter(_.getLong(0) >= 0) // drop the sentinel user
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = graft.queries.SimilarityStreamQueries.defs
+        .find(_.name == "ev_sessionize").get
+        .build(spark, "/root/testdata/sf0.001")
+        .select("user_id", "n_events", "start_ts", "dur_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessions drop late events beyond the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
