@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an undirected edge list, via
   * iterative min-label propagation: every vertex starts labelled with
@@ -17,10 +16,13 @@ import org.apache.spark.storage.StorageLevel
   * adjacency join) plus a label-of-label pointer-jumping join that
   * doubles propagation reach per round, so convergence takes
   * O(log diameter) rounds — near-dup clusters are shallow, so 2–4
-  * rounds is typical. Every iteration's labels are persisted and the previous
-  * generation unpersisted, so lineage never re-runs earlier rounds; a
-  * cluster deployment would additionally checkpoint every ~10 rounds to
-  * bound plan growth. Convergence is detected by the monotone label sum
+  * rounds is typical. Each round's labels are eagerly `localCheckpoint`ed:
+  * the labels frame is referenced three times per round (adjacency join,
+  * closed-neighborhood union, pointer-jump lookup), so carrying the
+  * logical plan forward would grow the analysis tree exponentially with
+  * the round count — checkpointing truncates lineage to the materialized
+  * RDD each round (a cluster deployment with executor churn would use
+  * reliable `checkpoint` instead). Convergence is detected by the monotone label sum
   * (strictly decreases until the fixpoint), one scalar agg per round —
   * no driver-side collect of vertex data. For graphs with huge diameter
   * (not duplicate clusters), the alternating star variant (Kiveris et
@@ -39,7 +41,6 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 30): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
     // Undirected: keep each edge once in both orientations, self-loops dropped.
     val adj = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -47,11 +48,11 @@ object Components {
       .distinct()
     val both = adj
       .union(adj.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(lvl)
+      .localCheckpoint(true)
 
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var checksum = labels.agg(sum("comp")).head.getLong(0)
 
     var iter = 0
@@ -70,15 +71,13 @@ object Components {
         .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), least(col("comp"), col("jump")).as("comp"))
-        .persist(lvl)
+        .localCheckpoint(true) // truncate lineage: see scaladoc
       val nextSum = next.agg(sum("comp")).head.getLong(0)
-      labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
       iter += 1
     }
-    both.unpersist(blocking = false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")

@@ -32,6 +32,33 @@ class PlanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("packing prefix sum is parallel: no single-partition exchange, no global window") {
+    // the classic wrong shape is Window.orderBy with no partitionBy →
+    // Exchange SinglePartition; the two-phase prefix sum must never do that
+    val toks = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .selectExpr("doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n_tokens")
+    val p = graft.operators.Packing
+      .packByOffset(spark, toks, "doc_id", "n_tokens", 512L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("offset packing bins stay within budget except oversized singletons") {
+    val toks = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .selectExpr("doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n_tokens")
+    val bins = graft.operators.Packing
+      .packByOffset(spark, toks, "doc_id", "n_tokens", 512L)
+      .groupBy("seq_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tot"),
+        org.apache.spark.sql.functions.max("n_tokens").as("mx"))
+      .collect()
+    // offset policy: a bin holds ≤ budget + (its largest doc's tail)
+    bins.foreach { r =>
+      assert(r.getLong(1) <= 512L + r.getLong(2),
+        s"seq ${r.getLong(0)} fill ${r.getLong(1)} exceeds budget + largest doc")
+    }
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
