@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -21,11 +20,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * The global cumsum is the classic two-phase distributed prefix sum,
   * Spark-shaped: range-partition on the order key (so partition i holds
-  * strictly smaller keys than partition i+1), compute per-partition
-  * cumsums with a `Window.partitionBy(partition-id)` — fully parallel,
-  * no single-partition global window — then add per-partition prefix
-  * offsets via a broadcast join. Only the per-partition TOTALS (one row
-  * per partition) ever reach the driver: metadata, not data.
+  * strictly smaller keys than partition i+1), scan each partition once
+  * to form local running sums — fully parallel, no single-partition
+  * global window, no re-shuffle of already-laid-out data — and seed
+  * each scan with its partition's broadcast prefix offset. Only the
+  * per-partition TOTALS (one row per partition) ever reach the driver:
+  * metadata, not data.
   *
   * Reference context: no packing surface in the reference; training-
   * pipeline extension (SURVEY §7.5).
@@ -34,7 +34,13 @@ object Packing {
 
   /** Adds `cumsum` = inclusive running sum of `valCol` in global
     * `orderCol` order. Requires distinct order keys for a deterministic
-    * result. Output also carries the input columns. */
+    * result. Output also carries the input columns.
+    *
+    * The local cumsum is a per-partition linear scan (`mapPartitions`),
+    * NOT a `Window.partitionBy(partition-id)` — the window would plan a
+    * redundant Exchange+Sort onto data the range partition already laid
+    * out; the scan reads the persisted layout in place, so the whole
+    * prefix sum costs exactly one data shuffle (the range partition). */
   def withGlobalCumsum(
       spark: SparkSession,
       df: DataFrame,
@@ -55,16 +61,31 @@ object Packing {
     var acc = 0L
     val offsets = totals.map { case (pid, t) =>
       val off = acc; acc += t; (pid, off)
-    }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    }.toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    parted
-      .withColumn("__local",
-        sum(col(valCol)).over(Window.partitionBy("__pid").orderBy(orderCol)))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("cumsum", col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+    val schema = parted.schema
+    val vIdx = schema.fieldIndex(valCol)
+    val pIdx = schema.fieldIndex("__pid")
+    val outSchema = schema.add("cumsum", org.apache.spark.sql.types.LongType)
+    // Seed from the __pid COLUMN, not TaskContext.getPartitionId(): a
+    // downstream coalesce() merges partitions into one task whose task
+    // partition id is NOT the parent RDD partition — the column is
+    // self-consistent with the totals above by construction, whatever
+    // task composition the final plan chooses. Rows of one __pid block
+    // stay contiguous and key-ordered (narrow ops preserve intra-
+    // partition order; coalesce concatenates parents in index order).
+    parted.mapPartitions { rows =>
+      var curPid = Int.MinValue
+      var acc = 0L
+      rows.map { r =>
+        val pid = r.getInt(pIdx)
+        if (pid != curPid) { curPid = pid; acc = bcOffsets.value.getOrElse(pid, 0L) }
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("__pid")
   }
 
   /** Offset packing: (doc, n_tokens, seq_id) where seq_id is the bin

@@ -51,6 +51,22 @@ class PackingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("global cumsum survives a downstream coalesce(1)") {
+    // regression: coalesce collapses the pipeline into one task whose
+    // TaskContext partition id is NOT the parent RDD partition — the
+    // offset seeding must come from the per-row __pid column
+    val big = spark.range(0, 500).toDF("doc_id")
+      .withColumn("n_tokens", (col("doc_id") % 97) + 1)
+    val out = Packing.withGlobalCumsum(spark, big.repartition(8), "doc_id", "n_tokens")
+      .coalesce(1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    (0L until 500L).foreach { i =>
+      acc += (i % 97) + 1
+      assert(out(i) === acc, s"doc $i")
+    }
+  }
+
   test("offset packing bins by global starting offset") {
     val out = Packing.packByOffset(spark, docs.repartition(4), "doc_id", "n_tokens", 512L)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
