@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * transform.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real and tested. Images have a REAL decode path (`decodeImages`,
-  * JDK-built-in javax.imageio: PNG/JPEG/BMP/GIF) and so does audio
-  * (`decodeAudio`, JDK-built-in javax.sound.sampled: WAV/AU/AIFF
-  * PCM) — no external libraries either way. Video remains stubbed
-  * (`decodeStub` derives deterministic fake features; the container
-  * has no video codec) — swap in a real codec without touching the
-  * plan.
+  * real and tested, and so are all three modality decoders, each on
+  * JDK-builtins only: images (`decodeImages`, javax.imageio:
+  * PNG/JPEG/BMP/GIF), audio (`decodeAudio`, javax.sound.sampled:
+  * WAV/AU/AIFF PCM), and video (`decodeVideoMjpeg`, RIFF/AVI container
+  * walk + javax.imageio per MJPEG frame). Codecs the JVM cannot decode
+  * (H.264, mp3, …) would slot into `decodeStub`'s batch shape behind
+  * an external library without touching the plan.
   */
 object Multimodal {
 
@@ -127,6 +127,80 @@ object Multimodal {
               fmt.getChannels, bits, frames,
               math.round(frames * 1000.0 / fmt.getSampleRate), rms))
           } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  final case class VideoFeatures(
+      doc_id: Long, n_frames: Int, width: Int, height: Int,
+      fps: Double, mean_luma: Double)
+
+  /** REAL video decode for MJPEG-in-AVI — the one video format a bare
+    * JVM can fully decode (RIFF container walk per the public AVI spec;
+    * each `..dc` frame chunk is a JPEG handed to javax.imageio).
+    * Emits frame count, dimensions from the first frame, fps from the
+    * `avih` main header, and mean Rec.601 luminance across all frames.
+    * Non-AVI / non-MJPEG / corrupt payloads are dropped, mirroring the
+    * image and audio corrupt-file policy; other codecs (H.264 etc.)
+    * have no JVM decoder and would slot into `decodeStub`'s batch
+    * shape behind an external library. */
+  def decodeVideoMjpeg(spark: SparkSession, media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    def le32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val b = r.payload
+          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") None
+          else {
+            var usPerFrame = 0L
+            val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
+            def walk(start: Int, end: Int): Unit = {
+              var p = start
+              while (p + 8 <= end) {
+                val id = tag(b, p)
+                val sz = math.min(le32(b, p + 4), (end - p - 8).toLong).toInt
+                if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+                else if (id == "avih" && sz >= 4) usPerFrame = le32(b, p + 8)
+                else if (id.length == 4 && id.endsWith("dc") && sz > 2)
+                  frames += ((p + 8, sz))
+                p += 8 + sz + (sz & 1)
+              }
+            }
+            walk(12, b.length)
+            if (frames.isEmpty) None
+            else {
+              var w = 0; var h = 0
+              var lumaSum = 0.0; var nPx = 0L
+              frames.foreach { case (off, len) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, off, len))
+                if (img != null) {
+                  if (w == 0) { w = img.getWidth; h = img.getHeight }
+                  val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                    null, 0, img.getWidth)
+                  var i = 0
+                  while (i < px.length) {
+                    val rgb = px(i)
+                    lumaSum += 0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                    i += 1
+                  }
+                  nPx += px.length
+                }
+              }
+              if (w == 0 || nPx == 0L) None
+              else Some(VideoFeatures(r.doc_id, frames.size, w, h,
+                if (usPerFrame > 0) math.round(1e8 / usPerFrame) / 100.0 else 0.0,
+                math.round(lumaSum / nPx * 100) / 100.0))
+            }
+          }
         } catch { case _: Exception => None }
       }
     }

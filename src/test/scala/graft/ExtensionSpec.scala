@@ -215,6 +215,48 @@ class ExtensionSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("real MJPEG-AVI video decode: frames, dims, fps, luminance; corrupt dropped") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // minimal RIFF AVI: avih header (10 fps) + movi LIST of MJPEG frames
+    def avi(fps: Int, frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      val avih = chunk("avih", le32(1000000L / fps) ++ new Array[Byte](52))
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length))
+      bos.write(body)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, avi(10, jpeg(8, 6, 0xffffff), jpeg(8, 6, 0x000000)), "video/avi"),
+      Multimodal.MediaRow(2L, avi(25, jpeg(4, 4, 0xffffff)), "video/avi"),
+      Multimodal.MediaRow(3L, Array[Byte](82, 73, 70, 70, 1), "video/avi"))) // corrupt
+      .repartition(2)
+    val out = Multimodal.decodeVideoMjpeg(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).n_frames === 2 && out(1L).width === 8 && out(1L).height === 6)
+    assert(out(1L).fps === 10.0)
+    assert(out(2L).n_frames === 1 && out(2L).fps === 25.0)
+    // white + black frames average near mid luminance; solid white near 255
+    assert(out(1L).mean_luma > 100 && out(1L).mean_luma < 155)
+    assert(out(2L).mean_luma > 240)
+  }
+
   test("typed MinHashAgg produces the same signatures as the codegen'd min-agg path") {
     val exploded = Dedup.withShingleHashes(docs, "text")
       .filter(size(col("shingle_hashes")) > 0)
