@@ -393,6 +393,48 @@ object RelationalQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
 
+    // ── CUBE with grouping_id: all four aggregation granularities in
+    //    one pass; gid disambiguates "aggregated" from genuine NULLs
+    //    (both engines use the same bit convention, cast to BIGINT). ──
+    QueryDef(
+      "cube_segment_year",
+      "GROUP BY CUBE over market segment × order year with grouping id",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_cube_customer")
+        t(s, d, "orders").createOrReplaceTempView("graft_cube_orders")
+        s.sql("""SELECT c_mktsegment, year(o_orderdate) AS yr,
+                |  CAST(grouping_id(c_mktsegment, year(o_orderdate)) AS BIGINT) AS gid,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM graft_cube_orders JOIN graft_cube_customer ON o_custkey = c_custkey
+                |GROUP BY CUBE (c_mktsegment, year(o_orderdate))""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, year(o_orderdate) AS yr,
+             |  CAST(GROUPING(c_mktsegment, year(o_orderdate)) AS BIGINT) AS gid,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE (c_mktsegment, year(o_orderdate))""".stripMargin)),
+
+    // ── Window RANGE frame: trailing-90-day revenue per customer —
+    //    value-based frame bounds (peers included), vs the ROWS frames
+    //    used elsewhere. day_no anchors the range arithmetic to an
+    //    integer on both engines. ──
+    QueryDef(
+      "window_range_trailing",
+      "per-customer trailing-90-day order revenue via a RANGE window frame",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("day_no", datediff(col("o_orderdate"), lit("1992-01-01")))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+            round(sum("o_totalprice").over(
+              Window.partitionBy("o_custkey").orderBy("day_no")
+                .rangeBetween(-90, Window.currentRow)), 2).as("trail_90d")),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  datediff('day', DATE '1992-01-01', o_orderdate) AS day_no,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+             |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS trail_90d
+             |FROM orders""".stripMargin)),
+
     // ── Window: running sum (deterministic order ⇒ bit-identical floats) ──
     QueryDef(
       "window_running_sum",
