@@ -402,6 +402,89 @@ case class ChunkTokens(child: Expression, size: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** Sequential double dot product of two float-array columns — the
+  * codegen'd replacement for the interpreted
+  * `aggregate(zip_with(a, b, ...))` fold: identical accumulation order
+  * (index 0..n-1, double accumulator), so results are bit-identical to
+  * the SQL fold and the DuckDB oracles, but the per-element work is a
+  * tight JVM loop instead of an expression-tree walk per element. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Sign-random-projection LSH bucket over `nPlanes` deterministic
+  * hyperplanes (table `tbl`'s planes are rows tbl*nPlanes.. of the
+  * shared weight stream; tbl = 0 reproduces the single-table bucket).
+  * Same per-plane double fold order as the interpreted SQL aggregate,
+  * so bucket ids are bit-identical; one tight loop per row instead of
+  * nPlanes×dim interpreted lambda evals. */
+case class LshTableBucket(emb: Expression, tbl: Expression, dim: Int, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = emb
+  override def right: Expression = tbl
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, t: Any): Any =
+    LshTableBucket.bucket(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dim, nPlanes, t.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, t) => s"graft.functions.LshTableBucket.bucket($a, $dim, $nPlanes, (long)$t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshTableBucket =
+    copy(emb = newLeft, tbl = newRight)
+}
+
+object LshTableBucket {
+  def bucket(emb: org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int, nPlanes: Int, tbl: Long): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val w = ((((tbl * nPlanes + j) * dim + i) + 1) * 2654435761L) % 1000003L - 501501L
+        s += emb.getFloat(i).toDouble * w.toDouble
+        i += 1
+      }
+      if (s >= 0) acc += (1L << j)
+      j += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. */
@@ -428,5 +511,12 @@ object GraftFunctions {
       exprs => ChunkTokens(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket",
+      exprs => LshTableBucket(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions.expr
   * Dot products fold sequentially in index order with a double
   * accumulator — deterministic and bit-identical to a same-order fold
   * in any IEEE-754 engine (this is what makes the DuckDB oracles exact).
-  * All built from higher-order array functions; codegen'd, no UDFs.
-  */
+  * The folds are codegen'd Catalyst expressions (`DotProduct`,
+  * `LshTableBucket` — register via `GraftFunctions.register`, done by
+  * `Tables` and the Knn entry points): identical accumulation order to
+  * the interpreted `aggregate(zip_with(...))` SQL they replaced, so
+  * every oracle stays bit-exact, at tight-loop speed. */
 object VectorFunctions {
 
-  /** Sequential double dot product of two array columns. */
-  def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential double dot product of two array columns (codegen'd). */
+  def dotSql(a: String, b: String): String = s"graft_dot($a, $b)"
 
   def dot(a: String, b: String): Column = expr(dotSql(a, b))
 
@@ -38,12 +39,9 @@ object VectorFunctions {
   /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
     * bit j = (dot(embedding, plane_j) >= 0). Returns a BIGINT bucket.
     * At scale this turns O(n²) similarity search into a bucket-local
-    * join; the plan is a single narrow projection per row. */
+    * join; the plan is a single narrow codegen'd projection per row. */
   def lshBucketSql(embCol: String, dim: Int, nPlanes: Int): String =
-    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-      s"IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), " +
-      s"(s, i) -> s + CAST(element_at($embCol, i + 1) AS DOUBLE) * ${planeWeightSql("j", "i", dim)}) >= 0, " +
-      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    s"graft_lsh_bucket($embCol, 0L, $dim, $nPlanes)"
 
   def lshBucket(embCol: String, dim: Int, nPlanes: Int): Column =
     expr(lshBucketSql(embCol, dim, nPlanes))
@@ -55,9 +53,5 @@ object VectorFunctions {
     * recall lever for sign-random-projection ANN: a true neighbor only
     * needs to collide in ONE of the L tables. */
   def lshBucketTableSql(embCol: String, dim: Int, nPlanes: Int, tblCol: String): String =
-    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-      s"IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), " +
-      s"(s, i) -> s + CAST(element_at($embCol, i + 1) AS DOUBLE) * " +
-      s"CAST((((((($tblCol * $nPlanes + j) * $dim + i) + 1) * 2654435761) % 1000003) - 501501) AS DOUBLE)) >= 0, " +
-      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    s"graft_lsh_bucket($embCol, $tblCol, $dim, $nPlanes)"
 }

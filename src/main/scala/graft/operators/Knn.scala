@@ -26,6 +26,7 @@ object Knn {
   /** Exact cosine top-k. `queries`/`candidates` must carry (idCol, embCol). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_norm", VectorFunctions.norm("q_emb"))
     val c = Dedup.spread(candidates.select(col(idCol).as("cand_id"), col(embCol).as("c_emb")))
@@ -42,8 +43,10 @@ object Knn {
   }
 
   /** Bucket assignment via sign-random-projection LSH. */
-  def withLshBucket(df: DataFrame, embCol: String, dim: Int, nPlanes: Int): DataFrame =
+  def withLshBucket(df: DataFrame, embCol: String, dim: Int, nPlanes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     Dedup.spread(df).withColumn("bucket", VectorFunctions.lshBucket(embCol, dim, nPlanes))
+  }
 
   /** Bucket-local cosine top-k: same contract as bruteForceTopK but the
     * candidate set per query is its LSH bucket — the 100 TB scale path. */
@@ -79,12 +82,14 @@ object Knn {
 
   /** Multi-table (tbl, bucket) assignment: one row per (id, table). */
   def withLshTables(df: DataFrame, embCol: String, dim: Int, nPlanes: Int,
-      nTables: Int): DataFrame =
+      nTables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     Dedup.spread(df)
       .withColumn("nrm", VectorFunctions.norm(embCol))
       .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
       .withColumn("bucket",
         expr(VectorFunctions.lshBucketTableSql(embCol, dim, nPlanes, "tbl")))
+  }
 
   /** Multi-table ANN top-k — the production recall/cost dial. Candidate
     * pairs are the DISTINCT union of per-table bucket collisions

@@ -15,6 +15,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path starts here: make the graft_* codegen'd
+    // functions resolvable before any expression text is analyzed
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond
       // timestamp type, so read it as a long (ns since epoch) and expose
