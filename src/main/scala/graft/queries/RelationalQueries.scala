@@ -609,7 +609,8 @@ object RelationalQueries {
               |    THEN (${graft.functions.Kmv.K - 1}::BIGINT * ${graft.functions.Kmv.P})
               |      // greatest(max(CASE WHEN rn = ${graft.functions.Kmv.K} THEN hv END), 1)
               |    ELSE max(nd) END AS est_users
-              |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin)),
+              |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin),
+      bench = true),
 
     // ── F9: date formatting ──
     QueryDef(

@@ -304,7 +304,8 @@ object TextDedupQueries {
               |  SELECT src AS id, src AS r FROM uedges
               |  UNION
               |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst)
-              |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
+              |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
+      bench = true),
 
     // ── Applying the dedup at cluster granularity: keep exactly one
     //    representative (the min id) per duplicate cluster. Differs from
@@ -525,7 +526,8 @@ object TextDedupQueries {
       Some(s"""SELECT doc_id, n_tokens, (cs - n_tokens) // 512 AS seq_id FROM (
               |  SELECT doc_id, n_tokens,
               |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
-              |  FROM (SELECT doc_id, len($dkTokens)::BIGINT AS n_tokens FROM documents))""".stripMargin)),
+              |  FROM (SELECT doc_id, len($dkTokens)::BIGINT AS n_tokens FROM documents))""".stripMargin),
+      bench = true),
 
     // ── Packing efficiency report over the same assignment ──
     QueryDef(
