@@ -387,6 +387,44 @@ object SimilarityStreamQueries {
               |  floor(embedding[(i + 1)::INT]::DOUBLE * scale)::BIGINT AS qv
               |FROM e""".stripMargin)),
 
+    // ── Quantized search: brute-force top-k by INT8 dot product —
+    //    the memory-bound scale play (4× smaller vectors, SIMD-friendly
+    //    integer math). Integer arithmetic is associative, so scores
+    //    are exact on both engines regardless of fold order. ──
+    QueryDef(
+      "sim_int8_topk",
+      "top-3 neighbors by int8-quantized dot product (8 query vectors)",
+      (s, d) => {
+        val q8 = graft.operators.Dedup.stageThenSpread(t(s, d, "embeddings"),
+          "__scale" -> expr("127.0D / greatest(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30D)"))
+          .select(col("vec_id"),
+            expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * __scale) AS BIGINT))").as("q8"))
+        val q = q8.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+        val c = q8.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+        c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("score",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "cand_id", "score", "rnk")
+      },
+      Some(s"""WITH sc AS (SELECT vec_id, embedding,
+              |  127.0 / greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS scale
+              |  FROM embeddings),
+              |q8 AS (SELECT vec_id,
+              |  list_transform(embedding, v -> floor(v::DOUBLE * scale)::BIGINT) AS q FROM sc),
+              |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |    list_transform(range(0, $Dim), i -> a.q[(i + 1)::INT] * b.q[(i + 1)::INT])),
+              |    (s2, v) -> s2 + v) AS score
+              |  FROM q8 a JOIN q8 b ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+              |SELECT query_id, cand_id, score, rnk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY score DESC, cand_id) AS rnk FROM pairs)
+              |WHERE rnk <= 3""".stripMargin)),
+
     // ── Multimodal binary plumbing ──
     QueryDef(
       "mm_binary_meta",

@@ -550,6 +550,77 @@ object TextDedupQueries {
               |SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
               |FROM packed GROUP BY seq_id""".stripMargin)),
 
+    // ── Learned-stats scoring: corpus-wide token frequencies (the
+    //    "trained" statistic) broadcast back onto each document — docs
+    //    full of rare tokens score low (noise/garbage signal). All
+    //    integer sums + one exact division, so the oracle is exact. ──
+    QueryDef(
+      "txt_commonness",
+      "mean corpus-frequency of each document's tokens (two-pass learned stats)",
+      (s, d) => {
+        val tk = Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("tok"))
+        val freq = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        tk.join(broadcast(freq), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), round(avg("cnt"), 4).as("mean_tok_freq"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+             |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+             |SELECT doc_id, count(*) AS n_tokens, round(avg(cnt), 4) AS mean_tok_freq
+             |FROM tk JOIN freq USING (tok) GROUP BY doc_id""".stripMargin)),
+
+    // ── Incremental dedup ingest: a NEW batch of documents (ids ≥ 450)
+    //    checked against the EXISTING corpus index (ids < 450) plus
+    //    within itself — the production shape where yesterday's band
+    //    index is stored and today's batch joins against it instead of
+    //    re-deduping the world. Per-side hot-bucket caps. ──
+    QueryDef(
+      "dedup_incremental",
+      "LSH candidates of a new doc batch vs the stored index and within itself",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldC = Dedup.dropHotBuckets(
+          Dedup.minhashBands(docs.filter(col("doc_id") < 450), "text", "doc_id"),
+          Seq("band", "band_hash"), Dedup.MaxBucket, "incr_old")
+        val newC = Dedup.dropHotBuckets(
+          Dedup.minhashBands(docs.filter(col("doc_id") >= 450), "text", "doc_id"),
+          Seq("band", "band_hash"), Dedup.MaxBucket, "incr_new")
+        val cross = newC.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+          .join(oldC.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
+            Seq("band", "band_hash"))
+          .select(col("id_a"), col("id_b")).distinct()
+          .withColumn("vs", lit("old"))
+        val within = Dedup.lshCandidatePairs(newC, "doc_id")
+          .withColumn("vs", lit("new"))
+        cross.unionByName(within)
+      },
+      Some(s"""WITH hh AS (SELECT doc_id,
+              |  list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")}) AS h
+              |  FROM documents),
+              |sig AS (SELECT doc_id,
+              |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+              |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+              |  FROM hh WHERE len(h) > 0),
+              |bands AS (SELECT doc_id, band,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+              |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+              |  FROM sig, range(0, ${Dedup.Bands}) tt(band)),
+              |oldc AS (SELECT * FROM bands WHERE doc_id < 450
+              |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Dedup.MaxBucket}),
+              |newc AS (SELECT * FROM bands WHERE doc_id >= 450
+              |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Dedup.MaxBucket}),
+              |crossp AS (SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+              |  FROM newc n JOIN oldc o USING (band, band_hash)),
+              |within AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM newc a JOIN newc b
+              |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, 'old' AS vs FROM crossp
+              |UNION ALL SELECT id_a, id_b, 'new' AS vs FROM within""".stripMargin)),
+
     // ── Training-mix stratified sampling: per-language keep rates
     //    (upsample scarce, downsample dominant) decided by a
     //    deterministic hash draw — the distributed, reproducible form
