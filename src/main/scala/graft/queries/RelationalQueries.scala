@@ -393,6 +393,33 @@ object RelationalQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
 
+    // ── TPC-H Q18 shape: aggregate → HAVING → semi-join enrichment.
+    //    The HAVING prunes the aggregate BEFORE the joins, so only
+    //    qualifying orders flow into the customer lookup — the shape
+    //    Catalyst should never turn into join-then-filter. ──
+    QueryDef(
+      "q18_large_orders",
+      "orders above a total-quantity threshold with customer context",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_price"),
+            round(col("sum_qty"), 2).as("sum_qty"))
+      },
+      Some("""SELECT c_name, o_orderkey, o_orderdate,
+             |  round(o_totalprice, 2) AS o_price, round(sum_qty, 2) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+             |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // ── CUBE with grouping_id: all four aggregation granularities in
     //    one pass; gid disambiguates "aggregated" from genuine NULLs
     //    (both engines use the same bit convention, cast to BIGINT). ──

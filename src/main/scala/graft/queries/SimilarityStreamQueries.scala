@@ -425,6 +425,64 @@ object SimilarityStreamQueries {
               |    ORDER BY score DESC, cand_id) AS rnk FROM pairs)
               |WHERE rnk <= 3""".stripMargin)),
 
+    // ── Quantization quality: recall@3 of the int8 ranking against the
+    //    exact float cosine ranking — the measurement that justifies
+    //    (or rejects) shipping the 4×-smaller index. Both rankings are
+    //    deterministic, so recall is exactly oracled like the LSH/IVF
+    //    recall queries. ──
+    QueryDef(
+      "sim_int8_recall",
+      "per-query overlap of int8 top-3 with exact cosine top-3",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val exact = graft.operators.Knn.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+          .select(col("query_id"), col("cand_id"))
+        val q8all = graft.operators.Dedup.stageThenSpread(emb,
+          "__scale" -> expr("127.0D / greatest(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30D)"))
+          .select(col("vec_id"),
+            expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * __scale) AS BIGINT))").as("q8"))
+        val q = q8all.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+        val int8 = q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+          .join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("score",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("cand_id"))
+        exact.join(int8, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            round(col("n_hit") / 3.0, 6).as("recall_at_3"))
+      },
+      Some(s"""WITH nr AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |ex AS (SELECT query_id, cand_id FROM (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              |      round(${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 8) DESC,
+              |      b.vec_id) AS rnk
+              |  FROM nr a JOIN nr b ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+              |  WHERE rnk <= 3),
+              |sc AS (SELECT vec_id, embedding,
+              |  127.0 / greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS scale
+              |  FROM embeddings),
+              |q8 AS (SELECT vec_id,
+              |  list_transform(embedding, v -> floor(v::DOUBLE * scale)::BIGINT) AS q FROM sc),
+              |i8 AS (SELECT query_id, cand_id FROM (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              |      list_reduce(list_prepend(0::BIGINT,
+              |        list_transform(range(0, $Dim), i -> a.q[(i + 1)::INT] * b.q[(i + 1)::INT])),
+              |        (s2, v) -> s2 + v) DESC, b.vec_id) AS rnk
+              |  FROM q8 a JOIN q8 b ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+              |  WHERE rnk <= 3)
+              |SELECT ex.query_id, count(*) AS n_hit, round(count(*) / 3.0, 6) AS recall_at_3
+              |FROM ex JOIN i8 ON ex.query_id = i8.query_id AND ex.cand_id = i8.cand_id
+              |GROUP BY ex.query_id""".stripMargin)),
+
     // ── Multimodal binary plumbing ──
     QueryDef(
       "mm_binary_meta",
