@@ -483,6 +483,28 @@ object SimilarityStreamQueries {
               |FROM ex JOIN i8 ON ex.query_id = i8.query_id AND ex.cand_id = i8.cand_id
               |GROUP BY ex.query_id""".stripMargin)),
 
+    // ── Semi-structured extraction: parse the events' JSON props
+    //    column with a declared schema (from_json → typed struct, the
+    //    columnar path for JSON-bearing tables) and aggregate on the
+    //    extracted field. ──
+    QueryDef(
+      "ev_props_json",
+      "typed extraction from the JSON props column + per-type aggregate",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k",
+            from_json(col("props"), lit("struct<k: bigint>")).getField("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            max("k").as("max_k"),
+            count(when(col("k").isNull, 1)).as("n_null")),
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |max(CAST(props ->> 'k' AS BIGINT)) AS max_k,
+             |count(CASE WHEN props ->> 'k' IS NULL THEN 1 END) AS n_null
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ── Multimodal binary plumbing ──
     QueryDef(
       "mm_binary_meta",
