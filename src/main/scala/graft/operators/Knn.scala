@@ -126,4 +126,41 @@ object Knn {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cosine", "rnk")
   }
+
+  /** Multi-PROBE variant of [[lshTopKMultiTable]]: each query probes
+    * its home bucket PLUS every 1-bit-flip bucket in each table
+    * (nPlanes+1 probes per table) — the standard lever for recall at a
+    * FIXED table count (Lv et al., multi-probe LSH): a near neighbor
+    * that lands one hyperplane away is still found, so fewer tables
+    * (= smaller index) reach the same recall. Probe generation is a
+    * pure projection on the query side only; the index is untouched
+    * and the join stays (tbl, bucket)-keyed. */
+  def lshTopKMultiProbe(tabled: DataFrame, idCol: String, embCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, nPlanes: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val ids = tabled.select(col(idCol), col("tbl"), col("bucket"))
+    val q = ids.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("tbl"),
+        explode(expr(s"array_union(array(bucket), " +
+          s"transform(sequence(0, ${nPlanes - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+          .as("bucket"))
+    val c = Dedup.dropHotBuckets(ids, Seq("tbl", "bucket"), maxBucket, "lshTopKMultiProbe")
+      .select(col(idCol).as("cand_id"), col("tbl"), col("bucket"))
+    val pairs = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val emb = tabled.filter(col("tbl") === 0)
+      .select(col(idCol), col(embCol), col("nrm"))
+    pairs
+      .join(emb.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_norm")), Seq("query_id"))
+      .join(emb.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+        col("nrm").as("c_norm")), Seq("cand_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cosine", "rnk")
+  }
 }

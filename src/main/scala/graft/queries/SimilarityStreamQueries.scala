@@ -483,6 +483,59 @@ object SimilarityStreamQueries {
               |FROM ex JOIN i8 ON ex.query_id = i8.query_id AND ex.cand_id = i8.cand_id
               |GROUP BY ex.query_id""".stripMargin)),
 
+    // ── Multi-probe LSH recall: each query also probes every 1-bit-
+    //    flip bucket per table (Lv et al.) — recall at a FIXED table
+    //    count rises because near neighbors one hyperplane away are
+    //    still found. Measured against the same exact top-3 as
+    //    sim_lsh_recall, so the lift over single-probe is a directly
+    //    comparable, exactly-oracled number. ──
+    QueryDef(
+      "sim_probe_recall",
+      "recall@3 of multi-PROBE multi-table ANN vs exact cosine top-3",
+      (s, d) => {
+        val ann = Knn.lshTopKMultiProbe(embTables(s, d), "vec_id", "embedding",
+          col("vec_id") < 32, 3, TPlanes)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val emb = t(s, d, "embeddings")
+        val brute = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
+          "vec_id", "embedding", 3).select("query_id", "cand_id")
+        brute.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH wt AS $dkTables,
+              |cc AS (SELECT * FROM wt
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |probes AS (SELECT vec_id AS query_id, tbl,
+              |  unnest(list_append(list_transform(range(0, $TPlanes),
+              |    j -> xor(bucket, (1::BIGINT << j))), bucket)) AS bucket
+              |  FROM wt WHERE vec_id < 32),
+              |pairs AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+              |  FROM probes p JOIN cc c ON p.tbl = c.tbl AND p.bucket = c.bucket
+              |    AND p.query_id <> c.vec_id),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |ann AS (SELECT * FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM pairs JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = cand_id
+              |  ) WHERE rnk <= 3),
+              |brute AS (SELECT * FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM brute b LEFT JOIN ann a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
+
     // ── Semi-structured extraction: parse the events' JSON props
     //    column with a declared schema (from_json → typed struct, the
     //    columnar path for JSON-bearing tables) and aggregate on the
