@@ -79,6 +79,71 @@ class InMemoryFhirStore extends FhirStore with Serializable {
   }
 }
 
+/** Parquet-backed store: the lakehouse form of the reconcile target.
+  * Resources live as (key, id, json) rows in one parquet directory per
+  * resource type; `snapshot` is a plain distributed scan (no paging at
+  * all — the scan parallelism IS the fan-out), and `applyActions`
+  * rewrites the directory copy-on-write: survivors (minus deletes)
+  * plus upserts, written to a fresh version directory and swapped in.
+  * Every operation is a Spark job over the full cluster; the driver
+  * only moves directory pointers. Idempotent by construction — actions
+  * keyed on the business identifier, PUT-semantics like the HTTP sink. */
+class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
+  private def dir(rt: String) = s"$baseDir/$rt"
+
+  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+    val d = new java.io.File(dir(resourceType))
+    if (!d.exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
+    else spark.read.parquet(d.toString).select("key", "id")
+  }
+
+  def snapshotForSubjects(spark: SparkSession, resourceType: String,
+      subjectIds: DataFrame): DataFrame = {
+    val d = new java.io.File(dir(resourceType))
+    if (!d.exists())
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
+    val idCol = subjectIds.columns.head
+    val subj = subjectIds.select(
+      concat(lit("Patient/"), col(idCol).cast("string")).as("__subj"))
+    spark.read.parquet(d.toString)
+      .withColumn("__subj", get_json_object(col("json"), "$.subject.reference"))
+      .join(broadcast(subj), Seq("__subj"), "left_semi")
+      .select("key", "id")
+  }
+
+  def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
+    val spark = actions.sparkSession
+    val acts = actions.select("key", "id", "json", "merge_action")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = acts.groupBy("merge_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = new java.io.File(dir(resourceType))
+    val current =
+      if (d.exists()) spark.read.parquet(d.toString).select("key", "id", "json")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("key", StringType), StructField("id", StringType),
+          StructField("json", StringType))))
+    // copy-on-write: survivors (keys not touched by any action) + upserts
+    val touched = acts.select("key").distinct()
+    val survivors = current.join(touched, Seq("key"), "left_anti")
+    val upserts = acts.filter(col("merge_action") =!= "delete")
+      .select("key", "id", "json")
+    val next = survivors.unionByName(upserts)
+    val tmp = dir(resourceType) + ".v" + System.nanoTime()
+    next.write.mode("overwrite").parquet(tmp)
+    acts.unpersist(blocking = false)
+    // atomic-enough swap for a local filesystem; object stores would
+    // commit a manifest instead
+    val old = dir(resourceType)
+    val bak = old + ".bak"
+    if (d.exists()) { new java.io.File(old).renameTo(new java.io.File(bak)) }
+    new java.io.File(tmp).renameTo(new java.io.File(old))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bak))
+    counts
+  }
+}
+
 /** HTTP-backed store: the production sink/source.
   *
   * Scale design (vs the reference's single-threaded driver loop with
