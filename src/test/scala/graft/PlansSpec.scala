@@ -59,6 +59,22 @@ class PlanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe expansion explodes the query side only") {
+    // probes multiply the QUERY rows by nPlanes+1; the index must stay
+    // un-exploded or the join input blows up by the probe factor
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val tabled = graft.operators.Knn.withLshTables(emb, "embedding", 64, 7, 4)
+    val p = graft.operators.Knn.lshTopKMultiProbe(
+      tabled, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 8, 3, 7)
+      .queryExecution.executedPlan.toString
+    // two Generates total: the table fan-out (both sides share tabled)
+    // appears once per side; the probe explode must appear exactly once
+    assert("Generate explode".r.findAllMatchIn(p).nonEmpty, p)
+    val probeGenerates = "array_union".r.findAllMatchIn(p).size
+    assert(probeGenerates === 1, s"probe expansion must be query-side only:\n$p")
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
