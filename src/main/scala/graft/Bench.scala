@@ -49,7 +49,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the harness that consumes this benchmark keeps
+    // only a bounded tail of the combined output, so any log chatter
+    // printed near the end can push the JSON result line out of the
+    // captured window.
+    spark.sparkContext.setLogLevel("ERROR")
 
     final case class Timing(wall: Double, cpu: Double, gc: Double)
 
@@ -81,7 +85,18 @@ object Bench {
     def jm(rs: Seq[(String, Timing)], f: Timing => Double): String = rs
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"sf":"$sfDir"}""")
+    // Full diagnostics (per-query cpu/gc + both raw cold-pass walls) go
+    // to a sidecar file: the consumer of stdout keeps only a ~2 KB tail
+    // of the run's output, and a JSON line carrying five 18-query maps
+    // exceeds that window — its head gets truncated away and the line
+    // becomes unparseable. Stdout carries exactly one SHORT line with
+    // the published minimums; the sidecar keeps the contention evidence
+    // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }

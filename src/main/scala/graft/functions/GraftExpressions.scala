@@ -487,8 +487,13 @@ object LshTableBucket {
 
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
-    * expression text (including lambda bodies) can call them. */
+    * expression text (including lambda bodies) can call them. The
+    * presence probe makes repeat calls true no-ops — without it every
+    * query build re-replaces the functions and SimpleFunctionRegistry
+    * logs a WARN per function, flooding benchmark/verify output. */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_poly"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_poly", exprs => PolyHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

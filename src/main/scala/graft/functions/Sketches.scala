@@ -27,7 +27,13 @@ object Kmv {
   val A = 2654435761L
   val B = 40503L
 
-  def hash(x: Long): Long = (A * x + B) % P
+  /** Reduce x into [0, P) BEFORE multiplying: A·(x mod P) ≤ ~5.7e18
+    * fits a signed 64-bit, whereas A·x overflows for x above ~3.47e9 —
+    * Spark would wrap silently (negative hashes) while an oracle
+    * engine's BIGINT raises, so the sketch would diverge outside the
+    * wrapped range. The double-mod keeps negatives well-defined and
+    * the formula replayable verbatim in ANSI SQL. */
+  def hash(x: Long): Long = (A * ((x % P + P) % P) + B) % P
 }
 
 /** Typed Aggregator: column of longs → KMV distinct-count estimate.

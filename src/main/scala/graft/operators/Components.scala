@@ -53,7 +53,11 @@ object Components {
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    var checksum = labels.agg(sum("comp")).head.getLong(0)
+    // sum() over zero rows is SQL NULL — an empty edge set (no pairs at
+    // this scale) must yield an empty labelling, not an NPE.
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("comp")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var checksum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -72,7 +76,7 @@ object Components {
           Seq("comp"), "left")
         .select(col("id"), least(col("comp"), col("jump")).as("comp"))
         .localCheckpoint(true) // truncate lineage: see scaladoc
-      val nextSum = next.agg(sum("comp")).head.getLong(0)
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum

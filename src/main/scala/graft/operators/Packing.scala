@@ -75,7 +75,17 @@ object Packing {
     // task composition the final plan chooses. Rows of one __pid block
     // stay contiguous and key-ordered (narrow ops preserve intra-
     // partition order; coalesce concatenates parents in index order).
-    parted.mapPartitions { rows =>
+    // Eagerly materialize the output, then drop the shuffle cache: the
+    // persisted `parted` is registered with the session CacheManager,
+    // which holds it strongly for the session's lifetime — repeated
+    // invocations (pack_sequences + pack_stats across benchmark passes)
+    // would otherwise accumulate MEMORY_AND_DISK entries forever. The
+    // localCheckpoint blocks, by contrast, are released by the
+    // ContextCleaner as soon as the returned frame is unreferenced.
+    // Unpersisting BEFORE materialization would be wrong, not just
+    // slow: range-partition bounds come from sampling, so a recompute
+    // could re-bucket rows and break the __pid ↔ offset pairing.
+    val out = parted.mapPartitions { rows =>
       var curPid = Int.MinValue
       var acc = 0L
       rows.map { r =>
@@ -86,6 +96,9 @@ object Packing {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .drop("__pid")
+      .localCheckpoint(true)
+    parted.unpersist(false)
+    out
   }
 
   /** Offset packing: (doc, n_tokens, seq_id) where seq_id is the bin
@@ -114,16 +127,27 @@ object Packing {
       tokCol: String,
       budget: Long): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // Seed the sequence-id prefix from a spark_partition_id() COLUMN
+    // frozen by an eager localCheckpoint — NOT TaskContext
+    // .getPartitionId() inside mapPartitions. Under a downstream
+    // coalesce() the merged task re-runs the closure once per parent
+    // partition but reports ONE task partition id for all of them, so
+    // (pid << 32 | seq) would collide and silently merge unrelated
+    // sequences across parents (same hazard withGlobalCumsum documents;
+    // the checkpoint pins ids assigned while partition ids were real).
+    val parted = df.select(col(idCol).cast("long").as("doc_id"),
         col(tokCol).cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    parted.as[(Long, Long, Long)]
       .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var curPid = Long.MinValue
         var seq = 0L
         var fill = 0L
-        rows.map { case (id, n) =>
+        rows.map { case (id, n, pid) =>
+          if (pid != curPid) { curPid = pid; seq = 0L; fill = 0L }
           if (fill > 0L && fill + n > budget) { seq += 1L; fill = 0L }
           fill += n
           (id, n, (pid << 32) | seq)

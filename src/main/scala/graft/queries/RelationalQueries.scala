@@ -626,7 +626,9 @@ object RelationalQueries {
           .agg(kmv(col("user_id").cast("long")).as("est_users"))
       },
       Some(s"""WITH h AS (SELECT DISTINCT event_type,
-              |  (${graft.functions.Kmv.A} * user_id + ${graft.functions.Kmv.B})
+              |  (${graft.functions.Kmv.A} * ((user_id % ${graft.functions.Kmv.P}
+              |    + ${graft.functions.Kmv.P}) % ${graft.functions.Kmv.P})
+              |    + ${graft.functions.Kmv.B})
               |    % ${graft.functions.Kmv.P} AS hv FROM events),
               |r AS (SELECT event_type, hv,
               |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,

@@ -219,8 +219,14 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
         val pc = HttpClient.newHttpClient()
         val pm = new com.fasterxml.jackson.databind.ObjectMapper()
         offs.flatMap { off =>
+          // _sort=_id: FHIR leaves search result order UNSPECIFIED
+          // without an explicit sort, and offset pages of an unordered
+          // search may drop or duplicate rows across pages even on a
+          // static store. Pinning the order is a requirement of this
+          // parallel pager; servers that cannot sort should take the
+          // sequential cursor fallback instead.
           val r = send(pc, HttpRequest.newBuilder(URI.create(
-            s"$url/$resourceType?_count=$ps&_offset=$off&_format=json")).GET().build())
+            s"$url/$resourceType?_count=$ps&_offset=$off&_sort=_id&_format=json")).GET().build())
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           pm.readTree(r.body()).path("entry").forEach { e =>
             val res = e.path("resource")

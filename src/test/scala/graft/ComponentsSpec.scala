@@ -11,6 +11,15 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("empty edge set yields empty labelling, not an NPE") {
+    // regression: sum() over zero rows is SQL NULL; the convergence
+    // checksum must treat it as 0 so a scale with no near-dup pairs
+    // returns an empty frame instead of crashing the pipeline
+    assert(cc(Seq.empty) === Map.empty)
+    // self-loops only → also empty after the self-loop filter
+    assert(cc(Seq((7L, 7L))) === Map.empty)
+  }
+
   test("chain, triangle and isolated pair resolve to min-id components") {
     // chain 1-2-3-4, triangle 10-11-12 (with chord), pair 20-21
     val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),

@@ -67,6 +67,31 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy packing survives a downstream coalesce(1)") {
+    // regression: a coalesced task re-runs the pack closure once per
+    // parent partition under ONE task partition id, so seq ids seeded
+    // from TaskContext would collide across parents — sequences from
+    // unrelated partitions would silently merge (and overflow budget).
+    // Seeding from the checkpointed __pid column keeps prefixes unique.
+    val budget = 512L
+    val big = spark.range(0, 500).toDF("doc_id")
+      .withColumn("n_tokens", (col("doc_id") % 97) + 1)
+    val out = Packing.packGreedy(spark, big.repartition(8), "doc_id", "n_tokens", budget)
+      .coalesce(1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted === (0L until 500L).toArray)
+    out.groupBy(_._3).foreach { case (seq, members) =>
+      val tot = members.map(_._2).sum
+      assert(tot <= budget || members.length == 1, s"seq $seq holds $tot")
+    }
+    // and the un-coalesced plan assigns identical sequence membership
+    val plainGroups = Packing.packGreedy(spark, big.repartition(8), "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._2).values.map(_.map(_._1).sorted.toSeq).toSet
+    val coalescedGroups = out.groupBy(_._3).values.map(_.map(_._1).sorted.toSeq).toSet
+    assert(plainGroups === coalescedGroups)
+  }
+
   test("offset packing bins by global starting offset") {
     val out = Packing.packByOffset(spark, docs.repartition(4), "doc_id", "n_tokens", 512L)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
