@@ -14,6 +14,7 @@ object SparkEntry {
   /** All query packs. Order is presentation-only; names must be unique. */
   lazy val all: Seq[QueryDef] = QueryDef.registry(Seq(
     RelationalQueries.defs,
+    TpchMoreQueries.defs,
     TranscodeQueries.defs,
     TextDedupQueries.defs,
     SimilarityStreamQueries.defs,
