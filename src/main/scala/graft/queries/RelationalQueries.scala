@@ -665,6 +665,53 @@ object RelationalQueries {
             trim(col("c_mktsegment")).as("seg"),
             substring_index(col("c_name"), "#", -1).as("suffix")),
       Some("""SELECT c_custkey, lower(c_name) AS lname, replace(c_name, '#', '-') AS repl,
-             |trim(c_mktsegment) AS seg, split_part(c_name, '#', 2) AS suffix FROM customer""".stripMargin))
+             |trim(c_mktsegment) AS seg, split_part(c_name, '#', 2) AS suffix FROM customer""".stripMargin)),
+
+    // ── Bloom runtime filter: semi-join reduction of the fact side by a
+    //    broadcast 128 KiB bitmap of the selective side's keys, BEFORE
+    //    the join shuffle. No false negatives → result is exactly the
+    //    plain join; the oracle needs no bloom knowledge at all. ──
+    QueryDef(
+      "bloom_filtered_join",
+      "big⋈big join with Bloom pre-filter of the probe side (runtime filter)",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-06-01") && col("o_orderdate") < lit("1997-08-01"))
+          .select("o_orderkey", "o_orderpriority")
+        val bloom = graft.operators.BloomJoin.buildFrame(ord, "o_orderkey")
+        val li = graft.operators.BloomJoin.filterByBloom(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+          "l_orderkey", bloom)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1997-08-01 00:00:00'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ── Salted skew join: the hot-key shuffle splitter. Salt only
+    //    re-shapes the shuffle; output equals the plain join, so the
+    //    oracle is the unsalted SQL. ──
+    QueryDef(
+      "skew_salted_join",
+      "8-way salted equi-join (hot-key shuffle splitting), exact semantics",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_name")
+        graft.operators.Skew.saltedJoin(li, sup, "s_suppkey", 8)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT s_name, count(*) AS n_lines,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name""".stripMargin))
   )
 }
