@@ -4,12 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** TPC-H-pattern coverage beyond the q1/q3/q5/q6/q18 set: the remaining
-  * canonical operator shapes — EXISTS / NOT-EXISTS decorrelation,
-  * disjunctive predicate pushdown, two-sided nation self-join, scalar
-  * subquery thresholds, conditional aggregation — adapted to the fixture
-  * schema (no `partsupp`, no ship/commit/receipt triple, so queries
-  * needing those express the same plan shape over what exists).
+/** TPC-H-pattern coverage beyond the q1/q3/q5/q6/q18 set: with this pack
+  * all 22 canonical TPC-H operator shapes are represented — EXISTS /
+  * NOT-EXISTS decorrelation, disjunctive predicate pushdown, two-sided
+  * nation self-join, scalar subquery thresholds, correlated-aggregate
+  * thresholds (min/avg/fraction-of-total), join histograms, conditional
+  * aggregation — adapted to the fixture schema (no `partsupp`, no
+  * ship/commit/receipt triple, so queries needing those express the same
+  * plan shape over the lineitem-derived relations instead).
+  *
+  * Oracle-determinism discipline: any float that feeds a COMPARISON
+  * (join-back equality, threshold filter) is either an order-insensitive
+  * aggregate (MIN) or a sum/avg of integer-valued columns (exact in
+  * double for any summation order); order-sensitive float sums appear
+  * only in rounded OUTPUT columns.
   *
   * Scale notes (100 TB discipline), per query:
   *  - every dimension join (`part`, `supplier`, `nation`, `region`) is
@@ -317,6 +325,205 @@ object TpchMoreQueries {
              |AND NOT EXISTS (SELECT 1 FROM late l2
              |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
+    // ── Q2 shape: correlated-min subquery decorrelated to agg + join-back
+    //    (cheapest offer per part; partsupp stands in as the lineitem-
+    //    derived offer relation, MIN is order-insensitive so the join-back
+    //    equality is exact across engines) ──
+    QueryDef(
+      "q2_min_cost_supplier",
+      "cheapest supplier per size-10 part (correlated min → agg join-back)",
+      (s, d) => {
+        val p10 = broadcast(t(s, d, "part")
+          .filter(col("p_size") === 10).select("p_partkey", "p_name"))
+        val offers = t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+          .join(p10.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min("l_extendedprice").as("offer_price"))
+        val best = offers.groupBy(col("l_partkey").as("b_pkey"))
+          .agg(min("offer_price").as("best_price"))
+        offers
+          .join(best, col("l_partkey") === col("b_pkey") &&
+            col("offer_price") === col("best_price"))
+          .groupBy("l_partkey", "best_price")
+          .agg(min("l_suppkey").as("best_supp"))
+          .join(p10, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")),
+            col("best_supp") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("p_name", "s_name", "n_name", "best_price")
+          .orderBy(col("best_price").desc, col("p_name"), col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH offers AS (
+             |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_size = 10 GROUP BY 1, 2),
+             |best AS (SELECT l_partkey, min(offer_price) AS best_price
+             |  FROM offers GROUP BY 1),
+             |pick AS (SELECT o.l_partkey, b.best_price, min(o.l_suppkey) AS best_supp
+             |  FROM offers o JOIN best b
+             |    ON o.l_partkey = b.l_partkey AND o.offer_price = b.best_price
+             |  GROUP BY 1, 2)
+             |SELECT p_name, s_name, n_name, best_price
+             |FROM pick JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON best_supp = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY best_price DESC, p_name, s_name LIMIT 20""".stripMargin)),
+
+    // ── Q11 shape: groups above a fraction-of-global-total threshold.
+    //    The measure is sum(l_quantity) — integer-valued, so both the
+    //    group values and the 0.1% threshold are exact in any sum order ──
+    QueryDef(
+      "q11_important_parts",
+      "parts with >0.1% of one nation's shipped quantity (global-threshold HAVING)",
+      (s, d) => {
+        val natSupp = broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_1").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val value = t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+          .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey")
+          .agg(sum("l_quantity").as("part_qty"))
+        val thr = value.agg((sum("part_qty") * lit(0.001)).as("__thr"))
+        value.crossJoin(broadcast(thr))
+          .filter(col("part_qty") > col("__thr"))
+          .select("l_partkey", "part_qty")
+      },
+      Some("""WITH value AS (
+             |  SELECT l_partkey, sum(l_quantity) AS part_qty
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+             |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1')
+             |  GROUP BY 1)
+             |SELECT l_partkey, part_qty FROM value
+             |WHERE part_qty > (SELECT sum(part_qty) * 0.001 FROM value)""".stripMargin)),
+
+    // ── Q13 shape: distribution of customers by order count — left outer
+    //    join, per-customer count, then a count-of-counts histogram ──
+    QueryDef(
+      "q13_order_distribution",
+      "customer distribution by non-LOW order count (join histogram)",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(!col("o_orderpriority").like("%LOW%"))
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count("o_orderkey").as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |    AND o_orderpriority NOT LIKE '%LOW%'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ── Q15 shape: max-over-aggregated-view (top revenue supplier; the
+    //    max is a 1-row agg broadcast back, not a driver collect) ──
+    QueryDef(
+      "q15_top_supplier",
+      "supplier(s) with the maximum quarterly revenue (view + scalar max)",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+          .select("l_suppkey", "l_extendedprice", "l_discount")
+          .groupBy("l_suppkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        val mx = rev.agg(max("total_revenue").as("__mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("__mx"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ── Q17 shape: per-part correlated AVG threshold (small-quantity
+    //    revenue; avg of integer-valued quantities is exact, so the
+    //    threshold comparison cannot diverge between engines) ──
+    QueryDef(
+      "q17_small_qty_revenue",
+      "avg weekly revenue from below-half-average-quantity lines of one brand",
+      (s, d) => {
+        val br = broadcast(t(s, d, "part")
+          .filter(col("p_brand") === "Brand#2").select("p_partkey"))
+        val li = t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(br, col("l_partkey") === col("p_partkey"), "left_semi")
+        val avgQ = li.groupBy(col("l_partkey").as("a_pkey"))
+          .agg(avg("l_quantity").as("avg_qty"))
+        li.join(avgQ, col("l_partkey") === col("a_pkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(round(sum("l_extendedprice") / lit(7.0), 2).as("avg_weekly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#2'
+             |AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+             |  WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)),
+
+    // ── Q20 shape: nested IN with per-key aggregate threshold — suppliers
+    //    carrying >30% of a part's 1997 volume (integer sums, exact) ──
+    QueryDef(
+      "q20_excess_shippers",
+      "one nation's suppliers carrying >30% of some small part's 1997 volume",
+      (s, d) => {
+        val li97 = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+          .join(broadcast(t(s, d, "part")
+            .filter(col("p_size") <= 5).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        val perSupp = li97.groupBy("l_partkey", "l_suppkey")
+          .agg(sum("l_quantity").as("supp_qty"))
+        val perPart = li97.groupBy(col("l_partkey").as("t_pkey"))
+          .agg(sum("l_quantity").as("part_qty"))
+        val heavy = perSupp
+          .join(perPart, col("l_partkey") === col("t_pkey"))
+          .filter(col("supp_qty") > lit(0.3) * col("part_qty"))
+          .select("l_suppkey").distinct()
+        t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_2").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH li97 AS (
+             |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)),
+             |per_supp AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+             |  FROM li97 GROUP BY 1, 2),
+             |per_part AS (SELECT l_partkey, sum(l_quantity) AS part_qty
+             |  FROM li97 GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT ps.l_suppkey FROM per_supp ps
+             |  JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+             |  WHERE ps.supp_qty > 0.3 * pp.part_qty)
+             |AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+             |ORDER BY s_suppkey""".stripMargin)),
 
     // ── Q22 shape: scalar-subquery threshold + NOT EXISTS ──
     QueryDef(
