@@ -492,6 +492,101 @@ object RelationalQueries {
              |rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
              |FROM customer) WHERE rnk <= 3""".stripMargin)),
 
+    // ── Bucketed range join: point-in-interval without the cartesian
+    //    product — intervals exploded to covered buckets, equi-join on
+    //    the bucket id, exact BETWEEN only on colocated candidates
+    //    (operators/RangeJoin; the non-equi-join scale path) ──
+    QueryDef(
+      "range_bucket_join",
+      "customers within ±50 of each supplier's balance, via bucketed range join",
+      (s, d) => {
+        val ivals = t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            (col("s_acctbal") - 50.0).as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+            t(s, d, "customer").select("c_custkey", "c_acctbal"),
+            "c_acctbal", ivals, "lo", "hi", width = 100.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_cust"), min("c_custkey").as("min_cust"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_cust, min(c_custkey) AS min_cust
+             |FROM supplier JOIN customer
+             |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+             |GROUP BY s_suppkey""".stripMargin)),
+
+    // ── Window: distribution battery — ntile quartiles, percent_rank,
+    //    cume_dist over a unique total order (acctbal desc, custkey), so
+    //    every rank function is deterministic and exactly oracle-able ──
+    QueryDef(
+      "window_ntile_battery",
+      "ntile/percent_rank/cume_dist per nation over a unique order",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+             |ntile(4) OVER w AS quartile,
+             |round(percent_rank() OVER w, 6) AS pct_rank,
+             |round(cume_dist() OVER w, 6) AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
+
+    // ── GROUPING SETS beyond rollup/cube: mixed, non-hierarchical sets
+    //    — per-segment totals, per-year totals, and the grand total in
+    //    one aggregation pass (no (segment, year) cross detail) ──
+    QueryDef(
+      "groupingsets_segment_year",
+      "mixed GROUPING SETS: by segment, by year, grand total",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_gs_customer")
+        t(s, d, "orders").createOrReplaceTempView("graft_gs_orders")
+        s.sql("""SELECT c_mktsegment, year(o_orderdate) AS yr,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM graft_gs_orders JOIN graft_gs_customer ON o_custkey = c_custkey
+                |GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, year(o_orderdate) AS yr,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())""".stripMargin)),
+
+    // ── Unpivot (wide → long): the inverse of the pivot query — per-year
+    //    priority counts melted back to (yr, priority, n) rows, zero
+    //    combos preserved. Plans as an Expand projection, no shuffle. ──
+    QueryDef(
+      "unpivot_priority_long",
+      "unpivot per-year priority counts back to long form",
+      (s, d) => {
+        val wide = t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .count()
+          .select(col("yr"),
+            coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+            coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+            coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+            coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+            coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+        wide.unpivot(Array(col("yr")),
+          Array(col("p_urgent"), col("p_high"), col("p_medium"),
+            col("p_notspec"), col("p_low")),
+          "priority", "n")
+      },
+      Some("""WITH yrs AS (SELECT DISTINCT year(o_orderdate)::INT AS yr FROM orders),
+             |prio AS (SELECT unnest(['p_urgent','p_high','p_medium','p_notspec','p_low']) AS priority,
+             |  unnest(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']) AS raw),
+             |cnt AS (SELECT year(o_orderdate)::INT AS yr, o_orderpriority AS raw, count(*) AS n
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT y.yr, p.priority, coalesce(c.n, 0) AS n
+             |FROM yrs y CROSS JOIN prio p
+             |LEFT JOIN cnt c ON c.yr = y.yr AND c.raw = p.raw""".stripMargin)),
+
     // ── Numeric aggregate battery ──
     QueryDef(
       "agg_stats_battery",
