@@ -117,6 +117,48 @@ object SimilarityStreamQueries {
 
   private def dkNorm(a: String) = s"sqrt(${dkDot(a, a)})"
 
+  /** Embedding near-dup pairs (id_a, id_b, cosine >= 0.3) from
+    * multi-table LSH candidates — shared by the near-dup report and the
+    * semantic-dedup clustering query. */
+  private def embNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val wt = embTables(s, d)
+    val ids = graft.operators.Dedup.dropHotBuckets(
+      wt.select(col("vec_id"), col("tbl"), col("bucket")),
+      Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, "sim_emb_neardup")
+    val pairs = ids.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(ids.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = wt.filter(col("tbl") === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.dot("ea", "eb") / (col("na") * col("nb")), 8))
+      .filter(col("cosine") >= 0.3)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** DuckDB twin of [[embNeardupPairs]] — CTE chain ending in
+    * `sp(id_a, id_b, cosine)`. */
+  private def dkEmbPairCtes: String =
+    s"""wt AS $dkTables,
+       |cc AS (SELECT * FROM wt
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+       |prs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cc a JOIN cc b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+       |sp AS (SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS cosine
+       |  FROM prs JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+       |  ) WHERE cosine >= 0.3)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact cosine top-k (brute-force baseline) ──
@@ -330,40 +372,59 @@ object SimilarityStreamQueries {
     QueryDef(
       "sim_emb_neardup",
       "embedding-cosine near-dup pairs from multi-table LSH candidates (cosine >= 0.3)",
-      (s, d) => {
-        val wt = embTables(s, d)
-        val ids = graft.operators.Dedup.dropHotBuckets(
-          wt.select(col("vec_id"), col("tbl"), col("bucket")),
-          Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, "sim_emb_neardup")
-        val pairs = ids.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
-          .join(ids.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
-            Seq("tbl", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val e = wt.filter(col("tbl") === 0)
-          .select(col("vec_id"), col("embedding"), col("nrm"))
-        pairs
-          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-            col("nrm").as("na")), Seq("id_a"))
-          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-            col("nrm").as("nb")), Seq("id_b"))
-          .withColumn("cosine", round(
-            graft.functions.VectorFunctions.dot("ea", "eb") / (col("na") * col("nb")), 8))
-          .filter(col("cosine") >= 0.3)
-          .select("id_a", "id_b", "cosine")
-      },
-      Some(s"""WITH wt AS $dkTables,
-              |cc AS (SELECT * FROM wt
-              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
-              |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-              |  FROM cc a JOIN cc b ON a.tbl = b.tbl AND a.bucket = b.bucket
-              |    AND a.vec_id < b.vec_id),
-              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings)
-              |SELECT * FROM (
-              |SELECT id_a, id_b,
-              |  round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS cosine
-              |FROM pairs JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
-              |) WHERE cosine >= 0.3""".stripMargin)),
+      (s, d) => embNeardupPairs(s, d),
+      Some(s"""WITH $dkEmbPairCtes
+              |SELECT id_a, id_b, cosine FROM sp""".stripMargin)),
+
+    // ── Semantic dedup: the embedding analogue of dedup_components —
+    //    near-dup pairs (cosine >= 0.3 via multi-table LSH) closed into
+    //    clusters by distributed connected components; keeping min-id
+    //    representatives collapses paraphrase/near-copy groups the
+    //    token-level MinHash path can't see. Oracle closes the same
+    //    pair set with a recursive CTE. ──
+    QueryDef(
+      "sem_dedup_clusters",
+      "semantic duplicate clusters over embedding near-dup pairs (connected components)",
+      (s, d) =>
+        graft.operators.Components.connectedComponents(embNeardupPairs(s, d), "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component")),
+      Some(s"""WITH RECURSIVE $dkEmbPairCtes,
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM sp
+              |  UNION SELECT id_b, id_a FROM sp),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e2.src AS id, reach.r FROM uedges e2 JOIN reach ON reach.id = e2.dst)
+              |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
+    // ── Higher-order array functions battery: filter / exists /
+    //    aggregate(transform) / zip_with(reverse) — all codegen'd
+    //    lambda expressions, no UDFs; folds are sequential on both
+    //    engines so the doubles agree bit-for-bit before rounding. ──
+    QueryDef(
+      "hof_array_ops",
+      "per-vector HOF battery: positive count, L1 norm, big-component flag, reversed dot",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            expr("size(filter(embedding, v -> CAST(v AS DOUBLE) > 0.0D))").as("n_pos"),
+            round(expr("aggregate(embedding, 0.0D, (a, v) -> a + abs(CAST(v AS DOUBLE)))"), 6)
+              .as("l1"),
+            expr("exists(embedding, v -> abs(CAST(v AS DOUBLE)) > 0.5D)").as("has_big"),
+            round(expr(
+              "aggregate(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)"),
+              6).as("rev_dot")),
+      Some("""SELECT vec_id,
+             |  len(list_filter(embedding, v -> v::DOUBLE > 0.0)) AS n_pos,
+             |  round(list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(embedding, v -> abs(v::DOUBLE))), (a, v) -> a + v), 6) AS l1,
+             |  len(list_filter(embedding, v -> abs(v::DOUBLE) > 0.5)) > 0 AS has_big,
+             |  round(list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(range(1, len(embedding) + 1),
+             |      i -> embedding[i]::DOUBLE * list_reverse(embedding)[i]::DOUBLE)),
+             |    (a, v) -> a + v), 6) AS rev_dot
+             |FROM embeddings WHERE vec_id < 100""".stripMargin)),
 
     // ── Embedding int8 quantization: 4× storage compression for the
     //    ANN index. floor-based (not round) so the math is bit-identical

@@ -334,6 +334,33 @@ object TextDedupQueries {
               |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
               |  WHERE component < id)""".stripMargin)),
 
+    // ── Corpus-level n-gram statistics: global top-20 token trigrams —
+    //    the vocabulary/boilerplate profiling pass of a training-data
+    //    pipeline. Explode is per-row (no state), the count is one
+    //    map-side-combined groupBy, the top-k a TakeOrdered — flat
+    //    scale shape with no self-joins. ──
+    QueryDef(
+      "txt_top_ngrams",
+      "global top-20 token trigrams by corpus frequency",
+      (s, d) =>
+        Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .filter(size(col("__toks")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(__toks) - 3), i -> " +
+              "concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(20),
+      Some(s"""WITH toks AS (SELECT $dkTokens AS tk FROM documents),
+              |idx AS (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+              |  FROM toks WHERE len(tk) >= 3),
+              |ng AS (SELECT tk[i::INT] || ' ' || tk[i::INT + 1] || ' ' || tk[i::INT + 2] AS ngram
+              |  FROM idx)
+              |SELECT ngram, count(*) AS n FROM ng
+              |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)),
+
     // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
     //    64-token windows, 16-token overlap (stride 48): the standard
     //    pre-embedding segmentation; plans as a Generate over the scan.
