@@ -650,6 +650,24 @@ object SimilarityStreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       bench = true),
 
+    // ── Sliding windows: 10-minute windows every 5 — each event lands
+    //    in exactly length/slide = 2 windows (plans as an Expand, then
+    //    the same partial+final aggregate as tumbling; the oracle
+    //    generates the two window starts per event explicitly) ──
+    QueryDef(
+      "ev_window_sliding",
+      "10-minute windows sliding every 5 minutes: counts/sums per event type",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT strftime(to_timestamp((epoch_us(ts) // 300000000) * 300 - off),
+             | '%Y-%m-%d %H:%M:%S') AS win_start,
+             |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events, (SELECT unnest([0, 300]) AS off) k
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ── As-of join: each click matched to the latest prior view ──
     QueryDef(
       "asof_join_events",

@@ -49,6 +49,20 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked 10-minute windows sliding every 5 — each event lands
+    * in 2 overlapping windows (the Expand the batch twin plans); state
+    * per (window, type) key is evicted once the watermark passes the
+    * window end, so overlap multiplies state by length/slide, not by
+    * stream history. Streaming twin of the `ev_window_sliding` batch
+    * query. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Stream-stream interval join: each click joined to the same user's
     * views from the preceding `window` — the streaming relative of the
     * as-of join family. Both sides are watermarked, so join state for

@@ -514,4 +514,31 @@ class ExtensionSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming sliding counts match the batch computation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.slidingCounts(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_slide_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_slide_test")
+        .select("win_start", "event_type", "n", "sum_value").collect().toSet
+      val batch = graft.queries.SimilarityStreamQueries.defs
+        .find(_.name == "ev_window_sliding").get
+        .build(spark, "/root/testdata/sf0.001").collect().toSet
+      assert(streamed === batch)
+      // every event in 2 windows: sliding n-sum = 2x the tumbling n-sum
+      val nSliding = streamed.toSeq.map(_.getLong(2)).sum
+      val nTumbling = graft.queries.SimilarityStreamQueries.defs
+        .find(_.name == "ev_window_tumbling").get
+        .build(spark, "/root/testdata/sf0.001")
+        .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      assert(nSliding === 2 * nTumbling)
+    } finally q.stop()
+  }
 }
