@@ -62,4 +62,40 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: one output row per (left, right) pair of
+    * intervals with `llo <= rhi && rlo <= lhi`. Both sides explode to
+    * their covered buckets and equi-join on the bucket id; a pair of
+    * overlapping intervals shares every bucket of the overlap region,
+    * so to emit exactly once the pair is CLAIMED by the first shared
+    * bucket — the bucket of max(llo, rlo), which both sides necessarily
+    * cover. No distinct pass, no cartesian product. Column names of the
+    * two inputs must not collide. */
+  def intervalOverlap(
+      left: DataFrame,
+      lloCol: String,
+      lhiCol: String,
+      right: DataFrame,
+      rloCol: String,
+      rhiCol: String,
+      width: Double,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(width > 0, s"bucket width must be positive: $width")
+    def explodeSide(df: DataFrame, lo: String, hi: String) = {
+      val spanOk = floor(col(hi) / width).cast("long") -
+        floor(col(lo) / width).cast("long") < lit(maxBucketsPerInterval.toLong)
+      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+          col(lo) <= col(hi) && spanOk)
+        .withColumn("__bucket",
+          explode(sequence(
+            floor(col(lo) / width).cast("long"),
+            floor(col(hi) / width).cast("long"))))
+    }
+    explodeSide(left, lloCol, lhiCol)
+      .join(explodeSide(right, rloCol, rhiCol), Seq("__bucket"))
+      .filter(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol) &&
+        col("__bucket") ===
+          floor(greatest(col(lloCol), col(rloCol)) / width).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -514,6 +514,49 @@ object RelationalQueries {
              |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
              |GROUP BY s_suppkey""".stripMargin)),
 
+    // ── Interval-overlap join: two interval sets joined on overlap via
+    //    shared buckets, each pair claimed by its first shared bucket
+    //    (exactly-once emission without a distinct pass) ──
+    QueryDef(
+      "range_overlap_join",
+      "supplier ±50 balance bands overlapping customer ±20 bands, counts per supplier",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            (col("s_acctbal") - 50.0).as("s_lo"), (col("s_acctbal") + 50.0).as("s_hi"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"),
+            (col("c_acctbal") - 20.0).as("c_lo"), (col("c_acctbal") + 20.0).as("c_hi"))
+        graft.operators.RangeJoin.intervalOverlap(
+            sup, "s_lo", "s_hi", cust, "c_lo", "c_hi", width = 100.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_overlap"), min("c_custkey").as("min_cust"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_overlap, min(c_custkey) AS min_cust
+             |FROM supplier JOIN customer
+             |  ON s_acctbal - 50.0 <= c_acctbal + 20.0
+             | AND c_acctbal - 20.0 <= s_acctbal + 50.0
+             |GROUP BY s_suppkey""".stripMargin),
+      bench = true),
+
+    // ── Global total-order sort: ORDER BY with no limit — plans as a
+    //    sampled RangePartitioning exchange + per-partition sort, the
+    //    scale path for totally-ordered output (no single-partition
+    //    sort; a global POSITION column would need the Packing
+    //    prefix-sum pattern — a global row_number() window is exactly
+    //    the Exchange-SinglePartition anti-pattern this avoids). The
+    //    oracle verifies content; sortedness is pinned by the plan
+    //    (PlansSpec-style RangePartitioning evidence in PLANS.md). ──
+    QueryDef(
+      "global_sort_orders",
+      "all orders globally sorted by (totalprice desc, orderkey)",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |FROM orders ORDER BY price DESC, o_orderkey""".stripMargin)),
+
     // ── Window: distribution battery — ntile quartiles, percent_rank,
     //    cume_dist over a unique total order (acctbal desc, custkey), so
     //    every rank function is deterministic and exactly oracle-able ──

@@ -395,7 +395,8 @@ object SimilarityStreamQueries {
               |  SELECT src AS id, src AS r FROM uedges
               |  UNION
               |  SELECT e2.src AS id, reach.r FROM uedges e2 JOIN reach ON reach.id = e2.dst)
-              |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
+              |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
+      bench = true),
 
     // ── Higher-order array functions battery: filter / exists /
     //    aggregate(transform) / zip_with(reverse) — all codegen'd
@@ -666,7 +667,8 @@ object SimilarityStreamQueries {
              | '%Y-%m-%d %H:%M:%S') AS win_start,
              |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events, (SELECT unnest([0, 300]) AS off) k
-             |GROUP BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2""".stripMargin),
+      bench = true),
 
     // ── As-of join: each click matched to the latest prior view ──
     QueryDef(

@@ -359,7 +359,8 @@ object TextDedupQueries {
               |ng AS (SELECT tk[i::INT] || ' ' || tk[i::INT + 1] || ' ' || tk[i::INT + 2] AS ngram
               |  FROM idx)
               |SELECT ngram, count(*) AS n FROM ng
-              |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)),
+              |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin),
+      bench = true),
 
     // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
     //    64-token windows, 16-token overlap (stride 48): the standard

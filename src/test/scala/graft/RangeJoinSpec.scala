@@ -53,6 +53,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.size === 2)
   }
 
+  test("interval overlap join equals the naive overlap join, emitted exactly once") {
+    val lhs = Seq((1L, -120.0, -80.0), (2L, -10.0, 10.0), (3L, 0.0, 300.0),
+      (4L, 55.0, 55.0), (5L, 10.0, 5.0)) // last is empty (lo > hi)
+    val rhs = Seq((10L, -100.0, -90.0), (20L, 5.0, 60.0), (30L, 290.0, 400.0),
+      (40L, -500.0, 500.0))
+    val got = RangeJoin.intervalOverlap(
+        lhs.toDF("lid", "llo", "lhi"), "llo", "lhi",
+        rhs.toDF("rid", "rlo", "rhi"), "rlo", "rhi", width = 50.0)
+      .select($"lid".as[Long], $"rid".as[Long]).collect()
+    val want = (for {
+      (lid, llo, lhi) <- lhs if llo <= lhi
+      (rid, rlo, rhi) <- rhs if rlo <= rhi
+      if llo <= rhi && rlo <= lhi
+    } yield (lid, rid)).toSet
+    assert(got.length === got.toSet.size, "duplicate overlap rows")
+    assert(got.toSet === want)
+  }
+
   test("plan is an equi-join on the bucket, not a nested-loop join") {
     val plan = RangeJoin.pointInInterval(
         (1 to 10).map(_.toDouble).toDF("v"), "v",
