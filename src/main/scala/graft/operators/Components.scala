@@ -41,11 +41,16 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 30): DataFrame = {
-    // Undirected: keep each edge once in both orientations, self-loops dropped.
+    // Undirected: keep each edge once in both orientations, self-loops
+    // dropped. The edge input is checkpointed BEFORE the two-orientation
+    // union: the union references it twice, and without the checkpoint
+    // the whole upstream edge pipeline (for semantic dedup: the LSH
+    // self-join + cosine rescore) would execute twice in one job.
     val adj = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
     val both = adj
       .union(adj.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
