@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Storage-layout scale evidence: partition pruning and bucketed
+  * co-located joins — the two layout levers a 100 TB deployment uses to
+  * keep scans and joins from touching (or shuffling) the whole corpus.
+  * The fixture corpus ships as single unpartitioned files, so these
+  * tests materialize derived layouts in a temp dir and assert on the
+  * resulting PLANS, not just results.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hive-style partition layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    // partition filter reached the scan, and only 1997's files are read
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on scan")
+    val read = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(read.size === 1, s"expected 1 pruned partition, read ${read.size}")
+    assert(q.count() ===
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+        .filter(year(col("o_orderdate")) === 1997).count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+
+    val joined = spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+    // co-located bucket layout: the join itself needs no shuffle of
+    // either side (broadcast is disabled to force the SMJ path)
+    val noBcast = joined.hint("merge")
+    val exchanges = noBcast.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join still shuffles:\n${noBcast.queryExecution.executedPlan}")
+    // and the result matches the unbucketed computation
+    val want = graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .join(graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      .as[(Long, Double)].collect().toSet
+    assert(noBcast.as[(Long, Double)].collect().toSet === want)
+  }
+}
