@@ -651,6 +651,49 @@ object SimilarityStreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       bench = true),
 
+    // ── Count-min sketch heavy hitters: frequency estimation from a
+    //    fixed 4×1024 counter grid — the sketch is a groupBy over
+    //    (row, hash-bucket) so it partial-aggregates map-side and its
+    //    state is O(D·W) regardless of corpus size (the mergeable-
+    //    sketch scale story, like the KMV distinct sketch). Estimate =
+    //    min over rows; deterministic polynomial hashes make both the
+    //    sketch and the estimates exactly oracle-able. est >= exact
+    //    always (collisions only inflate). ──
+    QueryDef(
+      "cms_heavy_hitters",
+      "count-min-sketch frequency estimates for the top-5 users vs exact counts",
+      (s, d) => {
+        val P = 1000003L; val W = 1024; val D = 4
+        def bucket(j: org.apache.spark.sql.Column, uid: org.apache.spark.sql.Column) =
+          ((j * 2 + 3) * (uid % P) + (j * 7919 + 13)) % P % W
+        val ev = t(s, d, "events").select("user_id")
+        val sk = ev
+          .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("j"))
+          .withColumn("bucket", bucket(col("j"), col("user_id")))
+          .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+        val top5 = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id")).limit(5)
+        top5
+          .withColumn("j", explode(sequence(lit(0), lit(D - 1))))
+          .withColumn("bucket", bucket(col("j"), col("user_id")))
+          .join(sk, Seq("j", "bucket"))
+          .groupBy("user_id", "exact_n")
+          .agg(min("c").as("est_n"))
+      },
+      Some("""WITH rows4 AS (SELECT unnest(range(0, 4)) AS j),
+             |sk AS (SELECT j,
+             |    ((j*2 + 3) * (user_id % 1000003) + (j*7919 + 13)) % 1000003 % 1024 AS bucket,
+             |    count(*) AS c
+             |  FROM events CROSS JOIN rows4 GROUP BY 1, 2),
+             |top5 AS (SELECT user_id, count(*) AS exact_n FROM events
+             |  GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 5),
+             |probes AS (SELECT t.user_id, t.exact_n, r.j,
+             |    ((r.j*2 + 3) * (t.user_id % 1000003) + (r.j*7919 + 13)) % 1000003 % 1024 AS bucket
+             |  FROM top5 t CROSS JOIN rows4 r)
+             |SELECT p.user_id, p.exact_n, min(sk.c) AS est_n
+             |FROM probes p JOIN sk ON sk.j = p.j AND sk.bucket = p.bucket
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ── Sliding windows: 10-minute windows every 5 — each event lands
     //    in exactly length/slide = 2 windows (plans as an Expand, then
     //    the same partial+final aggregate as tumbling; the oracle

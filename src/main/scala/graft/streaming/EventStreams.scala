@@ -83,6 +83,16 @@ object EventStreams {
       .select("user_id", "click_id", "view_id")
   }
 
+  /** Stream-static broadcast enrichment: the third join class beside
+    * stream-stream and foreachBatch — a static dimension joined into
+    * the stream. Stateless (no watermark, no state store): every
+    * micro-batch hash-joins against the broadcast static frame, the
+    * stream side never shuffles. At scale this is the
+    * dimension-attach of the batch pipelines applied per micro-batch. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "event_type"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Micro-batch CDC into a FhirStore — the streaming form of the batch
     * pipeline's reconcile (`foreachBatch(merge)`, SURVEY.md §2-H note).
     * Each batch is a DELTA of resource rows (key, id, json, deleted):

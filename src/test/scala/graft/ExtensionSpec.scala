@@ -515,6 +515,33 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val dim = Seq(("click", 3.0), ("view", 1.0), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val stream = graft.streaming.EventStreams.enrichWithDim(
+        graft.streaming.EventStreams.readEventStream(spark, tmp), dim)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value") * col("weight")), 2).as("wv"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_dim_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_dim_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sliding counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
