@@ -141,4 +141,18 @@ class PlansSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("AQE re-plans at runtime: tiny shuffle coalesced below the static partition count") {
+    import org.apache.spark.sql.functions._
+    // 10-group aggregate over tiny data: statically 4 shuffle
+    // partitions, AQE folds them to fewer once it sees the real sizes —
+    // the runtime-re-plan safety net the 100 TB configuration leans on
+    // (skew splitting is the same mechanism in reverse).
+    val df = TestSpark.spark.range(0, 10000).toDF("id")
+      .groupBy((col("id") % 10).as("g")).agg(count(lit(1)).as("n"))
+    assert(df.collect().length === 10) // execute THIS frame so AQE finalizes its plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead"), p)
+    assert(p.contains("coalesced"), p)
+  }
 }
