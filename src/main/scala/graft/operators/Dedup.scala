@@ -167,6 +167,13 @@ object Dedup {
   def jaccardCol: Column = expr(
     "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
       "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 6)")
+
+  /** Containment C(A,B) = |A∩B| / |A| — the asymmetric twin of Jaccard:
+    * high when A's shingles are (nearly) a subset of B's, so a short
+    * document embedded verbatim in a longer one scores ~1.0 where
+    * Jaccard stays low. The standard quote/boilerplate-inclusion signal. */
+  def containmentCol: Column = expr(
+    "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a), 6)")
 }
 
 /** Typed `Aggregator` surface (SURVEY.md §2-I): per-document MinHash

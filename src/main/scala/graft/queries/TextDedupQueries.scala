@@ -334,6 +334,75 @@ object TextDedupQueries {
               |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
               |  WHERE component < id)""".stripMargin)),
 
+    // ── Containment similarity: the asymmetric dup signal — LSH
+    //    candidate pairs scored by |A∩B|/|A| in BOTH directions, so a
+    //    short document embedded in a longer one surfaces (containment
+    //    ≈ 1) even where symmetric Jaccard stays below threshold.
+    //    Shares the persisted hash frame + band index. ──
+    QueryDef(
+      "dedup_containment",
+      "LSH candidate pairs with directional shingle containment >= 0.5",
+      (s, d) => {
+        val cands = Dedup.lshCandidatePairs(bandIndex(s, d), "doc_id")
+        val hs = docHashes(s, d)
+          .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+        cands
+          .join(hs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+          .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.containmentCol.as("cont_a_in_b"),
+            expr("round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b), 6)")
+              .as("cont_b_in_a"))
+          .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
+      },
+      Some(s"""WITH $dkNeardupCtes
+              |SELECT * FROM (
+              |  SELECT id_a, id_b,
+              |    round(len(list_intersect(x.h, y.h))::DOUBLE / len(x.h), 6) AS cont_a_in_b,
+              |    round(len(list_intersect(x.h, y.h))::DOUBLE / len(y.h), 6) AS cont_b_in_a
+              |  FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)
+              |WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""".stripMargin)),
+
+    // ── TF-IDF top terms: the two-pass learned-statistics shape — pass
+    //    1 learns corpus document frequencies, pass 2 scores each
+    //    document's terms against them. The idf weight is the RATIONAL
+    //    (N+1)/(df+1) (no logarithm): IEEE division and multiply are
+    //    exactly specified, so scores — and therefore the top-3 ranking
+    //    — are bit-identical across engines, where ln() could differ in
+    //    the last ulp and flip near-ties. ──
+    QueryDef(
+      "txt_tfidf_topterms",
+      "top-3 terms per document by rational tf-idf (tf * (N+1)/(df+1))",
+      (s, d) => {
+        val toks = Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("__n"))
+        tf.join(dfc, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score", round(
+            col("tf").cast("double") *
+              ((col("__n") + 1).cast("double") / (col("df_cnt") + 1).cast("double")), 6))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tf", "df_cnt", "score")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($dkTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS nd FROM documents)
+              |SELECT doc_id, term, tf, df_cnt, score FROM (
+              |  SELECT doc_id, term, tf, df_cnt,
+              |    round(tf::DOUBLE * ((nd + 1)::DOUBLE / (df_cnt + 1)::DOUBLE), 6) AS score,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY
+              |      tf::DOUBLE * ((nd + 1)::DOUBLE / (df_cnt + 1)::DOUBLE) DESC, term) AS rn
+              |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
+              |WHERE rn <= 3""".stripMargin)),
+
     // ── Corpus-level n-gram statistics: global top-20 token trigrams —
     //    the vocabulary/boilerplate profiling pass of a training-data
     //    pipeline. Explode is per-row (no state), the count is one
