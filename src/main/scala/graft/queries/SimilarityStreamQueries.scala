@@ -776,6 +776,67 @@ object SimilarityStreamQueries {
              |strftime(make_timestamp(min(tns) // 1000), '%Y-%m-%d %H:%M:%S') AS start_ts,
              |(max(tns) - min(tns)) // 1000000000 AS dur_s
              |FROM sess GROUP BY user_id, session_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ── Session funnel: ordered multi-stage conditional aggregation —
+    //    per session, the first view, the first click AT OR AFTER that
+    //    view, and the first purchase at or after that click; then one
+    //    corpus row of per-stage session counts. Each stage is a
+    //    conditional MIN keyed on the previous stage's timestamp
+    //    (null-propagating, so a session that never reaches stage k
+    //    contributes null to every later stage). All joins are on the
+    //    session key — three keyed aggregations, no self-join blowup. ──
+    QueryDef(
+      "funnel_sessions",
+      "view -> click -> purchase funnel counts over 30-minute sessions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, d, "events")
+          .withColumn("new_sess",
+            when(col("ts_ns") - lag("ts_ns", 1).over(w) > 1800L * 1000000000L, 1)
+              .otherwise(when(lag("ts_ns", 1).over(w).isNull, 1).otherwise(0)))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .select("user_id", "session_id", "event_type", "ts_ns")
+        val v = sess.groupBy("user_id", "session_id")
+          .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
+        val c = sess.join(v, Seq("user_id", "session_id"))
+          .groupBy("user_id", "session_id", "t_view")
+          .agg(min(when(col("event_type") === "click" && col("ts_ns") >= col("t_view"),
+            col("ts_ns"))).as("t_click"))
+        val p = sess.join(c, Seq("user_id", "session_id"))
+          .groupBy("user_id", "session_id", "t_view", "t_click")
+          .agg(min(when(col("event_type") === "purchase" && col("ts_ns") >= col("t_click"),
+            col("ts_ns"))).as("t_buy"))
+        p.agg(count(lit(1)).as("n_sessions"),
+          count("t_view").as("n_view"),
+          count("t_click").as("n_click"),
+          count("t_buy").as("n_purchase"))
+      },
+      Some("""WITH flagged AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             |  CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+             |   THEN 1
+             |   WHEN lag(epoch_ns(ts)) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL THEN 1
+             |   ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (SELECT user_id, event_type, tns, sum(new_sess) OVER
+             |  (PARTITION BY user_id ORDER BY tns, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |v AS (SELECT user_id, session_id,
+             |    min(CASE WHEN event_type = 'view' THEN tns END) AS t_view
+             |  FROM sess GROUP BY 1, 2),
+             |c AS (SELECT s.user_id, s.session_id, v.t_view,
+             |    min(CASE WHEN s.event_type = 'click' AND s.tns >= v.t_view THEN s.tns END) AS t_click
+             |  FROM sess s JOIN v USING (user_id, session_id) GROUP BY 1, 2, 3),
+             |p AS (SELECT s.user_id, s.session_id, c.t_view, c.t_click,
+             |    min(CASE WHEN s.event_type = 'purchase' AND s.tns >= c.t_click THEN s.tns END) AS t_buy
+             |  FROM sess s JOIN c USING (user_id, session_id) GROUP BY 1, 2, 3, 4)
+             |SELECT count(*) AS n_sessions, count(t_view) AS n_view,
+             |  count(t_click) AS n_click, count(t_buy) AS n_purchase
+             |FROM p""".stripMargin))
   )
 }
