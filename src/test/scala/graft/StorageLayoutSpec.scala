@@ -36,9 +36,19 @@ class StorageLayoutSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // DROP only clears the in-memory catalog entry; the warehouse
+    // directory outlives the JVM and re-creation fails with
+    // LOCATION_ALREADY_EXISTS — remove the locations too.
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey", "o_totalprice")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
