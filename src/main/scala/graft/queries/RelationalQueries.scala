@@ -374,6 +374,69 @@ object RelationalQueries {
              |EXCEPT
              |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
 
+    // ── Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    //    multiplicities (count-min per key) — a different operator from
+    //    the distinct variants above, planned as an aggregate of signed
+    //    counts rather than a dedup ──
+    QueryDef(
+      "set_intersect_all_segments",
+      "INTERSECT ALL multiplicity semantics on market segments",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+          .select("c_mktsegment")
+        val b = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+          .select("c_mktsegment")
+        a.intersectAll(b).groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM (
+             |  SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+             |  INTERSECT ALL
+             |  SELECT c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "set_except_all_segments",
+      "EXCEPT ALL multiplicity semantics on market segments",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+          .select("c_mktsegment")
+        val b = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+          .select("c_mktsegment")
+        a.exceptAll(b).groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM (
+             |  SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+             |  EXCEPT ALL
+             |  SELECT c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ── Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    //    match each other — different join semantics from standard
+    //    equality, where NULL matches nothing. Nulls synthesized via
+    //    nullif so the fixture corpus exercises both branches. ──
+    QueryDef(
+      "join_null_safe",
+      "null-safe equality join: NULL segment keys match each other",
+      (s, d) => {
+        val a = t(s, d, "customer")
+          .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+          .filter(col("c_custkey") <= 200)
+        val b = t(s, d, "customer")
+          .select(col("c_custkey").as("b_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("b_seg"))
+          .filter(col("b_custkey") <= 200)
+        a.join(b, col("seg") <=> col("b_seg"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_pairs"), min("b_custkey").as("min_match"))
+      },
+      Some("""SELECT seg, count(*) AS n_pairs, min(b_custkey) AS min_match
+             |FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+             |      FROM customer WHERE c_custkey <= 200) a
+             |JOIN (SELECT c_custkey AS b_custkey, nullif(c_mktsegment, 'BUILDING') AS b_seg
+             |      FROM customer WHERE c_custkey <= 200) b
+             |  ON a.seg IS NOT DISTINCT FROM b.b_seg
+             |GROUP BY seg""".stripMargin)),
+
     // ── Rollup (grouping sets surface) ──
     QueryDef(
       "rollup_region_nation",
