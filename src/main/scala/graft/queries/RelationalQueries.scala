@@ -437,6 +437,65 @@ object RelationalQueries {
              |  ON a.seg IS NOT DISTINCT FROM b.b_seg
              |GROUP BY seg""".stripMargin)),
 
+    // ── Null-aware anti join: NOT IN over a nullable subquery — if the
+    //    subquery produces ANY null, SQL three-valued logic makes every
+    //    NOT IN row UNKNOWN (zero rows); otherwise it is a plain anti
+    //    join. Spark plans the null-aware variant as
+    //    BroadcastNestedLoopJoin/NAAJ — both branches exercised here. ──
+    QueryDef(
+      "join_null_aware_anti",
+      "NOT IN with and without a NULL in the subquery (null-aware anti join)",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_naaj_customer")
+        t(s, d, "orders").createOrReplaceTempView("graft_naaj_orders")
+        s.sql("""SELECT 'no_null' AS variant, count(*) AS n FROM graft_naaj_customer
+                |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_naaj_orders
+                |  WHERE o_orderdate >= '1998-01-01')
+                |UNION ALL
+                |SELECT 'with_null' AS variant, count(*) AS n FROM graft_naaj_customer
+                |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM graft_naaj_orders
+                |  WHERE o_orderdate >= '1998-01-01')""".stripMargin)
+      },
+      Some("""SELECT 'no_null' AS variant, count(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+             |UNION ALL
+             |SELECT 'with_null' AS variant, count(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""".stripMargin)),
+
+    // ── Cohort retention: week-over-week active-user overlap — distinct
+    //    actives per week, then a keyed self-join on week+1 (temporal
+    //    self-join of aggregated sets; both sides already reduced before
+    //    the join, so the shuffle carries distinct (week, user) pairs,
+    //    not raw events) ──
+    QueryDef(
+      "retention_weekly",
+      "weekly active users and week-over-week retained count",
+      (s, d) => {
+        // integer `div`, not `/`: double division of ns-scale longs
+        // loses exactness past 2^53 and could misplace a week boundary
+        val wk = t(s, d, "events")
+          .select(expr("ts_ns div 604800000000000").as("week"),
+            col("user_id")).distinct()
+        wk.groupBy("week").agg(countDistinct("user_id").as("n_active"))
+          .join(
+            wk.join(wk.select((col("week") - 1).as("week"), col("user_id")),
+                Seq("week", "user_id"), "left_semi")
+              .groupBy("week").agg(countDistinct("user_id").as("n_retained")),
+            Seq("week"), "left_outer")
+          .select(col("week"), col("n_active"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      },
+      Some("""WITH wk AS (SELECT DISTINCT epoch_ns(ts) // 604800000000000 AS week, user_id
+             |  FROM events),
+             |act AS (SELECT week, count(DISTINCT user_id) AS n_active FROM wk GROUP BY 1),
+             |ret AS (SELECT a.week, count(DISTINCT a.user_id) AS n_retained
+             |  FROM wk a JOIN wk b ON b.week = a.week + 1 AND b.user_id = a.user_id
+             |  GROUP BY 1)
+             |SELECT act.week, act.n_active, coalesce(ret.n_retained, 0) AS n_retained
+             |FROM act LEFT JOIN ret USING (week)""".stripMargin)),
+
     // ── Rollup (grouping sets surface) ──
     QueryDef(
       "rollup_region_nation",
