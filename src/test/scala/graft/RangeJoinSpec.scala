@@ -71,6 +71,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("randomized (seeded) inputs: bucketed results equal the naive join at several widths") {
+    val rnd = new scala.util.Random(42)
+    val points = Seq.fill(300)(rnd.nextDouble() * 2000 - 1000)
+    val ivals = Seq.tabulate(120) { i =>
+      val lo = rnd.nextDouble() * 2000 - 1000
+      (i.toLong, lo, lo + rnd.nextDouble() * 250) // spans 0–250, mixed signs
+    }
+    val want = naive(points, ivals)
+    for (w <- Seq(1.0, 37.0, 250.0, 10000.0)) {
+      val got = RangeJoin.pointInInterval(
+          points.toDF("v"), "v",
+          ivals.toDF("id", "lo", "hi"), "lo", "hi", width = w)
+        .select($"v".as[Double], $"id".as[Long]).collect()
+      assert(got.length === got.toSet.size, s"duplicates at width $w")
+      assert(got.toSet === want, s"mismatch at width $w")
+    }
+  }
+
   test("plan is an equi-join on the bucket, not a nested-loop join") {
     val plan = RangeJoin.pointInInterval(
         (1 to 10).map(_.toDouble).toDF("v"), "v",
