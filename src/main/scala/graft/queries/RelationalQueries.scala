@@ -437,6 +437,38 @@ object RelationalQueries {
              |  ON a.seg IS NOT DISTINCT FROM b.b_seg
              |GROUP BY seg""".stripMargin)),
 
+    // ── Z-order clustering key: bit-interleave of two dimensions — the
+    //    space-filling-curve layout key that makes ONE sorted/clustered
+    //    order serve range predicates on EITHER dimension (the
+    //    multi-dimensional file-skipping technique; pair with the
+    //    partition-pruning evidence in StorageLayoutSpec). Pure integer
+    //    bit math, bit-identical across engines. ──
+    QueryDef(
+      "zorder_layout_key",
+      "z-order (Morton) key over (p_size, price bucket), first 50 in curve order",
+      (s, d) => {
+        val withDims = t(s, d, "part")
+          .withColumn("xb", col("p_size").cast("long"))
+          .withColumn("yb", floor(col("p_retailprice") / 100.0).cast("long"))
+        val z = (0 until 8).map { i =>
+          expr(s"(shiftright(xb, $i) & 1) * ${1L << (2 * i)} + " +
+            s"(shiftright(yb, $i) & 1) * ${1L << (2 * i + 1)}")
+        }.reduce(_ + _)
+        withDims.withColumn("z", z)
+          .select("p_partkey", "xb", "yb", "z")
+          .orderBy(col("z"), col("p_partkey"))
+          .limit(50)
+      },
+      Some {
+        val terms = (0 until 8).map { i =>
+          s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""SELECT p_partkey, xb, yb, $terms AS z
+           |FROM (SELECT p_partkey, p_size::BIGINT AS xb,
+           |        floor(p_retailprice / 100.0)::BIGINT AS yb FROM part)
+           |ORDER BY z, p_partkey LIMIT 50""".stripMargin
+      }),
+
     // ── Null-aware anti join: NOT IN over a nullable subquery — if the
     //    subquery produces ANY null, SQL three-valued logic makes every
     //    NOT IN row UNKNOWN (zero rows); otherwise it is a plain anti
