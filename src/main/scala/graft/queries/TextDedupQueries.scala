@@ -471,6 +471,70 @@ object TextDedupQueries {
              |SELECT md5(chunk) AS fp, min(doc_id) AS keep_doc, count(*) AS n
              |FROM chunks GROUP BY md5(chunk)""".stripMargin)),
 
+    // ── Chunk-level NEAR-dup: the chunking Generator's output fed
+    //    through the complete MinHash-LSH pipeline (shingle-hash →
+    //    signature → capped bands → bucket join → Jaccard rescore) with
+    //    a synthetic chunk id — paraphrased/partially-edited boilerplate
+    //    across documents, where the exact-fp overlap query only sees
+    //    verbatim copies. Demonstrates the dedup stack composes over
+    //    any derived corpus. ──
+    QueryDef(
+      "dedup_chunk_neardup",
+      "cross-document near-duplicate chunk pairs (Generator -> MinHash-LSH -> Jaccard >= 0.8)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val chunks = Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_chunk_tokens(text, 64, 16)").as(Seq("chunk_idx", "chunk")))
+          .withColumn("chunk_id",
+            col("doc_id") * lit(10000L) + col("chunk_idx"))
+        val hashed = Dedup.withShingleHashes(chunks, "chunk")
+          .select(col("chunk_id"), col("doc_id"),
+            array_distinct(col("shingle_hashes")).as("hs"), col("shingle_hashes"))
+        val cands = Dedup.lshCandidatePairs(
+          Dedup.minhashBandsFromHashes(hashed, "chunk_id"), "chunk_id")
+        cands
+          .join(hashed.select(col("chunk_id").as("id_a"), col("hs").as("sh_a"),
+            col("doc_id").as("doc_a")), Seq("id_a"))
+          .join(hashed.select(col("chunk_id").as("id_b"), col("hs").as("sh_b"),
+            col("doc_id").as("doc_b")), Seq("id_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("id_a"), col("id_b"), col("doc_a"), col("doc_b"),
+            Dedup.jaccardCol.as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      },
+      Some {
+        val cleanChunk = "lower(regexp_replace(chunk, '[^ -~]', '', 'g'))"
+        s"""WITH dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |cidx AS (SELECT doc_id, tk, unnest(range(0, (len(tk) + 47) // 48)) AS i FROM dtoks),
+           |chunks AS (SELECT doc_id, i,
+           |  array_to_string(tk[(i*48 + 1)::INT : (i*48 + 64)::INT], ' ') AS chunk FROM cidx),
+           |hh AS (SELECT doc_id * 10000 + i AS chunk_id, doc_id,
+           |  list_distinct(list_transform(${dkTokShingles(cleanChunk)}, sh -> ${dkPoly("sh")})) AS h
+           |  FROM chunks),
+           |sig AS (SELECT chunk_id, doc_id,
+           |  list_transform(range(0, ${Dedup.NumHashes}), i ->
+           |    list_min(list_transform(h, x -> ((2*i + 3) * x + (7919*i + 13)) % ${Dedup.MinhashP}))) AS sg
+           |  FROM hh WHERE len(h) > 0),
+           |bands AS (SELECT chunk_id, band,
+           |  list_reduce(list_prepend(0::BIGINT,
+           |    sg[band*${Dedup.RowsPerBand} + 1 : band*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}]),
+           |    (a, x) -> (a * 31 + x) % ${Dedup.BandP}) AS band_hash
+           |  FROM sig, range(0, ${Dedup.Bands}) tt(band)
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${Dedup.MaxBucket}),
+           |cands AS (SELECT DISTINCT a.chunk_id AS id_a, b.chunk_id AS id_b
+           |  FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.chunk_id < b.chunk_id)
+           |SELECT * FROM (
+           |  SELECT id_a, id_b, x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |    round(len(list_intersect(x.h, y.h))::DOUBLE /
+           |      (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+           |  FROM cands JOIN hh x ON x.chunk_id = id_a JOIN hh y ON y.chunk_id = id_b
+           |  WHERE x.doc_id <> y.doc_id)
+           |WHERE jaccard >= 0.8""".stripMargin
+      }),
+
     // ── Cross-document chunk overlap (contamination detection): doc
     //    pairs sharing at least one identical chunk, via a hash-bucketed
     //    self-join on md5(chunk) — the eval-contamination / boilerplate-
