@@ -784,6 +784,42 @@ object RelationalQueries {
              |FROM yrs y CROSS JOIN prio p
              |LEFT JOIN cnt c ON c.yr = y.yr AND c.raw = p.raw""".stripMargin)),
 
+    // ── Window: value-extraction battery — first_value / last_value /
+    //    nth_value over a deterministic order, plus an IGNORE NULLS
+    //    first (nulls injected via nullif so the skip path executes).
+    //    last_value uses the running frame (unbounded→current), the
+    //    only deterministic choice for it. ──
+    QueryDef(
+      "window_value_battery",
+      "first/last/nth_value per customer order history, with ignore-nulls",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(first_value(col("o_totalprice")).over(w), 2).as("first_price"),
+            round(last(col("o_totalprice")).over(w), 2).as("running_last"),
+            round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+            round(first_value(
+              when(col("o_orderpriority") =!= "1-URGENT", lit(1)).otherwise(lit(0))
+                * col("o_totalprice")).over(w), 2).as("first_flagged"),
+            round(first(
+              when(col("o_orderpriority") =!= "1-URGENT", col("o_totalprice")),
+              ignoreNulls = true).over(w), 2).as("first_nonurgent"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(first_value(o_totalprice) OVER w, 2) AS first_price,
+             |round(last_value(o_totalprice) OVER w, 2) AS running_last,
+             |round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+             |round(first_value(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END
+             |  * o_totalprice) OVER w, 2) AS first_flagged,
+             |round(first_value(CASE WHEN o_orderpriority <> '1-URGENT' THEN o_totalprice END
+             |  IGNORE NULLS) OVER w, 2) AS first_nonurgent
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ── Numeric aggregate battery ──
     QueryDef(
       "agg_stats_battery",
