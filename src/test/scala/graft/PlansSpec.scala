@@ -26,6 +26,12 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("global sort plans as range partitioning, not a single-partition sort") {
+    val p = plan("global_sort_orders")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("no cartesian product in any benchmark query plan") {
     graft.SparkEntry.benchNames.foreach { n =>
       assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
