@@ -720,16 +720,21 @@ object RelationalQueries {
       (s, d) => {
         val w = Window.partitionBy("c_nationkey")
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        // pct/cume are k/n rationals that can land EXACTLY on a .5 at
+        // the rounding digit (caught at sf0.1: 333/640 = 0.5203125 —
+        // Spark's decimal HALF_UP said …13, DuckDB's float round said
+        // …12). Quantizing through DECIMAL(18,12) first makes both
+        // engines round the same decimal value half-up.
         t(s, d, "customer")
           .select(col("c_nationkey"), col("c_custkey"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            round(percent_rank().over(w).cast("decimal(18,12)"), 6).as("pct_rank"),
+            round(cume_dist().over(w).cast("decimal(18,12)"), 6).as("cume"))
       },
       Some("""SELECT c_nationkey, c_custkey,
              |ntile(4) OVER w AS quartile,
-             |round(percent_rank() OVER w, 6) AS pct_rank,
-             |round(cume_dist() OVER w, 6) AS cume
+             |round((percent_rank() OVER w)::DECIMAL(18,12), 6) AS pct_rank,
+             |round((cume_dist() OVER w)::DECIMAL(18,12), 6) AS cume
              |FROM customer
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
 
