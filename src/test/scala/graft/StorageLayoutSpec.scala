@@ -35,6 +35,25 @@ class StorageLayoutSpec extends AnyFunSuite {
         .filter(year(col("o_orderdate")) === 1997).count())
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // generation 1: (id, v); generation 2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    // old-generation rows surface the new column as null
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(30.0), 4L -> Some(40.0)))
+    // predicates on the evolved column still push down and work
+    assert(merged.filter(col("score") > 35.0).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // DROP only clears the in-memory catalog entry; the warehouse
     // directory outlives the JVM and re-creation fails with
