@@ -496,6 +496,42 @@ object RelationalQueries {
              |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM orders
              |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""".stripMargin)),
 
+    // ── Time-series gap fill: densify a sparse (user, week) series over
+    //    the full week grid (sequence + explode — no driver loop) and
+    //    forward-fill missing weeks with the last observed value
+    //    (IGNORE NULLS running window). Leading gaps stay null. ──
+    QueryDef(
+      "gapfill_weekly",
+      "dense weekly revenue per user with forward fill over missing weeks",
+      (s, d) => {
+        val wk = t(s, d, "events").filter(col("user_id") < 5)
+          .groupBy(col("user_id"), expr("ts_ns div 604800000000000").as("week"))
+          .agg(round(sum("value"), 2).as("rev"))
+        val bounds = wk.agg(min("week").as("w0"), max("week").as("w1"))
+        val grid = wk.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(sequence(col("w0"), col("w1"))).as("week"))
+        val w = Window.partitionBy("user_id").orderBy("week")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(wk, Seq("user_id", "week"), "left_outer")
+          .select(col("user_id"), col("week"),
+            col("rev"),
+            coalesce(col("rev"), last(col("rev"), ignoreNulls = true).over(w))
+              .as("rev_filled"))
+      },
+      Some("""WITH wk AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week,
+             |    round(sum(value), 2) AS rev
+             |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+             |bounds AS (SELECT min(week) AS w0, max(week) AS w1 FROM wk),
+             |grid AS (SELECT u.user_id, g.week
+             |  FROM (SELECT DISTINCT user_id FROM wk) u
+             |  CROSS JOIN (SELECT unnest(generate_series(w0, w1)) AS week FROM bounds) g)
+             |SELECT g.user_id, g.week, wk.rev,
+             |  coalesce(wk.rev, last_value(wk.rev IGNORE NULLS) OVER
+             |    (PARTITION BY g.user_id ORDER BY g.week
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS rev_filled
+             |FROM grid g LEFT JOIN wk ON wk.user_id = g.user_id AND wk.week = g.week""".stripMargin)),
+
     // ── Cohort retention: week-over-week active-user overlap — distinct
     //    actives per week, then a keyed self-join on week+1 (temporal
     //    self-join of aggregated sets; both sides already reduced before
