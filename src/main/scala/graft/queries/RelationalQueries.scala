@@ -334,6 +334,29 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE (o_orderkey * 2654435761) % 1000003 < 50000""".stripMargin)),
 
+    // ── Sampled quantiles: exact percentiles over the deterministic
+    //    hash-mod sample — the scale pattern for quantiles on 100 TB
+    //    (never sort the full corpus; sample ~5% reproducibly, exact
+    //    quantile on the sample). Deterministic sample ⇒ exactly
+    //    oracle-able, unlike approx_percentile's engine-internal
+    //    sketch. ──
+    QueryDef(
+      "quantiles_sampled",
+      "exact per-group percentiles over the deterministic hash-mod sample",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(expr("pmod(l_orderkey * 2654435761 + l_linenumber * 7919, 1000003) < 50000"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sample"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT l_returnflag, count(*) AS n_sample,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+             |FROM lineitem
+             |WHERE (l_orderkey * 2654435761 + l_linenumber * 7919) % 1000003 < 50000
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // Spark's seeded Bernoulli sampler uses an engine-internal RNG, so
     // the row set is not reproducible in DuckDB — rows-only by design;
     // determinism under a fixed seed is pinned by a unit test instead.
