@@ -164,16 +164,24 @@ object Dedup {
 
   /** n-gram Jaccard similarity for a pre-paired frame carrying shingle
     * arrays `sh_a`, `sh_b` (distinct char k-shingles). */
+  // Both similarity ratios quantize through DECIMAL(18,12) before the
+  // 6-digit round: k/n rationals can land EXACTLY on a .5 at the
+  // rounding digit (e.g. 333/640), where Spark's shortest-string
+  // HALF_UP and DuckDB's float-multiply round disagree — and these
+  // values feed threshold FILTERS, so a one-ulp disagreement would
+  // flip row membership, not just a printed digit.
   def jaccardCol: Column = expr(
-    "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
-      "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))), 6)")
+    "round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
+      "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
+      "AS DECIMAL(18,12)), 6)")
 
   /** Containment C(A,B) = |A∩B| / |A| — the asymmetric twin of Jaccard:
     * high when A's shingles are (nearly) a subset of B's, so a short
     * document embedded verbatim in a longer one scores ~1.0 where
     * Jaccard stays low. The standard quote/boilerplate-inclusion signal. */
   def containmentCol: Column = expr(
-    "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a), 6)")
+    "round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a) " +
+      "AS DECIMAL(18,12)), 6)")
 }
 
 /** Typed `Aggregator` surface (SURVEY.md §2-I): per-document MinHash

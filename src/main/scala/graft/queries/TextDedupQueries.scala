@@ -91,8 +91,8 @@ object TextDedupQueries {
        |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |scored AS (
-       |SELECT id_a, id_b, round(len(list_intersect(x.h, y.h))::DOUBLE /
-       |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+       |SELECT id_a, id_b, round((len(list_intersect(x.h, y.h))::DOUBLE /
+       |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6) AS jaccard
        |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -214,8 +214,8 @@ object TextDedupQueries {
       },
       Some(s"""WITH sh AS (SELECT doc_id, ${dkShingles(dkClean)} AS s FROM documents)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |round(len(list_intersect(a.s, b.s))::DOUBLE /
-              |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              |round((len(list_intersect(a.s, b.s))::DOUBLE /
+              |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))::DECIMAL(18,12), 6) AS jaccard
               |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin)),
 
     // ── MinHash LSH index ──
@@ -351,15 +351,15 @@ object TextDedupQueries {
           .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             Dedup.containmentCol.as("cont_a_in_b"),
-            expr("round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b), 6)")
+            expr("round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b) AS DECIMAL(18,12)), 6)")
               .as("cont_b_in_a"))
           .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
       },
       Some(s"""WITH $dkNeardupCtes
               |SELECT * FROM (
               |  SELECT id_a, id_b,
-              |    round(len(list_intersect(x.h, y.h))::DOUBLE / len(x.h), 6) AS cont_a_in_b,
-              |    round(len(list_intersect(x.h, y.h))::DOUBLE / len(y.h), 6) AS cont_b_in_a
+              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(x.h))::DECIMAL(18,12), 6) AS cont_a_in_b,
+              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(y.h))::DECIMAL(18,12), 6) AS cont_b_in_a
               |  FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)
               |WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""".stripMargin)),
 
@@ -528,8 +528,8 @@ object TextDedupQueries {
            |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.chunk_id < b.chunk_id)
            |SELECT * FROM (
            |  SELECT id_a, id_b, x.doc_id AS doc_a, y.doc_id AS doc_b,
-           |    round(len(list_intersect(x.h, y.h))::DOUBLE /
-           |      (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+           |    round((len(list_intersect(x.h, y.h))::DOUBLE /
+           |      (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6) AS jaccard
            |  FROM cands JOIN hh x ON x.chunk_id = id_a JOIN hh y ON y.chunk_id = id_b
            |  WHERE x.doc_id <> y.doc_id)
            |WHERE jaccard >= 0.8""".stripMargin
