@@ -62,20 +62,24 @@ object TextFunctions {
 
   /** Quality signals: punctuation ratio, stopword ratio, mean token
     * length — the classic cheap text-quality heuristics. */
+  // All three ratios quantize through DECIMAL(18,12) before the round:
+  // k/n rationals can land exactly on a .5 at the rounding digit, where
+  // Spark (shortest-string HALF_UP) and DuckDB (float-multiply) round
+  // differently — and corpus_filter compares these against thresholds.
   def punctRatio(c: String): Column =
-    expr(s"round(CAST(char_length(regexp_replace($c, '[a-zA-Z0-9 ]', '')) AS DOUBLE) " +
-      s"/ greatest(char_length($c), 1), 6)")
+    expr(s"round(CAST(CAST(char_length(regexp_replace($c, '[a-zA-Z0-9 ]', '')) AS DOUBLE) " +
+      s"/ greatest(char_length($c), 1) AS DECIMAL(18,12)), 6)")
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
 
   /** Codegen'd set-membership count (register GraftFunctions first). */
   def stopwordRatio(toksCol: String): Column =
-    expr(s"round(CAST(graft_stop_hits($toksCol) AS DOUBLE) " +
-      s"/ greatest(size($toksCol), 1), 6)")
+    expr(s"round(CAST(CAST(graft_stop_hits($toksCol) AS DOUBLE) " +
+      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6)")
 
   def meanTokenLen(c: String, toksCol: String): Column =
-    expr(s"round(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
-      s"/ greatest(size($toksCol), 1), 6)")
+    expr(s"round(CAST(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
+      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6)")
 
   /** Heuristic language ID: count stopword hits per language list, take
     * the argmax with a fixed precedence order (en, es, de, fr, zh). */

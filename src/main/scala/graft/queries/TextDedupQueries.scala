@@ -150,12 +150,12 @@ object TextDedupQueries {
             TextFunctions.meanTokenLen("text", "__toks").as("mean_tok_len"))
       },
       Some(s"""SELECT doc_id,
-              |round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-              |  / greatest(length(text), 1), 6) AS punct_ratio,
-              |round(len(list_filter($dkTokens, t -> list_contains(${TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))::DOUBLE
-              |  / greatest(len($dkTokens), 1), 6) AS stop_ratio,
-              |round(length(replace(text, ' ', ''))::DOUBLE
-              |  / greatest(len($dkTokens), 1), 6) AS mean_tok_len
+              |round((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              |  / greatest(length(text), 1))::DECIMAL(18,12), 6) AS punct_ratio,
+              |round((len(list_filter($dkTokens, t -> list_contains(${TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))::DOUBLE
+              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6) AS stop_ratio,
+              |round((length(replace(text, ' ', ''))::DOUBLE
+              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6) AS mean_tok_len
               |FROM documents""".stripMargin),
       bench = true),
 
@@ -380,14 +380,18 @@ object TextDedupQueries {
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
         val n = t(s, d, "documents").agg(count(lit(1)).as("__n"))
+        // rank on the RAW score (IEEE-exact, identical in DuckDB), not
+        // the rounded one — rounding before ranking could merge scores
+        // that the oracle's unrounded ORDER BY still distinguishes
         tf.join(dfc, Seq("term"))
           .crossJoin(broadcast(n))
-          .withColumn("score", round(
+          .withColumn("__raw",
             col("tf").cast("double") *
-              ((col("__n") + 1).cast("double") / (col("df_cnt") + 1).cast("double")), 6))
+              ((col("__n") + 1).cast("double") / (col("df_cnt") + 1).cast("double")))
+          .withColumn("score", round(col("__raw"), 6))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-              .orderBy(col("score").desc, col("term"))))
+              .orderBy(col("__raw").desc, col("term"))))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tf", "df_cnt", "score")
       },
@@ -660,12 +664,12 @@ object TextDedupQueries {
           "__toks" -> expr(TextFunctions.tokensSql("text")))
         .select(col("doc_id"),
           expr("greatest(size(__toks) - 2, 0)").as("n_shingles"),
-          expr(s"round(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
-            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0), 6)").as("rep_ratio")),
+          expr(s"round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6)").as("rep_ratio")),
       Some(s"""SELECT doc_id, greatest(len($dkTokens) - 2, 0) AS n_shingles,
-              |round(CASE WHEN len($dkTokens) > 2
+              |round((CASE WHEN len($dkTokens) > 2
               |  THEN 1.0 - len(${dkTokShingles("text")})
-              |    / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END, 6) AS rep_ratio
+              |    / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6) AS rep_ratio
               |FROM documents""".stripMargin)),
 
     // ── Sequence packing (offset policy): docs → fixed token-budget
@@ -725,12 +729,13 @@ object TextDedupQueries {
         val freq = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
         tk.join(broadcast(freq), Seq("tok"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), round(avg("cnt"), 4).as("mean_tok_freq"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg("cnt").cast("decimal(18,12)"), 4).as("mean_tok_freq"))
       },
       Some("""WITH tk AS (SELECT doc_id,
              |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
              |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-             |SELECT doc_id, count(*) AS n_tokens, round(avg(cnt), 4) AS mean_tok_freq
+             |SELECT doc_id, count(*) AS n_tokens, round(avg(cnt)::DECIMAL(18,12), 4) AS mean_tok_freq
              |FROM tk JOIN freq USING (tok) GROUP BY doc_id""".stripMargin)),
 
     // ── Incremental dedup ingest: a NEW batch of documents (ids ≥ 450)
@@ -841,8 +846,8 @@ object TextDedupQueries {
         .withColumn("n_tokens", TextFunctions.tokenCount("__toks"))
         .withColumn("punct_ratio", TextFunctions.punctRatio("text"))
         .withColumn("rep_ratio",
-          expr(s"round(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
-            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0), 6)"))
+          expr(s"round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6)"))
         .filter(col("lang").isin("en", "de", "fr", "es") &&
           col("n_tokens") >= 50 && col("punct_ratio") <= 0.05 &&
           col("rep_ratio") <= 0.999)
@@ -850,11 +855,11 @@ object TextDedupQueries {
       Some(s"""SELECT doc_id, lang, len($dkTokens) AS n_tokens FROM documents
               |WHERE lang IN ('en', 'de', 'fr', 'es')
               |  AND len($dkTokens) >= 50
-              |  AND round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-              |    / greatest(length(text), 1), 6) <= 0.05
-              |  AND round(CASE WHEN len($dkTokens) > 2
+              |  AND round((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              |    / greatest(length(text), 1))::DECIMAL(18,12), 6) <= 0.05
+              |  AND round((CASE WHEN len($dkTokens) > 2
               |    THEN 1.0 - len(${dkTokShingles("text")})
-              |      / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END, 6) <= 0.999""".stripMargin)),
+              |      / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6) <= 0.999""".stripMargin)),
 
     // ── SimHash ──
     QueryDef(
