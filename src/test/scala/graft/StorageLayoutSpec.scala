@@ -54,6 +54,21 @@ class StorageLayoutSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq === Seq(4L))
   }
 
+  test("ORC round-trip with predicate pushdown (multi-format source/sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("o_orderpriority") === "1-URGENT")
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("o_orderpriority"),
+      s"no pushed filter on ORC scan: ${scan.metadata}")
+    assert(back.count() ===
+      src.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // DROP only clears the in-memory catalog entry; the warehouse
     // directory outlives the JVM and re-creation fails with
