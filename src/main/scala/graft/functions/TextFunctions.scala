@@ -67,19 +67,19 @@ object TextFunctions {
   // Spark (shortest-string HALF_UP) and DuckDB (float-multiply) round
   // differently — and corpus_filter compares these against thresholds.
   def punctRatio(c: String): Column =
-    expr(s"round(CAST(CAST(char_length(regexp_replace($c, '[a-zA-Z0-9 ]', '')) AS DOUBLE) " +
-      s"/ greatest(char_length($c), 1) AS DECIMAL(18,12)), 6)")
+    expr(s"CAST(round(CAST(CAST(char_length(regexp_replace($c, '[a-zA-Z0-9 ]', '')) AS DOUBLE) " +
+      s"/ greatest(char_length($c), 1) AS DECIMAL(18,12)), 6) AS DOUBLE)")
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
 
   /** Codegen'd set-membership count (register GraftFunctions first). */
   def stopwordRatio(toksCol: String): Column =
-    expr(s"round(CAST(CAST(graft_stop_hits($toksCol) AS DOUBLE) " +
-      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6)")
+    expr(s"CAST(round(CAST(CAST(graft_stop_hits($toksCol) AS DOUBLE) " +
+      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6) AS DOUBLE)")
 
   def meanTokenLen(c: String, toksCol: String): Column =
-    expr(s"round(CAST(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
-      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6)")
+    expr(s"CAST(round(CAST(CAST(char_length(replace($c, ' ', '')) AS DOUBLE) " +
+      s"/ greatest(size($toksCol), 1) AS DECIMAL(18,12)), 6) AS DOUBLE)")
 
   /** Heuristic language ID: count stopword hits per language list, take
     * the argmax with a fixed precedence order (en, es, de, fr, zh). */

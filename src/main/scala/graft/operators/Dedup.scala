@@ -171,17 +171,17 @@ object Dedup {
   // values feed threshold FILTERS, so a one-ulp disagreement would
   // flip row membership, not just a printed digit.
   def jaccardCol: Column = expr(
-    "round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
+    "CAST(round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
       "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
-      "AS DECIMAL(18,12)), 6)")
+      "AS DECIMAL(18,12)), 6) AS DOUBLE)")
 
   /** Containment C(A,B) = |A∩B| / |A| — the asymmetric twin of Jaccard:
     * high when A's shingles are (nearly) a subset of B's, so a short
     * document embedded verbatim in a longer one scores ~1.0 where
     * Jaccard stays low. The standard quote/boilerplate-inclusion signal. */
   def containmentCol: Column = expr(
-    "round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a) " +
-      "AS DECIMAL(18,12)), 6)")
+    "CAST(round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a) " +
+      "AS DECIMAL(18,12)), 6) AS DOUBLE)")
 }
 
 /** Typed `Aggregator` surface (SURVEY.md §2-I): per-document MinHash

@@ -787,13 +787,15 @@ object RelationalQueries {
         t(s, d, "customer")
           .select(col("c_nationkey"), col("c_custkey"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w).cast("decimal(18,12)"), 6).as("pct_rank"),
-            round(cume_dist().over(w).cast("decimal(18,12)"), 6).as("cume"))
+            round(percent_rank().over(w).cast("decimal(18,12)"), 6)
+              .cast("double").as("pct_rank"),
+            round(cume_dist().over(w).cast("decimal(18,12)"), 6)
+              .cast("double").as("cume"))
       },
       Some("""SELECT c_nationkey, c_custkey,
              |ntile(4) OVER w AS quartile,
-             |round((percent_rank() OVER w)::DECIMAL(18,12), 6) AS pct_rank,
-             |round((cume_dist() OVER w)::DECIMAL(18,12), 6) AS cume
+             |round((percent_rank() OVER w)::DECIMAL(18,12), 6)::DOUBLE AS pct_rank,
+             |round((cume_dist() OVER w)::DECIMAL(18,12), 6)::DOUBLE AS cume
              |FROM customer
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
 

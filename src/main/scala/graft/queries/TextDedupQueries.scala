@@ -92,7 +92,7 @@ object TextDedupQueries {
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |scored AS (
        |SELECT id_a, id_b, round((len(list_intersect(x.h, y.h))::DOUBLE /
-       |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6) AS jaccard
+       |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6)::DOUBLE AS jaccard
        |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -151,11 +151,11 @@ object TextDedupQueries {
       },
       Some(s"""SELECT doc_id,
               |round((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-              |  / greatest(length(text), 1))::DECIMAL(18,12), 6) AS punct_ratio,
+              |  / greatest(length(text), 1))::DECIMAL(18,12), 6)::DOUBLE AS punct_ratio,
               |round((len(list_filter($dkTokens, t -> list_contains(${TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))::DOUBLE
-              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6) AS stop_ratio,
+              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6)::DOUBLE AS stop_ratio,
               |round((length(replace(text, ' ', ''))::DOUBLE
-              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6) AS mean_tok_len
+              |  / greatest(len($dkTokens), 1))::DECIMAL(18,12), 6)::DOUBLE AS mean_tok_len
               |FROM documents""".stripMargin),
       bench = true),
 
@@ -215,7 +215,7 @@ object TextDedupQueries {
       Some(s"""WITH sh AS (SELECT doc_id, ${dkShingles(dkClean)} AS s FROM documents)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |round((len(list_intersect(a.s, b.s))::DOUBLE /
-              |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))::DECIMAL(18,12), 6) AS jaccard
+              |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))::DECIMAL(18,12), 6)::DOUBLE AS jaccard
               |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin)),
 
     // ── MinHash LSH index ──
@@ -351,15 +351,15 @@ object TextDedupQueries {
           .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             Dedup.containmentCol.as("cont_a_in_b"),
-            expr("round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b) AS DECIMAL(18,12)), 6)")
+            expr("CAST(round(CAST(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_b) AS DECIMAL(18,12)), 6) AS DOUBLE)")
               .as("cont_b_in_a"))
           .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
       },
       Some(s"""WITH $dkNeardupCtes
               |SELECT * FROM (
               |  SELECT id_a, id_b,
-              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(x.h))::DECIMAL(18,12), 6) AS cont_a_in_b,
-              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(y.h))::DECIMAL(18,12), 6) AS cont_b_in_a
+              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(x.h))::DECIMAL(18,12), 6)::DOUBLE AS cont_a_in_b,
+              |    round((len(list_intersect(x.h, y.h))::DOUBLE / len(y.h))::DECIMAL(18,12), 6)::DOUBLE AS cont_b_in_a
               |  FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)
               |WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""".stripMargin)),
 
@@ -388,7 +388,8 @@ object TextDedupQueries {
           .withColumn("__raw",
             col("tf").cast("double") *
               ((col("__n") + 1).cast("double") / (col("df_cnt") + 1).cast("double")))
-          .withColumn("score", round(col("__raw"), 6))
+          .withColumn("score",
+            round(col("__raw").cast("decimal(18,12)"), 6).cast("double"))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
               .orderBy(col("__raw").desc, col("term"))))
@@ -401,7 +402,7 @@ object TextDedupQueries {
               |n AS (SELECT count(*) AS nd FROM documents)
               |SELECT doc_id, term, tf, df_cnt, score FROM (
               |  SELECT doc_id, term, tf, df_cnt,
-              |    round(tf::DOUBLE * ((nd + 1)::DOUBLE / (df_cnt + 1)::DOUBLE), 6) AS score,
+              |    round((tf::DOUBLE * ((nd + 1)::DOUBLE / (df_cnt + 1)::DOUBLE))::DECIMAL(18,12), 6)::DOUBLE AS score,
               |    row_number() OVER (PARTITION BY doc_id ORDER BY
               |      tf::DOUBLE * ((nd + 1)::DOUBLE / (df_cnt + 1)::DOUBLE) DESC, term) AS rn
               |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
@@ -533,7 +534,7 @@ object TextDedupQueries {
            |SELECT * FROM (
            |  SELECT id_a, id_b, x.doc_id AS doc_a, y.doc_id AS doc_b,
            |    round((len(list_intersect(x.h, y.h))::DOUBLE /
-           |      (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6) AS jaccard
+           |      (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6)::DOUBLE AS jaccard
            |  FROM cands JOIN hh x ON x.chunk_id = id_a JOIN hh y ON y.chunk_id = id_b
            |  WHERE x.doc_id <> y.doc_id)
            |WHERE jaccard >= 0.8""".stripMargin
@@ -664,12 +665,12 @@ object TextDedupQueries {
           "__toks" -> expr(TextFunctions.tokensSql("text")))
         .select(col("doc_id"),
           expr("greatest(size(__toks) - 2, 0)").as("n_shingles"),
-          expr(s"round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
-            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6)").as("rep_ratio")),
+          expr(s"CAST(round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6) AS DOUBLE)").as("rep_ratio")),
       Some(s"""SELECT doc_id, greatest(len($dkTokens) - 2, 0) AS n_shingles,
               |round((CASE WHEN len($dkTokens) > 2
               |  THEN 1.0 - len(${dkTokShingles("text")})
-              |    / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6) AS rep_ratio
+              |    / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6)::DOUBLE AS rep_ratio
               |FROM documents""".stripMargin)),
 
     // ── Sequence packing (offset policy): docs → fixed token-budget
@@ -730,12 +731,12 @@ object TextDedupQueries {
         tk.join(broadcast(freq), Seq("tok"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            round(avg("cnt").cast("decimal(18,12)"), 4).as("mean_tok_freq"))
+            round(avg("cnt").cast("decimal(18,12)"), 4).cast("double").as("mean_tok_freq"))
       },
       Some("""WITH tk AS (SELECT doc_id,
              |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
              |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-             |SELECT doc_id, count(*) AS n_tokens, round(avg(cnt)::DECIMAL(18,12), 4) AS mean_tok_freq
+             |SELECT doc_id, count(*) AS n_tokens, round(avg(cnt)::DECIMAL(18,12), 4)::DOUBLE AS mean_tok_freq
              |FROM tk JOIN freq USING (tok) GROUP BY doc_id""".stripMargin)),
 
     // ── Incremental dedup ingest: a NEW batch of documents (ids ≥ 450)
@@ -846,8 +847,8 @@ object TextDedupQueries {
         .withColumn("n_tokens", TextFunctions.tokenCount("__toks"))
         .withColumn("punct_ratio", TextFunctions.punctRatio("text"))
         .withColumn("rep_ratio",
-          expr(s"round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
-            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6)"))
+          expr(s"CAST(round(CAST(IF(size(__toks) > 2, 1.0 - size(${TextFunctions.tokenShinglesSql("__toks", 3)}) " +
+            "/ CAST(size(__toks) - 2 AS DOUBLE), 0.0D) AS DECIMAL(18,12)), 6) AS DOUBLE)"))
         .filter(col("lang").isin("en", "de", "fr", "es") &&
           col("n_tokens") >= 50 && col("punct_ratio") <= 0.05 &&
           col("rep_ratio") <= 0.999)
