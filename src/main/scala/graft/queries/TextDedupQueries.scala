@@ -436,6 +436,47 @@ object TextDedupQueries {
               |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin),
       bench = true),
 
+    // ── Priority-aware cluster dedup: when a duplicate cluster spans
+    //    sources, keep the representative from the PREFERRED source
+    //    (curated > web, here: lowest source ordinal), not the lowest
+    //    id — the production policy when corpus tiers differ in
+    //    quality. Arg-min via lexicographic MIN over a (priority, id)
+    //    struct: one aggregate, deterministic, no window needed. ──
+    QueryDef(
+      "dedup_apply_priority",
+      "duplicate-cluster representatives chosen by source priority, then id",
+      (s, d) => {
+        val comp = graft.operators.Components
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val prio = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("prio"))
+        comp.join(prio, Seq("doc_id"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            min(struct(col("prio"), col("doc_id"))).as("best"))
+          .select(col("component"), col("n_members"),
+            col("best.doc_id").as("keep_doc"), col("best.prio").as("keep_prio"))
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |prs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              |  UNION SELECT id_b, id_a FROM prs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e2.src AS id, reach.r FROM uedges e2 JOIN reach ON reach.id = e2.dst),
+              |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+              |ranked AS (SELECT c.component, c.doc_id,
+              |    regexp_extract(d.source, '([0-9]+)$$', 1)::BIGINT AS prio,
+              |    row_number() OVER (PARTITION BY c.component
+              |      ORDER BY regexp_extract(d.source, '([0-9]+)$$', 1)::BIGINT, c.doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY c.component) AS n_members
+              |  FROM comp c JOIN documents d USING (doc_id))
+              |SELECT component, n_members, doc_id AS keep_doc, prio AS keep_prio
+              |FROM ranked WHERE rn = 1""".stripMargin)),
+
     // ── Document chunking (Generator/UDTF surface, SURVEY §2-I) ──
     //    64-token windows, 16-token overlap (stride 48): the standard
     //    pre-embedding segmentation; plans as a Generate over the scan.
