@@ -542,6 +542,34 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update output mode: last emitted row per key equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(tmp) // ≥3 micro-batches
+    // update mode re-emits a key's row on every batch that changes it;
+    // with maxFilesPerTrigger=1 keys repeat across batches, and the
+    // LAST emission per key must equal the batch-computed final state
+    val stream = graft.streaming.EventStreams.readEventStream(spark, tmp,
+        maxFilesPerTrigger = Some(1))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("graft_update_test").start()
+    try {
+      q.processAllAvailable()
+      // memory sink in update mode appends each emission; last wins
+      val lastPerKey = spark.table("graft_update_test").collect()
+        .zipWithIndex
+        .groupBy(_._1.getString(0))
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1.getLong(1) }
+      val batch = raw.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(lastPerKey === batch)
+    } finally q.stop()
+  }
+
   test("windowed aggregation state survives a checkpointed restart") {
     import org.apache.spark.sql.Row
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
