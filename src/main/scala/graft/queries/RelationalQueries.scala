@@ -995,6 +995,30 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Robust statistics: median + MAD (median absolute deviation) —
+    //    two-pass aggregate: per-group median, broadcast back, median
+    //    of absolute deviations. The outlier-resistant spread measure
+    //    (agg_percentiles proved percentile/quantile_cont parity). ──
+    QueryDef(
+      "robust_stats_mad",
+      "per-priority median and median-absolute-deviation of order value",
+      (s, d) => {
+        val med = t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        t(s, d, "orders")
+          .join(broadcast(med), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority", "med")
+          .agg(round(expr("percentile(abs(o_totalprice - med), 0.5)"), 4).as("mad"))
+          .select(col("o_orderpriority"), round(col("med"), 4).as("median"), col("mad"))
+      },
+      Some("""WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY 1)
+             |SELECT o.o_orderpriority, round(m.med, 4) AS median,
+             |  round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 4) AS mad
+             |FROM orders o JOIN med m USING (o_orderpriority)
+             |GROUP BY o.o_orderpriority, m.med""".stripMargin)),
+
     // ── Approximate distinct (no SQL oracle — HLL impls differ) ──
     QueryDef(
       "approx_distinct_users",
