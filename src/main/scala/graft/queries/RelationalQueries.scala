@@ -995,6 +995,26 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Bitmap-index aggregation: exact distinct via fixed-size bitmap
+    //    buckets (bitmap_construct_agg per bucket, bitmap_or_agg to
+    //    merge) — the roaring-bitmap-style exact-distinct scale path:
+    //    mergeable like a sketch, exact like count(distinct), state
+    //    bounded per (group, bucket). ──
+    QueryDef(
+      "bitmap_distinct_users",
+      "exact distinct users per event type via bitmap aggregation",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"),
+            expr("bitmap_bit_position(user_id)").as("pos"))
+          .groupBy("event_type", "bucket")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ── Robust statistics: median + MAD (median absolute deviation) —
     //    two-pass aggregate: per-group median, broadcast back, median
     //    of absolute deviations. The outlier-resistant spread measure
