@@ -995,6 +995,46 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── MapType round-trip: per-user map of event_type → count built
+    //    with map_from_entries over a deterministically sorted entry
+    //    list, then exploded back to rows — the MapType construction /
+    //    explosion surface (SURVEY §1.2) with an order-independent
+    //    oracle ──
+    QueryDef(
+      "map_type_roundtrip",
+      "event counts built into a per-user map and exploded back",
+      (s, d) =>
+        t(s, d, "events").filter(col("user_id") < 20)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+          .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n"))),
+      Some("""SELECT user_id, event_type, count(*) AS n FROM events
+             |WHERE user_id < 20 GROUP BY 1, 2""".stripMargin)),
+
+    // ── ANSI-mode safety battery: try_divide / try_cast / try_add turn
+    //    the errors ANSI mode raises (division by zero, bad casts,
+    //    overflow) into NULLs — the row-level error-tolerance surface a
+    //    dirty 100 TB corpus needs (fail the row, not the job) ──
+    QueryDef(
+      "ansi_try_battery",
+      "try_divide/try_cast/try_add null out row-level errors under ANSI mode",
+      (s, d) =>
+        t(s, d, "orders").filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"),
+            round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 4).as("div_or_null"),
+            expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"),
+            expr("try_add(9223372036854775807L, o_orderkey + 1)").as("overflow_null")),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             |  ELSE round(o_totalprice / (o_orderkey % 3), 4) END AS div_or_null,
+             |try_cast(o_orderpriority AS INT) AS bad_cast,
+             |try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+             |CAST(NULL AS BIGINT) AS overflow_null
+             |FROM orders WHERE o_orderkey <= 100""".stripMargin)),
+
     // ── Bitmap-index aggregation: exact distinct via fixed-size bitmap
     //    buckets (bitmap_construct_agg per bucket, bitmap_or_agg to
     //    merge) — the roaring-bitmap-style exact-distinct scale path:
