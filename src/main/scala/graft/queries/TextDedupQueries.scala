@@ -408,6 +408,48 @@ object TextDedupQueries {
               |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
               |WHERE rn <= 3""".stripMargin)),
 
+    // ── Array-ops battery: slice / contains / position / distinct over
+    //    the staged token array (position: Spark returns 0 for absent,
+    //    DuckDB NULL — coalesced to the Spark convention) ──
+    QueryDef(
+      "txt_array_ops",
+      "token-array battery: head slice, membership, position, distinct size",
+      (s, d) =>
+        Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"),
+            expr("concat_ws(' ', slice(__toks, 1, 5))").as("head5"),
+            expr("array_contains(__toks, 'the')").as("has_the"),
+            expr("array_position(__toks, 'the')").as("pos_the"),
+            expr("size(array_distinct(slice(__toks, 1, 20)))").as("n_distinct20")),
+      Some(s"""SELECT doc_id,
+              |array_to_string(tk[1:5], ' ') AS head5,
+              |list_contains(tk, 'the') AS has_the,
+              |coalesce(list_position(tk, 'the'), 0)::BIGINT AS pos_the,
+              |len(list_distinct(tk[1:20])) AS n_distinct20
+              |FROM (SELECT doc_id, $dkTokens AS tk FROM documents)""".stripMargin)),
+
+    // ── Edit distance: Levenshtein over adjacent-doc head windows —
+    //    the char-level similarity primitive (identical DP definition
+    //    in both engines; windowed to 50 chars so the O(len²) DP stays
+    //    bounded per pair — the production guard for edit distance on
+    //    long documents) ──
+    QueryDef(
+      "txt_levenshtein",
+      "Levenshtein distance between adjacent documents' first 50 chars",
+      (s, d) => {
+        val h = t(s, d, "documents")
+          .select(col("doc_id"), expr("substring(text, 1, 50)").as("head"))
+        h.select(col("doc_id").as("doc_a"), col("head").as("head_a"))
+          .join(h.select((col("doc_id") - 1).as("doc_a"), col("head").as("head_b")),
+            Seq("doc_a"))
+          .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"),
+            levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
+      },
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |levenshtein(substring(a.text, 1, 50), substring(b.text, 1, 50)) AS edit_dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
     // ── Corpus-level n-gram statistics: global top-20 token trigrams —
     //    the vocabulary/boilerplate profiling pass of a training-data
     //    pipeline. Explode is per-row (no state), the count is one
