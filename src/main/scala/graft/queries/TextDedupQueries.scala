@@ -408,6 +408,33 @@ object TextDedupQueries {
               |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
               |WHERE rn <= 3""".stripMargin)),
 
+    // ── Character-diversity quality score: Gini impurity 1 − Σ(pᵢ²)
+    //    over the per-document character distribution — the rational
+    //    cousin of entropy, chosen deliberately: Σ p·log p would hinge
+    //    on ln()'s last ulp (libm-dependent, not exactly specified),
+    //    while counts²/total² is integer arithmetic + one IEEE division,
+    //    bit-identical across engines. Low values flag degenerate
+    //    (repeated-character) documents. ──
+    QueryDef(
+      "txt_gini_diversity",
+      "per-document character Gini impurity (rational diversity score)",
+      (s, d) =>
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_chars_g"),
+            round((lit(1.0) - (sum(col("cnt") * col("cnt")).cast("double") /
+              (sum("cnt") * sum("cnt")).cast("double"))).cast("decimal(18,12)"), 6)
+              .cast("double").as("gini")),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |cnts AS (SELECT doc_id, ch, count(*) AS cnt FROM ch
+             |  WHERE ch <> '' GROUP BY 1, 2)
+             |SELECT doc_id, sum(cnt) AS n_chars_g,
+             |  round((1.0 - (sum(cnt * cnt)::DOUBLE / (sum(cnt) * sum(cnt))::DOUBLE))::DECIMAL(18,12), 6)::DOUBLE AS gini
+             |FROM cnts GROUP BY doc_id""".stripMargin)),
+
     // ── Array-ops battery: slice / contains / position / distinct over
     //    the staged token array (position: Spark returns 0 for absent,
     //    DuckDB NULL — coalesced to the Spark convention) ──
