@@ -995,6 +995,34 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Share-of-total window: each group's fraction of the global
+    //    aggregate via an unpartitioned SUM-over-SUM window on the
+    //    ALREADY-AGGREGATED frame (25 nation rows — the empty-frame
+    //    window is over group totals, never raw rows, so the
+    //    single-partition exchange moves a dimension-sized frame) ──
+    QueryDef(
+      "window_share_of_total",
+      "per-nation revenue and share of the global total",
+      (s, d) => {
+        val byNation = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("o_totalprice").as("rev"))
+        byNation
+          .withColumn("share", round(
+            (col("rev") / sum("rev").over(Window.partitionBy())).cast("decimal(18,12)"), 6)
+            .cast("double"))
+          .select(col("n_name"), round(col("rev"), 2).as("revenue"), col("share"))
+      },
+      Some("""WITH by_nation AS (SELECT n_name, sum(o_totalprice) AS rev
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name)
+             |SELECT n_name, round(rev, 2) AS revenue,
+             |  round((rev / sum(rev) OVER ())::DECIMAL(18,12), 6)::DOUBLE AS share
+             |FROM by_nation""".stripMargin)),
+
     // ── MapType round-trip: per-user map of event_type → count built
     //    with map_from_entries over a deterministically sorted entry
     //    list, then exploded back to rows — the MapType construction /
