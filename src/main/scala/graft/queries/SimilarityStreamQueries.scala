@@ -651,6 +651,31 @@ object SimilarityStreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       bench = true),
 
+    // ── Co-occurrence (market-basket) pairs: which event types appear
+    //    together in the same user's history — per-user DISTINCT types
+    //    first (bounded by the type vocabulary), then a user-keyed
+    //    self-join of the reduced sets: the pair blowup is |types|²
+    //    per user, never |events|², the standard basket-analysis
+    //    shape at scale ──
+    QueryDef(
+      "cooccur_event_types",
+      "event-type co-occurrence counts across user histories",
+      (s, d) => {
+        val ut = t(s, d, "events").select("user_id", "event_type").distinct()
+        ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  count(*) AS n_users
+             |FROM ut a JOIN ut b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ── Count-min sketch heavy hitters: frequency estimation from a
     //    fixed 4×1024 counter grid — the sketch is a groupBy over
     //    (row, hash-bucket) so it partial-aggregates map-side and its
