@@ -995,6 +995,47 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Fixed-width histogram: the profiling primitive — one groupBy
+    //    on the integer bin id (floor division), map-side combinable;
+    //    no sort, no per-bin pass ──
+    QueryDef(
+      "histogram_order_value",
+      "order-value histogram in 1000-unit bins with per-bin extrema",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi")),
+      Some("""SELECT floor(o_totalprice / 1000.0)::BIGINT AS bin, count(*) AS n,
+             |round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ── Deterministic per-group mode: most frequent value chosen by
+    //    (count desc, value) — NOT the built-in mode(), whose tie
+    //    behavior is engine-defined; the two-level count + rank makes
+    //    ties reproducible on both engines ──
+    QueryDef(
+      "mode_priority_per_nation",
+      "most common order priority per customer nation (deterministic ties)",
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_nationkey")
+              .orderBy(col("n").desc, col("o_orderpriority"))))
+          .filter(col("rn") === 1)
+          .select("c_nationkey", "o_orderpriority", "n"),
+      Some("""SELECT c_nationkey, o_orderpriority, n FROM (
+             |  SELECT c_nationkey, o_orderpriority, count(*) AS n,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey, o_orderpriority)
+             |WHERE rn = 1""".stripMargin)),
+
     // ── Share-of-total window: each group's fraction of the global
     //    aggregate via an unpartitioned SUM-over-SUM window on the
     //    ALREADY-AGGREGATED frame (25 nation rows — the empty-frame
