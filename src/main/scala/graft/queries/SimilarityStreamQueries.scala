@@ -651,6 +651,21 @@ object SimilarityStreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       bench = true),
 
+    // ── Temporal profile: hour-of-day × type activity matrix — the
+    //    time-dimension extraction profile (one groupBy, map-side
+    //    combinable; UTC session timezone pins the hour on both
+    //    engines) ──
+    QueryDef(
+      "events_hourly_profile",
+      "hour-of-day activity counts per event type",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(hour(col("ts")).as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")),
+      Some("""SELECT EXTRACT(hour FROM ts)::INT AS hr, event_type,
+             |count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // ── Co-occurrence (market-basket) pairs: which event types appear
     //    together in the same user's history — per-user DISTINCT types
     //    first (bounded by the type vocabulary), then a user-keyed

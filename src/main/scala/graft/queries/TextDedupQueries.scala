@@ -408,6 +408,21 @@ object TextDedupQueries {
               |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
               |WHERE rn <= 3""".stripMargin)),
 
+    // ── Normalization-aware exact dedup: fingerprint AFTER lowercasing
+    //    and whitespace collapse, so documents differing only in case or
+    //    formatting collapse — the standard normalize-then-hash stage
+    //    between raw-byte exact dedup and near-dup MinHash ──
+    QueryDef(
+      "dedup_exact_normalized",
+      "exact duplicate groups on the case/whitespace-normalized fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+          .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n")),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             |min(doc_id) AS keep_doc, count(*) AS n
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ── Character-diversity quality score: Gini impurity 1 − Σ(pᵢ²)
     //    over the per-document character distribution — the rational
     //    cousin of entropy, chosen deliberately: Σ p·log p would hinge
