@@ -26,7 +26,12 @@ import scala.jdk.CollectionConverters._
   * (SMT/steal); the min of two independent passes bounds the odds that
   * a transient burst lands on the published number, while cold passes
   * keep the number honest — nothing is served from a warm index cache.
-  * Per-pass walls are preserved under "queries_pass1"/"queries_pass2".
+  * Queries whose two passes DISAGREE by more than 2× get one extra cold
+  * sample (only those — a burst that hits both full passes at the same
+  * query is exactly the case two samples can't bound, and re-running
+  * the handful of flagged queries costs seconds, not another full
+  * pass). Per-pass walls are preserved under "queries_pass1"/
+  * "queries_pass2"/"queries_pass3".
   */
 object Bench {
   private def cpuNanos(): Long =
@@ -79,8 +84,25 @@ object Bench {
 
     val pass1 = coldPass()
     val pass2 = coldPass()
+    // Third sample only where the two passes disagree >2× (contention
+    // signature): still cold — the memo clear makes each re-run rebuild
+    // its own index frames from parquet.
+    val disagree = pass1.zip(pass2).collect {
+      case ((n, a), (_, b))
+          if a.wall >= 0 && b.wall >= 0 &&
+            math.max(a.wall, b.wall) > 2.0 * math.min(a.wall, b.wall) => n
+    }
+    val pass3: Seq[(String, Timing)] =
+      if (disagree.isEmpty) Seq.empty
+      else {
+        graft.queries.TextDedupQueries.clearMemo(spark)
+        graft.queries.SimilarityStreamQueries.clearMemo(spark)
+        disagree.map(n => n -> materialize(n))
+      }
+    val p3 = pass3.toMap
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> (if (b.wall >= 0 && (b.wall < a.wall || a.wall < 0)) b else a)
+      val valid = (Seq(a, b) ++ p3.get(n)).filter(_.wall >= 0)
+      n -> (if (valid.nonEmpty) valid.minBy(_.wall) else a)
     }
     def jm(rs: Seq[(String, Timing)], f: Timing => Double): String = rs
       .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }.mkString("{", ",", "}")
@@ -92,7 +114,7 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

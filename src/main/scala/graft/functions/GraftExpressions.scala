@@ -439,6 +439,43 @@ object DotProduct {
   }
 }
 
+/** Sequential double dot product of two DOUBLE-array columns — the
+  * array<double> twin of [[DotProduct]] (which reads float elements and
+  * would mis-read a double array's bytes). Used by the trained-IVF path
+  * where centroids are per-dimension means (doubles) while queries are
+  * cast-to-double embeddings. Same fold order as the DuckDB
+  * `list_reduce(list_transform(...))` twin ⇒ bit-identical doubles. */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DoubleDotProduct.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DoubleDotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DoubleDotProduct {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Sign-random-projection LSH bucket over `nPlanes` deterministic
   * hyperplanes (table `tbl`'s planes are rows tbl*nPlanes.. of the
   * shared weight stream; tbl = 0 reproduces the single-table bucket).
@@ -518,6 +555,8 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_d", exprs => DoubleDotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_bucket",
       exprs => LshTableBucket(exprs.head, exprs(1),

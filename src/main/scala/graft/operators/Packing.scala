@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing: assembling documents into fixed token-budget
   * training sequences — the last mile of an LLM data pipeline.
@@ -46,11 +45,21 @@ object Packing {
       df: DataFrame,
       orderCol: String,
       valCol: String): DataFrame = {
+    // ONE materialization: eagerly localCheckpoint the range-partitioned
+    // layout itself. The checkpoint (a) freezes the sampling-derived
+    // range bounds so the __pid ↔ offset pairing below can never be
+    // broken by a re-bucketing recompute, (b) serves both the totals
+    // scan and the cumsum scan from the same blocks, and (c) is released
+    // by the ContextCleaner once the returned frame is unreferenced —
+    // unlike persist(), whose CacheManager entry lives for the session
+    // and accumulated across benchmark passes. Round 4 wrote the data
+    // twice (persist + a second checkpoint of the output); this writes
+    // it once and leaves the cumsum a narrow re-scannable map.
     val parted = df
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // one row per partition — driver-side metadata, not the data plane
     val totals = parted.groupBy("__pid")
@@ -75,17 +84,10 @@ object Packing {
     // task composition the final plan chooses. Rows of one __pid block
     // stay contiguous and key-ordered (narrow ops preserve intra-
     // partition order; coalesce concatenates parents in index order).
-    // Eagerly materialize the output, then drop the shuffle cache: the
-    // persisted `parted` is registered with the session CacheManager,
-    // which holds it strongly for the session's lifetime — repeated
-    // invocations (pack_sequences + pack_stats across benchmark passes)
-    // would otherwise accumulate MEMORY_AND_DISK entries forever. The
-    // localCheckpoint blocks, by contrast, are released by the
-    // ContextCleaner as soon as the returned frame is unreferenced.
-    // Unpersisting BEFORE materialization would be wrong, not just
-    // slow: range-partition bounds come from sampling, so a recompute
-    // could re-bucket rows and break the __pid ↔ offset pairing.
-    val out = parted.mapPartitions { rows =>
+    // The cumsum itself stays LAZY: it is a narrow linear scan over the
+    // frozen checkpoint blocks, deterministic on every re-evaluation, so
+    // a second materialization here would only duplicate the write.
+    parted.mapPartitions { rows =>
       var curPid = Int.MinValue
       var acc = 0L
       rows.map { r =>
@@ -96,9 +98,6 @@ object Packing {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .drop("__pid")
-      .localCheckpoint(true)
-    parted.unpersist(false)
-    out
   }
 
   /** Offset packing: (doc, n_tokens, seq_id) where seq_id is the bin

@@ -48,16 +48,61 @@ object SimilarityStreamQueries {
         .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  // IVF parameters: K coarse cells, nprobe probed per query. Centroids
-  // are the first K vectors — deterministic by construction, so cell
-  // assignment and search are exactly oracle-able (a trained k-means
-  // would swap in via the same frames without touching the plan).
+  // IVF parameters: K coarse cells, nprobe probed per query, and a
+  // fixed Lloyd refinement depth. Seed centroids are the first K
+  // vectors; `IvfIters` k-means rounds then sharpen them. Everything is
+  // deterministic and exactly oracle-able: assignments tie-break on
+  // (rounded cosine desc, cell), and centroid means are computed from
+  // INTEGER-quantized components (q = floor(v·2²⁰ + 0.5), exact for
+  // floats) — the per-cell sums are order-insensitive BIGINT sums, so
+  // the mean's double value is bit-identical in any engine, unlike a
+  // float summation whose result depends on aggregation order.
   val IvfK = 16
   val IvfProbe = 4
+  val IvfIters = 3
+
+  /** Trained centroids (cell, cw: array<double>, cn): `IvfIters` Lloyd
+    * rounds from the first-K seed. Each round is one broadcast-crossjoin
+    * assignment (n×K, narrow) plus one map-side-combined integer agg —
+    * at 100 TB this is the standard distributed k-means shape, with only
+    * the K×dim centroid frame ever checkpointed between rounds. */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#ivfcent"), {
+      graft.functions.GraftFunctions.register(s)
+      val q = graft.operators.Dedup.spread(t(s, d, "embeddings"))
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))")
+            .as("qemb"))
+        .withColumn("nrm", expr("sqrt(graft_dot_d(emb_d, emb_d))"))
+        .localCheckpoint(true) // reused by every training round
+      def assign(cent: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cent))
+          .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("qemb"), col("cell"))
+      def update(a: DataFrame): DataFrame =
+        a.select(col("cell"), posexplode(col("qemb")).as(Seq("i", "qv")))
+          .groupBy("cell", "i")
+          .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+          .groupBy("cell")
+          .agg(collect_list(struct(col("i"),
+            (col("s").cast("double") / col("n").cast("double")).as("w"))).as("ws"))
+          .select(col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
+          .withColumn("cn", expr("sqrt(graft_dot_d(cw, cw))"))
+      var cent = q.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cell"), col("emb_d").as("cw"), col("nrm").as("cn"))
+        .localCheckpoint(true)
+      for (_ <- 1 to IvfIters)
+        cent = update(assign(cent)).localCheckpoint(true) // K×dim rows: metadata-sized
+      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** IVF index: every vector with its argmax-cosine cell (one row per
     * vector; each vector lives in exactly one cell). Broadcast the K
-    * centroids, rank cells per vector, keep rank 1. */
+    * trained centroids, rank cells per vector, keep rank 1. */
   private def ivfCells(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#ivf"), {
       val ranked = ivfRanked(s, d)
@@ -66,30 +111,58 @@ object SimilarityStreamQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** All (vector, cell) similarities ranked per vector — rank 1 is the
-    * home cell, ranks ≤ nprobe are a query's probe set. */
+  /** All (vector, cell) similarities against the TRAINED centroids,
+    * ranked per vector — rank 1 is the home cell, ranks ≤ nprobe are a
+    * query's probe set. */
   private def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val cent = emb.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-      .withColumn("c_norm", graft.functions.VectorFunctions.norm("c_emb"))
-    graft.operators.Dedup.spread(emb)
+    graft.functions.GraftFunctions.register(s)
+    graft.operators.Dedup.spread(t(s, d, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("csim", round(
-        graft.functions.VectorFunctions.dot("embedding", "c_emb") /
-          (col("nrm") * col("c_norm")), 8))
+      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .drop("emb_d", "cw", "cn", "csim")
   }
 
-  // DuckDB twin: ranked (vector, cell) similarities.
-  private def dkIvfRanked: String =
-    s"""(SELECT v.vec_id, v.embedding, ${dkNorm("v.embedding")} AS nrm, c.vec_id AS cell,
-       |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |    round(${dkDot("v.embedding", "c.embedding")} /
-       |      (${dkNorm("v.embedding")} * ${dkNorm("c.embedding")}), 8) DESC, c.vec_id) AS rn
-       |FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $IvfK) c)""".stripMargin
+  // Double-list dot fold (same index order as graft_dot_d).
+  private def dkDotD(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of the trained-IVF pipeline: CTE chain `qv` (quantized
+    * vectors) → c0 (seed) → a1/c1 … a_I/c_I (Lloyd rounds) → `rk`
+    * (ranked (vector, cell) against the final centroids, same columns
+    * the old untrained `rk` exposed). Centroid means divide exact
+    * BIGINT sums, so every double here is bit-identical to Spark's. */
+  private def dkIvfCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""qv AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+              |  list_transform(embedding, v -> floor(v::DOUBLE * 1048576.0 + 0.5)::BIGINT) AS qemb
+              |  FROM embeddings),
+              |c0 AS (SELECT vec_id AS cell, list_transform(embedding, v -> v::DOUBLE) AS cw,
+              |  ${dkNorm("embedding")} AS cn FROM embeddings WHERE vec_id < $IvfK)""".stripMargin
+    for (r <- 1 to IvfIters) {
+      sb ++= s""",
+                |a$r AS (SELECT vec_id, qemb, cell FROM (
+                |  SELECT v.vec_id, v.qemb, c.cell, row_number() OVER (PARTITION BY v.vec_id
+                |    ORDER BY round(${dkDotD("v.embedding", "c.cw")} / (v.nrm * c.cn), 8) DESC, c.cell) AS rn
+                |  FROM qv v CROSS JOIN c${r - 1} c) WHERE rn = 1),
+                |c$r AS (SELECT cell, cw, sqrt(${dkDotD("cw", "cw")}) AS cn FROM (
+                |  SELECT cell, list(w ORDER BY i) AS cw FROM (
+                |    SELECT cell, i, sum(qvv)::DOUBLE / count(*)::DOUBLE AS w FROM (
+                |      SELECT cell, unnest(qemb) AS qvv, unnest(range(1, ${Dim + 1})) AS i FROM a$r)
+                |    GROUP BY cell, i) GROUP BY cell))""".stripMargin
+    }
+    sb ++= s""",
+              |rk AS (SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+              |  row_number() OVER (PARTITION BY v.vec_id
+              |    ORDER BY round(${dkDotD("v.embedding", "c.cw")} / (v.nrm * c.cn), 8) DESC, c.cell) AS rn
+              |  FROM qv v CROSS JOIN c$IvfIters c)""".stripMargin
+    sb.toString
+  }
 
   /** Multi-table ANN index (vec_id, embedding, nrm, tbl, bucket). */
   private def embTables(s: SparkSession, d: String): DataFrame =

@@ -426,13 +426,16 @@ object TextDedupQueries {
     // ── Character-diversity quality score: Gini impurity 1 − Σ(pᵢ²)
     //    over the per-document character distribution — the rational
     //    cousin of entropy, chosen deliberately: Σ p·log p would hinge
-    //    on ln()'s last ulp (libm-dependent, not exactly specified),
-    //    while counts²/total² is integer arithmetic + one IEEE division,
-    //    bit-identical across engines. Low values flag degenerate
-    //    (repeated-character) documents. ──
+    //    on ln()'s last ulp (libm-dependent, not exactly specified).
+    //    The score is published at 1e-6 precision as a BIGINT computed
+    //    entirely in integer arithmetic — gini_e6 = ((n²−s2)·10⁶ +
+    //    n² div 2) div n², HALF_UP by construction — so no double→
+    //    decimal cast semantics (which differ across DuckDB builds) can
+    //    ever diverge. Low values flag degenerate (repeated-character)
+    //    documents. ──
     QueryDef(
       "txt_gini_diversity",
-      "per-document character Gini impurity (rational diversity score)",
+      "per-document character Gini impurity at 1e-6 (pure integer arithmetic)",
       (s, d) =>
         Dedup.spread(t(s, d, "documents"))
           .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
@@ -440,15 +443,22 @@ object TextDedupQueries {
           .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id")
           .agg(sum("cnt").as("n_chars_g"),
-            round((lit(1.0) - (sum(col("cnt") * col("cnt")).cast("double") /
-              (sum("cnt") * sum("cnt")).cast("double"))).cast("decimal(18,12)"), 6)
-              .cast("double").as("gini")),
+            sum(col("cnt") * col("cnt")).as("__s2"))
+          .select(col("doc_id"), col("n_chars_g"),
+            expr("""((n_chars_g * n_chars_g - __s2) * 1000000L
+                    | + (n_chars_g * n_chars_g) div 2)
+                    | div (n_chars_g * n_chars_g)""".stripMargin.replace("\n", ""))
+              .as("gini_e6")),
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
              |cnts AS (SELECT doc_id, ch, count(*) AS cnt FROM ch
-             |  WHERE ch <> '' GROUP BY 1, 2)
-             |SELECT doc_id, sum(cnt) AS n_chars_g,
-             |  round((1.0 - (sum(cnt * cnt)::DOUBLE / (sum(cnt) * sum(cnt))::DOUBLE))::DECIMAL(18,12), 6)::DOUBLE AS gini
-             |FROM cnts GROUP BY doc_id""".stripMargin)),
+             |  WHERE ch <> '' GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars_g,
+             |  sum(cnt * cnt)::BIGINT AS s2 FROM cnts GROUP BY doc_id)
+             |SELECT doc_id, n_chars_g,
+             |  ((n_chars_g * n_chars_g - s2) * 1000000
+             |   + (n_chars_g * n_chars_g) // 2)
+             |  // (n_chars_g * n_chars_g) AS gini_e6
+             |FROM agg""".stripMargin)),
 
     // ── Array-ops battery: slice / contains / position / distinct over
     //    the staged token array (position: Spark returns 0 for absent,

@@ -426,35 +426,45 @@ object TpchMoreQueries {
              |  GROUP BY c_custkey)
              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
-    // ── Q15 shape: max-over-aggregated-view (top revenue supplier; the
-    //    max is a 1-row agg broadcast back, not a driver collect) ──
+    // ── Q15 shape: max-over-aggregated-view (top revenue supplier). The
+    //    winner is picked by row_number over the UNROUNDED sum with a
+    //    s_suppkey tiebreak — never by float equality against a
+    //    separately-evaluated max, which Spark would compute from a
+    //    second partial-aggregation pass with a potentially different
+    //    summation order. The window sorts only the per-supplier agg
+    //    output (|suppliers| rows), not the fact table. ──
     QueryDef(
       "q15_top_supplier",
-      "supplier(s) with the maximum quarterly revenue (view + scalar max)",
+      "supplier with the maximum quarterly revenue (view + rank-1 pick)",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val rev = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
           .select("l_suppkey", "l_extendedprice", "l_discount")
           .groupBy("l_suppkey")
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("total_revenue"))
-        val mx = rev.agg(max("total_revenue").as("__mx"))
-        rev.crossJoin(broadcast(mx))
-          .filter(col("total_revenue") === col("__mx"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev_raw"))
+        val w = Window.orderBy(col("__rev_raw").desc, col("l_suppkey").asc)
+        rev.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
           .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
-          .select("s_suppkey", "s_name", "total_revenue")
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("__rev_raw"), 2).as("total_revenue"))
           .orderBy("s_suppkey")
       },
       Some("""WITH revenue AS (
-             |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+             |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw
              |  FROM lineitem
              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-             |  GROUP BY l_suppkey)
-             |SELECT s_suppkey, s_name, total_revenue
-             |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |  GROUP BY l_suppkey),
+             |ranked AS (
+             |  SELECT l_suppkey, rev_raw,
+             |    row_number() OVER (ORDER BY rev_raw DESC, l_suppkey ASC) AS rn
+             |  FROM revenue)
+             |SELECT s_suppkey, s_name, round(rev_raw, 2) AS total_revenue
+             |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE rn = 1
              |ORDER BY s_suppkey""".stripMargin)),
 
     // ── Q17 shape: per-part correlated AVG threshold (small-quantity
