@@ -36,6 +36,12 @@ object RangeJoin {
     * `hiCol`): one output row per (point, containing interval), with
     * all columns of both inputs. Empty intervals (lo > hi) match
     * nothing; null bounds/values are dropped.
+    *
+    * Column names of the two inputs must not collide (same precondition
+    * as [[intervalOverlap]]), and neither input may already carry a
+    * `__bucket` column — the post-join BETWEEN predicate resolves by
+    * name, so a collision would make it ambiguous or silently bind to
+    * the wrong side. Alias columns before calling if needed.
     */
   def pointInInterval(
       points: DataFrame,

@@ -60,6 +60,14 @@ object SimilarityStreamQueries {
   val IvfK = 16
   val IvfProbe = 4
   val IvfIters = 3
+  // Database-side multi-assignment: each vector is POSTED to its top-
+  // `IvfAssign` cells (its home cell is still rank 1 — `sim_ivf_cells`
+  // is unchanged in meaning). Replicated postings are the standard
+  // recall lever that leaves query-side nprobe (and thus query cost)
+  // fixed: a neighbor is found if ANY of its posted cells is probed.
+  // Index size grows by exactly IvfAssign×; candidates are
+  // distinct-deduped before scoring so nothing is scored twice.
+  val IvfAssign = 2
 
   /** Trained centroids (cell, cw: array<double>, cn): `IvfIters` Lloyd
     * rounds from the first-K seed. Each round is one broadcast-crossjoin
@@ -341,30 +349,34 @@ object SimilarityStreamQueries {
               |GROUP BY b.query_id""".stripMargin)),
 
     // ── IVF ANN (partition-based, the second ANN family): coarse-cell
-    //    assignment + nprobe search. Deterministic centroids ⇒ exact
-    //    oracles for the index, the search, and its recall. ──
+    //    assignment + nprobe search over TRAINED centroids (IvfIters
+    //    Lloyd rounds, integer-quantized means). Deterministic training
+    //    ⇒ exact oracles for the index, the search, and its recall. ──
     QueryDef(
       "sim_ivf_cells",
-      s"IVF coarse-cell assignment (argmax cosine over $IvfK centroids)",
+      s"IVF coarse-cell assignment (argmax cosine over $IvfK trained centroids)",
       (s, d) => ivfCells(s, d).select("vec_id", "cell"),
-      Some(s"""WITH rk AS $dkIvfRanked
+      Some(s"""WITH $dkIvfCtes
               |SELECT vec_id, cell FROM rk WHERE rn = 1""".stripMargin)),
 
     QueryDef(
       "sim_ivf_topk",
-      s"IVF top-3: probe the $IvfProbe best of $IvfK cells per query",
+      s"IVF top-3: probe the $IvfProbe best of $IvfK cells against ${IvfAssign}x-posted index",
       (s, d) => {
         val probes = ivfRanked(s, d)
           .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
           .select(col("vec_id").as("query_id"), col("cell"))
+        val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+          .select(col("vec_id").as("cand_id"), col("cell"))
         val cells = ivfCells(s, d)
-        val cands = cells.select(col("vec_id").as("cand_id"),
-          col("embedding").as("c_emb"), col("nrm").as("c_norm"), col("cell"))
-        val qemb = cells.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb"), col("nrm").as("q_norm"))
-        probes.join(cands, Seq("cell"))
+        val pairs = probes.join(posts, Seq("cell"))
           .filter(col("query_id") =!= col("cand_id"))
-          .join(qemb, Seq("query_id"))
+          .select("query_id", "cand_id").distinct()
+        pairs
+          .join(cells.select(col("vec_id").as("cand_id"),
+            col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))
+          .join(cells.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
           .withColumn("cosine", round(
             graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
               (col("q_norm") * col("c_norm")), 8))
@@ -373,13 +385,16 @@ object SimilarityStreamQueries {
           .filter(col("rnk") <= 3)
           .select("query_id", "cand_id", "cosine", "rnk")
       },
-      Some(s"""WITH rk AS $dkIvfRanked,
+      Some(s"""WITH $dkIvfCtes,
               |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
               |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
-              |scored AS (SELECT p.query_id, c.vec_id AS cand_id,
+              |posts AS (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign),
+              |pairs AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM probes p JOIN posts c ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |scored AS (SELECT pr.query_id, pr.cand_id,
               |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
-              |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
-              |  JOIN cells q ON q.vec_id = p.query_id)
+              |  FROM pairs pr JOIN cells c ON c.vec_id = pr.cand_id
+              |  JOIN cells q ON q.vec_id = pr.query_id)
               |SELECT query_id, cand_id, cosine,
               |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
               |FROM scored QUALIFY rnk <= 3""".stripMargin)),
@@ -391,11 +406,15 @@ object SimilarityStreamQueries {
         val probes = ivfRanked(s, d)
           .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
           .select(col("vec_id").as("query_id"), col("cell"))
+        val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+          .select(col("vec_id").as("cand_id"), col("cell"))
         val cells = ivfCells(s, d)
-        val ann = probes
-          .join(cells.select(col("vec_id").as("cand_id"),
-            col("embedding").as("c_emb"), col("nrm").as("c_norm"), col("cell")), Seq("cell"))
+        val pairs = probes.join(posts, Seq("cell"))
           .filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "cand_id").distinct()
+        val ann = pairs
+          .join(cells.select(col("vec_id").as("cand_id"),
+            col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))
           .join(cells.select(col("vec_id").as("query_id"),
             col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
           .withColumn("cosine", round(
@@ -414,16 +433,19 @@ object SimilarityStreamQueries {
           .select(col("query_id"), col("n_hits"),
             round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
       },
-      Some(s"""WITH rk AS $dkIvfRanked,
+      Some(s"""WITH $dkIvfCtes,
               |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
               |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
+              |posts AS (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign),
+              |pairs AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM probes p JOIN posts c ON c.cell = p.cell AND c.cand_id <> p.query_id),
               |ann AS (SELECT * FROM (
-              |  SELECT p.query_id, c.vec_id AS cand_id,
-              |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+              |  SELECT pr.query_id, pr.cand_id,
+              |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
               |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
-              |      c.vec_id) AS rnk
-              |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
-              |  JOIN cells q ON q.vec_id = p.query_id) WHERE rnk <= 3),
+              |      pr.cand_id) AS rnk
+              |  FROM pairs pr JOIN cells c ON c.vec_id = pr.cand_id
+              |  JOIN cells q ON q.vec_id = pr.query_id) WHERE rnk <= 3),
               |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
               |brute AS (SELECT * FROM (
               |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

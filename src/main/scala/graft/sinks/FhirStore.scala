@@ -155,13 +155,14 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
   *  - snapshots of per-subject child resources fan out per partition
   *    (the distributed twin of the reference's per-patient GETs);
   *  - full-store snapshots fan page offsets out across executors
-  *    (`?_count/_offset` after one `_summary=count` sizing call),
-  *    falling back to the sequential cursor pager only when the store
-  *    reports no search total.
+  *    (`?_count/_offset` after one `_summary=count` sizing call); for
+  *    stores with no search total the fallback walks a slim
+  *    `_elements=id` cursor (ids only on the driver) and fans the
+  *    resource fetch out as `?_id=a,b,c` shard batches.
   * Driver never touches row data.
   */
 class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
-    pageSize: Int = 1000)
+    pageSize: Int = 1000, idBatch: Int = 100)
     extends FhirStore with Serializable {
 
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
@@ -239,31 +240,68 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
       }.toDF("key", "id")
   }
 
-  /** Sequential `link: next` cursor pager — the fallback when the store
-    * reports no search total. Driver-side by necessity: each page's URL
-    * comes from the previous response. */
+  /** Keyspace-sharded fallback for stores that report no search total.
+    *
+    * The `link: next` walk itself cannot be parallelized — each page URL
+    * comes from the previous response — so it is split into two phases:
+    *
+    *  1. a slim driver cursor walks the ID INDEX (`_elements=id`), so
+    *     the driver accumulates only resource-id strings — per-row
+    *     metadata (~16 bytes), never resource bodies. Servers that
+    *     ignore `_elements` just send fatter pages; ids are still all
+    *     the driver keeps.
+    *  2. the ids fan out across executors, and each partition bulk-
+    *     fetches its shard with standard `?_id=a,b,c` token-OR searches
+    *     (`idBatch` ids per request, pooled client).
+    *
+    * The resource fetch — the real byte cost — is distributed over >1
+    * partition exactly like the offset pager; only the O(n)·16-byte id
+    * walk stays sequential. Reference behavior this replaces: the
+    * driver-buffered one-shot search of `cnics_to_fhir.py:215-217`. */
   private def snapshotCursor(spark: SparkSession, resourceType: String): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val c = client()
-    val buf = scala.collection.mutable.ArrayBuffer[Row]()
-    var url = s"$baseUrl/$resourceType?_count=1000&_format=json"
+    val ids = scala.collection.mutable.ArrayBuffer[String]()
+    var url = s"$baseUrl/$resourceType?_elements=id&_count=${math.max(1, pageSize)}&_format=json"
     while (url != null) {
       val r = send(c, HttpRequest.newBuilder(URI.create(url)).GET().build())
       val root = mapper.readTree(r.body())
-      val entries = root.path("entry")
-      entries.forEach { e =>
-        val res = e.path("resource")
-        val key = res.path("identifier").path(0).path("value").asText(null)
-        val id = res.path("id").asText(null)
-        if (key != null && id != null) buf += Row(key, id)
+      root.path("entry").forEach { e =>
+        val id = e.path("resource").path("id").asText(null)
+        if (id != null) ids += id
       }
       url = null
       root.path("link").forEach { l =>
         if (l.path("relation").asText() == "next") url = l.path("url").asText()
       }
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 10000)),
-      FhirStore.snapshotSchema)
+    if (ids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
+    val base = baseUrl
+    val rt = resourceType
+    val bsz = math.max(1, idBatch)
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (ids.size + bsz - 1) / bsz))
+    import spark.implicits._
+    spark.createDataset(ids.toSeq)
+      .repartition(nParts)
+      .mapPartitions { part =>
+        val pc = HttpClient.newHttpClient()
+        val pm = new com.fasterxml.jackson.databind.ObjectMapper()
+        part.grouped(bsz).flatMap { g =>
+          val r = send(pc, HttpRequest.newBuilder(URI.create(
+            s"$base/$rt?_id=${g.mkString(",")}&_count=${g.size}&_format=json")).GET().build())
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          pm.readTree(r.body()).path("entry").forEach { e =>
+            val res = e.path("resource")
+            val key = res.path("identifier").path(0).path("value").asText(null)
+            val id = res.path("id").asText(null)
+            if (key != null && id != null) out += ((key, id))
+          }
+          out
+        }
+      }.toDF("key", "id")
   }
 
   /** Distributed per-subject child snapshot: the cohort's subject ids

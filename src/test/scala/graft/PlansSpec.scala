@@ -81,6 +81,40 @@ class PlanGateSpec extends AnyFunSuite {
     assert(probeGenerates === 1, s"probe expansion must be query-side only:\n$p")
   }
 
+  test("txt_top_ngrams plans TakeOrdered over partial counts, no global sort") {
+    // explode → map-side-combined count → TakeOrderedAndProject: the
+    // top-20 must never materialize a fully sorted count frame
+    val p = plan("txt_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("cooccur_event_types joins sessions-to-sessions, never events squared") {
+    // the co-occurrence pair frame must be built from per-session type
+    // sets (one agg each side), not a raw events self-join; the telltale
+    // wrong shape is a join whose BOTH inputs scan events un-aggregated
+    val q = graft.SparkEntry.queries("cooccur_event_types")(spark, d)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins.foreach { j =>
+      val leftRaw = j.left.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty
+      val rightRaw = j.right.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty
+      assert(!(leftRaw && rightRaw),
+        s"join with two un-aggregated inputs (events² hazard):\n$j")
+    }
+  }
+
+  test("histogram_order_value aggregates with a partial (map-side) phase") {
+    val p = plan("histogram_order_value")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
