@@ -51,9 +51,12 @@ object Components {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    // The two-orientation frame stays LAZY: it is a narrow union over
+    // the checkpointed `adj` blocks, so each round's re-evaluation is a
+    // cheap block read — a second materialization job would only add
+    // scheduling latency (the frames here are cluster-metadata-sized).
     val both = adj
       .union(adj.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
 
     // Seed labels with the closed-neighborhood minimum — one map-side-
     // combined agg over the edge frame instead of the identity

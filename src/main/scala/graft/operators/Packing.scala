@@ -45,21 +45,24 @@ object Packing {
       df: DataFrame,
       orderCol: String,
       valCol: String): DataFrame = {
-    // ONE materialization: eagerly localCheckpoint the range-partitioned
-    // layout itself. The checkpoint (a) freezes the sampling-derived
-    // range bounds so the __pid ↔ offset pairing below can never be
-    // broken by a re-bucketing recompute, (b) serves both the totals
-    // scan and the cumsum scan from the same blocks, and (c) is released
-    // by the ContextCleaner once the returned frame is unreferenced —
-    // unlike persist(), whose CacheManager entry lives for the session
-    // and accumulated across benchmark passes. Round 4 wrote the data
-    // twice (persist + a second checkpoint of the output); this writes
-    // it once and leaves the cumsum a narrow re-scannable map.
+    // ONE materialization: localCheckpoint the range-partitioned layout
+    // itself, LAZILY — the blocks are written by the first job that
+    // computes them, which is the totals scan below, so layout + totals
+    // cost one job instead of two. The checkpoint (a) freezes the
+    // sampling-derived range bounds so the __pid ↔ offset pairing below
+    // can never be broken by a re-bucketing re-execution, (b) serves
+    // both the totals scan and the cumsum scan from the same blocks,
+    // and (c) is released by the ContextCleaner once the returned frame
+    // is unreferenced — unlike persist(), whose CacheManager entry
+    // lives for the session and accumulated across benchmark passes.
+    // Round 4 wrote the data twice (persist + a second checkpoint of
+    // the output); this writes it once, in-line with the totals job,
+    // and leaves the cumsum a narrow re-scannable map.
     val parted = df
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // one row per partition — driver-side metadata, not the data plane
     val totals = parted.groupBy("__pid")

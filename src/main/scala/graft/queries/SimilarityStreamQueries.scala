@@ -471,6 +471,65 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkEmbPairCtes
               |SELECT id_a, id_b, cosine FROM sp""".stripMargin)),
 
+    // ── Incremental embedding-index ingest: the vector twin of
+    //    dedup_incremental — a NEW batch (vec_id ≥ 400) joins the STORED
+    //    multi-table LSH index (vec_id < 400) plus itself, instead of
+    //    re-indexing the world. Per-side hot-bucket caps, distinct
+    //    candidate pairs, exact-cosine rescore with the same ≥ 0.3
+    //    near-dup threshold. At scale the `old` side is yesterday's
+    //    persisted index table; the join stays keyed on (tbl, bucket). ──
+    QueryDef(
+      "sim_incremental_index",
+      "new vector batch vs stored multi-table LSH index (cross + within pairs, cosine >= 0.3)",
+      (s, d) => {
+        val wt = embTables(s, d)
+        def side(pred: org.apache.spark.sql.Column, tag: String) =
+          graft.operators.Dedup.dropHotBuckets(
+            wt.filter(pred).select(col("vec_id"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, s"sim_incr_$tag")
+        val oldC = side(col("vec_id") < 400, "old")
+        val newC = side(col("vec_id") >= 400, "new")
+        val cross = newC.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+          .join(oldC.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .select("id_a", "id_b").distinct()
+          .withColumn("vs", lit("old"))
+        val within = newC.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+          .join(newC.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .withColumn("vs", lit("new"))
+        val e = wt.filter(col("tbl") === 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+        cross.unionByName(within)
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+            col("nrm").as("na")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+            col("nrm").as("nb")), Seq("id_b"))
+          .withColumn("cosine", round(
+            graft.functions.VectorFunctions.dot("ea", "eb") / (col("na") * col("nb")), 8))
+          .filter(col("cosine") >= 0.3)
+          .select("id_a", "id_b", "vs", "cosine")
+      },
+      Some(s"""WITH wt AS $dkTables,
+              |oldc AS (SELECT vec_id, tbl, bucket FROM wt WHERE vec_id < 400
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |newc AS (SELECT vec_id, tbl, bucket FROM wt WHERE vec_id >= 400
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |crossp AS (SELECT DISTINCT n.vec_id AS id_a, o.vec_id AS id_b, 'old' AS vs
+              |  FROM newc n JOIN oldc o USING (tbl, bucket)),
+              |within AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, 'new' AS vs
+              |  FROM newc a JOIN newc b
+              |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |pp AS (SELECT * FROM crossp UNION ALL SELECT * FROM within),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings)
+              |SELECT * FROM (
+              |  SELECT id_a, id_b, vs,
+              |    round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS cosine
+              |  FROM pp JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+              |) WHERE cosine >= 0.3""".stripMargin)),
+
     // ── Semantic dedup: the embedding analogue of dedup_components —
     //    near-dup pairs (cosine >= 0.3 via multi-table LSH) closed into
     //    clusters by distributed connected components; keeping min-id

@@ -997,6 +997,35 @@ object TextDedupQueries {
               |    THEN 1.0 - len(${dkTokShingles("text")})
               |      / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6) <= 0.999""".stripMargin)),
 
+    // ── Percentile-based curation: keep the top half of each SOURCE by
+    //    token count. The cut is 2·rank ≤ n+1 — pure integer arithmetic
+    //    on rank() and a partition count, so no engine pair can disagree
+    //    (no ratio, no round, no float). Partitioned window ⇒ scale-safe:
+    //    the sort is per-source, never global; at 100 TB the same shape
+    //    holds with source as the shuffle key (salting a mega-source
+    //    would compose via the existing skew machinery). ──
+    QueryDef(
+      "corpus_filter_percentile",
+      "top-half-per-source curation cut (integer median rank, no float threshold)",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_tokens").desc, col("doc_id"))
+        Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .withColumn("n_tokens", TextFunctions.tokenCount("__toks"))
+          .withColumn("__rnk", rank().over(w))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .filter(col("__rnk") * 2 <= col("__n") + 1)
+          .select("doc_id", "source", "n_tokens")
+      },
+      Some(s"""SELECT doc_id, source, n_tokens FROM (
+              |  SELECT doc_id, source, len($dkTokens) AS n_tokens,
+              |    rank() OVER (PARTITION BY source ORDER BY len($dkTokens) DESC, doc_id) AS rnk,
+              |    count(*) OVER (PARTITION BY source) AS n
+              |  FROM documents)
+              |WHERE rnk * 2 <= n + 1""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",

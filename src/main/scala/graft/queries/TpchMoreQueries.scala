@@ -427,25 +427,23 @@ object TpchMoreQueries {
              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
     // ── Q15 shape: max-over-aggregated-view (top revenue supplier). The
-    //    winner is picked by row_number over the UNROUNDED sum with a
-    //    s_suppkey tiebreak — never by float equality against a
+    //    winner is picked by ordered LIMIT 1 over the UNROUNDED sum with
+    //    a s_suppkey tiebreak — never by float equality against a
     //    separately-evaluated max, which Spark would compute from a
     //    second partial-aggregation pass with a potentially different
-    //    summation order. The window sorts only the per-supplier agg
-    //    output (|suppliers| rows), not the fact table. ──
+    //    summation order. orderBy+limit plans as TakeOrderedAndProject
+    //    (per-partition top-1, tiny driver merge) — no single-partition
+    //    window even if the supplier dimension grows 100×. ──
     QueryDef(
       "q15_top_supplier",
-      "supplier with the maximum quarterly revenue (view + rank-1 pick)",
+      "supplier with the maximum quarterly revenue (view + ordered-limit pick)",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val rev = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
           .select("l_suppkey", "l_extendedprice", "l_discount")
           .groupBy("l_suppkey")
           .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev_raw"))
-        val w = Window.orderBy(col("__rev_raw").desc, col("l_suppkey").asc)
-        rev.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
+        rev.orderBy(col("__rev_raw").desc, col("l_suppkey").asc).limit(1)
           .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
@@ -458,13 +456,11 @@ object TpchMoreQueries {
              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
              |  GROUP BY l_suppkey),
-             |ranked AS (
-             |  SELECT l_suppkey, rev_raw,
-             |    row_number() OVER (ORDER BY rev_raw DESC, l_suppkey ASC) AS rn
-             |  FROM revenue)
+             |top1 AS (
+             |  SELECT l_suppkey, rev_raw FROM revenue
+             |  ORDER BY rev_raw DESC, l_suppkey ASC LIMIT 1)
              |SELECT s_suppkey, s_name, round(rev_raw, 2) AS total_revenue
-             |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
-             |WHERE rn = 1
+             |FROM top1 JOIN supplier ON l_suppkey = s_suppkey
              |ORDER BY s_suppkey""".stripMargin)),
 
     // ── Q17 shape: per-part correlated AVG threshold (small-quantity
