@@ -115,6 +115,18 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("corpus_filter_percentile windows are partitioned: no single-partition sort") {
+    val p = plan("corpus_filter_percentile")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sim_incremental_index joins stay bucket-keyed: no cartesian, no nested loop") {
+    val p = plan("sim_incremental_index")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
