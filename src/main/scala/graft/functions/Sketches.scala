@@ -81,3 +81,24 @@ object KmvAgg extends Aggregator[Long, Array[Long], Long] {
   def outputEncoder: org.apache.spark.sql.Encoder[Long] =
     ExpressionEncoder[Long]()
 }
+
+/** KMV sketch VALUE aggregator: same buffer as [[KmvAgg]] but the
+  * finished output is the sketch itself (sorted array of ≤ K minimum
+  * distinct hashes). This is the theta-sketch form of KMV: two sketches
+  * support SET OPERATIONS — with θ = min of the two K-th minima (P for
+  * a non-full sketch), the entries strictly below θ are a uniform
+  * hash-sample of each set, so |A∩B| ≈ |sample_A ∩ sample_B|·P/θ and
+  * |A∪B| ≈ |sample_A ∪ sample_B|·P/θ, all in integer arithmetic — a
+  * DuckDB oracle replays every step bit-for-bit. The standard use is
+  * audience-overlap estimation across segments without rescanning raw
+  * rows: sketches are tiny (≤ K longs), mergeable, and storable. */
+object KmvSketchAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+  def zero: Array[Long] = KmvAgg.zero
+  def reduce(buf: Array[Long], x: Long): Array[Long] = KmvAgg.reduce(buf, x)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvAgg.merge(a, b)
+  def finish(buf: Array[Long]): Array[Long] = buf
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}

@@ -29,7 +29,32 @@ object AsofJoin {
     * containing (timeCol, payloadCols...). Inner semantics: left rows
     * with no prior right row are dropped. Left columns pass through. */
   def asof(leftDf: DataFrame, rightDf: DataFrame, keyCol: String, timeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asofImpl(leftDf, rightDf, keyCol, timeCol, payloadCols, forward = false, toleranceNone)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.time >= left.time in the same key — the "next event after"
+    * direction (pandas merge_asof direction='forward'). Same one-
+    * shuffle union+window plan, ordered descending so the carry-forward
+    * sees the future. */
+  def asofForward(leftDf: DataFrame, rightDf: DataFrame, keyCol: String, timeCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    asofImpl(leftDf, rightDf, keyCol, timeCol, payloadCols, forward = true, toleranceNone)
+
+  /** Tolerance-bounded as-of (either direction): matches further than
+    * `tolerance` time units away are dropped (inner semantics, like
+    * pandas merge_asof `tolerance=`). The bound is a post-window filter
+    * on the matched pair — the window plan is unchanged, so the cost is
+    * one codegen'd comparison per row. */
+  def asofTolerance(leftDf: DataFrame, rightDf: DataFrame, keyCol: String, timeCol: String,
+      payloadCols: Seq[String], tolerance: Long, forward: Boolean = false): DataFrame =
+    asofImpl(leftDf, rightDf, keyCol, timeCol, payloadCols, forward, tolerance)
+
+  private val toleranceNone = -1L
+
+  private def asofImpl(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String], forward: Boolean,
+      tolerance: Long): DataFrame = {
     val matchStruct = struct((timeCol +: payloadCols).map(col): _*)
     val matchType = rightDf.select(matchStruct).schema.head.dataType
 
@@ -42,13 +67,25 @@ object AsofJoin {
       .select(col(keyCol), col(timeCol), matchStruct.as("__rp"))
       .withColumn("__tag", lit(0))
 
+    // Backward: ascending time, right (tag 0) before left at equal
+    // times ⇒ last-seen right is the latest with time <= left.time.
+    // Forward: DESCENDING time with the same tag order ⇒ last-seen
+    // right is the earliest with time >= left.time.
+    val ord = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(timeCol), col("__tag"))
+      .orderBy(ord, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val joined = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
       .withColumn("asof_match", last("__rp", ignoreNulls = true).over(w))
       .filter(col("__tag") === 1 && col("asof_match").isNotNull)
       .drop("__tag", "__rp")
+    if (tolerance < 0L) joined
+    else {
+      val gap =
+        if (forward) col(s"asof_match.$timeCol") - col(timeCol)
+        else col(timeCol) - col(s"asof_match.$timeCol")
+      joined.filter(gap <= tolerance)
+    }
   }
 }

@@ -1188,6 +1188,75 @@ object RelationalQueries {
               |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin),
       bench = true),
 
+    // ── KMV set operations (theta-sketch form): audience overlap
+    //    between event-type segments FROM THE SKETCHES ALONE — never a
+    //    raw-row re-scan. θ = min of the two K-th minima (P when a
+    //    sketch is not full); entries strictly below θ are a uniform
+    //    hash-sample of each set, so sample-intersection/union sizes
+    //    scale by P/θ to the set estimates. Pure integer arithmetic
+    //    end-to-end ⇒ the oracle replays the sketches and the set math
+    //    bit-for-bit. The pair join is over one sketch row per segment
+    //    (metadata-sized); at 100 TB the sketches come off a stored
+    //    sketch table and the raw scan happens once, at build time. ──
+    QueryDef(
+      "kmv_overlap_events",
+      "pairwise segment-overlap estimates from KMV theta-sketches (integer-exact)",
+      (s, d) => {
+        val K = graft.functions.Kmv.K
+        val P = graft.functions.Kmv.P
+        val sk = udaf(graft.functions.KmvSketchAgg)
+        val sks = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(sk(col("user_id").cast("long")).as("sk"))
+        val a = sks.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
+        val b = sks.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
+        a.join(broadcast(b), col("et_a") < col("et_b"))
+          .withColumn("theta", expr(
+            s"least(IF(size(sk_a) < $K, ${P}L, element_at(sk_a, $K)), " +
+              s"IF(size(sk_b) < $K, ${P}L, element_at(sk_b, $K)))"))
+          .withColumn("sa", expr("filter(sk_a, h -> h < theta)"))
+          .withColumn("sb", expr("filter(sk_b, h -> h < theta)"))
+          .withColumn("n_inter", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
+          .withColumn("n_union", expr("CAST(size(array_union(sa, sb)) AS BIGINT)"))
+          .select(col("et_a"), col("et_b"), col("n_inter"), col("n_union"),
+            expr(s"n_inter * ${P}L div theta").as("est_inter"),
+            expr(s"n_union * ${P}L div theta").as("est_union"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+              |  (${graft.functions.Kmv.A} * ((user_id % ${graft.functions.Kmv.P}
+              |    + ${graft.functions.Kmv.P}) % ${graft.functions.Kmv.P})
+              |    + ${graft.functions.Kmv.B}) % ${graft.functions.Kmv.P} AS hv FROM events),
+              |r AS (SELECT event_type, hv,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+              |sk AS (SELECT event_type, hv, rn FROM r WHERE rn <= ${graft.functions.Kmv.K}),
+              |th AS (SELECT event_type,
+              |  CASE WHEN max(rn) >= ${graft.functions.Kmv.K}
+              |    THEN max(CASE WHEN rn = ${graft.functions.Kmv.K} THEN hv END)
+              |    ELSE ${graft.functions.Kmv.P} END AS theta
+              |  FROM sk GROUP BY event_type),
+              |pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+              |  least(a.theta, b.theta) AS theta
+              |  FROM th a JOIN th b ON a.event_type < b.event_type),
+              |iv AS (SELECT pr.et_a, pr.et_b, count(*) AS n_inter
+              |  FROM pr JOIN sk x ON x.event_type = pr.et_a AND x.hv < pr.theta
+              |  JOIN sk y ON y.event_type = pr.et_b AND y.hv = x.hv
+              |  GROUP BY 1, 2),
+              |uv AS (SELECT et_a, et_b, count(DISTINCT hv) AS n_union FROM (
+              |  SELECT pr.et_a, pr.et_b, x.hv FROM pr
+              |    JOIN sk x ON x.event_type = pr.et_a AND x.hv < pr.theta
+              |  UNION ALL
+              |  SELECT pr.et_a, pr.et_b, y.hv FROM pr
+              |    JOIN sk y ON y.event_type = pr.et_b AND y.hv < pr.theta)
+              |  GROUP BY 1, 2)
+              |SELECT pr.et_a, pr.et_b,
+              |  coalesce(iv.n_inter, 0)::BIGINT AS n_inter,
+              |  uv.n_union::BIGINT AS n_union,
+              |  (coalesce(iv.n_inter, 0) * ${graft.functions.Kmv.P}) // pr.theta AS est_inter,
+              |  (uv.n_union * ${graft.functions.Kmv.P}) // pr.theta AS est_union
+              |FROM pr LEFT JOIN iv ON iv.et_a = pr.et_a AND iv.et_b = pr.et_b
+              |JOIN uv ON uv.et_a = pr.et_a AND uv.et_b = pr.et_b""".stripMargin)),
+
     // ── F9: date formatting ──
     QueryDef(
       "f9_date_format",

@@ -936,6 +936,73 @@ object SimilarityStreamQueries {
              |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.tns <= c.tns""".stripMargin),
       bench = true),
 
+    // ── Forward as-of: each view matched to the NEXT click (the
+    //    conversion-attribution direction). Same union+window plan,
+    //    descending order. Oracle: per-view earliest later click via
+    //    windowed join (DuckDB ASOF is backward-only). ──
+    QueryDef(
+      "asof_join_forward",
+      "forward as-of (earliest right row with time >= left time per key)",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("user_id", "ts_ns").orderBy(col("event_id"))))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ts_ns", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts_ns", "event_id")
+        graft.operators.AsofJoin.asofForward(views, clicks, "user_id", "ts_ns", Seq("event_id"))
+          .select(
+            col("user_id"),
+            col("event_id").as("view_id"),
+            col("asof_match.event_id").as("click_id"),
+            expr("(asof_match.ts_ns - ts_ns) div 1000000000").as("gap_s"))
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+             |  WHERE event_type = 'click'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) = 1),
+             |v AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events WHERE event_type = 'view')
+             |SELECT user_id, view_id, click_id, gap_s FROM (
+             |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |    (c.tns - v.tns) // 1000000000 AS gap_s,
+             |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+             |      ORDER BY c.tns, c.event_id) AS rn
+             |  FROM v JOIN c ON c.user_id = v.user_id AND c.tns >= v.tns)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ── Tolerance-bounded as-of: latest prior view within 10 minutes
+    //    of the click — stale matches dropped (pandas merge_asof
+    //    `tolerance=` semantics; one extra codegen'd comparison). ──
+    QueryDef(
+      "asof_join_tolerance",
+      "backward as-of bounded to a 600 s tolerance window",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("user_id", "ts_ns").orderBy(col("event_id").desc)))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ts_ns", "event_id", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts_ns", "event_id")
+        graft.operators.AsofJoin.asofTolerance(clicks, views, "user_id", "ts_ns",
+            Seq("event_id", "value"), 600L * 1000000000L)
+          .select(
+            col("user_id"),
+            col("event_id").as("click_id"),
+            col("asof_match.event_id").as("view_id"),
+            expr("(ts_ns - asof_match.ts_ns) div 1000000000").as("gap_s"))
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value FROM events
+             |  WHERE event_type = 'view'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id DESC) = 1),
+             |c AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             | (c.tns - v.tns) // 1000000000 AS gap_s
+             |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.tns <= c.tns
+             |WHERE c.tns - v.tns <= 600000000000""".stripMargin)),
+
     // ── Sessionization (30-minute inactivity gap) ──
     QueryDef(
       "ev_sessionize",

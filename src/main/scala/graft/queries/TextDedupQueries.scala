@@ -1026,6 +1026,59 @@ object TextDedupQueries {
               |  FROM documents)
               |WHERE rnk * 2 <= n + 1""".stripMargin)),
 
+    // ── Deterministic train/val/test split: a seeded integer hash draw
+    //    per doc_id → 80/10/10. Reproducible across runs and engines
+    //    (pure integer arithmetic), leak-free by construction (a doc's
+    //    split never depends on other rows), and a narrow projection —
+    //    the canonical dataset-split stage of a training pipeline. ──
+    QueryDef(
+      "split_train_val_test",
+      "seeded deterministic 80/10/10 dataset split per document",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("__h", (col("doc_id") * 2654435761L + 97L) % 100L)
+          .withColumn("split",
+            when(col("__h") < 80, "train")
+              .when(col("__h") < 90, "val").otherwise("test"))
+          .select("doc_id", "split"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN (doc_id * 2654435761 + 97) % 100 < 80 THEN 'train'
+             |       WHEN (doc_id * 2654435761 + 97) % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
+    // ── Length-bucketed inference batching: docs grouped into power-of-
+    //    two token-length buckets, then fixed-size batches within each
+    //    bucket (minimizes padding waste at serving time). Within-bucket
+    //    position via partitioned row_number; at real scale the batch
+    //    key composes with a shard id exactly like `shuffle_shards`
+    //    (batching is per-worker anyway), keeping the window partition
+    //    count proportional to the cluster. ──
+    QueryDef(
+      "batch_by_length",
+      "power-of-two length buckets + fixed-size batch ids (padding-efficient serving)",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("doc_id")
+        Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .withColumn("n_tokens", TextFunctions.tokenCount("__toks"))
+          .withColumn("bucket",
+            when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
+              .when(col("n_tokens") <= 256, 256L).when(col("n_tokens") <= 512, 512L)
+              .otherwise(1024L))
+          .withColumn("batch_id",
+            expr("(CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - 1) div 32"))
+          .select("doc_id", "n_tokens", "bucket", "batch_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, bucket,
+              |  (CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - 1) // 32 AS batch_id
+              |FROM (SELECT doc_id, len($dkTokens) AS n_tokens,
+              |  CASE WHEN len($dkTokens) <= 64 THEN 64 WHEN len($dkTokens) <= 128 THEN 128
+              |       WHEN len($dkTokens) <= 256 THEN 256 WHEN len($dkTokens) <= 512 THEN 512
+              |       ELSE 1024 END::BIGINT AS bucket
+              |FROM documents)""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",
