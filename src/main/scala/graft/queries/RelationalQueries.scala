@@ -1188,6 +1188,32 @@ object RelationalQueries {
               |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin),
       bench = true),
 
+    // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
+    //    Aggregator keeps only the k best per group, so the reduction
+    //    is map-side partial (ObjectHashAggregate) and the shuffle
+    //    carries O(k) entries per group per mapper — the plan a
+    //    trillion-row fact table needs, vs. the window form that sorts
+    //    every row of every group after a full shuffle. Scores are
+    //    STORED doubles (no arithmetic), so comparisons are exact. ──
+    QueryDef(
+      "topk_heap_acctbal",
+      "per-nation top-3 customers via bounded-heap Aggregator (map-side partial top-k)",
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKAgg(3))
+        t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(topk(col("c_acctbal"), col("c_custkey").cast("long")).as("tk"))
+          .select(col("c_nationkey"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rnk"),
+            col("e._2").as("c_custkey"), col("e._1").as("acctbal"))
+      },
+      Some("""SELECT c_nationkey, rnk, c_custkey::BIGINT AS c_custkey, acctbal FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+             |    CAST(row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+             |  FROM customer)
+             |WHERE rnk <= 3""".stripMargin)),
+
     // ── KMV set operations (theta-sketch form): audience overlap
     //    between event-type segments FROM THE SKETCHES ALONE — never a
     //    raw-row re-scan. θ = min of the two K-th minima (P when a

@@ -83,6 +83,24 @@ object EventStreams {
       .select("user_id", "click_id", "view_id")
   }
 
+  /** Watermarked tumbling-window KMV distinct-user estimate per event
+    * type — a MERGEABLE SKETCH as streaming aggregation state. The KMV
+    * buffer (≤ K sorted longs) is the per-(window, type) state Spark
+    * carries and merges across micro-batches; exact distinct state
+    * would grow with the stream, the sketch is bounded O(K). Identical
+    * integer arithmetic to the batch `distinct_kmv_users` surface, so
+    * the streamed estimates equal a batch run over the same data
+    * (equivalence-tested). */
+  def kmvDistinctCounts(events: DataFrame): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(graft.functions.KmvAgg)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 minutes").as("w"), col("event_type"))
+      .agg(kmv(col("user_id").cast("long")).as("est_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("est_users"))
+  }
+
   /** Stream-static broadcast enrichment: the third join class beside
     * stream-stream and foreachBatch — a static dimension joined into
     * the stream. Stateless (no watermark, no state store): every

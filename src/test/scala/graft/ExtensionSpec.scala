@@ -345,6 +345,36 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct sketch matches the batch sketch on the same data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmvstream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.kmvDistinctCounts(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_kmv_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_kmv_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // batch twin: same window + same Aggregator over the static frame
+      val kmv = org.apache.spark.sql.functions.udaf(graft.functions.KmvAgg)
+      val batch = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "60 minutes").as("w"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .agg(kmv(org.apache.spark.sql.functions.col("user_id").cast("long")).as("est_users"))
+        .select(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("est_users"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-window duplicates exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

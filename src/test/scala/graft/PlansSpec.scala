@@ -115,6 +115,16 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("topk_heap_acctbal plans as partial aggregation, not a window sort") {
+    // the point of the bounded-heap Aggregator: map-side partial
+    // ObjectHashAggregate, O(k) per group per mapper over the shuffle —
+    // a Window in this plan would mean the full-sort formulation crept back
+    val p = plan("topk_heap_acctbal")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkagg") || p.toLowerCase.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("corpus_filter_percentile windows are partitioned: no single-partition sort") {
     val p = plan("corpus_filter_percentile")
     assert(!p.contains("SinglePartition"), p)
