@@ -1188,6 +1188,40 @@ object RelationalQueries {
               |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin),
       bench = true),
 
+    // ── Deterministic fixed-point PageRank (3 rounds, integer e6
+    //    arithmetic end-to-end) over the customer→supplier purchase
+    //    graph — the second iterative graph operator beside connected
+    //    components. The oracle unrolls the same three rounds as CTEs;
+    //    every intermediate is a BIGINT, so the replay is bit-exact. ──
+    QueryDef(
+      "pagerank_purchase_graph",
+      "fixed-point PageRank over the customer→supplier purchase graph (3 rounds)",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.PageRank.pagerank(edges, "src", "dst", "w", iters = 3)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT n.id,
+             |  (150000 + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rank_e6
+             |  FROM n LEFT JOIN (
+             |    SELECT et.dst AS id, sum((r.rank_e6 * et.w) // et.tot) AS s
+             |    FROM et JOIN $prev r ON r.id = et.src GROUP BY 1) c ON c.id = n.id)"""
+            .stripMargin
+        s"""WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |et AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS tot FROM e),
+           |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |r0 AS (SELECT id, 1000000::BIGINT AS rank_e6 FROM n),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT id, rank_e6 FROM r3""".stripMargin
+      }),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle
