@@ -1079,6 +1079,69 @@ object TextDedupQueries {
               |       ELSE 1024 END::BIGINT AS bucket
               |FROM documents)""".stripMargin)),
 
+    // ── Sparse cosine pairs via an INVERTED INDEX: term-frequency
+    //    vectors never materialize — candidate pairs come from the
+    //    (token → docs) postings join, pruned by document frequency
+    //    (terms in > 50 docs are dropped from the index, the classic
+    //    df cut that removes stopword hot keys BEFORE the self-join).
+    //    The pair score is cosine² in 1e-6 fixed point, decided
+    //    entirely in integers: num = Σ tfₐ·tf_b and norms² are integer
+    //    sums, score_e6 = num²·10⁶ div (na²·nb²) — Cauchy-Schwarz
+    //    bounds num² ≤ na²·nb², so the product never overflows BIGINT
+    //    for any real document. No sqrt, no float anywhere; the top-20
+    //    cut is a (score, id_a, id_b) total order, so no engine pair
+    //    can disagree. The sparse twin of sim_emb_neardup; the plan is
+    //    TakeOrderedAndProject over the pair aggregate. ──
+    QueryDef(
+      "txt_sparse_cosine_pairs",
+      "inverted-index sparse-TF top-20 similar pairs (df-pruned postings, integer cosine² score)",
+      (s, d) => {
+        val tf = Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        val n2 = tf.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
+        // df cut scales with the corpus: terms in more than
+        // max(50, |docs|/10) documents leave the index (the hot-key
+        // guard AND the relevance cut in one). |docs| arrives as a
+        // broadcast 1-row aggregate, not a driver collect.
+        val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("__nd"))
+        val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val pruned = tf.join(dft, Seq("tok")).crossJoin(broadcast(nd))
+          .filter(col("df") <= greatest(lit(50L), expr("__nd div 10")))
+          .select("doc_id", "tok", "cnt")
+        val num = pruned.select(col("doc_id").as("id_a"), col("tok"), col("cnt").as("ca"))
+          .join(pruned.select(col("doc_id").as("id_b"), col("tok"), col("cnt").as("cb")),
+            Seq("tok"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("num"))
+        num
+          .join(n2.select(col("doc_id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+          .join(n2.select(col("doc_id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+          .withColumn("score_e6",
+            expr("(num * num * 1000000L) div (na2 * nb2)"))
+          .select("id_a", "id_b", "num", "score_e6")
+          .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS cnt FROM (
+              |  SELECT doc_id, unnest($dkTokens) AS tok FROM documents)
+              |  GROUP BY 1, 2),
+              |n2 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM tf GROUP BY 1),
+              |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+              |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              |pruned AS (SELECT tf.doc_id, tf.tok, tf.cnt FROM tf
+              |  JOIN dft ON dft.tok = tf.tok, nd
+              |  WHERE dft.df <= greatest(50, nd.nd // 10)),
+              |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    sum(a.cnt * b.cnt) AS num
+              |  FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, num::BIGINT AS num,
+              |  ((num * num * 1000000) // (x.n2 * y.n2))::BIGINT AS score_e6
+              |FROM num JOIN n2 x ON x.doc_id = id_a JOIN n2 y ON y.doc_id = id_b
+              |ORDER BY score_e6 DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
     // ── SimHash ──
     QueryDef(
       "dedup_simhash",
