@@ -102,3 +102,22 @@ object KmvSketchAgg extends Aggregator[Long, Array[Long], Array[Long]] {
   def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
 }
+
+/** Re-aggregation of STORED KMV sketches: input is a sketch (array of
+  * hash minima), the reduce step is the sketch MERGE, output is the
+  * merged distinct-count estimate. This is the property that makes
+  * sketches a storage primitive and not just a query device: per-fine-
+  * grain sketches computed once can roll up any hierarchy (nation →
+  * region, day → month) without ever rescanning raw rows — the KMV
+  * union is exact over sketch states, so the rolled-up estimate equals
+  * the estimate a raw rescan at the coarse grain would produce. */
+object KmvMergeAgg extends Aggregator[Array[Long], Array[Long], Long] {
+  def zero: Array[Long] = KmvAgg.zero
+  def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] = KmvAgg.merge(buf, sk)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvAgg.merge(a, b)
+  def finish(buf: Array[Long]): Long = KmvAgg.finish(buf)
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    ExpressionEncoder[Long]()
+}

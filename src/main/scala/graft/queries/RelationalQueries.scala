@@ -1317,6 +1317,41 @@ object RelationalQueries {
               |FROM pr LEFT JOIN iv ON iv.et_a = pr.et_a AND iv.et_b = pr.et_b
               |JOIN uv ON uv.et_a = pr.et_a AND uv.et_b = pr.et_b""".stripMargin)),
 
+    // ── Sketch re-aggregation: per-(type, day) KMV sketches MERGED up
+    //    to per-type estimates — no raw-row rescan at the coarse grain.
+    //    KMV union is exact over sketch states (the global K minima are
+    //    always contained in the union of per-day K minima), so the
+    //    rolled-up estimate is BIT-IDENTICAL to a direct coarse-grain
+    //    sketch — which is exactly what the oracle computes. This is
+    //    the property that makes sketches a storage primitive: daily
+    //    sketch tables roll up any calendar without touching raw data. ──
+    QueryDef(
+      "kmv_rollup_daily",
+      "per-day KMV sketches merged to per-type distinct estimates (re-aggregation)",
+      (s, d) => {
+        val sk = udaf(graft.functions.KmvSketchAgg)
+        val mg = udaf(graft.functions.KmvMergeAgg)
+        t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sk(col("user_id").cast("long")).as("sk"))
+          .groupBy("event_type")
+          .agg(mg(col("sk")).as("est_users"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+              |  (${graft.functions.Kmv.A} * ((user_id % ${graft.functions.Kmv.P}
+              |    + ${graft.functions.Kmv.P}) % ${graft.functions.Kmv.P})
+              |    + ${graft.functions.Kmv.B})
+              |    % ${graft.functions.Kmv.P} AS hv FROM events),
+              |r AS (SELECT event_type, hv,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+              |  count(*) OVER (PARTITION BY event_type) AS nd FROM h)
+              |SELECT event_type,
+              |  CASE WHEN max(nd) >= ${graft.functions.Kmv.K}
+              |    THEN (${graft.functions.Kmv.K - 1}::BIGINT * ${graft.functions.Kmv.P})
+              |      // greatest(max(CASE WHEN rn = ${graft.functions.Kmv.K} THEN hv END), 1)
+              |    ELSE max(nd) END AS est_users
+              |FROM r WHERE rn <= ${graft.functions.Kmv.K} GROUP BY event_type""".stripMargin)),
+
     // ── F9: date formatting ──
     QueryDef(
       "f9_date_format",
