@@ -35,21 +35,28 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, component) for every vertex incident to an edge; `component`
-    * is the minimum vertex id in the connected component. Deterministic. */
+    * is the minimum vertex id in the connected component. Deterministic.
+    * Pass `edgesDistinct = true` when the caller already guarantees one
+    * row per undirected pair (both LSH candidate pipelines do — their
+    * pair frames end in `.distinct()`): it drops a redundant full
+    * shuffle of the edge set. Duplicate edges would not break
+    * correctness either way (min is idempotent) — the dedup exists to
+    * keep the per-round join fan-out at |E|. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      edgesDistinct: Boolean = false): DataFrame = {
     // Undirected: keep each edge once in both orientations, self-loops
     // dropped. The edge input is checkpointed BEFORE the two-orientation
     // union: the union references it twice, and without the checkpoint
     // the whole upstream edge pipeline (for semantic dedup: the LSH
     // self-join + cosine rescore) would execute twice in one job.
-    val adj = edges
+    val base = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    val adj = (if (edgesDistinct) base else base.distinct())
       .localCheckpoint(true)
     // The two-orientation frame stays LAZY: it is a narrow union over
     // the checkpointed `adj` blocks, so each round's re-evaluation is a

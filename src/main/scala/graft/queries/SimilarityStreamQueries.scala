@@ -540,7 +540,7 @@ object SimilarityStreamQueries {
       "sem_dedup_clusters",
       "semantic duplicate clusters over embedding near-dup pairs (connected components)",
       (s, d) =>
-        graft.operators.Components.connectedComponents(embNeardupPairs(s, d), "id_a", "id_b")
+        graft.operators.Components.connectedComponents(embNeardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
           .select(col("id").as("vec_id"), col("component")),
       Some(s"""WITH RECURSIVE $dkEmbPairCtes,
               |uedges AS (SELECT id_a AS src, id_b AS dst FROM sp

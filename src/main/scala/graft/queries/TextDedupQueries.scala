@@ -294,7 +294,7 @@ object TextDedupQueries {
       "dedup_components",
       "connected-component cluster ids over verified near-dup pairs",
       (s, d) =>
-        graft.operators.Components.connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+        graft.operators.Components.connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
           .select(col("id").as("doc_id"), col("component")),
       Some(s"""WITH RECURSIVE $dkNeardupCtes,
               |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
@@ -316,7 +316,7 @@ object TextDedupQueries {
       "kept document ids keeping one representative per duplicate cluster",
       (s, d) => {
         val comp = graft.operators.Components
-          .connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
         val drop = comp.filter(col("component") < col("id"))
           .select(col("id").as("doc_id"))
         t(s, d, "documents").select("doc_id")
@@ -541,7 +541,7 @@ object TextDedupQueries {
       "duplicate-cluster representatives chosen by source priority, then id",
       (s, d) => {
         val comp = graft.operators.Components
-          .connectedComponents(neardupPairs(s, d), "id_a", "id_b")
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
           .select(col("id").as("doc_id"), col("component"))
         val prio = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
