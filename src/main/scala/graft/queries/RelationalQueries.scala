@@ -1220,7 +1220,8 @@ object RelationalQueries {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT id, rank_e6 FROM r3""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
@@ -1246,7 +1247,8 @@ object RelationalQueries {
              |    CAST(row_number() OVER (PARTITION BY c_nationkey
              |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
              |  FROM customer)
-             |WHERE rnk <= 3""".stripMargin)),
+             |WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── KMV set operations (theta-sketch form): audience overlap
     //    between event-type segments FROM THE SKETCHES ALONE — never a

@@ -1140,7 +1140,31 @@ object TextDedupQueries {
               |SELECT id_a, id_b, num::BIGINT AS num,
               |  ((num * num * 1000000) // (x.n2 * y.n2))::BIGINT AS score_e6
               |FROM num JOIN n2 x ON x.doc_id = id_a JOIN n2 y ON y.doc_id = id_b
-              |ORDER BY score_e6 DESC, id_a, id_b LIMIT 20""".stripMargin)),
+              |ORDER BY score_e6 DESC, id_a, id_b LIMIT 20""".stripMargin),
+      bench = true),
+
+    // ── Dataset fingerprint for drift detection / data contracts: per-
+    //    source row count + order-insensitive content checksum. Each
+    //    row contributes md5(doc_id || '|' || text) reduced mod 2³¹ and
+    //    the checksum is the SUM — commutative, so any partitioning,
+    //    any row order, any engine produces the same BIGINT, yet any
+    //    single-row change moves it. The cheap "did anything change
+    //    between pipeline runs" primitive (a content-defined version id
+    //    a lakehouse can store per snapshot). ──
+    QueryDef(
+      "corpus_checksum",
+      "per-source row count + order-insensitive content checksum (drift detection)",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("__h",
+            expr("conv(substring(md5(concat(CAST(doc_id AS STRING), '|', text)), 1, 15), 16, 10)")
+              .cast("long") % 2147483647L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("__h").as("checksum")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
+             |      % 2147483647)::BIGINT AS checksum
+             |FROM documents GROUP BY source""".stripMargin)),
 
     // ── SimHash ──
     QueryDef(
