@@ -115,6 +115,12 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pagerank final round: partitioned joins only, no cartesian, no single partition") {
+    val p = plan("pagerank_purchase_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("topk_heap_acctbal plans as partial aggregation, not a window sort") {
     // the point of the bounded-heap Aggregator: map-side partial
     // ObjectHashAggregate, O(k) per group per mapper over the shuffle —

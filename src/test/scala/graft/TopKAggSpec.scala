@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** TopKAgg vs the sort-based formulation on random data, across
+  * partitionings — the partial-merge path (map-side heaps merged at the
+  * reducer) must agree with a plain global sort for every group. */
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bounded-heap top-k equals sort-based top-k on random data, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    // deliberate ties: scores drawn from a small set so tiebreaks matter
+    val rows = (1L to 2000L).map(i => (i % 7, rnd.nextInt(20).toDouble, i))
+    val df = rows.toDF("g", "score", "id")
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (sc, id) => (-sc, id) }.take(5)
+    }
+    Seq(1, 3, 16).foreach { parts =>
+      val topk = udaf(graft.functions.TopKAgg(5))
+      val got = df.repartition(parts)
+        .groupBy("g").agg(topk(col("score"), col("id")).as("tk"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      expected.foreach { case (g, want) =>
+        assert(got(g) === want, s"group $g at $parts partitions")
+      }
+    }
+  }
+
+  test("groups smaller than k return all their rows, best-first") {
+    val topk = udaf(graft.functions.TopKAgg(10))
+    val got = Seq((1L, 2.0, 1L), (1L, 5.0, 2L), (1L, 5.0, 3L))
+      .toDF("g", "score", "id")
+      .groupBy("g").agg(topk(col("score"), col("id")).as("tk"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(got === Seq((5.0, 2L), (5.0, 3L), (2.0, 1L)))
+  }
+}
