@@ -1273,9 +1273,12 @@ object RelationalQueries {
         val a = sks.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
         val b = sks.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
         a.join(broadcast(b), col("et_a") < col("et_b"))
+          // greatest(…, 1): a zero hash landing exactly at the K-th
+          // minimum would otherwise make the scale-up division throw
+          // under ANSI (same guard as distinct_kmv_users)
           .withColumn("theta", expr(
-            s"least(IF(size(sk_a) < $K, ${P}L, element_at(sk_a, $K)), " +
-              s"IF(size(sk_b) < $K, ${P}L, element_at(sk_b, $K)))"))
+            s"greatest(least(IF(size(sk_a) < $K, ${P}L, element_at(sk_a, $K)), " +
+              s"IF(size(sk_b) < $K, ${P}L, element_at(sk_b, $K))), 1L)"))
           .withColumn("sa", expr("filter(sk_a, h -> h < theta)"))
           .withColumn("sb", expr("filter(sk_b, h -> h < theta)"))
           .withColumn("n_inter", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
@@ -1298,7 +1301,7 @@ object RelationalQueries {
               |    ELSE ${graft.functions.Kmv.P} END AS theta
               |  FROM sk GROUP BY event_type),
               |pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
-              |  least(a.theta, b.theta) AS theta
+              |  greatest(least(a.theta, b.theta), 1) AS theta
               |  FROM th a JOIN th b ON a.event_type < b.event_type),
               |iv AS (SELECT pr.et_a, pr.et_b, count(*) AS n_inter
               |  FROM pr JOIN sk x ON x.event_type = pr.et_a AND x.hv < pr.theta
