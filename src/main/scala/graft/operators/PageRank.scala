@@ -49,7 +49,7 @@ object PageRank {
       .localCheckpoint(true)
 
     var ranks = nodes.withColumn("rank_e6", lit(BaseE6))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
@@ -59,7 +59,11 @@ object PageRank {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           expr(s"${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
-        .localCheckpoint(true) // truncate lineage per round
+      // Truncate lineage per round — except the LAST round, whose frame
+      // feeds straight into the caller's single consumption: one narrow
+      // join+agg over checkpointed inputs, so a final materialization
+      // job would only duplicate the write.
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
