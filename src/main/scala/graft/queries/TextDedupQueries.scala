@@ -15,6 +15,24 @@ import graft.operators.Dedup
 object TextDedupQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Scale guards for the inverted-index sparse-cosine pair join
+    * (`txt_sparse_cosine_pairs`). Both are ABSOLUTE, not proportional
+    * — the `Dedup.MaxBucket` discipline: constants that hold at any
+    * corpus size, so the worst-case pair fan-out and the integer score
+    * arithmetic are bounded by construction, not by the tested scale. */
+  object SparseCosine {
+    /** Hard df ceiling on the postings index: a token in more than
+      * MaxDf docs is dropped even when the proportional cut
+      * (|docs|/10) would admit it, capping any single token's pair
+      * contribution at MaxDf² ≈ 10⁸ regardless of corpus size. */
+    val MaxDf = 10000L
+    /** Squared-norm ceiling (≈ a 10⁶-token doc): docs above it leave
+      * pairwise cosine (banding handles them). Guarantees
+      * num² ≤ na²·nb² ≤ 10²⁴ by Cauchy-Schwarz, so the e6 score fits
+      * DECIMAL(38,0)/HUGEINT intermediates exactly. */
+    val MaxN2 = 1000000000000L
+  }
+
   // One persisted shingle-hash frame + band index per (session, dataset):
   // dedup_minhash_bands / dedup_lsh_pairs / dedup_neardup_pipeline all
   // derive from the same materialization instead of re-tokenizing the
@@ -1036,14 +1054,20 @@ object TextDedupQueries {
       "seeded deterministic 80/10/10 dataset split per document",
       (s, d) =>
         t(s, d, "documents")
-          .withColumn("__h", (col("doc_id") * 2654435761L + 97L) % 100L)
+          // reduce mod P=2^31-1 BEFORE multiplying (Kmv.hash discipline):
+          // A·doc_id overflows signed 64-bit for ids above ~3.47e9, which
+          // at trillion-row scale is every id — ANSI would throw, non-ANSI
+          // would silently wrap differently than the oracle's BIGINT.
+          .withColumn("__h",
+            (((col("doc_id") % 2147483647L + 2147483647L) % 2147483647L)
+              * 2654435761L + 97L) % 100L)
           .withColumn("split",
             when(col("__h") < 80, "train")
               .when(col("__h") < 90, "val").otherwise("test"))
           .select("doc_id", "split"),
       Some("""SELECT doc_id,
-             |  CASE WHEN (doc_id * 2654435761 + 97) % 100 < 80 THEN 'train'
-             |       WHEN (doc_id * 2654435761 + 97) % 100 < 90 THEN 'val'
+             |  CASE WHEN (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 80 THEN 'train'
+             |       WHEN (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 90 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
 
@@ -1082,16 +1106,26 @@ object TextDedupQueries {
     // ── Sparse cosine pairs via an INVERTED INDEX: term-frequency
     //    vectors never materialize — candidate pairs come from the
     //    (token → docs) postings join, pruned by document frequency
-    //    (terms in > 50 docs are dropped from the index, the classic
-    //    df cut that removes stopword hot keys BEFORE the self-join).
+    //    BEFORE the self-join. The df cut is max(50, |docs|/10) but
+    //    ABSOLUTELY capped at 10 000 (`MaxDf`, the `Dedup.MaxBucket`
+    //    discipline): a proportional-only cut re-admits quadratic hot
+    //    tokens as the corpus grows — a token in n/10 of 10⁹ docs
+    //    would emit 10¹⁶ candidate pairs; with the cap no single token
+    //    can ever contribute more than MaxDf² ≈ 10⁸ pairs regardless
+    //    of corpus size. Docs whose squared norm exceeds `MaxN2`=10¹²
+    //    (a million-token doc) leave the pairing via a doc-keyed semi
+    //    join — they belong to the banding path, not pairwise cosine.
     //    The pair score is cosine² in 1e-6 fixed point, decided
     //    entirely in integers: num = Σ tfₐ·tf_b and norms² are integer
-    //    sums, score_e6 = num²·10⁶ div (na²·nb²) — Cauchy-Schwarz
-    //    bounds num² ≤ na²·nb², so the product never overflows BIGINT
-    //    for any real document. No sqrt, no float anywhere; the top-20
-    //    cut is a (score, id_a, id_b) total order, so no engine pair
-    //    can disagree. The sparse twin of sim_emb_neardup; the plan is
-    //    TakeOrderedAndProject over the pair aggregate. ──
+    //    sums, score_e6 = num²·10⁶ div (na²·nb²) computed with
+    //    DECIMAL(38,0) intermediates — under the MaxN2 guard
+    //    Cauchy-Schwarz gives num² ≤ na²·nb² ≤ 10²⁴, so num²·10⁶ ≤
+    //    10³⁰ < 10³⁸: provably exact, no wrap, no ANSI throw (the
+    //    oracle uses HUGEINT for the same window). No sqrt, no float
+    //    anywhere; the top-20 cut is a (score, id_a, id_b) total
+    //    order, so no engine pair can disagree. The sparse twin of
+    //    sim_emb_neardup; the plan is TakeOrderedAndProject over the
+    //    pair aggregate. ──
     QueryDef(
       "txt_sparse_cosine_pairs",
       "inverted-index sparse-TF top-20 similar pairs (df-pruned postings, integer cosine² score)",
@@ -1100,15 +1134,20 @@ object TextDedupQueries {
             "__toks" -> expr(TextFunctions.tokensSql("text")))
           .select(col("doc_id"), explode(col("__toks")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        // norm guard: docs with n2 > MaxN2 (≈ a million tokens) leave
+        // the pairing entirely — bounds every later intermediate.
         val n2 = tf.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
-        // df cut scales with the corpus: terms in more than
-        // max(50, |docs|/10) documents leave the index (the hot-key
-        // guard AND the relevance cut in one). |docs| arrives as a
+          .filter(col("n2") <= lit(SparseCosine.MaxN2))
+        // df cut scales with the corpus — max(50, |docs|/10) — but is
+        // absolutely capped at MaxDf so no token admits a quadratic
+        // posting list at any corpus size. |docs| arrives as a
         // broadcast 1-row aggregate, not a driver collect.
         val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("__nd"))
         val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val pruned = tf.join(dft, Seq("tok")).crossJoin(broadcast(nd))
-          .filter(col("df") <= greatest(lit(50L), expr("__nd div 10")))
+          .filter(col("df") <= least(
+            greatest(lit(50L), expr("__nd div 10")), lit(SparseCosine.MaxDf)))
+          .join(n2.select("doc_id"), Seq("doc_id"), "left_semi")
           .select("doc_id", "tok", "cnt")
         val num = pruned.select(col("doc_id").as("id_a"), col("tok"), col("cnt").as("ca"))
           .join(pruned.select(col("doc_id").as("id_b"), col("tok"), col("cnt").as("cb")),
@@ -1119,7 +1158,8 @@ object TextDedupQueries {
           .join(n2.select(col("doc_id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
           .join(n2.select(col("doc_id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
           .withColumn("score_e6",
-            expr("(num * num * 1000000L) div (na2 * nb2)"))
+            expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div " +
+              "(CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"))
           .select("id_a", "id_b", "num", "score_e6")
           .orderBy(col("score_e6").desc, col("id_a"), col("id_b"))
           .limit(20)
@@ -1127,18 +1167,20 @@ object TextDedupQueries {
       Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS cnt FROM (
               |  SELECT doc_id, unnest($dkTokens) AS tok FROM documents)
               |  GROUP BY 1, 2),
-              |n2 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM tf GROUP BY 1),
+              |n2 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM tf GROUP BY 1
+              |  HAVING sum(cnt * cnt) <= ${SparseCosine.MaxN2}),
               |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
               |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
               |pruned AS (SELECT tf.doc_id, tf.tok, tf.cnt FROM tf
               |  JOIN dft ON dft.tok = tf.tok, nd
-              |  WHERE dft.df <= greatest(50, nd.nd // 10)),
+              |  WHERE dft.df <= least(greatest(50, nd.nd // 10), ${SparseCosine.MaxDf})
+              |    AND tf.doc_id IN (SELECT doc_id FROM n2)),
               |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |    sum(a.cnt * b.cnt) AS num
               |  FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2)
               |SELECT id_a, id_b, num::BIGINT AS num,
-              |  ((num * num * 1000000) // (x.n2 * y.n2))::BIGINT AS score_e6
+              |  ((num::HUGEINT * num * 1000000) // (x.n2::HUGEINT * y.n2))::BIGINT AS score_e6
               |FROM num JOIN n2 x ON x.doc_id = id_a JOIN n2 y ON y.doc_id = id_b
               |ORDER BY score_e6 DESC, id_a, id_b LIMIT 20""".stripMargin),
       bench = true),

@@ -143,6 +143,33 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("txt_sparse_cosine_pairs: df-capped postings feed the self-join") {
+    // the scale guard: BOTH inputs of the postings self-join must sit
+    // above the df filter (with the absolute MaxDf cap in it), so no
+    // hot token can reach the pair join no matter the corpus size
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val q = graft.SparkEntry.queries("txt_sparse_cosine_pairs")(spark, d)
+    val lp = q.queryExecution.optimizedPlan
+    // the cut may survive as a Filter node or get folded into the
+    // broadcast-nd join's condition — accept either, but insist on the
+    // absolute 10000 cap being part of the predicate
+    def cut(c: org.apache.spark.sql.catalyst.expressions.Expression) =
+      c.references.exists(_.name == "df") && c.toString.contains("10000")
+    def hasDfCut(side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      side.collectFirst {
+        case f: Filter if cut(f.condition) => f
+        case j: Join if j.condition.exists(cut) => j
+      }.nonEmpty
+    val guardedSelfJoins = lp.collect {
+      case j: Join if hasDfCut(j.left) && hasDfCut(j.right) => j
+    }
+    assert(guardedSelfJoins.nonEmpty,
+      s"no self-join with the df cut on both inputs:\n$lp")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
