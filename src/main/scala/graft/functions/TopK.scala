@@ -1,44 +1,53 @@
 package graft.functions
 
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 
-/** Bounded top-k per group as a typed Aggregator.
+/** Bounded top-k per group as a typed Aggregator, generic in the
+  * payload carried alongside the score.
   *
   * The window formulation of "top k per group" (`row_number() OVER
   * (PARTITION BY g ORDER BY score)` then `<= k`) must SORT every row of
   * every group after a full shuffle. This Aggregator keeps only the k
-  * best (score desc, id asc) entries in its buffer, so the heavy
+  * best (score desc, payload asc) entries in its buffer, so the heavy
   * reduction happens MAP-SIDE (partial ObjectHashAggregate) and the
   * shuffle carries O(k) entries per group per mapper instead of the
   * whole group — the shape a trillion-row fact table needs. Output is
   * the sorted top-k array; callers posexplode it back to rows.
   *
-  * Determinism: total order on (score desc, id asc) — ties cannot
-  * reorder across partitionings. Scores must be STORED values (no
-  * float arithmetic happens here), so comparisons are exact and any
-  * engine agrees.
+  * Determinism: total order on (score desc, payload asc) — ties cannot
+  * reorder across partitionings. Scores compare via
+  * `java.lang.Double.compare` — the SAME total order Spark SQL's sort
+  * uses for doubles (SQLOrderingUtil), so NaN sorts greatest like a
+  * SQL DESC ordering instead of silently never-winning as primitive
+  * `>` would have it, and the buffer's sortedness invariant holds for
+  * every input. Scores must be STORED values (no float arithmetic
+  * happens here), so comparisons are exact and any engine agrees.
   *
   * Reference context: no grouped-top-k surface in the reference; part
   * of the general-analytics extension (SURVEY §7.5).
   */
-case class TopKAgg(k: Int)
-    extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+class TopKAgg[P](val k: Int)(implicit ordP: Ordering[P],
+    bufEnc: Encoder[Array[(Double, P)]])
+    extends Aggregator[(Double, P), Array[(Double, P)], Array[(Double, P)]] {
   require(k > 0, s"k must be positive: $k")
 
-  // ordering: better = higher score, then smaller id
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // ordering: better = higher score (Double total order), then smaller payload
+  private def beats(a: (Double, P), b: (Double, P)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && ordP.lt(a._2, b._2))
+  }
 
-  def zero: Array[(Double, Long)] = Array.empty
+  def zero: Array[(Double, P)] = Array.empty
 
-  def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
+  def reduce(buf: Array[(Double, P)], x: (Double, P)): Array[(Double, P)] = {
     if (buf.length == k && !beats(x, buf(k - 1))) return buf
     var ins = buf.length
     var i = 0
     while (i < buf.length) { if (beats(x, buf(i))) { ins = i; i = buf.length } else i += 1 }
     val n = math.min(buf.length + 1, k)
-    val out = new Array[(Double, Long)](n)
+    val out = new Array[(Double, P)](n)
     System.arraycopy(buf, 0, out, 0, math.min(ins, n))
     if (ins < n) {
       out(ins) = x
@@ -47,10 +56,10 @@ case class TopKAgg(k: Int)
     out
   }
 
-  def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
+  def merge(a: Array[(Double, P)], b: Array[(Double, P)]): Array[(Double, P)] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
+    val out = new Array[(Double, P)](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var n = 0
     while (n < out.length) {
       val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
@@ -60,10 +69,22 @@ case class TopKAgg(k: Int)
     out
   }
 
-  def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = buf
+  def finish(buf: Array[(Double, P)]): Array[(Double, P)] = buf
 
-  def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
-    ExpressionEncoder[Array[(Double, Long)]]()
-  def outputEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
-    ExpressionEncoder[Array[(Double, Long)]]()
+  def bufferEncoder: Encoder[Array[(Double, P)]] = bufEnc
+  def outputEncoder: Encoder[Array[(Double, P)]] = bufEnc
+}
+
+object TopKAgg {
+  /** Long-payload form (score, id) — source-compatible with existing
+    * `TopKAgg(k)` call sites. */
+  def apply(k: Int): TopKAgg[Long] = longs(k)
+
+  def longs(k: Int): TopKAgg[Long] =
+    new TopKAgg[Long](k)(Ordering.Long, ExpressionEncoder[Array[(Double, Long)]]())
+
+  /** String-payload form (score, key) — binary UTF-8 ordering, the
+    * same collation Spark and DuckDB use for VARCHAR comparisons. */
+  def strings(k: Int): TopKAgg[String] =
+    new TopKAgg[String](k)(Ordering.String, ExpressionEncoder[Array[(Double, String)]]())
 }

@@ -47,8 +47,12 @@ object AsofJoin {
     * on the matched pair — the window plan is unchanged, so the cost is
     * one codegen'd comparison per row. */
   def asofTolerance(leftDf: DataFrame, rightDf: DataFrame, keyCol: String, timeCol: String,
-      payloadCols: Seq[String], tolerance: Long, forward: Boolean = false): DataFrame =
+      payloadCols: Seq[String], tolerance: Long, forward: Boolean = false): DataFrame = {
+    // a negative tolerance would alias the internal no-bound sentinel
+    // and silently mean "unbounded" — reject it at the public surface
+    require(tolerance >= 0L, s"tolerance must be >= 0: $tolerance")
     asofImpl(leftDf, rightDf, keyCol, timeCol, payloadCols, forward, tolerance)
+  }
 
   private val toleranceNone = -1L
 

@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * All arithmetic is INTEGER (ranks in 1e-6 fixed point): per-edge
   * contribution `r(src)·w div tot(src)`, damping `150000 + (S·85)
   * div 100`. Integer division loses a deterministic sub-ppm of mass
-  * (and dangling nodes keep theirs — the standard simplification);
-  * both effects are bit-identical in any engine, so a DuckDB oracle
-  * replays every iteration exactly — no float summation order, no
-  * libm, no cast semantics anywhere.
+  * (and by default dangling nodes keep theirs — the standard
+  * simplification; `redistributeDangling` spreads it uniformly
+  * instead, still in integers); both effects are bit-identical in any
+  * engine, so a DuckDB oracle replays every iteration exactly — no
+  * float summation order, no libm, no cast semantics anywhere.
   *
   * Scale shape: one fixed iteration count (caller-chosen), each round
   * = one join of the edge frame against the O(V) rank frame plus a
   * map-side-combined groupBy — the classic distributed PageRank; only
   * the rank frame is checkpointed between rounds (lineage truncation,
-  * same policy as Components). Per-source totals are part of the edge
-  * frame, computed once.
+  * same policy as Components). Per-source totals are an
+  * aggregate-join, NOT a window: `sum OVER (PARTITION BY src)` would
+  * buffer a hub source's entire edge partition in one task, whereas
+  * `groupBy(src).sum` is map-side combinable and the join back is
+  * co-partitioned on src — the skew-tolerant shape for a 10⁸-out-edge
+  * hub.
   *
   * Reference context: no graph surface in the reference
   * (cnics_to_fhir.py); general-analytics extension (SURVEY §7.5).
@@ -32,21 +37,35 @@ object PageRank {
 
   /** (id, rank_e6) for every vertex of the graph after `iters` rounds.
     * `edges` must carry integer columns (srcCol, dstCol, wCol > 0);
-    * parallel edges should be pre-aggregated into weights. */
+    * parallel edges should be pre-aggregated into weights.
+    *
+    * With `redistributeDangling`, each round adds `S_d div N` to every
+    * node's incoming mass before damping, where S_d is the summed rank
+    * of nodes without out-edges — the uniform dangling-mass
+    * redistribution of the original formulation, kept in integer
+    * arithmetic (BIGINT sums are order-insensitive, so the oracle
+    * replays it as one extra CTE term per round). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // Edge frame with per-source totals, checkpointed once: reused by
-    // every round and referenced twice (contribution join + node set).
-    val e = edges
+    // Edge frame with per-source totals (aggregate-join, see scaladoc),
+    // checkpointed once: reused by every round and referenced twice
+    // (contribution join + node set).
+    val base = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
-      .withColumn("tot", sum("w").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    val e = base
+      .join(base.groupBy("src").agg(sum("w").as("tot")), "src")
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // Dangling set + node count: metadata-sized frames, broadcast into
+    // each round rather than collected (no driver data path).
+    lazy val dangling = nodes
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    lazy val nn = nodes.agg(count(lit(1)).as("__n"))
 
     var ranks = nodes.withColumn("rank_e6", lit(BaseE6))
     for (i <- 1 to iters) {
@@ -55,10 +74,22 @@ object PageRank {
         .select(col("dst").as("id"),
           expr("rank_e6 * w div tot").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      ranks = nodes
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
+      ranks =
+        if (redistributeDangling) {
+          val sd = ranks.join(dangling, "id")
+            .agg(coalesce(sum("rank_e6"), lit(0L)).as("__sd"))
+          nodes
+            .join(contrib, Seq("id"), "left")
+            .crossJoin(broadcast(sd)).crossJoin(broadcast(nn))
+            .select(col("id"),
+              expr(s"${TeleportE6}L + ((coalesce(s, 0L) + __sd div __n) * 85) div 100")
+                .as("rank_e6"))
+        } else {
+          nodes
+            .join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              expr(s"${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
+        }
       // Truncate lineage per round — except the LAST round, whose frame
       // feeds straight into the caller's single consumption: one narrow
       // join+agg over checkpointed inputs, so a final materialization

@@ -31,11 +31,37 @@ object CnicsQueries {
              | ('Observation', 'insert', CAST(3 AS BIGINT)), ('Observation', 'update', CAST(0 AS BIGINT)), ('Observation', 'delete', CAST(0 AS BIGINT))
              |) t(resource_type, action, n)""".stripMargin)),
 
+    // ── The emitted FHIR JSON itself, pinned by content hash: each
+    //    resource is canonicalized (sorted keys, no whitespace —
+    //    JsonCanon) and SHA-256'd; the oracle is the committed golden
+    //    hashes, which CnicsPipelineSpec independently derives from
+    //    the golden JSON documents. A serialization regression turns
+    //    this row red in the driver gate; previously it was a
+    //    rows-only check because raw nested JSON can't be replayed by
+    //    an oracle engine. ──
     QueryDef(
       "cnics_patient_resources",
-      "assembled Patient resources (key, id, json) from demo fixtures",
-      (s, _) => new CnicsPipeline(s, CnicsFixtures.demo(s), new InMemoryFhirStore, "uw")
-        .patientResources().select("key", "id", "json"),
-      None)
+      "assembled Patient resources: key, id, sha256(canonical json) vs committed goldens",
+      (s, _) => {
+        import s.implicits._
+        new CnicsPipeline(s, CnicsFixtures.demo(s), new InMemoryFhirStore, "uw")
+          .patientResources().select("key", "id", "json")
+          .as[(String, String, String)]
+          .map { case (k, i, j) => (k, i, graft.model.JsonCanon.sha256Canonical(j)) }
+          .toDF("key", "id", "json_sha256")
+      },
+      Some(s"""SELECT * FROM (VALUES
+             | ('uw-001', 'cnics-uw-uw-001', '${CnicsGoldens.patientSha("uw-001")}'),
+             | ('uw-002', 'cnics-uw-uw-002', '${CnicsGoldens.patientSha("uw-002")}')
+             |) t(key, id, json_sha256)""".stripMargin))
   )
+}
+
+/** Committed golden canonical-JSON hashes for the demo fixtures —
+  * derived from (and cross-checked against) the golden JSON documents
+  * in CnicsPipelineSpec. */
+object CnicsGoldens {
+  val patientSha: Map[String, String] = Map(
+    "uw-001" -> "ba36cb9308165e953a58faa2f4bf6d1134a98da681b4b8b1d04d0bbb98815ec8",
+    "uw-002" -> "38593c864842e1b5b02dd7b9b887ca64fd4c9f5405d41ef95e04a79e4dd82936")
 }

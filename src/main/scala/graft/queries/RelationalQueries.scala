@@ -1148,15 +1148,29 @@ object RelationalQueries {
              |FROM orders o JOIN med m USING (o_orderpriority)
              |GROUP BY o.o_orderpriority, m.med""".stripMargin)),
 
-    // ── Approximate distinct (no SQL oracle — HLL impls differ) ──
+    // ── Approximate distinct with a HARD error-bound contract. HLL++
+    //    register layouts are engine-specific, so the estimate itself
+    //    can never hash-match a DuckDB replay — but the ESTIMATOR'S
+    //    CONTRACT can: |HLL − exact| ≤ ε·exact. The query emits the
+    //    exact distinct (oracled the normal way) plus a Spark-computed
+    //    `within_bound` verdict at ε = 0.15 (3× the configured
+    //    rsd = 0.05); the oracle expects `true`, so an estimator
+    //    drifting out of its guarantee turns the row red in the
+    //    driver gate instead of hiding behind a rows-only check. ──
     QueryDef(
       "approx_distinct_users",
-      "approx_count_distinct (HLL++) — rows-only check",
+      "approx_count_distinct (HLL++) checked against exact: |HLL − exact| ≤ 0.15·exact",
       (s, d) =>
         t(s, d, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-      None),
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.05).as("__approx"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("__approx") - col("exact_users"))
+              <= col("exact_users") * 0.15).as("within_bound")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  true AS within_bound
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // ── Distinct sketch with EXACT oracle parity: KMV (k minimum
     //    values). Same single-pass mergeable-state shape as HLL, but
@@ -1223,6 +1237,48 @@ object RelationalQueries {
       },
       bench = true),
 
+    // ── PageRank with uniform dangling-mass redistribution (2 rounds):
+    //    suppliers have no out-edges in the purchase graph, so the
+    //    default formulation lets them hoard mass — here each round
+    //    spreads Σ rank(dangling) div N uniformly before damping.
+    //    Still pure integer arithmetic (BIGINT sums are order-
+    //    insensitive), so the oracle replays the redistribution as one
+    //    extra scalar-subquery term per round, bit-exact. ──
+    QueryDef(
+      "pagerank_dangling_mass",
+      "PageRank with uniform dangling-mass redistribution (integer-exact, 2 rounds)",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.PageRank.pagerank(edges, "src", "dst", "w",
+          iters = 2, redistributeDangling = true)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT nd.id,
+             |  (150000 + ((coalesce(c.s, 0)
+             |    + (SELECT coalesce(sum(r.rank_e6), 0) FROM $prev r
+             |         JOIN dang dg ON dg.id = r.id) // (SELECT n FROM nn))
+             |    * 85) // 100)::BIGINT AS rank_e6
+             |  FROM n nd LEFT JOIN (
+             |    SELECT et.dst AS id, sum((r.rank_e6 * et.w) // et.tot) AS s
+             |    FROM et JOIN $prev r ON r.id = et.src GROUP BY 1) c ON c.id = nd.id)"""
+            .stripMargin
+        s"""WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |et AS (SELECT e.src, e.dst, e.w, t.tot FROM e
+           |  JOIN (SELECT src, sum(w) AS tot FROM e GROUP BY 1) t ON t.src = e.src),
+           |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |dang AS (SELECT id FROM n WHERE id NOT IN (SELECT DISTINCT src FROM e)),
+           |nn AS (SELECT count(*) AS n FROM n),
+           |r0 AS (SELECT id, 1000000::BIGINT AS rank_e6 FROM n),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")}
+           |SELECT id, rank_e6 FROM r2""".stripMargin
+      }),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle
@@ -1249,6 +1305,38 @@ object RelationalQueries {
              |  FROM customer)
              |WHERE rnk <= 3""".stripMargin),
       bench = true),
+
+    // ── Second consumer of the bounded-heap Aggregator, STRING
+    //    payload (TopKAgg is generic in the payload since round 6):
+    //    per-returnflag top-5 lineitems keyed by "orderkey-linenumber".
+    //    Tie-breaks ride the payload's binary UTF-8 order — the same
+    //    collation both engines give VARCHAR, so the (score desc, key
+    //    asc) total order is engine-agnostic. Same scale shape as
+    //    topk_heap_acctbal: map-side partial ObjectHashAggregate,
+    //    O(k)/group/mapper over the shuffle, no window sort. ──
+    QueryDef(
+      "topk_heap_returnflag",
+      "per-returnflag top-5 lineitems via string-payload bounded-heap Aggregator",
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKAgg.strings(5))
+        t(s, d, "lineitem")
+          .withColumn("line_key",
+            concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .groupBy("l_returnflag")
+          .agg(topk(col("l_extendedprice"), col("line_key")).as("tk"))
+          .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+            col("e._2").as("line_key"), col("e._1").as("price"))
+      },
+      Some("""SELECT l_returnflag, rnk, line_key, price FROM (
+             |  SELECT l_returnflag,
+             |    l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS line_key,
+             |    l_extendedprice AS price,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC,
+             |        l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS BIGINT) AS rnk
+             |  FROM lineitem)
+             |WHERE rnk <= 5""".stripMargin)),
 
     // ── KMV set operations (theta-sketch form): audience overlap
     //    between event-type segments FROM THE SKETCHES ALONE — never a

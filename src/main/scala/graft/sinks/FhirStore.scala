@@ -290,14 +290,25 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
         val pc = HttpClient.newHttpClient()
         val pm = new com.fasterxml.jackson.databind.ObjectMapper()
         part.grouped(bsz).flatMap { g =>
-          val r = send(pc, HttpRequest.newBuilder(URI.create(
-            s"$base/$rt?_id=${g.mkString(",")}&_count=${g.size}&_format=json")).GET().build())
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-          pm.readTree(r.body()).path("entry").forEach { e =>
-            val res = e.path("resource")
-            val key = res.path("identifier").path(0).path("value").asText(null)
-            val id = res.path("id").asText(null)
-            if (key != null && id != null) out += ((key, id))
+          // a server may cap _count below the requested batch size (the
+          // FHIR spec lets it override the client's count), so each
+          // shard fetch follows link:next like every other pager here —
+          // otherwise entries past the first page vanish silently
+          var u = s"$base/$rt?_id=${g.mkString(",")}&_count=${g.size}&_format=json"
+          while (u != null) {
+            val r = send(pc, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val root = pm.readTree(r.body())
+            root.path("entry").forEach { e =>
+              val res = e.path("resource")
+              val key = res.path("identifier").path(0).path("value").asText(null)
+              val id = res.path("id").asText(null)
+              if (key != null && id != null) out += ((key, id))
+            }
+            u = null
+            root.path("link").forEach { l =>
+              if (l.path("relation").asText() == "next") u = l.path("url").asText()
+            }
           }
           out
         }

@@ -53,5 +53,10 @@ class AsofJoinSpec extends AnyFunSuite {
     // equal-time matches survive tolerance 0
     assert(rows(AsofJoin.asofTolerance(left, right, "k", "t", Seq("rid"), 0L))
       === Map("L1" -> ("R100", 0L)))
+    // a negative tolerance is an error, not silent unbounded matching
+    // (it would alias the internal no-bound sentinel)
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofTolerance(left, right, "k", "t", Seq("rid"), -1L)
+    }
   }
 }

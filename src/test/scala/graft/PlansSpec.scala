@@ -119,6 +119,10 @@ class PlanGateSpec extends AnyFunSuite {
     val p = plan("pagerank_purchase_graph")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SinglePartition"), p)
+    // per-source totals are an aggregate-join, never a window over the
+    // edge frame: WindowExec would buffer a hub source's whole edge
+    // partition in one task (the 10^8-out-edge hazard)
+    assert(!p.contains("Window"), p)
   }
 
   test("topk_heap_acctbal plans as partial aggregation, not a window sort") {

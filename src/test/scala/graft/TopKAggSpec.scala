@@ -32,6 +32,49 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("k=120 string payload equals the window formulation, any partitioning") {
+    // large-k property check for the generic payload: heap inserts and
+    // pairwise merges must stay correct when k exceeds typical buffer
+    // sizes, and the string tiebreak must match binary UTF-8 order
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 5000L).map { i =>
+      (i % 4, rnd.nextInt(40).toDouble, f"k${rnd.nextInt(100000)}%06d-$i")
+    }
+    val df = rows.toDF("g", "score", "key")
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (sc, k) => (-sc, k) }.take(120)
+    }
+    Seq(1, 16).foreach { parts =>
+      val topk = udaf(graft.functions.TopKAgg.strings(120))
+      val got = df.repartition(parts)
+        .groupBy("g").agg(topk(col("score"), col("key")).as("tk"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getString(1))))
+        .toMap
+      expected.foreach { case (g, want) =>
+        assert(got(g) === want, s"group $g at $parts partitions")
+      }
+    }
+  }
+
+  test("NaN scores sort greatest (SQL DESC total order), never poison the heap") {
+    // primitive > would make NaN never-beat and never-lose, breaking
+    // the buffer invariant; java.lang.Double.compare puts NaN above
+    // +Inf exactly like Spark SQL's DESC ordering of doubles
+    val topk = udaf(graft.functions.TopKAgg(3))
+    val got = Seq(
+        (1L, 5.0, 1L), (1L, Double.NaN, 2L), (1L, 7.0, 3L),
+        (1L, Double.PositiveInfinity, 4L), (1L, Double.NaN, 5L))
+      .toDF("g", "score", "id")
+      .repartition(3)
+      .groupBy("g").agg(topk(col("score"), col("id")).as("tk"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(got.map(_._2) === Seq(2L, 5L, 4L)) // NaN (id asc), then +Inf
+    assert(got.take(2).forall(_._1.isNaN))
+  }
+
   test("groups smaller than k return all their rows, best-first") {
     val topk = udaf(graft.functions.TopKAgg(10))
     val got = Seq((1L, 2.0, 1L), (1L, 5.0, 2L), (1L, 5.0, 3L))
