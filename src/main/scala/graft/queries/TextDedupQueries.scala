@@ -1135,9 +1135,14 @@ object TextDedupQueries {
           .select(col("doc_id"), explode(col("__toks")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
         // norm guard: docs with n2 > MaxN2 (≈ a million tokens) leave
-        // the pairing entirely — bounds every later intermediate.
-        val n2 = tf.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
-          .filter(col("n2") <= lit(SparseCosine.MaxN2))
+        // the pairing entirely — bounds every later intermediate. The
+        // oversized set is pathological-by-definition (docs beyond a
+        // million tokens), so it is broadcast and the postings exclude
+        // it with a shuffle-free anti join rather than a doc-keyed
+        // semi join (which would re-shuffle the whole postings frame).
+        val n2all = tf.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
+        val n2 = n2all.filter(col("n2") <= lit(SparseCosine.MaxN2))
+        val oversized = n2all.filter(col("n2") > lit(SparseCosine.MaxN2)).select("doc_id")
         // df cut scales with the corpus — max(50, |docs|/10) — but is
         // absolutely capped at MaxDf so no token admits a quadratic
         // posting list at any corpus size. |docs| arrives as a
@@ -1147,7 +1152,7 @@ object TextDedupQueries {
         val pruned = tf.join(dft, Seq("tok")).crossJoin(broadcast(nd))
           .filter(col("df") <= least(
             greatest(lit(50L), expr("__nd div 10")), lit(SparseCosine.MaxDf)))
-          .join(n2.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(broadcast(oversized), Seq("doc_id"), "left_anti")
           .select("doc_id", "tok", "cnt")
         val num = pruned.select(col("doc_id").as("id_a"), col("tok"), col("cnt").as("ca"))
           .join(pruned.select(col("doc_id").as("id_b"), col("tok"), col("cnt").as("cb")),
@@ -1167,14 +1172,14 @@ object TextDedupQueries {
       Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS cnt FROM (
               |  SELECT doc_id, unnest($dkTokens) AS tok FROM documents)
               |  GROUP BY 1, 2),
-              |n2 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM tf GROUP BY 1
-              |  HAVING sum(cnt * cnt) <= ${SparseCosine.MaxN2}),
+              |n2a AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM tf GROUP BY 1),
+              |n2 AS (SELECT doc_id, n2 FROM n2a WHERE n2 <= ${SparseCosine.MaxN2}),
               |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
               |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
               |pruned AS (SELECT tf.doc_id, tf.tok, tf.cnt FROM tf
               |  JOIN dft ON dft.tok = tf.tok, nd
               |  WHERE dft.df <= least(greatest(50, nd.nd // 10), ${SparseCosine.MaxDf})
-              |    AND tf.doc_id IN (SELECT doc_id FROM n2)),
+              |    AND tf.doc_id NOT IN (SELECT doc_id FROM n2a WHERE n2 > ${SparseCosine.MaxN2})),
               |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |    sum(a.cnt * b.cnt) AS num
               |  FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.doc_id < b.doc_id
