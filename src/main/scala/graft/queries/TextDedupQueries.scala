@@ -113,6 +113,60 @@ object TextDedupQueries {
        |  (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))))::DECIMAL(18,12), 6)::DOUBLE AS jaccard
        |FROM cands JOIN hh x ON x.doc_id = id_a JOIN hh y ON y.doc_id = id_b)""".stripMargin
 
+  // ── Learned-merges BPE (round-6): deterministic training on the
+  //    corpus vocabulary, replayed by the oracle as an unrolled CTE
+  //    chain (one s/p/m/v block per merge round) exactly like the
+  //    trained-IVF Lloyd rounds. ──
+  private val BpeM = 6
+
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    Dedup.stageThenSpread(t(s, d, "documents"),
+        "__toks" -> expr(TextFunctions.tokensSql("text")))
+      .select(col("doc_id"), explode(col("__toks")).as("word"))
+      // delimiter-collision guard: tokensSql splits RAW text, so a
+      // pathological token containing U+001F must stay out of the
+      // symbol frames (same predicate in the oracle's words CTE)
+      .filter(!col("word").contains(graft.operators.Bpe.D))
+
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    bpeWords(s, d).groupBy("word").agg(count(lit(1)).as("freq"))
+
+  // merges are deterministic values (not persisted frames), so the
+  // memo never goes stale and bench hygiene doesn't need to clear it
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, d: String): Seq[graft.operators.Bpe.Merge] =
+    bpeMemo.getOrElseUpdate((s, d),
+      graft.operators.Bpe.train(bpeVocab(s, d), "word", "freq", BpeM))
+
+  /** DuckDB replay of Bpe.train: words → vocab → v0 (char frames) →
+    * per-round (syms, pair counts, argmax merge, applied frames). */
+  private def dkBpeCtes: String = {
+    val d1 = "chr(31)"
+    val dd = "chr(31) || chr(31)"
+    val init =
+      s"""words AS (SELECT doc_id, word FROM (
+         |  SELECT doc_id, unnest($dkTokens) AS word FROM documents)
+         |  WHERE word NOT LIKE '%' || $d1 || '%'),
+         |vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
+         |v0 AS (SELECT word, freq, $d1 ||
+         |  array_to_string(list_transform(range(length(word)), i -> substr(word, i + 1, 1)), $dd)
+         |  || $d1 AS enc FROM vocab)""".stripMargin
+    val rounds = (1 to BpeM).map { r =>
+      s"""s$r AS (SELECT word, freq,
+         |  string_split(substr(enc, 2, length(enc) - 2), $dd) AS syms FROM v${r - 1}),
+         |p$r AS (SELECT a, b, sum(freq)::BIGINT AS cnt FROM (
+         |  SELECT freq, syms[i + 1] AS a, syms[i + 2] AS b FROM (
+         |    SELECT freq, syms, unnest(range(len(syms) - 1)) AS i FROM s$r
+         |    WHERE len(syms) >= 2)) GROUP BY 1, 2),
+         |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (SELECT v.word, v.freq,
+         |  replace(v.enc, $d1 || m.a || $dd || m.b || $d1, $d1 || m.a || m.b || $d1) AS enc
+         |  FROM v${r - 1} v, m$r m)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Token counting ──
@@ -152,6 +206,47 @@ object TextDedupQueries {
              |  '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
              |length(text) AS n_chars
              |FROM documents""".stripMargin)),
+
+    // ── Learned BPE merge table: the training output itself, oracled.
+    //    Each round's argmax (count desc, pair asc — a total order on
+    //    integers and strings) is replayed by the m{r} CTEs, so any
+    //    divergence in pair statistics, tie-breaks, or replace
+    //    semantics turns the row red. ──
+    QueryDef(
+      "txt_bpe_merges",
+      s"learned BPE merge table ($BpeM greedy rounds, vocabulary-frequency weighted)",
+      (s, d) => {
+        import s.implicits._
+        bpeMerges(s, d).map(mg => (mg.rank.toLong, mg.a, mg.b))
+          .toDF("rank", "a", "b")
+      },
+      Some(s"WITH $dkBpeCtes\n" +
+        (1 to BpeM).map(r => s"SELECT ${r}::BIGINT AS rank, a, b FROM m$r")
+          .mkString("\nUNION ALL\n"))),
+
+    // ── Merged-token budgets: per-document token counts in LEARNED
+    //    BPE units (what training pipelines actually budget in), via a
+    //    broadcast join of the word → n_subwords application table
+    //    against the token stream — the 100 TB shape: training state
+    //    stays vocabulary-sized, the corpus is touched once. ──
+    QueryDef(
+      "txt_tokens_bpe_learned",
+      "per-document merged-BPE token counts (learned merge table applied)",
+      (s, d) => {
+        val sub = graft.operators.Bpe.subwordCounts(
+          bpeVocab(s, d), "word", "freq", bpeMerges(s, d))
+        bpeWords(s, d)
+          .join(broadcast(sub), "word")
+          .groupBy("doc_id").agg(sum("n_subwords").as("n_tokens_bpe"))
+      },
+      // concatenated, NOT an outer stripMargin: the embedded CTE chain
+      // has lines beginning with ||, which stripMargin would truncate
+      Some(s"WITH $dkBpeCtes,\n" +
+        s"""sub AS (SELECT word,
+           |  len(string_split(substr(enc, 2, length(enc) - 2), chr(31) || chr(31)))::BIGINT AS n_subwords
+           |  FROM v$BpeM)
+           |SELECT w.doc_id, sum(sub.n_subwords)::BIGINT AS n_tokens_bpe
+           |FROM words w JOIN sub ON sub.word = w.word GROUP BY 1""".stripMargin)),
 
     // ── Quality scoring ──
     QueryDef(
