@@ -112,4 +112,78 @@ class StorageLayoutSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet
     assert(noBcast.as[(Long, Double)].collect().toSet === want)
   }
+
+  test("z-ordered layout skips parquet row groups on a single-dimension predicate") {
+    import scala.jdk.CollectionConverters._
+    // The point of the Morton key (zorder_layout_key): ONE clustered
+    // order serves selective predicates on EITHER dimension through
+    // row-group min/max stats. Materialize the z-clustered layout with
+    // deliberately small row groups, then prove BOTH halves of the
+    // contract: (footers) some groups' xb windows exclude the
+    // predicate entirely, and (behavior) Spark's scan reads no more
+    // rows than the surviving groups hold.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val withDims = graft.sources.Tables(spark, "/root/testdata/sf0.1", "part")
+      .withColumn("xb", col("p_size").cast("long"))
+      .withColumn("yb", floor(col("p_retailprice") / 100.0).cast("long"))
+    val z = (0 until 8).map { i =>
+      expr(s"(shiftright(xb, $i) & 1) * ${1L << (2 * i)} + " +
+        s"(shiftright(yb, $i) & 1) * ${1L << (2 * i + 1)}")
+    }.reduce(_ + _)
+    withDims.withColumn("z", z)
+      .select("p_partkey", "xb", "yb", "z")
+      .repartitionByRange(2, col("z"))
+      .sortWithinPartitions("z")
+      .write.option("parquet.block.size", 8 * 1024)
+      .mode("overwrite").parquet(dir)
+
+    // footer stats: per-row-group (rows, xb_min, xb_max)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val groups = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try rdr.getFooter.getBlocks.asScala.map { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "xb").get.getStatistics
+          (b.getRowCount,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }.toSeq
+        finally rdr.close()
+      }
+    assert(groups.length >= 8, s"layout produced too few row groups: ${groups.length}")
+    val survives = (mn: Long, mx: Long) => mx >= 1L && mn <= 5L // xb BETWEEN 1 AND 5
+    val skippable = groups.filter { case (_, mn, mx) => !survives(mn, mx) }
+    assert(skippable.nonEmpty,
+      s"z-clustering left no group skippable on xb alone:\n${groups.mkString("\n")}")
+    val survivingRows = groups.collect { case (n, mn, mx) if survives(mn, mx) => n }.sum
+    val totalRows = groups.map(_._1).sum
+
+    // behavior: the scan's output is bounded by the surviving groups
+    val q = spark.read.parquet(dir).filter(col("xb").between(1, 5))
+      .agg(sum("z").as("sz"))
+    q.collect()
+    // after execution the scan sits inside AdaptiveSparkPlanExec's
+    // final plan, which TreeNode.collect does not traverse
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(qs.plan)
+        case s: FileSourceScanExec => Some(s)
+        case other => other.children.iterator.flatMap(findScan).nextOption()
+      }
+    val scan = findScan(q.queryExecution.executedPlan).get
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("xb"),
+      s"xb predicate not pushed: ${scan.metadata}")
+    val read = scan.metrics("numOutputRows").value
+    assert(read <= survivingRows,
+      s"scan read $read rows but surviving groups hold only $survivingRows")
+    assert(read < totalRows,
+      s"no row groups skipped: read $read of $totalRows")
+  }
 }
