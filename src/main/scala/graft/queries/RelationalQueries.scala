@@ -492,6 +492,43 @@ object RelationalQueries {
            |ORDER BY z, p_partkey LIMIT 50""".stripMargin
       }),
 
+    // ── Blocked entity linkage (record-matching shape): candidate
+    //    pairs come from an EQUALITY blocking key — (nation, 6-digit
+    //    name prefix) — so the expensive edit-distance only runs
+    //    within blocks, never all-pairs; the classic entity-resolution
+    //    scale pattern (same candidate-generation discipline as the
+    //    LSH band join, with Levenshtein as the rescore). Both engines
+    //    implement classic edit distance, so dist is integer-exact. ──
+    QueryDef(
+      "link_blocked_levenshtein",
+      "blocked entity linkage: (nation, name-prefix) candidate blocks, edit-distance <= 2",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+          .withColumn("blk",
+            concat_ws("|", col("c_nationkey"), substring(col("c_name"), 10, 6)))
+        c.as("x").join(c.as("y"), Seq("blk"))
+          .filter(col("x.c_custkey") < col("y.c_custkey"))
+          .withColumn("dist",
+            levenshtein(col("x.c_name"), col("y.c_name")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("x.c_custkey").as("id_a"), col("y.c_custkey").as("id_b"),
+            col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+             |  levenshtein(x.c_name, y.c_name)::BIGINT AS dist
+             |FROM (SELECT c_custkey, c_name,
+             |        c_nationkey::VARCHAR || '|' || substr(c_name, 10, 6) AS blk
+             |      FROM customer) x
+             |JOIN (SELECT c_custkey, c_name,
+             |        c_nationkey::VARCHAR || '|' || substr(c_name, 10, 6) AS blk
+             |      FROM customer) y
+             |  ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+             |WHERE levenshtein(x.c_name, y.c_name) <= 2
+             |ORDER BY id_a, id_b LIMIT 100""".stripMargin)),
+
     // ── Null-aware anti join: NOT IN over a nullable subquery — if the
     //    subquery produces ANY null, SQL three-valued logic makes every
     //    NOT IN row UNKNOWN (zero rows); otherwise it is a plain anti

@@ -1285,6 +1285,59 @@ object TextDedupQueries {
               |ORDER BY score_e6 DESC, id_a, id_b LIMIT 20""".stripMargin),
       bench = true),
 
+    // ── EXACT SUBSTRING duplication across documents (the
+    //    "deduplicating training data makes models better" primitive):
+    //    fixed-width 48-char windows, FULL stride on one join side and
+    //    stride-8 on the other — any shared substring of length ≥ 55
+    //    (48 + 8 − 1) is then guaranteed to produce a matching window
+    //    pair, at 1/8th the self-join input a full×full window join
+    //    would need. Hot-window guard is ABSOLUTE (df > 1000 boilerplate
+    //    windows leave the index via broadcast anti join — the
+    //    MaxDf/MaxBucket discipline). Pure string equality end-to-end;
+    //    at 100 TB the join key becomes a 64-bit window hash with this
+    //    same string-equality rescore. ──
+    QueryDef(
+      "dedup_substring_windows",
+      "cross-document exact substring duplication via strided 48-char window join",
+      (s, d) => {
+        val docs = Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"), trim(col("text")).as("tx"))
+          .filter(length(col("tx")) >= 48)
+        val wa = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(tx) - 47), i -> substring(tx, i, 48))")).as("w"))
+          .distinct()
+        val wb = docs.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(tx) - 47, 8), i -> substring(tx, i, 48))")).as("w"))
+          .distinct()
+        val hot = wa.groupBy("w")
+          .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000).select("w")
+        wa.as("a").join(wb.as("b"), Seq("w"))
+          .filter(col("a.doc_id") =!= col("b.doc_id"))
+          .join(broadcast(hot), Seq("w"), "left_anti")
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"), col("w"))
+          .groupBy("id_a", "id_b").agg(countDistinct("w").as("n_shared"))
+          .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some("""WITH docs AS (SELECT doc_id, trim(text) AS tx FROM documents
+             |  WHERE length(trim(text)) >= 48),
+             |wa AS (SELECT DISTINCT doc_id, substr(tx, i + 1, 48) AS w FROM (
+             |  SELECT doc_id, tx, unnest(range(0, length(tx) - 47)) AS i FROM docs)),
+             |wb AS (SELECT DISTINCT doc_id, substr(tx, i + 1, 48) AS w FROM (
+             |  SELECT doc_id, tx, unnest(range(0, length(tx) - 47, 8)) AS i FROM docs)),
+             |hot AS (SELECT w FROM (
+             |  SELECT w, count(DISTINCT doc_id) AS df FROM wa GROUP BY 1) WHERE df > 1000),
+             |pairs AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+             |    greatest(a.doc_id, b.doc_id) AS id_b, a.w
+             |  FROM wa a JOIN wb b ON a.w = b.w AND a.doc_id <> b.doc_id
+             |  WHERE a.w NOT IN (SELECT w FROM hot))
+             |SELECT id_a, id_b, count(DISTINCT w)::BIGINT AS n_shared
+             |FROM pairs GROUP BY 1, 2
+             |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
     // ── Dataset fingerprint for drift detection / data contracts: per-
     //    source row count + order-insensitive content checksum. Each
     //    row contributes md5(doc_id || '|' || text) reduced mod 2³¹ and
