@@ -1032,6 +1032,39 @@ object RelationalQueries {
              |round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ── Approximate percentile with a HARD rank-error contract (the
+    //    approx_distinct_users pattern for the second big estimator):
+    //    approx_percentile's GK summary DETERMINISTICALLY guarantees
+    //    rank error ≤ ε·n at accuracy 1/ε, so the returned value's
+    //    true rank interval [#<v, #≤v] must intersect
+    //    [(p−ε)·n, (p+ε)·n]. The query checks that in-row against the
+    //    exact counts; the oracle expects `true`, so a sketch
+    //    regression turns the row red — no engine-specific sketch
+    //    state is ever compared. ε = 10⁻⁴ (accuracy 10000); the
+    //    acceptance window uses the floor/ceil rank bounds of the GK
+    //    contract, in pure integer arithmetic (a strict ±ε·n double
+    //    bound rejects legitimate boundary ranks — observed 2 vs
+    //    1.9926 on the N flag). ──
+    QueryDef(
+      "approx_percentile_contract",
+      "approx_percentile(0.5) checked against its rank-error guarantee per group",
+      (s, d) => {
+        val ap = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("apx"))
+        t(s, d, "lineitem")
+          .join(broadcast(ap), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L)).as("__lt"),
+            sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("__le"))
+          .select(col("l_returnflag"), col("n"),
+            (col("__lt") <= expr("(n * 5001 + 9999) div 10000") &&
+              col("__le") >= expr("(n * 4999) div 10000")).as("within_bound"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, true AS within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // ── Fixed-width histogram: the profiling primitive — one groupBy
     //    on the integer bin id (floor division), map-side combinable;
     //    no sort, no per-bin pass ──

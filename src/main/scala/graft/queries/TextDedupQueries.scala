@@ -1336,7 +1336,8 @@ object TextDedupQueries {
              |  WHERE a.w NOT IN (SELECT w FROM hot))
              |SELECT id_a, id_b, count(DISTINCT w)::BIGINT AS n_shared
              |FROM pairs GROUP BY 1, 2
-             |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin)),
+             |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin),
+      bench = true),
 
     // ── Dataset fingerprint for drift detection / data contracts: per-
     //    source row count + order-insensitive content checksum. Each

@@ -150,6 +150,48 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static AS-OF enrichment: each streaming row gets the
+    * LATEST static right row with right.time <= row.time for its key —
+    * the streaming twin of [[graft.operators.AsofJoin.asof]], for the
+    * "enrich live events with the most recent reference version" case
+    * (rates, configs, slowly-changing dims).
+    *
+    * The right side is a DIMENSION: collected once into per-key sorted
+    * arrays and broadcast (dictionary-sized, the `CnicsCsv` code-list
+    * precedent), so the stream side is STATELESS — no shuffle, no
+    * watermark, no state store; one binary search per row. A
+    * stream-stream as-of would need interval-join state; for static
+    * reference data this lookup is the scale shape.
+    */
+  def asofEnrichStatic(events: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCol: String): DataFrame = {
+    val spark = right.sparkSession
+    import spark.implicits._
+    val idx: Map[Long, (Array[Long], Array[Long])] = right
+      .select(col(keyCol).cast("long"), col(timeCol).cast("long"),
+        col(payloadCol).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+      }
+    val b = spark.sparkContext.broadcast(idx)
+    events
+      .select(col(keyCol).cast("long").as("k"), col(timeCol).cast("long").as("t"))
+      .as[(Long, Long)]
+      .flatMap { case (k, t) =>
+        b.value.get(k).flatMap { case (times, vals) =>
+          var pos = java.util.Arrays.binarySearch(times, t)
+          if (pos < 0) pos = -pos - 2
+          else { // inclusive at equal times: take the rightmost match
+            while (pos + 1 < times.length && times(pos + 1) == t) pos += 1
+          }
+          if (pos >= 0) Some((k, t, vals(pos))) else None
+        }
+      }
+      .toDF(keyCol, timeCol, s"asof_$payloadCol")
+  }
+
   /** One open session per burst: [startNs, lastNs] with an event count.
     * Aggregate state only — raw events are never retained. */
   final case class SessionAgg(startNs: Long, lastNs: Long, n: Long)

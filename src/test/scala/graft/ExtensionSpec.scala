@@ -375,6 +375,36 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static as-of enrichment matches the batch as-of join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 15L))
+      .toDF("k", "t", "v")
+    val leftRows = Seq((1L, 99L), (1L, 100L), (1L, 250L),
+      (2L, 149L), (2L, 151L), (3L, 500L))
+
+    val mem = MemoryStream[(Long, Long)]
+    val out = graft.streaming.EventStreams.asofEnrichStatic(
+      mem.toDF().toDF("k", "t"), right, "k", "t", "v")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("graft_asof_stream").start()
+    val streamed =
+      try {
+        mem.addData(leftRows: _*)
+        q.processAllAvailable()
+        spark.table("graft_asof_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+
+    val batch = graft.operators.AsofJoin.asof(
+        leftRows.toDF("k", "t"), right, "k", "t", Seq("v"))
+      .select(col("k"), col("t"), col("asof_match.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // inclusive boundary, latest-prior, and no-prior/no-key drops
+    assert(streamed === Set((1L, 100L, 10L), (1L, 250L, 20L), (2L, 151L, 15L)))
+  }
+
   test("streaming dedup drops in-window duplicates exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
