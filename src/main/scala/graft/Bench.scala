@@ -93,10 +93,15 @@ object Bench {
     materialize("q1_pricing_summary") // warm-up (codegen, classloading)
 
     // Recorded per-query bests (flat {"name": sec} JSON, committed);
-    // parsed with a regex to keep Bench dependency-free.
+    // parsed with a regex to keep Bench dependency-free. The registry
+    // records the CANONICAL scale only — a local run at another sf
+    // must neither consult it (every comparison would be apples to
+    // oranges) nor ratchet it (one sf0.01 run would poison every
+    // future sf0.1 regression check with unreachable bests).
+    val canonicalSf = sfDir.stripSuffix("/").endsWith("sf0.1")
     val bestFile = java.nio.file.Paths.get("bench_best.json")
     val recordedBest: Map[String, Double] =
-      if (java.nio.file.Files.exists(bestFile)) {
+      if (canonicalSf && java.nio.file.Files.exists(bestFile)) {
         val txt = new String(java.nio.file.Files.readAllBytes(bestFile), "UTF-8")
         "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -127,8 +132,12 @@ object Bench {
       val valid = (Seq(a, b) ++ p3.get(n)).filter(_.wall >= 0)
       n -> (if (valid.nonEmpty) valid.minBy(_.wall) else a)
     }
+    // Locale.ROOT: a comma-decimal default locale would emit "0,180",
+    // unparseable by the driver's json.load (and by our own ratchet)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jm(rs: Seq[(String, Timing)], f: Timing => Double): String = rs
-      .map { case (k, t) => "\"" + k + "\":" + f"${f(t)}%.3f" }.mkString("{", ",", "}")
+      .map { case (k, t) => "\"" + k + "\":" + fmt(f(t)) }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     // Full diagnostics (per-query cpu/gc + both raw cold-pass walls) go
     // to a sidecar file: the consumer of stdout keeps only a ~2 KB tail
@@ -137,21 +146,24 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // Ratchet the recorded-best registry: min(recorded, this run).
-    val newBest = (recordedBest.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
-      val candidates = recordedBest.get(n).toSeq ++
-        results.collectFirst { case (`n`, t) if t.wall >= 0 => t.wall }
-      if (candidates.isEmpty) None else Some(n -> candidates.min)
+    // Ratchet the recorded-best registry: min(recorded, this run) —
+    // canonical scale only (an off-scale run must not touch the file).
+    if (canonicalSf) {
+      val newBest = (recordedBest.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
+        val candidates = recordedBest.get(n).toSeq ++
+          results.collectFirst { case (`n`, t) if t.wall >= 0 => t.wall }
+        if (candidates.isEmpty) None else Some(n -> candidates.min)
+      }
+      java.nio.file.Files.write(bestFile,
+        newBest.map { case (n, v) => s""""$n": ${fmt(v)}""" }
+          .mkString("{\n", ",\n", "\n}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    java.nio.file.Files.write(bestFile,
-      newBest.map { case (n, v) => f""""$n": $v%.3f""" }
-        .mkString("{\n", ",\n", "\n}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }

@@ -83,8 +83,30 @@ object TopKAgg {
   def longs(k: Int): TopKAgg[Long] =
     new TopKAgg[Long](k)(Ordering.Long, ExpressionEncoder[Array[(Double, Long)]]())
 
-  /** String-payload form (score, key) — binary UTF-8 ordering, the
-    * same collation Spark and DuckDB use for VARCHAR comparisons. */
+  /** Code-point order == binary UTF-8 byte order — the collation
+    * Spark's UTF8String and oracle engines actually compare VARCHARs
+    * with. Java's String.compareTo is UTF-16 code-UNIT order instead,
+    * which ranks supplementary characters (surrogate pairs, 0xD800+)
+    * BELOW U+E000..U+FFFF — a tie-break there would silently diverge
+    * from a row_number oracle on non-BMP keys. */
+  private[functions] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        var res = 0
+        while (res == 0 && i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) res = Integer.compare(ca, cb)
+          else { i += Character.charCount(ca); j += Character.charCount(cb) }
+        }
+        if (res != 0) res else Integer.compare(a.length - i, b.length - j)
+      }
+    }
+
+  /** String-payload form (score, key) — code-point (binary UTF-8)
+    * ordering, the collation Spark and oracle engines give VARCHAR. */
   def strings(k: Int): TopKAgg[String] =
-    new TopKAgg[String](k)(Ordering.String, ExpressionEncoder[Array[(Double, String)]]())
+    new TopKAgg[String](k)(codePointOrdering, ExpressionEncoder[Array[(Double, String)]]())
 }

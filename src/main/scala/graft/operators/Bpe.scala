@@ -40,12 +40,17 @@ object Bpe {
 
   final case class Merge(rank: Int, a: String, b: String)
 
-  /** Initial symbolization: word → framed char sequence. */
+  /** Initial symbolization: word → framed char sequence. The empty
+    * word is guarded explicitly: Spark's `sequence(1, 0)` is
+    * DESCENDING ([1, 0]), which would fabricate two phantom symbols
+    * instead of none. */
   def encodeChars(words: DataFrame, wordCol: String): DataFrame =
     words.withColumn("enc",
       concat(lit(D),
         array_join(
-          expr(s"transform(sequence(1, length($wordCol)), i -> substring($wordCol, i, 1))"),
+          when(length(col(wordCol)) > 0,
+            expr(s"transform(sequence(1, length($wordCol)), i -> substring($wordCol, i, 1))"))
+            .otherwise(expr("CAST(array() AS array<string>)")),
           D + D),
         lit(D)))
 

@@ -35,6 +35,14 @@ object PageRank {
   val BaseE6 = 1000000L     // rank fixed-point scale (1.0)
   val TeleportE6 = 150000L  // (1-d)·Base with d = 0.85
 
+  /** Per-source totals as an aggregate-join over a (src, dst, w) edge
+    * frame. Exposed separately so the plan gate can assert the shape
+    * BEFORE the checkpoint hides it (inside [[pagerank]] the frame is
+    * eagerly checkpointed, so a window sneaking back in would execute
+    * invisibly to any assertion on the final query's plan). */
+  private[graft] def withTotals(base: DataFrame): DataFrame =
+    base.join(base.groupBy("src").agg(sum("w").as("tot")), "src")
+
   /** (id, rank_e6) for every vertex of the graph after `iters` rounds.
     * `edges` must carry integer columns (srcCol, dstCol, wCol > 0);
     * parallel edges should be pre-aggregated into weights.
@@ -51,11 +59,9 @@ object PageRank {
     // Edge frame with per-source totals (aggregate-join, see scaladoc),
     // checkpointed once: reused by every round and referenced twice
     // (contribution join + node set).
-    val base = edges
+    val e = withTotals(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
-        col(wCol).cast("long").as("w"))
-    val e = base
-      .join(base.groupBy("src").agg(sum("w").as("tot")), "src")
+        col(wCol).cast("long").as("w")))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

@@ -123,10 +123,14 @@ object TextDedupQueries {
     Dedup.stageThenSpread(t(s, d, "documents"),
         "__toks" -> expr(TextFunctions.tokensSql("text")))
       .select(col("doc_id"), explode(col("__toks")).as("word"))
-      // delimiter-collision guard: tokensSql splits RAW text, so a
-      // pathological token containing U+001F must stay out of the
-      // symbol frames (same predicate in the oracle's words CTE)
-      .filter(!col("word").contains(graft.operators.Bpe.D))
+      // guards, mirrored in the oracle's words CTE: (a) tokensSql
+      // splits RAW text, so a pathological token containing U+001F
+      // must stay out of the symbol frames; (b) an empty-string token
+      // (split of an empty doc) must too — Spark's sequence(1, 0) is
+      // DESCENDING [1, 0], which would fabricate two phantom symbols
+      // where the oracle's range(0) correctly yields none
+      .filter(!col("word").contains(graft.operators.Bpe.D) &&
+        length(col("word")) > 0)
 
   private def bpeVocab(s: SparkSession, d: String): DataFrame =
     bpeWords(s, d).groupBy("word").agg(count(lit(1)).as("freq"))
@@ -147,7 +151,7 @@ object TextDedupQueries {
     val init =
       s"""words AS (SELECT doc_id, word FROM (
          |  SELECT doc_id, unnest($dkTokens) AS word FROM documents)
-         |  WHERE word NOT LIKE '%' || $d1 || '%'),
+         |  WHERE word NOT LIKE '%' || $d1 || '%' AND length(word) > 0),
          |vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
          |v0 AS (SELECT word, freq, $d1 ||
          |  array_to_string(list_transform(range(length(word)), i -> substr(word, i + 1, 1)), $dd)
@@ -161,8 +165,10 @@ object TextDedupQueries {
          |    WHERE len(syms) >= 2)) GROUP BY 1, 2),
          |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
          |v$r AS (SELECT v.word, v.freq,
-         |  replace(v.enc, $d1 || m.a || $dd || m.b || $d1, $d1 || m.a || m.b || $d1) AS enc
-         |  FROM v${r - 1} v, m$r m)""".stripMargin
+         |  CASE WHEN m.a IS NULL THEN v.enc
+         |       ELSE replace(v.enc, $d1 || m.a || $dd || m.b || $d1, $d1 || m.a || m.b || $d1)
+         |  END AS enc
+         |  FROM v${r - 1} v LEFT JOIN m$r m ON true)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
   }

@@ -162,6 +162,12 @@ object EventStreams {
     * watermark, no state store; one binary search per row. A
     * stream-stream as-of would need interval-join state; for static
     * reference data this lookup is the scale shape.
+    *
+    * Duplicate (key, time) right rows resolve DETERMINISTICALLY to the
+    * greatest payload (the index sorts on (time, payload), and the
+    * rightmost entry at the match time wins). The batch twin leaves
+    * that tie to the caller — pre-deduplicate the dimension when
+    * batch/stream parity on tied rows matters.
     */
   def asofEnrichStatic(events: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCol: String): DataFrame = {
@@ -172,7 +178,7 @@ object EventStreams {
         col(payloadCol).cast("long"))
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).map { case (k, rs) =>
-        val sorted = rs.sortBy(_._2)
+        val sorted = rs.sortBy(r => (r._2, r._3)) // (time, payload): tie order never depends on collect order
         k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
       }
     val b = spark.sparkContext.broadcast(idx)

@@ -119,10 +119,26 @@ class PlanGateSpec extends AnyFunSuite {
     val p = plan("pagerank_purchase_graph")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SinglePartition"), p)
-    // per-source totals are an aggregate-join, never a window over the
-    // edge frame: WindowExec would buffer a hub source's whole edge
-    // partition in one task (the 10^8-out-edge hazard)
     assert(!p.contains("Window"), p)
+  }
+
+  test("pagerank per-source totals plan: aggregate-join, never a window over edges") {
+    // asserted on the PRE-CHECKPOINT frame — inside pagerank() the
+    // edge frame is eagerly checkpointed, so a window sneaking back in
+    // would execute invisibly to assertions on the final query's plan.
+    // WindowExec would buffer a hub source's whole edge partition in
+    // one task (the 10^8-out-edge hazard); the aggregate is map-side
+    // combinable and the join back is co-partitioned on src.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val edges = Tables(spark, d, "orders")
+      .join(Tables(spark, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val p = graft.operators.PageRank.withTotals(edges)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("topk_heap_acctbal plans as partial aggregation, not a window sort") {
