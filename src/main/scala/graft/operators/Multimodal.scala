@@ -145,63 +145,161 @@ object Multimodal {
     * image and audio corrupt-file policy; other codecs (H.264 etc.)
     * have no JVM decoder and would slot into `decodeStub`'s batch
     * shape behind an external library. */
-  def decodeVideoMjpeg(spark: SparkSession, media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
-    import spark.implicits._
-    def le32(b: Array[Byte], p: Int): Long =
+  /** RIFF-AVI container walk shared by [[decodeVideoMjpeg]] and
+    * [[sampleFrames]]: (µs per frame from `avih`, (offset, length) of
+    * each `..dc` MJPEG frame chunk). Empty frames ⇒ not an MJPEG AVI. */
+  private def aviFrameChunks(b: Array[Byte]): (Long, Seq[(Int, Int)]) = {
+    def le32(p: Int): Long =
       (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
         ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-    def tag(b: Array[Byte], p: Int): String =
+    def tag(p: Int): String =
       new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") (0L, Seq.empty)
+    else {
+      var usPerFrame = 0L
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = tag(p)
+          val sz = math.min(le32(p + 4), (end - p - 8).toLong).toInt
+          if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+          else if (id == "avih" && sz >= 4) usPerFrame = le32(p + 8)
+          else if (id.length == 4 && id.endsWith("dc") && sz > 2)
+            frames += ((p + 8, sz))
+          p += 8 + sz + (sz & 1)
+        }
+      }
+      walk(12, b.length)
+      (usPerFrame, frames.toSeq)
+    }
+  }
 
+  def decodeVideoMjpeg(spark: SparkSession, media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         try {
           val b = r.payload
-          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") None
+          val (usPerFrame, frames) = aviFrameChunks(b)
+          if (frames.isEmpty) None
           else {
-            var usPerFrame = 0L
-            val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
-            def walk(start: Int, end: Int): Unit = {
-              var p = start
-              while (p + 8 <= end) {
-                val id = tag(b, p)
-                val sz = math.min(le32(b, p + 4), (end - p - 8).toLong).toInt
-                if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
-                else if (id == "avih" && sz >= 4) usPerFrame = le32(b, p + 8)
-                else if (id.length == 4 && id.endsWith("dc") && sz > 2)
-                  frames += ((p + 8, sz))
-                p += 8 + sz + (sz & 1)
-              }
-            }
-            walk(12, b.length)
-            if (frames.isEmpty) None
-            else {
-              var w = 0; var h = 0
-              var lumaSum = 0.0; var nPx = 0L
-              frames.foreach { case (off, len) =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(b, off, len))
-                if (img != null) {
-                  if (w == 0) { w = img.getWidth; h = img.getHeight }
-                  val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
-                    null, 0, img.getWidth)
-                  var i = 0
-                  while (i < px.length) {
-                    val rgb = px(i)
-                    lumaSum += 0.299 * ((rgb >> 16) & 0xff) +
-                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                    i += 1
-                  }
-                  nPx += px.length
+            var w = 0; var h = 0
+            var lumaSum = 0.0; var nPx = 0L
+            frames.foreach { case (off, len) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, off, len))
+              if (img != null) {
+                if (w == 0) { w = img.getWidth; h = img.getHeight }
+                val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                  null, 0, img.getWidth)
+                var i = 0
+                while (i < px.length) {
+                  val rgb = px(i)
+                  lumaSum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  i += 1
                 }
+                nPx += px.length
               }
-              if (w == 0 || nPx == 0L) None
-              else Some(VideoFeatures(r.doc_id, frames.size, w, h,
-                if (usPerFrame > 0) math.round(1e8 / usPerFrame) / 100.0 else 0.0,
-                math.round(lumaSum / nPx * 100) / 100.0))
             }
+            if (w == 0 || nPx == 0L) None
+            else Some(VideoFeatures(r.doc_id, frames.size, w, h,
+              if (usPerFrame > 0) math.round(1e8 / usPerFrame) / 100.0 else 0.0,
+              math.round(lumaSum / nPx * 100) / 100.0))
           }
         } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  final case class ResizedImage(
+      doc_id: Long, width: Int, height: Int, n_bytes: Int,
+      mean_luma: Double, payload: Array[Byte])
+
+  /** REAL image resize via Graphics2D bilinear scaling, re-encoded as
+    * PNG — the resolution-normalization stage of a multimodal training
+    * pipeline, chainable into [[decodeImages]] (the output payload is
+    * a valid image). Same batch shape and corrupt-file policy as the
+    * decoders: mapPartitions on executors, undecodable payloads
+    * dropped. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (src == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            val out = bos.toByteArray
+            val px = dst.getRGB(0, 0, targetW, targetH, null, 0, targetW)
+            var sum = 0.0
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              i += 1
+            }
+            Some(ResizedImage(r.doc_id, targetW, targetH, out.length,
+              math.round(sum / px.length * 100) / 100.0, out))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** REAL video frame sampling: every `everyN`-th MJPEG frame of an
+    * AVI payload decoded to per-frame features — the keyframe-sampling
+    * stage a video training pipeline runs before captioning/embedding
+    * (sampling happens at the CONTAINER level, so skipped frames are
+    * never JPEG-decoded; for a 30 fps corpus sampled at 1/30 that is a
+    * 30× decode saving, which is the point at 100 TB). */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      everyN: Int): Dataset[FrameSample] = {
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val b = r.payload
+          val (_, frames) = aviFrameChunks(b)
+          frames.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % everyN == 0 }
+            .flatMap { case ((off, len), idx) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, off, len))
+              if (img == null) None
+              else {
+                val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                  null, 0, img.getWidth)
+                var sum = 0.0
+                var i = 0
+                while (i < px.length) {
+                  val rgb = px(i)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                    0.114 * (rgb & 0xff)
+                  i += 1
+                }
+                Some(FrameSample(r.doc_id, idx, img.getWidth, img.getHeight,
+                  math.round(sum / px.length * 100) / 100.0))
+              }
+            }.toSeq
+        } catch { case _: Exception => Seq.empty }
       }
     }
   }

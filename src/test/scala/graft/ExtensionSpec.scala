@@ -257,6 +257,76 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(2L).mean_luma > 240)
   }
 
+  test("real image resize: bilinear scale, re-encoded payload chains into decode") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png(16, 8, 0xff0000), "image/png"),  // solid red, downscale
+      Multimodal.MediaRow(2L, png(2, 2, 0xffffff), "image/png"),   // solid white, upscale
+      Multimodal.MediaRow(3L, Array[Byte](5, 5), "image/png")))    // corrupt
+      .repartition(2)
+    val out = Multimodal.resizeImages(spark, media, 4, 4).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L)) // corrupt dropped
+    assert(out(1L).width === 4 && out(1L).height === 4)
+    // solid colors survive resampling exactly: luma preserved
+    assert(math.abs(out(1L).mean_luma - 76.25) < 0.3)
+    assert(out(2L).mean_luma === 255.0)
+    // the output payload is a real image: chain back into the decoder
+    val redecoded = Multimodal.decodeImages(spark, spark.createDataset(
+      out.values.map(r => Multimodal.MediaRow(r.doc_id, r.payload, "image/png")).toSeq))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(redecoded(1L).width === 4 && redecoded(1L).n_pixels === 16L)
+    assert(math.abs(redecoded(1L).mean_luma - out(1L).mean_luma) < 0.01)
+  }
+
+  test("video frame sampling decodes only every Nth container frame") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(fps: Int, frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      val avih = chunk("avih", le32(1000000L / fps) ++ new Array[Byte](52))
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length))
+      bos.write(body)
+      bos.toByteArray
+    }
+    // 5 frames alternating white/black: sampling every 2nd keeps 0,2,4 (all white)
+    val fiveFrames = avi(10,
+      jpeg(4, 4, 0xffffff), jpeg(4, 4, 0x000000), jpeg(4, 4, 0xffffff),
+      jpeg(4, 4, 0x000000), jpeg(4, 4, 0xffffff))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, fiveFrames, "video/avi"),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "video/avi"))) // corrupt
+      .repartition(2)
+    val out = Multimodal.sampleFrames(spark, media, 2).collect()
+    assert(out.map(_.doc_id).toSet === Set(1L)) // corrupt dropped
+    assert(out.map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    assert(out.forall(f => f.width === 4 && f.height === 4))
+    assert(out.forall(_.mean_luma > 240)) // only the white frames were decoded
+    // everyN=1 keeps every frame
+    assert(Multimodal.sampleFrames(spark, media, 1).collect().length === 5)
+  }
+
   test("typed MinHashAgg produces the same signatures as the codegen'd min-agg path") {
     val exploded = Dedup.withShingleHashes(docs, "text")
       .filter(size(col("shingle_hashes")) > 0)
