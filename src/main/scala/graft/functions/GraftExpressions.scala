@@ -402,6 +402,45 @@ case class ChunkTokens(child: Expression, size: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** Lazy fixed-width character windows: `(win_idx, w)` rows for every
+  * `stride`-spaced `width`-char substring of the input — the substring-
+  * dedup extraction (`dedup_substring_windows`) as a GENERATOR, so a
+  * million-char document streams ~1M window rows without first
+  * materializing a ~`width`× blow-up array the way
+  * `transform(sequence(...)) + explode` must (each emitted window is a
+  * substring sharing the parent's backing storage until projected).
+  * Reference context: no substring surface in the reference; LLM-
+  * pipeline extension (SURVEY §7.5). */
+case class CharWindows(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(width > 0 && stride > 0, s"need width > 0 and stride > 0, got $width/$stride")
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("win_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("w", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    if (s.length < width) return Iterator.empty
+    val count = (s.length - width) / stride + 1
+    (0 until count).iterator.map { i =>
+      val start = i * stride
+      org.apache.spark.sql.catalyst.InternalRow(
+        i, UTF8String.fromString(s.substring(start, start + width)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindows =
+    copy(child = newChild)
+}
+
 /** Sequential double dot product of two float-array columns — the
   * codegen'd replacement for the interpreted
   * `aggregate(zip_with(a, b, ...))` fold: identical accumulation order
@@ -551,6 +590,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunk_tokens",
       exprs => ChunkTokens(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_windows",
+      exprs => CharWindows(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

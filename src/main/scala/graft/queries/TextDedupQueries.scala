@@ -1306,17 +1306,17 @@ object TextDedupQueries {
       "dedup_substring_windows",
       "cross-document exact substring duplication via strided 48-char window join",
       (s, d) => {
+        // CharWindows GENERATOR, not transform+explode: windows stream
+        // out of the scan lazily, so a million-char doc never
+        // materializes the ~48× intermediate array per row
         val docs = Dedup.spread(t(s, d, "documents"))
-          .select(col("doc_id"), trim(col("text")).as("tx"))
-          .filter(length(col("tx")) >= 48)
+          .select(col("doc_id"), col("text"))
         val wa = docs.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, length(tx) - 47), i -> substring(tx, i, 48))")).as("w"))
-          .distinct()
+            expr("graft_char_windows(text, 48, 1)").as(Seq("win_idx", "w")))
+          .select("doc_id", "w").distinct()
         val wb = docs.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, length(tx) - 47, 8), i -> substring(tx, i, 48))")).as("w"))
-          .distinct()
+            expr("graft_char_windows(text, 48, 8)").as(Seq("win_idx", "w")))
+          .select("doc_id", "w").distinct()
         val hot = wa.groupBy("w")
           .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000).select("w")
         wa.as("a").join(wb.as("b"), Seq("w"))

@@ -327,6 +327,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(spark, media, 1).collect().length === 5)
   }
 
+  test("CharWindows generator: exact coverage, stride arithmetic, short/null drop") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, " abcd "), (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select(col("id"), expr("graft_char_windows(t, 4, 3)").as(Seq("i", "w")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // len 10, width 4, stride 3 → (10−4)/3+1 = 3 windows at 0,3,6
+    assert(got.filter(_._1 == 1L).sortBy(_._2).toSeq ===
+      Seq((1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij")))
+    assert(!got.exists(_._1 == 2L)) // shorter than width → no rows
+    assert(got.filter(_._1 == 3L).toSeq === Seq((3L, 0, "abcd"))) // trimmed, exact width
+    assert(!got.exists(_._1 == 4L)) // null drops
+    // parity with the transform+explode formulation it replaced
+    val viaTransform = df.filter(length(trim(col("t"))) >= 4)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, length(trim(t)) - 3, 3), i -> substring(trim(t), i, 4))")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(r => (r._1, r._3)).toSet === viaTransform)
+  }
+
   test("typed MinHashAgg produces the same signatures as the codegen'd min-agg path") {
     val exploded = Dedup.withShingleHashes(docs, "text")
       .filter(size(col("shingle_hashes")) > 0)
