@@ -1349,6 +1349,63 @@ object RelationalQueries {
            |SELECT id, rank_e6 FROM r2""".stripMargin
       }),
 
+    // ── Triangle counting with DEGREE ORIENTATION — the third graph
+    //    operator beside components and PageRank. Each undirected edge
+    //    is directed from its lower-(degree, id) endpoint, so every
+    //    triangle is counted exactly once from its minimum vertex and,
+    //    critically, per-vertex out-degree is bounded by O(√m) on any
+    //    graph — the wedge self-join (the quadratic step in naive
+    //    triangle listing) becomes Σ outdeg² ≤ m·√m instead of Σ deg²,
+    //    which is what makes the same plan viable on a 10⁹-edge graph.
+    //    Orientation keys pack (degree, id) into one BIGINT
+    //    (deg·10⁸ + id; part ids ≪ 10⁸ at every SF). Graph: parts
+    //    co-ordered in 1995. Pure integer; exact oracle. ──
+    QueryDef(
+      "graph_triangle_count",
+      "degree-oriented triangle count over the 1995 co-ordered-parts graph",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        val deg = pairs.select(col("a").as("v"))
+          .unionAll(pairs.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val keyed = pairs
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+          .select(
+            least(col("da") * 100000000L + col("a"), col("db") * 100000000L + col("b")).as("ks"),
+            greatest(col("da") * 100000000L + col("a"), col("db") * 100000000L + col("b")).as("kd"))
+        val wedges = keyed.as("e1").join(keyed.as("e2"),
+            col("e1.ks") === col("e2.ks") && col("e1.kd") < col("e2.kd"))
+          .select(col("e1.ks").as("u"), col("e1.kd").as("v"), col("e2.kd").as("w"))
+        val nTri = wedges
+          .join(keyed.select(col("ks").as("v"), col("kd").as("w")), Seq("v", "w"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        pairs.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(nTri))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+             |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+             |deg AS (SELECT v, count(*) AS dg FROM (
+             |  SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
+             |keyed AS (SELECT
+             |    least(da.dg * 100000000 + a, db.dg * 100000000 + b) AS ks,
+             |    greatest(da.dg * 100000000 + a, db.dg * 100000000 + b) AS kd
+             |  FROM pairs JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+             |wedges AS (SELECT e1.ks AS u, e1.kd AS v, e2.kd AS w
+             |  FROM keyed e1 JOIN keyed e2 ON e1.ks = e2.ks AND e1.kd < e2.kd)
+             |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+             |  count(*)::BIGINT AS n_triangles
+             |FROM wedges
+             |WHERE EXISTS (SELECT 1 FROM keyed k WHERE k.ks = wedges.v AND k.kd = wedges.w)"""
+        .stripMargin)),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle

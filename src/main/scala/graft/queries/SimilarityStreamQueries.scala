@@ -1039,6 +1039,51 @@ object SimilarityStreamQueries {
              |FROM sess GROUP BY user_id, session_id""".stripMargin),
       bench = true),
 
+    // ── Gaps-and-islands: merge each user's overlapping 5-minute
+    //    event intervals into maximal covered islands (running-max of
+    //    interval ends over preceding rows → new-island flag →
+    //    cumulative island id), then per-user island count and total
+    //    covered seconds. The classic interval-coverage pattern —
+    //    utilization, uptime, exposure windows — in ONE partitioned
+    //    window pass: no self-join, no interval tree; pure integer ns
+    //    arithmetic so the oracle replays it exactly. Partitioned by
+    //    user ⇒ the sort is per-key and the shape survives any scale
+    //    (a mega-user would salt like any skewed window key). ──
+    QueryDef(
+      "ev_interval_islands",
+      "per-user merged 5-min interval islands: count + covered seconds (gaps-and-islands)",
+      (s, d) => {
+        val gapNs = 300L * 1000000000L
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("prev_end", max(col("ts_ns") + gapNs).over(prev))
+          .withColumn("new_island",
+            when(col("prev_end").isNull || col("ts_ns") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum("new_island").over(cum))
+          .groupBy("user_id", "island")
+          .agg(min("ts_ns").as("s"), (max("ts_ns") + gapNs).as("e"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            expr("sum(e - s) div 1000000000").as("covered_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+             |m AS (SELECT user_id, event_id, t,
+             |  max(t + 300000000000) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+             |f AS (SELECT user_id, event_id, t,
+             |  CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END AS ni FROM m),
+             |i AS (SELECT user_id, t, sum(ni) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM f),
+             |g AS (SELECT user_id, island, min(t) AS s, max(t) + 300000000000 AS e
+             |  FROM i GROUP BY 1, 2)
+             |SELECT user_id, count(*)::BIGINT AS n_islands,
+             |  (sum(e - s) // 1000000000)::BIGINT AS covered_s
+             |FROM g GROUP BY 1""".stripMargin)),
+
     // ── Session funnel: ordered multi-stage conditional aggregation —
     //    per session, the first view, the first click AT OR AFTER that
     //    view, and the first purchase at or after that click; then one
