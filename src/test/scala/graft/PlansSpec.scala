@@ -190,6 +190,18 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("triangle count: wedge stage is a keyed equi-join, no cartesian on data") {
+    // the orientation trick only pays off if the wedge stage plans as
+    // a keyed equi-join — a cartesian would mean the ks equality was
+    // lost. The ONE BroadcastNestedLoopJoin allowed is the deliberate
+    // scalar crossJoin combining the two 1-row count aggregates.
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
