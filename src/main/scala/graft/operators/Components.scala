@@ -114,4 +114,53 @@ object Components {
         s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** Deterministic SYNCHRONOUS label propagation (community detection):
+    * every vertex starts labelled with its own id; each round, every
+    * vertex simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label. Unlike connected
+    * components (which finds *reachability* classes), LPA finds
+    * *densely connected* communities — a bridge edge between two
+    * cliques does not merge them, because the bridge label is always
+    * outvoted.
+    *
+    * Classic async LPA is order-dependent; this synchronous fixed-round
+    * variant with a total tie-break order is fully deterministic, so
+    * its rounds replay bit-exact as SQL CTEs (the oracle for
+    * `lpa_communities`). A fixed round count also sidesteps the
+    * known 2-coloring oscillation of synchronous LPA on bipartite
+    * structures.
+    *
+    * Scale shape: each round is two map-side-combinable aggregations —
+    * a (vertex, label) vote count over the adjacency join, then an
+    * argmax via `max_by(lbl, (cnt, -lbl))` — NO per-vertex window, so a
+    * 10⁸-degree hub never buffers its whole neighborhood in one task
+    * (the WindowExec hazard the PageRank totals rework removed). Labels
+    * are checkpointed per round: three references per round would
+    * otherwise grow the plan exponentially in the round count. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = both.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = both
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

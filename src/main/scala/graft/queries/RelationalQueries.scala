@@ -1406,6 +1406,46 @@ object RelationalQueries {
              |WHERE EXISTS (SELECT 1 FROM keyed k WHERE k.ks = wedges.v AND k.kd = wedges.w)"""
         .stripMargin)),
 
+    // ── Label-propagation COMMUNITY detection (fourth graph operator):
+    //    synchronous, fixed 3 rounds, most-frequent-neighbor-label with
+    //    min-label tie-break — fully deterministic, so each round
+    //    replays bit-exact as a CTE. Unlike components, a single bridge
+    //    edge between two dense clusters does NOT merge them. The Spark
+    //    side is two map-side-combinable aggs per round (max_by argmax,
+    //    no per-vertex window) — the hub-safe plan at 10⁹ edges. ──
+    QueryDef(
+      "lpa_communities",
+      "synchronous label-propagation communities over the 1995 co-ordered-parts graph",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.operators.Components.labelPropagation(pairs, "a", "b", iters = 3)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT id, lbl FROM (
+             |  SELECT e.src AS id, l.lbl,
+             |    row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.lbl) AS rn
+             |  FROM ed e JOIN $prev l ON l.id = e.dst GROUP BY e.src, l.lbl) WHERE rn = 1)"""
+            .stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+           |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+           |ed AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ed),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |${round("l2", "l3")}
+           |SELECT id, lbl AS community FROM l3""".stripMargin
+      },
+      bench = true),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle

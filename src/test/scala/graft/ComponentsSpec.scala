@@ -45,4 +45,36 @@ class ComponentsSpec extends AnyFunSuite {
     val got = cc(edges)
     assert(got.size == 40 && got.values.forall(_ == 1L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    Components.labelPropagation(edges.toDF("a", "b"), "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("LPA keeps bridged cliques as separate communities (components would merge them)") {
+    // two triangles joined by one bridge edge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = lpa(edges)
+    // hand-replayed synchronous rounds with (count desc, min-label) votes
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // distinct communities survive where connectedComponents collapses to one
+    assert(got.values.toSet.size == 2)
+    val comp = cc(edges)
+    assert(comp.values.toSet.size == 1)
+  }
+
+  test("LPA is partitioning-independent (deterministic tie-breaks)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L), (20L, 21L))
+    val df = edges.toDF("a", "b")
+    val a = Components.labelPropagation(df.repartition(7), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Components.labelPropagation(df.coalesce(1), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
