@@ -441,6 +441,84 @@ case class CharWindows(child: Expression, width: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** CONTENT-DEFINED chunking (Rabin-style): split a document at
+  * positions where the rolling polynomial hash of the trailing `width`
+  * chars is ≡ 0 (mod `mask`) — so chunk boundaries are decided by
+  * CONTENT, not offsets. Insert one byte near the start of a document
+  * and every fixed-width window shifts (all window hashes change), but
+  * CDC boundaries re-synchronize right after the edit — the downstream
+  * chunks are byte-identical and dedup against the unedited copy. This
+  * is the storage/dataset-dedup primitive fixed windows cannot express.
+  *
+  * One O(n) streaming pass per document: the hash is maintained by a
+  * rolling add/remove (B=257, P=1000003, h = Σ c·B^j mod P — exactly
+  * the left fold `(h·B + c) mod P` over the window, which is what the
+  * DuckDB oracle recomputes per position at O(n·w)). Chunks are lazily
+  * emitted as (chunk_idx, start (1-based), chunk); the document end is
+  * always a boundary; expected chunk length ≈ `mask` chars.
+  * Reference context: no chunking surface in the reference; LLM-
+  * pipeline extension (SURVEY §7.5). */
+case class CdcChunks(child: Expression, width: Int, mask: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(width > 0 && mask > 0, s"need width > 0 and mask > 0, got $width/$mask")
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    val n = s.length
+    if (n == 0) return Iterator.empty
+    val B = 257L
+    val P = 1000003L
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private val bw = { // B^(width-1) mod P, the rolling removal factor
+        var x = 1L; var i = 0
+        while (i < width - 1) { x = x * B % P; i += 1 }
+        x
+      }
+      private var pos = 0 // chars consumed into the rolling hash
+      private var h = 0L
+      private var lastCut = 0
+      private var idx = 0
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        var cutAt = -1
+        while (cutAt < 0 && pos < n) {
+          val c = s.charAt(pos).toLong
+          if (pos >= width) {
+            var hh = (h - s.charAt(pos - width).toLong * bw % P) % P
+            if (hh < 0) hh += P
+            h = (hh * B + c) % P
+          } else h = (h * B + c) % P
+          pos += 1
+          if (pos >= width && h % mask == 0) cutAt = pos
+        }
+        if (cutAt < 0 || cutAt == n) { cutAt = n; done = true }
+        val row = org.apache.spark.sql.catalyst.InternalRow(
+          idx, lastCut + 1, UTF8String.fromString(s.substring(lastCut, cutAt)))
+        idx += 1
+        lastCut = cutAt
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Sequential double dot product of two float-array columns — the
   * codegen'd replacement for the interpreted
   * `aggregate(zip_with(a, b, ...))` fold: identical accumulation order
@@ -597,6 +675,11 @@ object GraftFunctions {
       exprs => CharWindows(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_chunks",
+      exprs => CdcChunks(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

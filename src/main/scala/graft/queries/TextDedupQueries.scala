@@ -1345,6 +1345,84 @@ object TextDedupQueries {
              |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin),
       bench = true),
 
+    // ── CONTENT-DEFINED chunking (Rabin-style CDC): boundaries where
+    //    the rolling 16-char polynomial hash ≡ 0 (mod 64), so an
+    //    insertion near the start of a duplicated document shifts NO
+    //    downstream chunk — boundaries re-synchronize and the shared
+    //    region dedups chunk-for-chunk, which fixed-offset windows
+    //    cannot do. The Spark side is one lazy O(n) generator pass per
+    //    document (graft.functions.CdcChunks); the oracle recomputes
+    //    every window hash at O(n·w) — same boundary set. ──
+    QueryDef(
+      "cdc_chunks",
+      "content-defined chunks: rolling-hash boundaries (16-char window, 1/64 cut rate)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_cdc_chunks(text, 16, 64)").as(Seq("chunk_idx", "start", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("start").cast("long").as("start"),
+            length(col("chunk")).cast("long").as("len"),
+            md5(col("chunk")).as("chunk_hash"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, trim(text) AS tx FROM documents
+             |  WHERE length(trim(text)) >= 1),
+             |wins AS (SELECT doc_id, i + 16 AS p FROM (
+             |    SELECT doc_id, tx, unnest(range(0, length(tx) - 15)) AS i FROM docs)
+             |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
+             |      j -> ascii(substr(tx, (i + j)::INT, 1))::BIGINT)),
+             |    (h, c) -> (h * 257 + c) % 1000003) % 64 = 0),
+             |cuts AS (SELECT doc_id, p FROM wins
+             |  UNION SELECT doc_id, length(tx) FROM docs),
+             |seq AS (SELECT doc_id, p,
+             |    lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS chunk_idx
+             |  FROM cuts)
+             |SELECT s.doc_id, s.chunk_idx::BIGINT AS chunk_idx,
+             |  (s.prev + 1)::BIGINT AS start, (s.p - s.prev)::BIGINT AS len,
+             |  md5(substr(d.tx, (s.prev + 1)::INT, (s.p - s.prev)::INT)) AS chunk_hash
+             |FROM seq s JOIN docs d ON d.doc_id = s.doc_id""".stripMargin)),
+
+    // ── Chunk-level dedup over the CDC chunks: identical content
+    //    regions shared across documents, found by grouping on the
+    //    chunk hash (map-side partial agg — the group key is a hash,
+    //    so the shuffle is uniform; no join at all). ──
+    QueryDef(
+      "cdc_shared_chunks",
+      "CDC chunks (len >= 24) shared across documents, by chunk hash",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_cdc_chunks(text, 16, 64)").as(Seq("chunk_idx", "start", "chunk")))
+          .filter(length(col("chunk")) >= 24)
+          .groupBy(md5(col("chunk")).as("chunk_hash"))
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occur").desc, col("chunk_hash"))
+          .limit(50)
+      },
+      Some("""WITH docs AS (SELECT doc_id, trim(text) AS tx FROM documents
+             |  WHERE length(trim(text)) >= 1),
+             |wins AS (SELECT doc_id, i + 16 AS p FROM (
+             |    SELECT doc_id, tx, unnest(range(0, length(tx) - 15)) AS i FROM docs)
+             |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
+             |      j -> ascii(substr(tx, (i + j)::INT, 1))::BIGINT)),
+             |    (h, c) -> (h * 257 + c) % 1000003) % 64 = 0),
+             |cuts AS (SELECT doc_id, p FROM wins
+             |  UNION SELECT doc_id, length(tx) FROM docs),
+             |seq AS (SELECT doc_id, p,
+             |    lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+             |  FROM cuts),
+             |ch AS (SELECT s.doc_id,
+             |    md5(substr(d.tx, (s.prev + 1)::INT, (s.p - s.prev)::INT)) AS chunk_hash
+             |  FROM seq s JOIN docs d ON d.doc_id = s.doc_id
+             |  WHERE s.p - s.prev >= 24)
+             |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+             |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY n_docs DESC, n_occur DESC, chunk_hash LIMIT 50""".stripMargin)),
+
     // ── Dataset fingerprint for drift detection / data contracts: per-
     //    source row count + order-insensitive content checksum. Each
     //    row contributes md5(doc_id || '|' || text) reduced mod 2³¹ and
