@@ -163,4 +163,44 @@ object Components {
     }
     labels.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Structural node similarity: common-neighbor JACCARD for every
+    * node pair sharing ≥1 neighbor — the link-prediction primitive
+    * (two nodes with near-identical neighborhoods are interchangeable
+    * even when not adjacent). Returns (a, b, inter, uni, jac_e6) with
+    * a < b; `jac_e6 = inter·10⁶ div uni` is an exact integer rational —
+    * no float comparison anywhere.
+    *
+    * Scale shape: wedge enumeration through shared neighbors is the
+    * quadratic step (Σ deg² candidate pairs), so wedge CENTERS above
+    * the ABSOLUTE `maxDegree` cap are excluded via a left-semi join —
+    * the Dedup.MaxBucket discipline: a 10⁸-degree hub would emit 10¹⁶
+    * wedges and contributes near-zero similarity signal. Everything
+    * else is equi-joins and map-side-combinable counts. */
+  def jaccardNeighbors(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Long = 1000L): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // referenced by ed (x2), deg, wedge join
+    val ed = base.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
+    val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+    val ok = deg.filter(col("dg") <= maxDegree).select("v")
+    val inter = ed.as("e1").join(ed.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .join(ok.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+      .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("da") + col("db") - col("inter")).as("uni"))
+      .withColumn("jac_e6", expr("inter * 1000000L div uni"))
+  }
 }

@@ -1446,6 +1446,46 @@ object RelationalQueries {
       },
       bench = true),
 
+    // ── Structural node similarity: top pairs by common-neighbor
+    //    JACCARD — the link-prediction / entity-similarity primitive.
+    //    Wedge enumeration through each shared neighbor is the
+    //    quadratic step (Σ deg² pairs), so wedge CENTERS above an
+    //    ABSOLUTE degree cap are excluded (the Dedup.MaxBucket
+    //    discipline: a 10⁸-degree hub contributes 10¹⁶ wedges and
+    //    near-zero similarity signal). Jaccard is emitted as integer
+    //    rationals (inter, uni, jac_e6 = inter·10⁶ div uni) — exact in
+    //    any engine, no float comparison anywhere. ──
+    QueryDef(
+      "graph_jaccard_neighbors",
+      "top-30 node pairs by common-neighbor Jaccard (capped wedge join, integer-exact)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.operators.Components.jaccardNeighbors(pairs, "a", "b", maxDegree = 1000L)
+          .orderBy(col("jac_e6").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+             |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+             |ed AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+             |deg AS (SELECT src AS v, count(*) AS dg FROM ed GROUP BY 1),
+             |ok AS (SELECT v FROM deg WHERE dg <= 1000),
+             |w AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS inter
+             |  FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+             |  JOIN ok ON ok.v = e1.src GROUP BY 1, 2)
+             |SELECT a, b, inter::BIGINT AS inter,
+             |  (da.dg + db.dg - inter)::BIGINT AS uni,
+             |  ((inter * 1000000) // (da.dg + db.dg - inter))::BIGINT AS jac_e6
+             |FROM w JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+             |ORDER BY jac_e6 DESC, a, b LIMIT 30""".stripMargin)),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle

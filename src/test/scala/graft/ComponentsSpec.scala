@@ -66,6 +66,23 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comp.values.toSet.size == 1)
   }
 
+  test("jaccardNeighbors matches hand-computed similarities and respects the hub cap") {
+    import spark.implicits._
+    // square with one diagonal: N(1)={2,3}, N(2)={1,3,4}, N(3)={1,2,4}, N(4)={2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = Components.jaccardNeighbors(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // non-adjacent pair (1,4): identical neighborhoods {2,3} => jaccard 1
+    assert(got((1L, 4L)) == (2L, 2L, 1000000L))
+    // (2,3): common {1,4}, union {1,2,3,4} => 1/2
+    assert(got((2L, 3L)) == (2L, 4L, 500000L))
+    // (1,2): common {3}, union {1,2,3,4}\... inter=1, uni=2+3-1=4 => 1/4
+    assert(got((1L, 2L)) == (1L, 4L, 250000L))
+    // capping out every center leaves no wedges at all
+    assert(Components.jaccardNeighbors(edges, "a", "b", maxDegree = 1L).count() == 0)
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
