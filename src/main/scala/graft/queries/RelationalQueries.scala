@@ -334,6 +334,62 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE (o_orderkey * 2654435761) % 1000003 < 50000""".stripMargin)),
 
+    // ── WEIGHTED (probability-proportional-to-size) sampling via
+    //    deterministic priority keys: each row gets priority h(key)/w
+    //    and the sample is the global bottom-k — big spenders are
+    //    sampled preferentially, yet the sample is exactly reproducible
+    //    (and so exactly oracle-able, unlike rand()-based weighted
+    //    sampling). h and w are integers; the single IEEE division is
+    //    bit-identical in any engine, so ordering on it is safe — the
+    //    one float that ever feeds a comparison here is a one-op
+    //    quotient of integers. Plan: TakeOrderedAndProject — bottom-k
+    //    never globally sorts. ──
+    QueryDef(
+      "g3_sample_weighted",
+      "deterministic weighted (PPS) sample: bottom-100 by hash/weight priority",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").as("w"),
+            expr("pmod(o_orderkey, 1000003) * 2654435761L % 1000003 + 1").as("h"))
+          .withColumn("pri", col("h").cast("double") / col("w").cast("double"))
+          .orderBy(col("pri"), col("o_orderkey"))
+          .limit(100)
+          .select(col("o_orderkey"), col("w"), round(col("pri"), 8).as("pri")),
+      Some("""SELECT o_orderkey, w, round(pri, 8) AS pri FROM (
+             |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+             |    (((o_orderkey % 1000003 + 1000003) % 1000003) * 2654435761 % 1000003 + 1)::DOUBLE
+             |      / CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)::DOUBLE AS pri
+             |  FROM orders)
+             |ORDER BY pri, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ── Stratified weighted sampling: the same priority key, bottom-3
+    //    PER GROUP — the "balanced training mix with importance
+    //    weights" shape (every stratum represented, heavy rows
+    //    preferred within each). Non-positive weights clamp to 1. ──
+    QueryDef(
+      "g3_sample_stratified",
+      "per-nation weighted sample: bottom-3 customers by hash/weight priority",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            expr("greatest(CAST(floor(c_acctbal * 100 + 0.5D) AS BIGINT), 1L)").as("w"),
+            expr("pmod(c_custkey, 1000003) * 2654435761L % 1000003 + 1").as("h"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("c_nationkey")
+              .orderBy(col("h").cast("double") / col("w").cast("double"), col("c_custkey"))))
+          .filter(col("rnk") <= 3)
+          .select("c_nationkey", "c_custkey", "w", "rnk"),
+      Some("""SELECT c_nationkey, c_custkey, w, rnk FROM (
+             |  SELECT c_nationkey, c_custkey, w,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY h::DOUBLE / w::DOUBLE, c_custkey) AS rnk
+             |  FROM (SELECT c_nationkey, c_custkey,
+             |      greatest(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), 1) AS w,
+             |      ((c_custkey % 1000003 + 1000003) % 1000003) * 2654435761 % 1000003 + 1 AS h
+             |    FROM customer))
+             |WHERE rnk <= 3""".stripMargin)),
+
     // ── Sampled quantiles: exact percentiles over the deterministic
     //    hash-mod sample — the scale pattern for quantiles on 100 TB
     //    (never sort the full corpus; sample ~5% reproducibly, exact

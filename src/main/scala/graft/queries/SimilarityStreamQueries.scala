@@ -1288,6 +1288,37 @@ object SimilarityStreamQueries {
              |FROM sess GROUP BY user_id, session_id""".stripMargin),
       bench = true),
 
+    // ── First-order MARKOV transition matrix over per-user event
+    //    sequences: (from_type, to_type) counts from a lead() step
+    //    pair, with row-normalized probabilities as integer rationals
+    //    (p_e6 = cnt·10⁶ div row_total — exact, no float sums). The
+    //    behavioral-model / next-event-prediction primitive; the
+    //    window is partitioned per user so the sort is per-key. ──
+    QueryDef(
+      "ev_transitions",
+      "per-user event-type Markov transitions with integer-rational row probabilities",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        val steps = t(s, d, "events")
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = steps.groupBy("from_type").agg(sum("cnt").as("tot"))
+        steps.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            expr("cnt * 1000000L div tot").as("p_e6"))
+      },
+      Some("""WITH s AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, count(*) AS cnt FROM s
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT c.from_type, c.to_type, c.cnt::BIGINT AS cnt,
+             |  ((c.cnt * 1000000) // t.tot)::BIGINT AS p_e6
+             |FROM c JOIN (SELECT from_type, sum(cnt) AS tot FROM c GROUP BY 1) t
+             |  ON t.from_type = c.from_type""".stripMargin)),
+
     // ── Gaps-and-islands: merge each user's overlapping 5-minute
     //    event intervals into maximal covered islands (running-max of
     //    interval ends over preceding rows → new-island flag →

@@ -191,6 +191,29 @@ object TextDedupQueries {
               |len(list_distinct($dkTokens)) AS n_distinct,
               |length(text) AS n_chars_calc FROM documents""".stripMargin)),
 
+    // ── The HASHING TRICK (feature hashing): fixed-width sparse
+    //    vectorization with no vocabulary pass — token → slot =
+    //    polyhash(token) mod 64, per-doc term frequencies per slot.
+    //    This is how text becomes model input at corpus scale when a
+    //    vocabulary table is itself a bottleneck: stateless, one narrow
+    //    projection + one map-side-combinable count, identical output
+    //    for any data layout. Integer end-to-end. ──
+    QueryDef(
+      "txt_feature_hash",
+      "hashing-trick sparse vectorization: per-doc term frequency over 64 hash slots",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            explode(expr(graft.functions.TextFunctions.tokensSql("text"))).as("tok"))
+          .select(col("doc_id"), expr("pmod(graft_poly(tok), 64)").as("slot"))
+          .groupBy("doc_id", "slot").agg(count(lit(1)).as("tf"))
+      },
+      Some(s"""SELECT doc_id, slot, count(*) AS tf FROM (
+              |  SELECT doc_id, ${dkPoly("tok")} % 64 AS slot FROM (
+              |    SELECT doc_id, unnest($dkTokens) AS tok FROM documents))
+              |GROUP BY 1, 2""".stripMargin)),
+
     // ── BPE-ish pre-tokenizer counts ──
     //    GPT-2-style pre-tokenization classes (contraction suffixes,
     //    space-prefixed letter runs, digit runs, punctuation runs,
