@@ -152,17 +152,20 @@ object Components {
     var labels = both.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      labels = both
-        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src").as("id"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("id")
-        .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      labels = lpaRound(both, labels).localCheckpoint(true)
     labels.select(col("id"), col("lbl").as("community"))
   }
+
+  /** One synchronous LPA voting round (exposed pre-checkpoint so the
+    * plan gate can assert the hub-safe shape on the live plan). */
+  private[graft] def lpaRound(both: DataFrame, labels: DataFrame): DataFrame =
+    both
+      .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+      .groupBy(col("src").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
 
   /** Structural node similarity: common-neighbor JACCARD for every
     * node pair sharing ≥1 neighbor — the link-prediction primitive

@@ -202,6 +202,44 @@ class PlanGateSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("LPA voting round: two aggregations, never a per-vertex window over neighbors") {
+    // the hub-safe shape: vote count + max_by argmax are both map-side-
+    // combinable HashAggregates; a Window over the adjacency would
+    // buffer a hub's whole neighborhood in one task. Gate the PRE-
+    // checkpoint round builder (the query's own plan is truncated by
+    // the eager per-round checkpoints).
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val both = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val labels = both.select($"src".as("id")).distinct().select($"id", $"id".as("lbl"))
+    val p = graft.operators.Components.lpaRound(both, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"), p)
+  }
+
+  test("PQ ADC search: code scan joins a broadcast LUT, no cartesian") {
+    // the whole point of ADC is scanning ONLY the PqM-byte codes against
+    // a broadcast query lookup table — the join must be a
+    // BroadcastHashJoin on (m, code), never a shuffle of the code index
+    // against the queries or a nested loop.
+    val p = graft.queries.SimilarityStreamQueries
+      .pqAdcRanked(spark, d, 3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("jaccard neighbors: wedge stage is a keyed equi-join with the hub-cap semi join") {
+    val p = plan("graph_jaccard_neighbors")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p) // the absolute hub cap is in the plan
+    assert(p.contains("TakeOrdered"), p) // top-30 never globally sorts
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
