@@ -593,6 +593,45 @@ object DoubleDotProduct {
   }
 }
 
+/** Sequential squared-L2 distance of two double-array columns — the
+  * codegen'd replacement for the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0D, +)` fold the
+  * PQ training/search loop evaluates millions of times. Identical
+  * accumulation order (index 0..n-1, double accumulator), so results
+  * are bit-identical to the SQL fold and the DuckDB `list_reduce`
+  * oracles. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SquaredL2.d2(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SquaredL2.d2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredL2 {
+  def d2(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dx = a.getDouble(i) - b.getDouble(i)
+      acc += dx * dx
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Sign-random-projection LSH bucket over `nPlanes` deterministic
   * hyperplanes (table `tbl`'s planes are rows tbl*nPlanes.. of the
   * shared weight stream; tbl = 0 reproduces the single-table bucket).
@@ -684,6 +723,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_d", exprs => DoubleDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => SquaredL2(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_bucket",
       exprs => LshTableBucket(exprs.head, exprs(1),

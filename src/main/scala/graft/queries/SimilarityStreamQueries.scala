@@ -192,10 +192,12 @@ object SimilarityStreamQueries {
   val PqKs = 16
   val PqIters = 2
 
-  /** Sequential-fold squared L2 distance of two double arrays (same
-    * accumulation order as the DuckDB `list_reduce` twin). */
-  private def d2Sql(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+  /** Sequential-fold squared L2 distance of two double arrays — the
+    * codegen'd SquaredL2 expression (same accumulation order as the
+    * interpreted `aggregate(zip_with(...))` fold and the DuckDB
+    * `list_reduce` twin, but a tight JVM loop: the training/search
+    * path evaluates this millions of times per pass). */
+  private def d2Sql(a: String, b: String) = s"graft_l2sq($a, $b)"
 
   /** Per-subspace views: (vec_id, m, sub: array<double>, qsub:
     * array<bigint>) — one row per (vector, subspace), qsub the exact
@@ -205,12 +207,13 @@ object SimilarityStreamQueries {
       graft.operators.Dedup.spread(t(s, d, "embeddings"))
         .select(col("vec_id"), col("embedding"))
         .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+        // native slice (codegen'd) picks the contiguous subvector; the
+        // element order is identical to the per-index element_at form
+        .withColumn("subf", expr(s"slice(embedding, CAST(m * $PqSub + 1 AS INT), $PqSub)"))
         .select(col("vec_id"), col("m"),
-          expr(s"transform(sequence(1, $PqSub), i -> " +
-            s"CAST(element_at(embedding, CAST(m * $PqSub + i AS INT)) AS DOUBLE))").as("sub"),
-          expr(s"transform(sequence(1, $PqSub), i -> CAST(floor(" +
-            s"CAST(element_at(embedding, CAST(m * $PqSub + i AS INT)) AS DOUBLE)" +
-            s" * 1048576.0D + 0.5D) AS BIGINT))").as("qsub"))
+          expr("transform(subf, v -> CAST(v AS DOUBLE))").as("sub"),
+          expr("transform(subf, v -> CAST(floor(" +
+            "CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))").as("qsub"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Trained per-subspace codebooks (m, cell, cw: array<double>):
@@ -221,6 +224,7 @@ object SimilarityStreamQueries {
     * k-means shape, with only the codebook ever checkpointed. */
   private def pqCentroids(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#pqcent"), {
+      graft.functions.GraftFunctions.register(s)
       val q = pqSubs(s, d)
       def assign(cent: DataFrame): DataFrame =
         q.join(broadcast(cent), Seq("m"))
@@ -251,19 +255,22 @@ object SimilarityStreamQueries {
   /** The PQ index: (vec_id, m, code) — PqM small integers per vector.
     * This is ALL the search scan ever reads. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d + "#pqcode"),
+    memo.getOrElseUpdate((s, d + "#pqcode"), {
+      graft.functions.GraftFunctions.register(s)
       pqSubs(s, d).join(broadcast(pqCentroids(s, d)), Seq("m"))
         .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("cell").as("code"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** ADC ranking over the code index for queries vec_id < 32 (rows up
     * to rnk ≤ `keep`). rnk ≤ 3 is the pure-ADC answer; rnk ≤ 20 is the
     * shortlist the exact re-rank stage rescores. */
   private[graft] def pqAdcRanked(s: SparkSession, d: String, keep: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val lut = pqSubs(s, d).filter(col("vec_id") < 32)
       .join(broadcast(pqCentroids(s, d)), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell").as("code"),
@@ -283,6 +290,7 @@ object SimilarityStreamQueries {
     * of 64× compression); the rerank recovers the rest at a fixed
     * 20-vector fetch per query. */
   private def pqRerankTop3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val short = pqAdcRanked(s, d, 20).select("query_id", "cand_id")
     val subs = pqSubs(s, d)
     short
@@ -673,6 +681,7 @@ object SimilarityStreamQueries {
       "pq_recall",
       "recall@3 of PQ shortlist+rerank vs exact subspace-summed L2 top-3 per query",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val subs = pqSubs(s, d)
         val qd = subs.filter(col("vec_id") < 32)
           .select(col("vec_id").as("query_id"), col("m"), col("sub").as("q_sub"))
