@@ -222,10 +222,14 @@ object SimilarityStreamQueries {
     * loop). Each round: broadcast the PqM×PqKs codebook, argmin-assign
     * per (vector, subspace), integer-mean update — the distributed
     * k-means shape, with only the codebook ever checkpointed. */
-  private def pqCentroids(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d + "#pqcent"), {
+  private def pqCentroids(s: SparkSession, d: String,
+      trainMax: Option[Long] = None): DataFrame =
+    memo.getOrElseUpdate((s, d + "#pqcent" + trainMax.getOrElse(-1L)), {
       graft.functions.GraftFunctions.register(s)
-      val q = pqSubs(s, d)
+      // trainMax bounds the TRAINING set only (stored-codebook /
+      // incremental-encode story); the full corpus is still encodable
+      // against the resulting codebooks
+      val q = trainMax.foldLeft(pqSubs(s, d))((df, mx) => df.filter(col("vec_id") < mx))
       def assign(cent: DataFrame): DataFrame =
         q.join(broadcast(cent), Seq("m"))
           .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
@@ -314,19 +318,21 @@ object SimilarityStreamQueries {
   /** DuckDB twin of the PQ pipeline: `pv` (subvectors) → p0 (seed) →
     * pa1/p1 … (Lloyd rounds) → `pcode` (final codes). Centroid means
     * divide exact BIGINT sums, so every double is bit-identical. */
-  private def dkPqCtes: String = {
+  private def dkPqCtes(trainMax: Option[Long] = None): String = {
     val sb = new StringBuilder
+    val tw = trainMax.map(mx => s"WHERE vec_id < $mx").getOrElse("")
     sb ++= s"""pv AS (SELECT vec_id, m,
               |  list_transform(range(1, ${PqSub + 1}), i -> embedding[(m * $PqSub + i)::INT]::DOUBLE) AS sub,
               |  list_transform(range(1, ${PqSub + 1}), i -> floor(embedding[(m * $PqSub + i)::INT]::DOUBLE * 1048576.0 + 0.5)::BIGINT) AS qsub
               |  FROM (SELECT vec_id, embedding, unnest(range(0, $PqM)) AS m FROM embeddings)),
-              |p0 AS (SELECT m, vec_id AS cell, sub AS cw FROM pv WHERE vec_id < $PqKs)""".stripMargin
+              |pvt AS (SELECT * FROM pv $tw),
+              |p0 AS (SELECT m, vec_id AS cell, sub AS cw FROM pvt WHERE vec_id < $PqKs)""".stripMargin
     for (r <- 1 to PqIters) {
       sb ++= s""",
                 |pa$r AS (SELECT vec_id, m, qsub, cell FROM (
                 |  SELECT v.vec_id, v.m, v.qsub, c.cell, row_number() OVER (PARTITION BY v.vec_id, v.m
                 |    ORDER BY round(${dkD2("v.sub", "c.cw")}, 8), c.cell) AS rn
-                |  FROM pv v JOIN p${r - 1} c ON c.m = v.m) WHERE rn = 1),
+                |  FROM pvt v JOIN p${r - 1} c ON c.m = v.m) WHERE rn = 1),
                 |p$r AS (SELECT m, cell, list(w ORDER BY i) AS cw FROM (
                 |  SELECT m, cell, i, (sum(qv)::DOUBLE / count(*)::DOUBLE) / 1048576.0 AS w FROM (
                 |    SELECT m, cell, unnest(qsub) AS qv, unnest(range(1, ${PqSub + 1})) AS i FROM pa$r)
@@ -657,14 +663,35 @@ object SimilarityStreamQueries {
       "pq_codes",
       s"PQ code index: $PqM×$PqSub-dim subspaces, $PqKs-cell codebooks, $PqIters Lloyd rounds",
       (s, d) => pqCodes(s, d).select("vec_id", "m", "code"),
-      Some(s"""WITH $dkPqCtes
+      Some(s"""WITH ${dkPqCtes()}
               |SELECT vec_id, m, code FROM pcode""".stripMargin)),
+
+    // ── Index maintenance for the PQ family (the LSH and IVF twins are
+    //    `sim_incremental_index` / stored multi-table index): codebooks
+    //    are a STORED artifact — a new ingest batch is encoded against
+    //    codebooks trained only on the initial corpus, no retraining,
+    //    one broadcast join per batch. ──
+    QueryDef(
+      "pq_incremental_codes",
+      "new-batch PQ encode against stored codebooks trained on vec_id < 400 only",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        pqSubs(s, d).filter(col("vec_id") >= 400)
+          .join(broadcast(pqCentroids(s, d, Some(400L))), Seq("m"))
+          .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cell").as("code"))
+      },
+      Some(s"""WITH ${dkPqCtes(Some(400L))}
+              |SELECT vec_id, m, code FROM pcode WHERE vec_id >= 400""".stripMargin)),
 
     QueryDef(
       "pq_adc_topk",
       s"PQ asymmetric-distance top-3: broadcast query LUT summed over $PqM-code scans",
       (s, d) => pqAdcRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
-      Some(s"""WITH $dkPqCtes,
+      Some(s"""WITH ${dkPqCtes()},
               |$dkPqAdcCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM padc WHERE rnk <= 3""".stripMargin),
       bench = true),
@@ -673,7 +700,7 @@ object SimilarityStreamQueries {
       "pq_rerank_topk",
       "PQ ADC shortlist-20 re-ranked exactly against true vectors (production ANN shape)",
       (s, d) => pqRerankTop3(s, d).select("query_id", "cand_id", "dist_e6", "rnk"),
-      Some(s"""WITH $dkPqCtes,
+      Some(s"""WITH ${dkPqCtes()},
               |$dkPqAdcCtes
               |SELECT query_id, cand_id, dist_e6, rnk FROM prr""".stripMargin)),
 
@@ -704,7 +731,7 @@ object SimilarityStreamQueries {
           .select(col("query_id"), col("n_hits"),
             round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
       },
-      Some(s"""WITH $dkPqCtes,
+      Some(s"""WITH ${dkPqCtes()},
               |$dkPqAdcCtes,
               |pex AS (SELECT query_id, cand_id FROM (
               |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
