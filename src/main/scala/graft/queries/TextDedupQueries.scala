@@ -89,6 +89,21 @@ object TextDedupQueries {
       s"regexp_split_to_array(trim($src), '\\s+')[i+1] || ' ' || " +
       s"regexp_split_to_array(trim($src), '\\s+')[i+2]))"
 
+  /** CDC chunking CTE prefix shared by the cdc_* oracles: `docs`
+    * (trimmed non-empty), `wins` (per-position rolling-hash boundary
+    * set, recomputed O(n·w)), `cuts` (content boundaries + forced doc
+    * end). Terminal CTEs are query-specific. */
+  private def dkCdcCtes: String =
+    """docs AS (SELECT doc_id, trim(text) AS tx FROM documents
+      |  WHERE length(trim(text)) >= 1),
+      |wins AS (SELECT doc_id, i + 16 AS p FROM (
+      |    SELECT doc_id, tx, unnest(range(0, length(tx) - 15)) AS i FROM docs)
+      |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
+      |      j -> ascii(substr(tx, (i + j)::INT, 1))::BIGINT)),
+      |    (h, c) -> (h * 257 + c) % 1000003) % 64 = 0),
+      |cuts AS (SELECT doc_id, p FROM wins
+      |  UNION SELECT doc_id, length(tx) FROM docs)""".stripMargin
+
   /** Full near-dup CTE chain (hashes → signatures → capped bands →
     * candidates → Jaccard-scored pairs), shared by the near-dup report
     * and dedup_apply oracles. Terminal CTE: `scored(id_a, id_b, jaccard)`. */
@@ -1389,15 +1404,7 @@ object TextDedupQueries {
             length(col("chunk")).cast("long").as("len"),
             md5(col("chunk")).as("chunk_hash"))
       },
-      Some("""WITH docs AS (SELECT doc_id, trim(text) AS tx FROM documents
-             |  WHERE length(trim(text)) >= 1),
-             |wins AS (SELECT doc_id, i + 16 AS p FROM (
-             |    SELECT doc_id, tx, unnest(range(0, length(tx) - 15)) AS i FROM docs)
-             |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
-             |      j -> ascii(substr(tx, (i + j)::INT, 1))::BIGINT)),
-             |    (h, c) -> (h * 257 + c) % 1000003) % 64 = 0),
-             |cuts AS (SELECT doc_id, p FROM wins
-             |  UNION SELECT doc_id, length(tx) FROM docs),
+      Some(s"""WITH $dkCdcCtes,
              |seq AS (SELECT doc_id, p,
              |    lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS chunk_idx
@@ -1426,15 +1433,7 @@ object TextDedupQueries {
           .orderBy(col("n_docs").desc, col("n_occur").desc, col("chunk_hash"))
           .limit(50)
       },
-      Some("""WITH docs AS (SELECT doc_id, trim(text) AS tx FROM documents
-             |  WHERE length(trim(text)) >= 1),
-             |wins AS (SELECT doc_id, i + 16 AS p FROM (
-             |    SELECT doc_id, tx, unnest(range(0, length(tx) - 15)) AS i FROM docs)
-             |  WHERE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
-             |      j -> ascii(substr(tx, (i + j)::INT, 1))::BIGINT)),
-             |    (h, c) -> (h * 257 + c) % 1000003) % 64 = 0),
-             |cuts AS (SELECT doc_id, p FROM wins
-             |  UNION SELECT doc_id, length(tx) FROM docs),
+      Some(s"""WITH $dkCdcCtes,
              |seq AS (SELECT doc_id, p,
              |    lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev
              |  FROM cuts),
@@ -1445,6 +1444,111 @@ object TextDedupQueries {
              |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
              |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
              |ORDER BY n_docs DESC, n_occur DESC, chunk_hash LIMIT 50""".stripMargin)),
+
+    // ── Dedup-at-ingest for CDC chunks: a new document batch scored by
+    //    how much of it is ALREADY in the stored chunk index (the
+    //    storage/dataset-dedup decision signal — "this 2 GB upload is
+    //    97% known chunks"). The join is keyed on the chunk hash, so
+    //    the shuffle is uniform by construction; novelty is an integer
+    //    rational. ──
+    QueryDef(
+      "cdc_incremental_novelty",
+      "per-new-doc novelty vs the stored CDC chunk index (doc_id < 400 = stored)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val ch = Dedup.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            expr("graft_cdc_chunks(text, 16, 64)").as(Seq("chunk_idx", "start", "chunk")))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+        val stored = ch.filter(col("doc_id") < 400).select("h").distinct()
+        ch.filter(col("doc_id") >= 400)
+          .join(stored.withColumn("known", lit(1)), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), count(col("known")).as("n_known"))
+          .select(col("doc_id"), col("n_chunks"), col("n_known"),
+            expr("(n_chunks - n_known) * 1000000L div n_chunks").as("novelty_e6"))
+      },
+      Some(s"""WITH $dkCdcCtes,
+             |seq AS (SELECT doc_id, p,
+             |    lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+             |  FROM cuts),
+             |ch AS (SELECT s.doc_id,
+             |    md5(substr(d.tx, (s.prev + 1)::INT, (s.p - s.prev)::INT)) AS h
+             |  FROM seq s JOIN docs d ON d.doc_id = s.doc_id),
+             |stored AS (SELECT DISTINCT h FROM ch WHERE doc_id < 400),
+             |nb AS (SELECT doc_id, h FROM ch WHERE doc_id >= 400)
+             |SELECT nb.doc_id, count(*)::BIGINT AS n_chunks,
+             |  count(stored.h)::BIGINT AS n_known,
+             |  (((count(*) - count(stored.h)) * 1000000) // count(*))::BIGINT AS novelty_e6
+             |FROM nb LEFT JOIN stored ON stored.h = nb.h
+             |GROUP BY 1""".stripMargin)),
+
+    // ── EXACT set-similarity join via PREFIX FILTERING (ppjoin-style):
+    //    token-3-shingle-SET Jaccard ≥ 0.7 pairs with a COMPLETENESS
+    //    GUARANTEE — unlike MinHash/LSH there are no probabilistic
+    //    misses. (Shingles, not raw tokens: the fixture corpus has a
+    //    31-word vocabulary, so raw token sets overlap for 41% of ALL
+    //    pairs — the same small-vocab collapse the MinHash pipeline
+    //    documents.) Each doc indexes only its (n − ⌈0.7·n⌉ + 1)
+    //    RAREST shingles (global df asc — prefix elements are rare by
+    //    construction, so the candidate join is naturally skew-light:
+    //    the ppjoin insight); any pair meeting the threshold MUST
+    //    collide on at least one prefix element. Candidates are then
+    //    verified by exact intersection counting, thresholded by
+    //    integer cross-multiplication (inter·10 ≥ 7·union) — no floats
+    //    anywhere. ──
+    QueryDef(
+      "dedup_setjoin_prefix",
+      "exact shingle-set Jaccard >= 0.7 join via prefix filtering (no LSH misses)",
+      (s, d) => {
+        val tf = graft.functions.TextFunctions
+        val tk = Dedup.spread(t(s, d, "documents"))
+          .withColumn("__cl", expr(s"lower(${tf.cleanAsciiSql("text")})"))
+          .withColumn("__toks", expr(tf.tokensSql("__cl")))
+          .select(col("doc_id"),
+            explode(expr(tf.tokenShinglesSql("__toks", 3))).as("tok"))
+          .localCheckpoint(true) // feeds df, sizes, prefix AND verification
+        val dfq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+        val szq = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pfx = tk.join(dfq, "tok").join(szq, "doc_id")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+          .filter(col("rk") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+          .select("doc_id", "tok")
+        val cand = pfx.select(col("doc_id").as("id_a"), col("tok"))
+          .join(pfx.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val inter = cand
+          .join(tk.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+          .join(tk.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(szq.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(szq.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .filter(expr("inter * 10 >= 7 * (na + nb - inter)"))
+          .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+            expr("inter * 1000000L div (na + nb - inter)").as("jac_e6"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(${dkTokShingles(dkClean)}) AS tok FROM documents),
+             |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+             |szq AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+             |rk AS (SELECT tk.doc_id, tk.tok, s.n,
+             |    row_number() OVER (PARTITION BY tk.doc_id ORDER BY d.df, tk.tok) AS rk
+             |  FROM tk JOIN dfq d ON d.tok = tk.tok JOIN szq s ON s.doc_id = tk.doc_id),
+             |pfx AS (SELECT doc_id, tok FROM rk WHERE rk <= n - (7 * n + 9) // 10 + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |itr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+             |  FROM cand c JOIN tk ta ON ta.doc_id = c.id_a
+             |  JOIN tk tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, inter::BIGINT AS inter, sa.n::BIGINT AS na,
+             |  sb.n::BIGINT AS nb,
+             |  ((inter * 1000000) // (sa.n + sb.n - inter))::BIGINT AS jac_e6
+             |FROM itr JOIN szq sa ON sa.doc_id = id_a JOIN szq sb ON sb.doc_id = id_b
+             |WHERE inter * 10 >= 7 * (sa.n + sb.n - inter)""".stripMargin)),
 
     // ── Dataset fingerprint for drift detection / data contracts: per-
     //    source row count + order-insensitive content checksum. Each
