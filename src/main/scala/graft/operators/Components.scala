@@ -167,6 +167,84 @@ object Components {
       .groupBy("id")
       .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
 
+  /** Multi-source BFS hop distance: every vertex reachable from the
+    * source set within `maxHops` hops, labelled with its MINIMUM hop
+    * count — the "blast radius" / proximity-labelling primitive
+    * (impact analysis, neighborhood feature extraction). Monotone
+    * min-propagation, one join + map-side-combinable min per round, so
+    * the replay is exact as unrolled CTEs. A production unbounded BFS
+    * would propagate only the newly-discovered FRONTIER per round
+    * (anti-join against settled vertices); at small fixed depths the
+    * full monotone re-min is the same shuffle count with one less join
+    * per round, so it is kept deliberately. */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      idCol: String,
+      maxHops: Int): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      labels = both
+        .join(labels.select(col("id").as("src"), col("hops")), "src")
+        .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
+        .union(labels)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Bounded-rounds weighted shortest paths (min-plus Bellman-Ford):
+    * after `rounds` relaxations every vertex carries the MINIMUM total
+    * weight over all paths of at most `rounds` edges from the source
+    * set — the exact Bellman-Ford prefix, well-defined for any weights
+    * (no non-negativity requirement because paths are hop-bounded, not
+    * converged). Parallel edges collapse to their cheapest weight;
+    * edges relax in both directions (undirected).
+    *
+    * Same hub-safe scale shape as [[bfsHops]]: one adjacency join plus
+    * one map-side-combinable min per round, no windows, every round's
+    * frame checkpointed so the plan stays linear in the round count.
+    * All-integer arithmetic, so an unrolled-CTE replay is bit-exact. */
+  def ssspRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      sources: DataFrame,
+      idCol: String,
+      rounds: Int): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    val both = base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      dist = both
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Structural node similarity: common-neighbor JACCARD for every
     * node pair sharing ≥1 neighbor — the link-prediction primitive
     * (two nodes with near-identical neighborhoods are interchangeable

@@ -1274,6 +1274,57 @@ object RelationalQueries {
              |FROM orders o JOIN med m USING (o_orderpriority)
              |GROUP BY o.o_orderpriority, m.med""".stripMargin)),
 
+    // ── Robust OUTLIER LISTING: orders whose value deviates from their
+    //    priority-group median by more than 2× the group MAD. Unlike
+    //    robust_stats_mad (which only EMITS statistics), this query
+    //    COMPARES against them, so everything is integer: values in
+    //    cents, medians as the exact lower-median (the ⌈n/2⌉-th
+    //    smallest via row_number — a data value, not an interpolation),
+    //    and the threshold test is pure BIGINT arithmetic. ──
+    QueryDef(
+      "outliers_mad",
+      "per-priority robust outliers: |x − median| > 2·MAD in exact integer cents",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+        val cents = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT)").as("c"))
+        def lowerMedian(df: DataFrame, valCol: String, outCol: String): DataFrame =
+          df.withColumn("__rn", row_number().over(w.orderBy(col(valCol), col("o_orderkey"))))
+            .withColumn("__n", count(lit(1)).over(w))
+            .filter(col("__rn") === expr("(__n + 1) div 2"))
+            .select(col("o_orderpriority"), col(valCol).as(outCol))
+        val med = lowerMedian(cents, "c", "med")
+        val dev = cents.join(broadcast(med), "o_orderpriority")
+          .withColumn("ad", expr("abs(c - med)"))
+        val mad = lowerMedian(dev.select(col("o_orderkey"), col("o_orderpriority"),
+          col("ad").as("c")), "c", "mad")
+        dev.join(broadcast(mad), "o_orderpriority")
+          .filter(expr("ad > 2 * mad"))
+          .select(col("o_orderpriority"), col("o_orderkey"), col("c"),
+            col("med"), col("mad"), col("ad"))
+          .orderBy(col("ad").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some("""WITH cents AS (SELECT o_orderkey, o_orderpriority,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+             |med AS (SELECT o_orderpriority, c AS med FROM (
+             |  SELECT o_orderpriority, c,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY c, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM cents) WHERE rn = (n + 1) // 2),
+             |dev AS (SELECT cents.*, med.med, abs(c - med.med) AS ad
+             |  FROM cents JOIN med USING (o_orderpriority)),
+             |mad AS (SELECT o_orderpriority, ad AS mad FROM (
+             |  SELECT o_orderpriority, ad,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY ad, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM dev) WHERE rn = (n + 1) // 2)
+             |SELECT dev.o_orderpriority, o_orderkey, c, dev.med, mad.mad, ad
+             |FROM dev JOIN mad USING (o_orderpriority)
+             |WHERE ad > 2 * mad.mad
+             |ORDER BY ad DESC, o_orderkey LIMIT 50""".stripMargin)),
+
     // ── Approximate distinct with a HARD error-bound contract. HLL++
     //    register layouts are engine-specific, so the estimate itself
     //    can never hash-match a DuckDB replay — but the ESTIMATOR'S
@@ -1541,6 +1592,45 @@ object RelationalQueries {
              |  ((inter * 1000000) // (da.dg + db.dg - inter))::BIGINT AS jac_e6
              |FROM w JOIN deg da ON da.v = a JOIN deg db ON db.v = b
              |ORDER BY jac_e6 DESC, a, b LIMIT 30""".stripMargin)),
+
+    // ── Multi-source BFS hop distance (fifth graph operator): the
+    //    "blast radius" labelling — every node within 3 hops of the
+    //    source set (part ids < 100), tagged with its minimum hop
+    //    count. Monotone min-propagation: one adjacency join + one
+    //    map-side-combinable min per round, replayed exactly as
+    //    unrolled CTEs. ──
+    QueryDef(
+      "graph_bfs_hops",
+      "multi-source BFS: min hop distance within 3 hops over the co-ordered-parts graph",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        val sources = pairs.select(col("a").as("id"))
+          .unionAll(pairs.select(col("b").as("id")))
+          .filter(col("id") < 100).distinct()
+        graft.operators.Components.bfsHops(pairs, "a", "b", sources, "id", maxHops = 3)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT id, min(hops) AS hops FROM (
+             |  SELECT e.dst AS id, h.hops + 1 AS hops FROM ed e JOIN $prev h ON h.id = e.src
+             |  UNION ALL SELECT id, hops FROM $prev) GROUP BY 1)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+           |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+           |ed AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |h0 AS (SELECT DISTINCT src AS id, 0::BIGINT AS hops FROM ed WHERE src < 100),
+           |${round("h0", "h1")},
+           |${round("h1", "h2")},
+           |${round("h2", "h3")}
+           |SELECT id, hops FROM h3""".stripMargin
+      }),
 
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction

@@ -83,6 +83,37 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.jaccardNeighbors(edges, "a", "b", maxDegree = 1L).count() == 0)
   }
 
+  private def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long], hops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Components.bfsHops(edges.toDF("a", "b"), "a", "b",
+        srcs.toDF("id"), "id", hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfsHops labels minimum hop distance and excludes unreachable nodes") {
+    // path 1-2-3-4-5, side branch 2-10, separate pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L), (20L, 21L))
+    val got = bfs(edges, Seq(1L), hops = 3)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 2L, 4L -> 3L))
+    // 5 is 4 hops away, 20/21 disconnected: both absent, not labelled MAX
+  }
+
+  test("bfsHops multi-source takes the min over sources; edges are undirected") {
+    // sources at both ends of the path: middle node gets the nearer one
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = bfs(edges, Seq(1L, 5L), hops = 2)
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // direction of the stored edge must not matter
+    assert(bfs(edges.map(_.swap), Seq(1L, 5L), 2) === got)
+  }
+
+  test("bfsHops tolerates duplicate/self-loop edges and isolated sources") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
+    // source 9 has no edges at all: it still appears at hop 0
+    val got = bfs(edges, Seq(1L, 9L), hops = 2)
+    assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L))
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
