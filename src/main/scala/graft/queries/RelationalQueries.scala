@@ -1325,6 +1325,120 @@ object RelationalQueries {
              |WHERE ad > 2 * mad.mad
              |ORDER BY ad DESC, o_orderkey LIMIT 50""".stripMargin)),
 
+    // ── Quantile SKETCH with a hash-exact replay: per-priority
+    //    p50/90/99 order values read off the QSketch log-linear
+    //    histogram (16 integer sub-buckets per octave). Unlike HLL the
+    //    estimator itself is deterministic integer arithmetic, so the
+    //    oracle matches the ESTIMATE bit-for-bit; the one-sided ≤1/16
+    //    relative error bound is additionally checked in-row against
+    //    the exact rank value (oracle expects literal TRUE — the bound
+    //    is a theorem, not an observation). The exact column is the
+    //    expensive full-rank path the sketch replaces; it exists here
+    //    only to enforce the contract. ──
+    QueryDef(
+      "qsketch_quantiles",
+      "log-histogram quantile sketch: hash-exact p50/90/99 estimates + in-row error-bound proof",
+      (s, d) => {
+        import s.implicits._
+        val cents = t(s, d, "orders").select(col("o_orderpriority").as("grp"),
+          expr("greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1)").as("c"))
+        val est = graft.operators.QSketch.quantiles(
+          graft.operators.QSketch.histogram(cents, "grp", "c"), Seq(50, 90, 99))
+        val exact = cents
+          .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("c")))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("grp")))
+          .join(broadcast(Seq(50, 90, 99).toDF("q")), expr("rn = (q * nn + 99) div 100"))
+          .select(col("grp"), col("q"), col("c").as("exact"))
+        est.join(exact, Seq("grp", "q"))
+          .withColumn("within_bound", expr("est <= exact AND 16 * (exact - est) <= est + 16"))
+          .select(col("grp"), col("q"), col("n"), col("est"), col("exact"), col("within_bound"))
+          .orderBy("grp", "q")
+      },
+      Some("""WITH cents AS (SELECT o_orderpriority AS grp,
+             |    greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS c FROM orders),
+             |b AS (SELECT grp, c, length(bin(c)) - 1 AS e FROM cents),
+             |h AS (SELECT grp, e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+             |    count(*) AS cnt FROM b GROUP BY 1, 2),
+             |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs AS (SELECT grp, n, q FROM n, (VALUES (50), (90), (99)) t(q)),
+             |ranked AS (SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM h),
+             |pick AS (SELECT qs.grp, qs.q, qs.n, min(bucket) AS bucket
+             |  FROM qs JOIN ranked ON ranked.grp = qs.grp AND ranked.cum >= (qs.q * qs.n + 99) // 100
+             |  GROUP BY 1, 2, 3),
+             |est AS (SELECT grp, q, n, (1::BIGINT << (bucket // 16))
+             |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est FROM pick),
+             |exact AS (SELECT grp, q, c AS exact FROM (
+             |    SELECT grp, c, row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+             |        count(*) OVER (PARTITION BY grp) AS nn FROM cents) x
+             |  JOIN (VALUES (50), (90), (99)) t(q) ON rn = (q * nn + 99) // 100)
+             |SELECT est.grp, est.q, est.n, est.est, exact.exact, TRUE AS within_bound
+             |FROM est JOIN exact ON est.grp = exact.grp AND est.q = exact.q
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ── Sketch MERGEABILITY proof: month-level QSketch histograms
+    //    re-aggregated into quarters by bucket-wise count sum, then
+    //    quantiles read off the MERGED sketch — hash-matched against an
+    //    oracle that computes the quarter sketch from raw rows. The two
+    //    are equal exactly because histogram(union) = Σ histograms:
+    //    the sketch frame is a storage primitive (persist daily, roll
+    //    up arbitrarily later), the same role KmvMergeAgg proves for
+    //    distinct counts. ──
+    QueryDef(
+      "qsketch_rollup",
+      "quantile sketch re-aggregation: month histograms merged to quarters == from-scratch",
+      (s, d) => {
+        val base = t(s, d, "orders").filter(expr("year(o_orderdate) = 1995"))
+          .select(expr("month(o_orderdate)").as("m"),
+            expr("greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1)").as("c"))
+        val monthly = graft.operators.QSketch.histogram(base, "m", "c")
+        val quarterly = monthly
+          .withColumn("grp", expr("(CAST(grp AS INT) + 2) div 3"))
+          .groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
+        graft.operators.QSketch.quantiles(quarterly, Seq(50, 95)).orderBy("grp", "q")
+      },
+      Some("""WITH cents AS (SELECT (month(o_orderdate) + 2) // 3 AS grp,
+             |    greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS c
+             |  FROM orders WHERE year(o_orderdate) = 1995),
+             |b AS (SELECT grp, c, length(bin(c)) - 1 AS e FROM cents),
+             |h AS (SELECT grp, e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+             |    count(*) AS cnt FROM b GROUP BY 1, 2),
+             |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs AS (SELECT grp, n, q FROM n, (VALUES (50), (95)) t(q)),
+             |ranked AS (SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM h),
+             |pick AS (SELECT qs.grp, qs.q, qs.n, min(bucket) AS bucket
+             |  FROM qs JOIN ranked ON ranked.grp = qs.grp AND ranked.cum >= (qs.q * qs.n + 99) // 100
+             |  GROUP BY 1, 2, 3)
+             |SELECT grp, q, n, (1::BIGINT << (bucket // 16))
+             |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est
+             |FROM pick ORDER BY 1, 2""".stripMargin)),
+
+    // ── Shuffle-skew PROFILER: the operational pre-flight for any big
+    //    join/agg — exact per-key load, each key's share of the total,
+    //    and the salting factor that would level it across 32 shuffle
+    //    partitions (⌈cnt·32/total⌉ — 1 means "no salting needed").
+    //    All integer; the totals frame is metadata-sized and
+    //    broadcast. ──
+    QueryDef(
+      "skew_profile_custkey",
+      "shuffle-skew profiler: per-key load share and 32-partition salt factor for orders.o_custkey",
+      (s, d) => {
+        val cnts = t(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+        cnts.crossJoin(broadcast(tot))
+          .select(col("custkey"), col("cnt"),
+            expr("cnt * 1000000 div total").as("share_e6"),
+            expr("(cnt * 32 + total - 1) div total").as("salt_factor"),
+            col("n_keys"), col("total"))
+          .orderBy(col("cnt").desc, col("custkey"))
+          .limit(20)
+      },
+      Some("""WITH cnts AS (SELECT o_custkey AS custkey, count(*) AS cnt FROM orders GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM cnts)
+             |SELECT custkey, cnt, cnt * 1000000 // total AS share_e6,
+             |  (cnt * 32 + total - 1) // total AS salt_factor, n_keys, total
+             |FROM cnts, tot ORDER BY cnt DESC, custkey LIMIT 20""".stripMargin)),
+
     // ── Approximate distinct with a HARD error-bound contract. HLL++
     //    register layouts are engine-specific, so the estimate itself
     //    can never hash-match a DuckDB replay — but the ESTIMATOR'S
@@ -1630,6 +1744,47 @@ object RelationalQueries {
            |${round("h1", "h2")},
            |${round("h2", "h3")}
            |SELECT id, hops FROM h3""".stripMargin
+      }),
+
+    // ── Bounded Bellman-Ford (sixth graph operator): cheapest ≤3-edge
+    //    path cost from the hub parts over the RARITY-weighted co-order
+    //    graph (w = 1 + 10⁶ div co-occurrence count — rarely co-ordered
+    //    parts are "far"). Min-plus relaxation shares the BFS shape:
+    //    one adjacency join + one map-side-combinable min per round,
+    //    all-BIGINT, so the unrolled-CTE replay is bit-exact. ──
+    QueryDef(
+      "graph_sssp_weighted",
+      "bounded Bellman-Ford: min ≤3-edge path weight from hub parts, rarity-weighted edges",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val we = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("w", expr("1 + 1000000 div cnt"))
+        val sources = we.select(col("a").as("id"))
+          .unionAll(we.select(col("b").as("id")))
+          .filter(col("id") < 100).distinct()
+        graft.operators.Components.ssspRounds(we, "a", "b", "w", sources, "id", rounds = 3)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT id, min(dist) AS dist FROM (
+             |  SELECT e.dst AS id, h.dist + e.w AS dist FROM ed e JOIN $prev h ON h.id = e.src
+             |  UNION ALL SELECT id, dist FROM $prev) GROUP BY 1)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+           |we AS (SELECT x.p AS a, y.p AS b, 1 + 1000000 // count(*) AS w
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p GROUP BY x.p, y.p),
+           |ed AS (SELECT a AS src, b AS dst, w FROM we UNION ALL SELECT b, a, w FROM we),
+           |d0 AS (SELECT DISTINCT src AS id, 0::BIGINT AS dist FROM ed WHERE src < 100),
+           |${round("d0", "d1")},
+           |${round("d1", "d2")},
+           |${round("d2", "d3")}
+           |SELECT id, dist FROM d3""".stripMargin
       }),
 
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed

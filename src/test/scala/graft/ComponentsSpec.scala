@@ -114,6 +114,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L))
   }
 
+  private def sssp(edges: Seq[(Long, Long, Long)], srcs: Seq[Long], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Components.ssspRounds(edges.toDF("a", "b", "w"), "a", "b", "w",
+        srcs.toDF("id"), "id", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ssspRounds finds the cheaper multi-hop path only when rounds allow it") {
+    // direct 1-3 costs 10; detour 1-2-3 costs 2+3=5
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(sssp(edges, Seq(1L), rounds = 1) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(sssp(edges, Seq(1L), rounds = 2) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("ssspRounds keeps the cheapest parallel edge and relaxes both directions") {
+    val edges = Seq((1L, 2L, 7L), (2L, 1L, 4L), (1L, 2L, 9L))
+    assert(sssp(edges, Seq(2L), rounds = 1) == Map(2L -> 0L, 1L -> 4L))
+  }
+
+  test("ssspRounds multi-source takes the global minimum") {
+    // path 1 -2- 2 -2- 3 -2- 4, sources 1 and 4
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+    assert(sssp(edges, Seq(1L, 4L), rounds = 3) ==
+      Map(1L -> 0L, 4L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
