@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected edge list, via
@@ -193,16 +193,26 @@ object Components {
     var labels = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("hops", lit(0L))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      labels = both
-        .join(labels.select(col("id").as("src"), col("hops")), "src")
-        .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
-        .union(labels)
-        .groupBy("id").agg(min("hops").as("hops"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to maxHops)
+      labels = minRound(both, labels, "hops", lit(1L)).localCheckpoint(true)
     labels
   }
+
+  /** One monotone min-relaxation round shared by [[bfsHops]] and
+    * [[ssspRounds]] (exposed pre-checkpoint so the plan gate can assert
+    * the hub-safe shape on a live plan): propagate value+step along
+    * edges, keep the minimum per vertex — one keyed join plus one
+    * map-side-combinable min, no windows. */
+  private[graft] def minRound(
+      both: DataFrame,
+      labels: DataFrame,
+      valCol: String,
+      step: Column): DataFrame =
+    both
+      .join(labels.select(col("id").as("src"), col(valCol)), "src")
+      .select(col("dst").as("id"), (col(valCol) + step).as(valCol))
+      .union(labels)
+      .groupBy("id").agg(min(valCol).as(valCol))
 
   /** Bounded-rounds weighted shortest paths (min-plus Bellman-Ford):
     * after `rounds` relaxations every vertex carries the MINIMUM total
@@ -234,14 +244,8 @@ object Components {
     var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      dist = both
-        .join(dist.select(col("id").as("src"), col("dist")), "src")
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-        .union(dist)
-        .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to rounds)
+      dist = minRound(both, dist, "dist", col("w")).localCheckpoint(true)
     dist
   }
 

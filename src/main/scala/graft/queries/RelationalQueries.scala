@@ -1412,6 +1412,60 @@ object RelationalQueries {
              |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est
              |FROM pick ORDER BY 1, 2""".stripMargin)),
 
+    // ── Histogram-driven RANGE SELECTIVITY estimation — the
+    //    optimizer-statistics primitive: for a value predicate
+    //    [lo, hi), the QSketch histogram yields a hard bracket —
+    //    est_lo = rows in buckets fully inside the range,
+    //    est_hi = rows in buckets touching it — and the true count
+    //    provably sits between them (buckets partition the value
+    //    line). Estimates hash-match the SQL replay; the bracket is a
+    //    theorem, so the oracle expects literal TRUE. The exact column
+    //    is the full scan the estimate replaces. ──
+    QueryDef(
+      "qsketch_selectivity",
+      "range-predicate selectivity bracket from the quantile sketch: est_lo <= exact <= est_hi",
+      (s, d) => {
+        import s.implicits._
+        val cents = t(s, d, "orders").select(lit("all").as("grp"),
+          expr("greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1)").as("c"))
+        val ranges = Seq((10000000L, 20000000L), (20000000L, 40000000L),
+          (40000000L, 60000000L)).toDF("lo", "hi")
+        val est = graft.operators.QSketch.histogram(cents, "grp", "c")
+          .withColumn("b_lo", graft.operators.QSketch.lowerBound("bucket"))
+          .withColumn("b_hi", graft.operators.QSketch.lowerBound("(bucket + 1)"))
+          .crossJoin(broadcast(ranges))
+          .groupBy("lo", "hi")
+          .agg(
+            sum(when(col("b_lo") >= col("lo") && col("b_hi") <= col("hi"),
+              col("cnt")).otherwise(0L)).as("est_lo"),
+            sum(when(col("b_hi") > col("lo") && col("b_lo") < col("hi"),
+              col("cnt")).otherwise(0L)).as("est_hi"))
+        val exact = cents.crossJoin(broadcast(ranges))
+          .filter(col("c") >= col("lo") && col("c") < col("hi"))
+          .groupBy("lo", "hi").agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("lo", "hi"))
+          .withColumn("bounds_ok", expr("est_lo <= exact AND exact <= est_hi"))
+          .orderBy("lo")
+      },
+      Some("""WITH cents AS (SELECT greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS c
+             |  FROM orders),
+             |b AS (SELECT c, length(bin(c)) - 1 AS e FROM cents),
+             |h AS (SELECT e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+             |    count(*) AS cnt FROM b GROUP BY 1),
+             |bounds AS (SELECT bucket, cnt,
+             |    (1::BIGINT << (bucket // 16)) + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS b_lo,
+             |    (1::BIGINT << ((bucket + 1) // 16)) + (((bucket + 1) % 16) * (1::BIGINT << ((bucket + 1) // 16))) // 16 AS b_hi
+             |  FROM h),
+             |ranges(lo, hi) AS (VALUES (10000000, 20000000), (20000000, 40000000), (40000000, 60000000)),
+             |est AS (SELECT lo, hi,
+             |    CAST(sum(CASE WHEN b_lo >= lo AND b_hi <= hi THEN cnt ELSE 0 END) AS BIGINT) AS est_lo,
+             |    CAST(sum(CASE WHEN b_hi > lo AND b_lo < hi THEN cnt ELSE 0 END) AS BIGINT) AS est_hi
+             |  FROM bounds, ranges GROUP BY 1, 2),
+             |exact AS (SELECT lo, hi, count(*) AS exact FROM cents, ranges
+             |  WHERE c >= lo AND c < hi GROUP BY 1, 2)
+             |SELECT lo, hi, est_lo, est_hi, exact.exact, TRUE AS bounds_ok
+             |FROM est JOIN exact USING (lo, hi) ORDER BY lo""".stripMargin)),
+
     // ── Shuffle-skew PROFILER: the operational pre-flight for any big
     //    join/agg — exact per-key load, each key's share of the total,
     //    and the salting factor that would level it across 32 shuffle

@@ -206,6 +206,37 @@ object TextDedupQueries {
               |len(list_distinct($dkTokens)) AS n_distinct,
               |length(text) AS n_chars_calc FROM documents""".stripMargin)),
 
+    // ── Corpus length profile off the QSketch quantile sketch: per-
+    //    language p50/p90 token counts for curriculum/batching
+    //    decisions, read from the mergeable integer histogram instead
+    //    of a full per-language rank sort — and, unlike
+    //    approx_percentile, hash-exact against the SQL replay. ──
+    QueryDef(
+      "txt_length_quantiles",
+      "per-language token-length p50/p90 from the integer quantile sketch",
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("lang").as("grp"),
+          expr(s"greatest(CAST(size(${TextFunctions.tokensSql("text")}) AS BIGINT), 1)")
+            .as("c"))
+        graft.operators.QSketch.quantiles(
+            graft.operators.QSketch.histogram(toks, "grp", "c"), Seq(50, 90))
+          .orderBy("grp", "q")
+      },
+      Some(s"""WITH cents AS (SELECT lang AS grp,
+              |    greatest(CAST(len($dkTokens) AS BIGINT), 1) AS c FROM documents),
+              |b AS (SELECT grp, c, length(bin(c)) - 1 AS e FROM cents),
+              |h AS (SELECT grp, e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+              |    count(*) AS cnt FROM b GROUP BY 1, 2),
+              |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+              |qs AS (SELECT grp, n, q FROM n, (VALUES (50), (90)) t(q)),
+              |ranked AS (SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM h),
+              |pick AS (SELECT qs.grp, qs.q, qs.n, min(bucket) AS bucket
+              |  FROM qs JOIN ranked ON ranked.grp = qs.grp AND ranked.cum >= (qs.q * qs.n + 99) // 100
+              |  GROUP BY 1, 2, 3)
+              |SELECT grp, q, n, (1::BIGINT << (bucket // 16))
+              |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est
+              |FROM pick ORDER BY 1, 2""".stripMargin)),
+
     // ── The HASHING TRICK (feature hashing): fixed-width sparse
     //    vectorization with no vocabulary pass — token → slot =
     //    polyhash(token) mod 64, per-doc term frequencies per slot.

@@ -240,6 +240,52 @@ class PlanGateSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), p) // top-30 never globally sorts
   }
 
+  test("BFS/SSSP relaxation round: keyed join + map-side min, no window, no cartesian") {
+    // the hub-safe shape shared by bfsHops and ssspRounds: the round is
+    // one equi-join on src plus a map-side-combinable min per vertex.
+    // Gated on the PRE-checkpoint round builder (each round is eagerly
+    // checkpointed inside the operators, truncating the final plan).
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, 0L)).toDF("id", "dist")
+    val p = graft.operators.Components.minRound(edges, labels, "dist",
+        org.apache.spark.sql.functions.col("w"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.contains("HashAggregate"), p)
+  }
+
+  test("qsketch: histogram is a partial aggregation; quantile windows stay partitioned") {
+    // the sketch build must be one map-side-combinable groupBy over the
+    // data; quantile extraction may window ONLY the sketch itself and
+    // never collapses to a single partition
+    import org.apache.spark.sql.functions.col
+    val cents = Tables(spark, d, "orders").selectExpr("o_orderpriority AS grp",
+      "greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1) AS c")
+    val hp = graft.operators.QSketch.histogram(cents, "grp", "c")
+      .queryExecution.executedPlan.toString
+    assert(hp.contains("HashAggregate"), hp)
+    assert(hp.toLowerCase.contains("partial"), hp)
+    assert(!hp.contains("Window"), hp)
+    val qp = graft.operators.QSketch.quantiles(
+        graft.operators.QSketch.histogram(cents, "grp", "c"), Seq(50, 99))
+      .queryExecution.executedPlan.toString
+    assert(!qp.contains("SinglePartition"), qp)
+    assert(!qp.contains("CartesianProduct"), qp)
+  }
+
+  test("skew profiler: metadata-sized totals broadcast; top-20 never globally sorts") {
+    val p = plan("skew_profile_custkey")
+    assert(p.contains("TakeOrdered"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row totals frame joins via broadcast nested loop by design;
+    // anything beyond that one is a regression
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p)
+  }
+
   test("minhash band index is narrow: no aggregate, one deliberate exchange") {
     // sf0.01 on purpose: the benchmark-plan test above populates the
     // query layer's persisted cache for sf0.001, and CacheManager would
