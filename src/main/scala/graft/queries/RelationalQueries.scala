@@ -1373,7 +1373,8 @@ object RelationalQueries {
              |  JOIN (VALUES (50), (90), (99)) t(q) ON rn = (q * nn + 99) // 100)
              |SELECT est.grp, est.q, est.n, est.est, exact.exact, TRUE AS within_bound
              |FROM est JOIN exact ON est.grp = exact.grp AND est.q = exact.q
-             |ORDER BY 1, 2""".stripMargin)),
+             |ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // ── Sketch MERGEABILITY proof: month-level QSketch histograms
     //    re-aggregated into quarters by bucket-wise count sum, then
@@ -1798,7 +1799,8 @@ object RelationalQueries {
            |${round("h1", "h2")},
            |${round("h2", "h3")}
            |SELECT id, hops FROM h3""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ── Bounded Bellman-Ford (sixth graph operator): cheapest ≤3-edge
     //    path cost from the hub parts over the RARITY-weighted co-order

@@ -101,6 +101,25 @@ object EventStreams {
         col("event_type"), col("est_users"))
   }
 
+  /** Watermarked tumbling-window QUANTILE-SKETCH histogram per event
+    * type — the QSketch `(window, type, bucket, cnt)` frame as
+    * streaming aggregation state. Bucket counts are plain sums, so
+    * they merge across micro-batches exactly (histogram of a union is
+    * the bucket-wise sum of histograms) and the streamed sketch is
+    * bit-identical to a batch build over the same data
+    * (equivalence-tested); quantiles read downstream inherit QSketch's
+    * ≤1/16 one-sided bound. State per (window, type) is bounded by the
+    * ~1000-bucket id space, never by the data. */
+  def qsketchHistograms(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("c", expr("greatest(CAST(floor(value * 100 + 0.5D) AS BIGINT), 1)"))
+      .groupBy(window(col("ts"), "60 minutes").as("w"), col("event_type"),
+        graft.operators.QSketch.bucket("c").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("bucket"), col("cnt"))
+
   /** Stream-static broadcast enrichment: the third join class beside
     * stream-stream and foreachBatch — a static dimension joined into
     * the stream. Stateless (no watermark, no state store): every

@@ -465,6 +465,34 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile-sketch histogram matches the batch sketch on the same data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qskstream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.qsketchHistograms(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_qsk_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_qsk_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: same window/bucket grouping over the static frame
+      import org.apache.spark.sql.functions._
+      val batch = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("c", expr("greatest(CAST(floor(value * 100 + 0.5D) AS BIGINT), 1)"))
+        .groupBy(window(col("ts"), "60 minutes").as("w"), col("event_type"),
+          graft.operators.QSketch.bucket("c").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("bucket"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static as-of enrichment matches the batch as-of join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
