@@ -249,6 +249,55 @@ object Components {
     dist
   }
 
+  /** Time-respecting EARLIEST-ARRIVAL reachability (temporal BFS):
+    * edges carry timestamps, a valid path may only traverse edges with
+    * non-decreasing times, and after `rounds` relaxations every vertex
+    * carries the minimum achievable arrival time over such paths of at
+    * most `rounds` edges from the source set (sources active from
+    * `startTime`). The contact-tracing / influence-propagation
+    * primitive — static reachability over-counts paths that go
+    * "backwards in time".
+    *
+    * Monotone like [[bfsHops]]/[[ssspRounds]]: lowering an arrival only
+    * admits MORE outgoing edges (t ≥ arr), so re-relaxation converges
+    * and the unrolled-CTE replay is exact. Round shape: one keyed
+    * adjacency join (with the t ≥ arr residual filter) plus one
+    * map-side-combinable min — no windows, hub-safe. */
+  def temporalReach(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      timeCol: String,
+      sources: DataFrame,
+      idCol: String,
+      rounds: Int,
+      startTime: Long = 0L): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(timeCol).cast("long").as("t"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val both = base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("t")))
+    var arr = sources.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("arr", lit(startTime))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      arr = temporalRound(both, arr).localCheckpoint(true)
+    arr
+  }
+
+  /** One earliest-arrival relaxation round (exposed pre-checkpoint for
+    * the plan gate): traverse edges departing no earlier than the
+    * current arrival, arrive at the edge's time, keep the minimum. */
+  private[graft] def temporalRound(both: DataFrame, arr: DataFrame): DataFrame =
+    both
+      .join(arr.select(col("id").as("src"), col("arr")), "src")
+      .filter(col("t") >= col("arr"))
+      .select(col("dst").as("id"), col("t").as("arr"))
+      .union(arr)
+      .groupBy("id").agg(min("arr").as("arr"))
+
   /** Structural node similarity: common-neighbor JACCARD for every
     * node pair sharing ≥1 neighbor — the link-prediction primitive
     * (two nodes with near-identical neighborhoods are interchangeable

@@ -1467,6 +1467,51 @@ object RelationalQueries {
              |SELECT lo, hi, est_lo, est_hi, exact.exact, TRUE AS bounds_ok
              |FROM est JOIN exact USING (lo, hi) ORDER BY lo""".stripMargin)),
 
+    // ── Sketch-driven QUANTILE BINNING — the sort-free form of ntile:
+    //    decile boundaries come off the broadcast QSketch histogram, so
+    //    assigning every row its bin is a narrow broadcast join + count
+    //    of boundaries ≤ value, NOT a per-group full sort (ntile's
+    //    WindowExec sorts the whole group per task; this shape scales
+    //    to any group size). Bin populations are deterministic given
+    //    the deterministic boundaries, so the result hash-matches. ──
+    QueryDef(
+      "qsketch_binning",
+      "decile binning via broadcast sketch boundaries: per-bin populations, no window sort",
+      (s, d) => {
+        val cents = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("grp"),
+          expr("greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1)").as("c"))
+        val bnd = graft.operators.QSketch.quantiles(
+            graft.operators.QSketch.histogram(cents, "grp", "c"),
+            (10 to 90 by 10).toSeq)
+          .select(col("grp"), col("est"))
+        cents.join(broadcast(bnd), "grp")
+          .groupBy("grp", "o_orderkey", "c")
+          .agg(sum(when(col("est") <= col("c"), 1L).otherwise(0L)).as("bin"))
+          .groupBy("grp", "bin")
+          .agg(count(lit(1)).as("n_rows"), min("c").as("lo"), max("c").as("hi"))
+          .orderBy("grp", "bin")
+      },
+      Some("""WITH cents AS (SELECT o_orderkey, o_orderpriority AS grp,
+             |    greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS c FROM orders),
+             |b AS (SELECT grp, c, length(bin(c)) - 1 AS e FROM cents),
+             |h AS (SELECT grp, e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+             |    count(*) AS cnt FROM b GROUP BY 1, 2),
+             |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs AS (SELECT grp, n, q FROM n,
+             |  (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) t(q)),
+             |ranked AS (SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM h),
+             |pick AS (SELECT qs.grp, qs.q, min(bucket) AS bucket
+             |  FROM qs JOIN ranked ON ranked.grp = qs.grp AND ranked.cum >= (qs.q * qs.n + 99) // 100
+             |  GROUP BY 1, 2),
+             |bnd AS (SELECT grp, (1::BIGINT << (bucket // 16))
+             |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est FROM pick),
+             |binned AS (SELECT cents.grp, o_orderkey, c,
+             |    CAST(sum(CASE WHEN est <= c THEN 1 ELSE 0 END) AS BIGINT) AS bin
+             |  FROM cents JOIN bnd ON bnd.grp = cents.grp GROUP BY 1, 2, 3)
+             |SELECT grp, bin, count(*) AS n_rows, min(c) AS lo, max(c) AS hi
+             |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Shuffle-skew PROFILER: the operational pre-flight for any big
     //    join/agg — exact per-key load, each key's share of the total,
     //    and the salting factor that would level it across 32 shuffle
@@ -1841,6 +1886,43 @@ object RelationalQueries {
            |${round("d1", "d2")},
            |${round("d2", "d3")}
            |SELECT id, dist FROM d3""".stripMargin
+      }),
+
+    // ── Time-respecting reachability (seventh graph operator): how
+    //    early can influence from the seed customers (custkey < 50)
+    //    reach each node of the bipartite customer–part graph, when a
+    //    path may only traverse orders in non-decreasing date order?
+    //    Static reachability over-counts paths that go backwards in
+    //    time; the temporal round adds a t ≥ arrival residual filter
+    //    to the same hub-safe join+min shape. Node ids: customers
+    //    even (2c), parts odd (2p+1). ──
+    QueryDef(
+      "graph_temporal_reach",
+      "time-respecting earliest arrival within 3 edges over the customer-part order graph",
+      (s, d) => {
+        val e = t(s, d, "orders").join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"),
+            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("t"))
+        val sources = e.select(col("a").as("id")).filter(col("id") < 100).distinct()
+        graft.operators.Components.temporalReach(e, "a", "b", "t", sources, "id",
+          rounds = 3)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT id, min(arr) AS arr FROM (
+             |  SELECT e.dst AS id, e.t AS arr FROM ed e JOIN $prev h ON h.id = e.src AND e.t >= h.arr
+             |  UNION ALL SELECT id, arr FROM $prev) GROUP BY 1)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b,
+           |    date_diff('day', DATE '1992-01-01', o_orderdate) AS t
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |ed AS (SELECT a AS src, b AS dst, t FROM e UNION ALL SELECT b, a, t FROM e),
+           |r0 AS (SELECT DISTINCT src AS id, 0::BIGINT AS arr FROM ed
+           |  WHERE src < 100 AND src % 2 = 0),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT id, arr FROM r3""".stripMargin
       }),
 
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed

@@ -142,6 +142,41 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 0L, 4L -> 0L, 2L -> 2L, 3L -> 2L))
   }
 
+  private def treach(edges: Seq[(Long, Long, Long)], srcs: Seq[Long], rounds: Int,
+      start: Long = 0L): Map[Long, Long] = {
+    import spark.implicits._
+    Components.temporalReach(edges.toDF("a", "b", "t"), "a", "b", "t",
+        srcs.toDF("id"), "id", rounds, start)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("temporalReach blocks paths that go backwards in time") {
+    // 1-2 at t=5, 2-3 at t=3: statically 3 is reachable, temporally not
+    assert(treach(Seq((1L, 2L, 5L), (2L, 3L, 3L)), Seq(1L), rounds = 3) ==
+      Map(1L -> 0L, 2L -> 5L))
+    // with the second edge at t=7 the path is time-respecting
+    assert(treach(Seq((1L, 2L, 5L), (2L, 3L, 7L)), Seq(1L), rounds = 3) ==
+      Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+  }
+
+  test("temporalReach takes the earliest arrival over alternative paths") {
+    // direct 1-2 at t=5 vs detour 1-3 (t=1) then 3-2 (t=2)
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 2L))
+    assert(treach(edges, Seq(1L), rounds = 2) ==
+      Map(1L -> 0L, 3L -> 1L, 2L -> 2L))
+    // with one round only the direct edge is usable
+    assert(treach(edges, Seq(1L), rounds = 1) ==
+      Map(1L -> 0L, 3L -> 1L, 2L -> 5L))
+  }
+
+  test("temporalReach respects the source start time") {
+    // the only edge departs at t=5, before the sources become active
+    assert(treach(Seq((1L, 2L, 5L)), Seq(1L), rounds = 2, start = 6L) ==
+      Map(1L -> 6L))
+    assert(treach(Seq((1L, 2L, 5L)), Seq(1L), rounds = 2, start = 5L) ==
+      Map(1L -> 5L, 2L -> 5L))
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

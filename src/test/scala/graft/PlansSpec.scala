@@ -256,6 +256,15 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_min") || p.contains("partial min") ||
       p.contains("HashAggregate"), p)
+    // the temporal round adds only a residual t >= arr filter to the
+    // same keyed join — it must not degrade to a nested loop
+    val edgesT = Seq((1L, 2L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "t")
+    val arr = Seq((1L, 0L)).toDF("id", "arr")
+    val pt = graft.operators.Components.temporalRound(edgesT, arr)
+      .queryExecution.executedPlan.toString
+    assert(!pt.contains("Window"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(!pt.contains("BroadcastNestedLoopJoin"), pt)
   }
 
   test("qsketch: histogram is a partial aggregation; quantile windows stay partitioned") {
