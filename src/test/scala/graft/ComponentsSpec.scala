@@ -177,6 +177,20 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 5L, 2L -> 5L))
   }
 
+  test("relaxation rounds survive an extreme hub (100k-edge star) correctly") {
+    // a single vertex with 100k neighbors: the src-keyed join puts the
+    // hub's whole adjacency behind one shuffle key, the map-side-
+    // combinable min keeps the reduction bounded, and AQE may split
+    // the skewed partition — the result must still be exact
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val star = spark.range(1, 100001).select(lit(0L).as("a"), col("id").as("b"))
+    val hops = Components.bfsHops(star, "a", "b", Seq(0L).toDF("id"), "id", 2)
+    assert(hops.count() === 100001L)
+    assert(hops.filter(col("hops") === 1L).count() === 100000L)
+    assert(hops.filter(col("id") === 0L).head().getLong(1) === 0L)
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
