@@ -678,6 +678,25 @@ object LshTableBucket {
   }
 }
 
+/** ⌊log₂ v⌋ for a positive BIGINT in one hardware instruction
+  * (63 − numberOfLeadingZeros) — the QSketch octave without
+  * `length(bin(v))`'s per-row binary-string allocation on the sketch
+  * build hot path. Contract: callers clamp v ≥ 1 (QSketch does);
+  * v ≤ 0 yields an out-of-domain octave rather than throwing, exactly
+  * like the string form it replaces. */
+case class Log2Floor(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    63 - java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(63 - java.lang.Long.numberOfLeadingZeros($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Log2Floor = copy(newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. The
@@ -730,5 +749,7 @@ object GraftFunctions {
       exprs => LshTableBucket(exprs.head, exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_log2floor", exprs => Log2Floor(exprs.head), "built-in")
   }
 }

@@ -31,13 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object QSketch {
 
-  /** Bucket id for a positive (≥1) BIGINT column expression. For
-    * octaves ≥ 4 the sub-bucket is `(v − 2ᵉ) div (2ᵉ/16)` — the exact
-    * same floor as `((v − 2ᵉ)·16) div 2ᵉ` because 16 divides 2ᵉ, but
-    * it never overflows (the ·16 form exceeds BIGINT for e ≥ 59, an
-    * ANSI throw on values near Long.MaxValue). */
+  /** Bucket id for a positive (≥1) BIGINT column expression. The
+    * octave comes from the codegen'd `graft_log2floor` Expression (one
+    * numberOfLeadingZeros instruction — the SQL-replayable
+    * `length(bin(v)) − 1` form would allocate a binary STRING per row
+    * on the sketch build's hot path; the DuckDB oracle keeps the
+    * string form, the values are identical). For octaves ≥ 4 the
+    * sub-bucket is `(v − 2ᵉ) div (2ᵉ/16)` — the exact same floor as
+    * `((v − 2ᵉ)·16) div 2ᵉ` because 16 divides 2ᵉ, but it never
+    * overflows (the ·16 form exceeds BIGINT for e ≥ 59, an ANSI throw
+    * on values near Long.MaxValue). Callers need
+    * `GraftFunctions.register` (done by [[histogram]]). */
   def bucket(v: String): Column = {
-    val e = s"(length(bin($v)) - 1)"
+    val e = s"graft_log2floor($v)"
     val pow = s"shiftleft(CAST(1 AS BIGINT), $e)"
     expr(s"""$e * 16 + (CASE WHEN $e >= 4
             THEN ($v - $pow) div ($pow div 16)
@@ -55,9 +61,11 @@ object QSketch {
   }
 
   /** Grouped sketch: one row per (group, bucket) with its exact count. */
-  def histogram(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+  def histogram(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(grpCol).as("grp"), bucket(valCol).as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Read quantiles (percent ranks, e.g. 50/90/99) off a
     * `(grp, bucket, cnt)` sketch frame: rank ⌈q·n/100⌉ in the bucket

@@ -110,7 +110,8 @@ object EventStreams {
     * (equivalence-tested); quantiles read downstream inherit QSketch's
     * ≤1/16 one-sided bound. State per (window, type) is bounded by the
     * ~1000-bucket id space, never by the data. */
-  def qsketchHistograms(events: DataFrame): DataFrame =
+  def qsketchHistograms(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
     events
       .withWatermark("ts", "10 minutes")
       .withColumn("c", expr("greatest(CAST(floor(value * 100 + 0.5D) AS BIGINT), 1)"))
@@ -119,6 +120,7 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("bucket"), col("cnt"))
+  }
 
   /** Stream-static broadcast enrichment: the third join class beside
     * stream-stream and foreachBatch — a static dimension joined into

@@ -22,6 +22,7 @@ class QSketchSpec extends AnyFunSuite {
   }
 
   test("bucket/lowerBound: est <= v and one-sided 1/16 bound for adversarial values") {
+    graft.functions.GraftFunctions.register(spark)
     val vs = Seq(1L, 2L, 3L, 15L, 16L, 17L, 31L, 32L, 33L, 1000L,
       (1L << 40) - 1, 1L << 40, (1L << 40) + 1, (1L << 62) - 1, Long.MaxValue)
     val got = vs.toDF("v")
