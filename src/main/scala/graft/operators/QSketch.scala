@@ -67,6 +67,20 @@ object QSketch {
       .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Weighted sketch: bucket mass is the SUM of an integer weight
+    * column instead of a row count, so [[quantiles]] over the result
+    * yields WEIGHTED quantiles — "the value below which q% of the
+    * total weight lies" (e.g. the order value splitting total revenue
+    * in half). Same mergeable-state and hash-exactness properties:
+    * weights add bucket-wise exactly. */
+  def histogramWeighted(
+      df: DataFrame, grpCol: String, valCol: String, weightCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(grpCol).as("grp"), bucket(valCol).as("bucket"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("grp", "bucket").agg(sum("w").as("cnt"))
+  }
+
   /** Read quantiles (percent ranks, e.g. 50/90/99) off a
     * `(grp, bucket, cnt)` sketch frame: rank ⌈q·n/100⌉ in the bucket
     * cumulative counts, estimate = that bucket's lower boundary.

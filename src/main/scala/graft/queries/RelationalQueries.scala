@@ -1512,6 +1512,58 @@ object RelationalQueries {
              |SELECT grp, bin, count(*) AS n_rows, min(c) AS lo, max(c) AS hi
              |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ── WEIGHTED quantiles off the sketch: bucket mass is summed
+    //    revenue instead of a row count, so p50 answers "below which
+    //    order value does HALF THE REVENUE sit" (the Pareto question a
+    //    count median cannot answer). Same hash-exact estimator and
+    //    the same in-row ≤1/16 bound theorem, now against the exact
+    //    weighted quantile (first value whose cumulative revenue
+    //    crosses the rank). ──
+    QueryDef(
+      "qsketch_weighted_median",
+      "revenue-weighted p25/50/75 order values off the weighted sketch + bound proof",
+      (s, d) => {
+        import s.implicits._
+        val cents = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority").as("grp"),
+          expr("greatest(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), 1)").as("c"))
+        val est = graft.operators.QSketch.quantiles(
+          graft.operators.QSketch.histogramWeighted(cents, "grp", "c", "c"),
+          Seq(25, 50, 75))
+        val qdf = Seq(25, 50, 75).toDF("q")
+        val exact = cents
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("grp").orderBy("c", "o_orderkey")))
+          .withColumn("nn", sum("c").over(Window.partitionBy("grp")))
+          .join(broadcast(qdf), expr("cum >= (q * nn + 99) div 100"))
+          .groupBy("grp", "q").agg(min("c").as("exact"))
+        est.join(exact, Seq("grp", "q"))
+          .withColumn("within_bound", expr("est <= exact AND 16 * (exact - est) <= est + 16"))
+          .select(col("grp"), col("q"), col("n"), col("est"), col("exact"), col("within_bound"))
+          .orderBy("grp", "q")
+      },
+      Some("""WITH cents AS (SELECT o_orderkey, o_orderpriority AS grp,
+             |    greatest(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) AS c FROM orders),
+             |b AS (SELECT grp, c, length(bin(c)) - 1 AS e FROM cents),
+             |h AS (SELECT grp, e * 16 + ((c - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS bucket,
+             |    CAST(sum(c) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+             |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+             |qs AS (SELECT grp, n, q FROM n, (VALUES (25), (50), (75)) t(q)),
+             |ranked AS (SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM h),
+             |pick AS (SELECT qs.grp, qs.q, qs.n, min(bucket) AS bucket
+             |  FROM qs JOIN ranked ON ranked.grp = qs.grp AND ranked.cum >= (qs.q * qs.n + 99) // 100
+             |  GROUP BY 1, 2, 3),
+             |est AS (SELECT grp, q, n, (1::BIGINT << (bucket // 16))
+             |    + ((bucket % 16) * (1::BIGINT << (bucket // 16))) // 16 AS est FROM pick),
+             |exact AS (SELECT x.grp, t.q, min(c) AS exact FROM (
+             |    SELECT grp, c, sum(c) OVER (PARTITION BY grp ORDER BY c, o_orderkey) AS cum,
+             |        sum(c) OVER (PARTITION BY grp) AS nn FROM cents) x
+             |  JOIN (VALUES (25), (50), (75)) t(q) ON x.cum >= (t.q * x.nn + 99) // 100
+             |  GROUP BY 1, 2)
+             |SELECT est.grp, est.q, est.n, est.est, exact.exact, TRUE AS within_bound
+             |FROM est JOIN exact ON est.grp = exact.grp AND est.q = exact.q
+             |ORDER BY 1, 2""".stripMargin)),
+
     // ── Shuffle-skew PROFILER: the operational pre-flight for any big
     //    join/agg — exact per-key load, each key's share of the total,
     //    and the salting factor that would level it across 32 shuffle

@@ -48,6 +48,17 @@ class QSketchSpec extends AnyFunSuite {
     assert(got(99) == (100L, 96L))
   }
 
+  test("weighted histogram: quantiles follow the weight mass, not the row count") {
+    // rows (10,w=1), (20,w=1), (30,w=8): the count median is 20, but
+    // 8 of the 10 units of weight sit at 30
+    val df = Seq((10L, 1L), (20L, 1L), (30L, 8L)).toDF("v", "w")
+      .withColumn("grp", lit("g"))
+    val got = QSketch.quantiles(
+        QSketch.histogramWeighted(df, "grp", "v", "w"), Seq(50))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((50, 10L, 30L)))
+  }
+
   test("histograms merge exactly: sum of halves == sketch of the union") {
     val all = (1L to 500L).map(i => ("g", i * i % 997 + 1)).toDF("grp", "v")
     val h1 = QSketch.histogram(all.filter(col("v") <= 300), "grp", "v")
