@@ -1518,7 +1518,9 @@ object RelationalQueries {
     //    count median cannot answer). Same hash-exact estimator and
     //    the same in-row ≤1/16 bound theorem, now against the exact
     //    weighted quantile (first value whose cumulative revenue
-    //    crosses the rank). ──
+    //    crosses the rank). Rank arithmetic q·n stays in BIGINT up to
+    //    n ≈ 1.2e17 total weight at q ≤ 75 (≈ $1.2 quadrillion of
+    //    revenue-cents) — headroom documented, not assumed. ──
     QueryDef(
       "qsketch_weighted_median",
       "revenue-weighted p25/50/75 order values off the weighted sketch + bound proof",
