@@ -2216,6 +2216,133 @@ object RelationalQueries {
       Some("""SELECT s_name, count(*) AS n_lines,
              |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY s_name""".stripMargin))
+             |GROUP BY s_name""".stripMargin)),
+
+    // ── Cumulative distinct count: per user, how many distinct event
+    //    types were seen up to each event. Single-shuffle two-window
+    //    form: both windows partition on user_id (different sort
+    //    orders share one exchange — EnsureRequirements adds two sorts,
+    //    zero extra shuffles). In type-major order the first row of
+    //    each contiguous type block gets a flag; the time-major running
+    //    sum of flags is the distinct-so-far count. Which row carries
+    //    the flag depends only on block membership (equality), not on
+    //    cross-type string collation, so UTF-16 vs UTF-8 sort parity
+    //    is a non-issue. Pure BIGINT output — hash-exact. ──
+    QueryDef(
+      "window_cume_distinct",
+      "running count of distinct event types per user (single-shuffle two-window form)",
+      (s, d) => {
+        val byType = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("first_flag",
+            when(!(lag("event_type", 1).over(byType) <=> col("event_type")), 1L).otherwise(0L))
+          .select(col("user_id"), col("event_id"),
+            sum("first_flag").over(byTime).as("types_so_far"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_so_far
+             |FROM (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(event_type) OVER (
+             |        PARTITION BY user_id ORDER BY event_type, ts, event_id)
+             |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS first_flag
+             |  FROM events) flagged""".stripMargin)),
+
+    // ── Linear-interpolation gap-fill: per user, one knot per active
+    //    day (first event by event_id), then every missing day between
+    //    consecutive knots gets the exact rational
+    //    num/den = (v0·(d1−d0) + (v1−v0)·(d−d0)) / (d1−d0)
+    //    in integer cents — no float division on either side, so the
+    //    result is hash-exact with zero rounding policy. The last knot
+    //    self-emits through the coalesce'd 1-day virtual gap (den=1,
+    //    num=cents). Scale: explode fan-out is bounded by the knot gap
+    //    (≤ series span in days), and every stage stays partitioned on
+    //    user_id — knot dedup, lead, and explode share the key. ──
+    QueryDef(
+      "ts_interpolate",
+      "per-user daily linear interpolation between event-value knots, exact rational output",
+      (s, d) => {
+        val perDay = Window.partitionBy("user_id", "day_no").orderBy("event_id")
+        val series = Window.partitionBy("user_id").orderBy("day_no")
+        t(s, d, "events")
+          .withColumn("day_no", datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long"))
+          .withColumn("cents", floor(col("value") * 100))
+          .withColumn("rn", row_number().over(perDay))
+          .filter(col("rn") === 1)
+          .select("user_id", "day_no", "cents")
+          .withColumn("d1", coalesce(lead("day_no", 1).over(series), col("day_no") + 1L))
+          .withColumn("c1", coalesce(lead("cents", 1).over(series), col("cents")))
+          .select(col("user_id"), col("day_no"), col("cents"), col("d1"), col("c1"),
+            explode(sequence(col("day_no"), col("d1") - 1L)).as("day"))
+          .select(col("user_id"), col("day"),
+            (col("cents") * (col("d1") - col("day_no")) +
+              (col("c1") - col("cents")) * (col("day") - col("day_no"))).as("interp_num"),
+            (col("d1") - col("day_no")).as("interp_den"))
+      },
+      Some("""WITH knots AS (
+             |  SELECT user_id, day_no, cents FROM (
+             |    SELECT user_id,
+             |      CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_no,
+             |      CAST(floor(value * 100) AS BIGINT) AS cents,
+             |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY event_id) AS rn
+             |    FROM events) base WHERE rn = 1
+             |), seg AS (
+             |  SELECT user_id, day_no, cents,
+             |    coalesce(lead(day_no) OVER (PARTITION BY user_id ORDER BY day_no), day_no + 1) AS d1,
+             |    coalesce(lead(cents)  OVER (PARTITION BY user_id ORDER BY day_no), cents)      AS c1
+             |  FROM knots
+             |), grid AS (
+             |  SELECT user_id, day_no, cents, d1, c1, unnest(range(day_no, d1)) AS day FROM seg)
+             |SELECT user_id, day,
+             |  cents * (d1 - day_no) + (c1 - cents) * (day - day_no) AS interp_num,
+             |  d1 - day_no AS interp_den
+             |FROM grid""".stripMargin)),
+
+    // ── Market-basket pair support: distinct parts per order, pairwise
+    //    co-occurrence counts, plus integer-e6 confidence and lift.
+    //    Fan-out is bounded per basket (k items → k·(k−1)/2 pairs;
+    //    TPC-H baskets are ≤13 items), so the self-join is linear in
+    //    orders and the pair shuffle carries bounded multiplicity —
+    //    no quadratic blowup, no hot key. The basket count N reaches
+    //    the pair frame as a broadcast 1-row frame (no collect()).
+    //    All scoring is BIGINT floor-division on positives (identical
+    //    in Spark `div` and DuckDB `//`); lift's numerator
+    //    support·N·10⁶ stays in BIGINT while support·N ≤ 9.2e12 —
+    //    comfortable even at 10⁹ orders with per-pair support ≤ 10³. ──
+    QueryDef(
+      "basket_pair_support",
+      "top co-purchased part pairs with support, confidence and lift (integer e6)",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val tot = items.agg(countDistinct("ok").as("n_orders"))
+        val pairs = items.toDF("ok", "p1")
+          .join(items.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        val per = items.groupBy("pk").agg(count(lit(1)).as("n_ok"))
+        pairs
+          .join(per.toDF("pk1", "n1"), col("p1") === col("pk1"))
+          .join(per.toDF("pk2", "n2"), col("p2") === col("pk2"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("p1", "p2", "support",
+            "support * 1000000L div n1 AS conf_e6",
+            "support * n_orders * 1000000L div (n1 * n2) AS lift_e6")
+          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .limit(200)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |pairs AS (
+             |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+             |per AS (SELECT pk, count(*) AS n_ok FROM items GROUP BY 1),
+             |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items)
+             |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+             |  CAST(support * 1000000 // x.n_ok AS BIGINT) AS conf_e6,
+             |  CAST(support * n_orders * 1000000 // (x.n_ok * y.n_ok) AS BIGINT) AS lift_e6
+             |FROM pairs JOIN per x ON p1 = x.pk JOIN per y ON p2 = y.pk CROSS JOIN tot
+             |ORDER BY support DESC, p1, p2 LIMIT 200""".stripMargin))
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the series/basket trio added in round 6:
+  * cumulative-distinct window, exact-rational interpolation gap-fill,
+  * and market-basket pair support. The DuckDB oracle proves engine
+  * parity; these tests pin the *meaning* (monotonicity, knot
+  * exactness, grid coverage, support bounds) independently of it. */
+class SeriesBasketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("window_cume_distinct: monotone per user, ends at the exact distinct count") {
+    val got = q("window_cume_distinct")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+
+    // final value per user == exact count(distinct event_type)
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("types_so_far").as("seen"))
+    val exact = events.groupBy("user_id")
+      .agg(countDistinct("event_type").as("exact"))
+    val joined = finalPerUser.join(exact, "user_id")
+    assert(joined.filter(col("seen") =!= col("exact")).count() === 0)
+
+    // running count never decreases along (ts, event_id) within a user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val ordered = got
+      .join(events.select("event_id", "ts"), "event_id")
+      .withColumn("prev", lag("types_so_far", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+    assert(ordered.filter(col("prev") > col("types_so_far")).count() === 0)
+    assert(w != null) // silence unused warning paranoia
+  }
+
+  test("ts_interpolate: exact at knots, contiguous daily grid, den divides gap") {
+    val got = q("ts_interpolate").cache()
+    // Tables exposes the nanosecond epoch as a proper `ts` timestamp;
+    // the raw parquet column is BIGINT nanos and can't cast to date.
+    val events = graft.sources.Tables(spark, dir, "events")
+    val knots = events
+      .withColumn("day_no", datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long"))
+      .withColumn("cents", floor(col("value") * 100))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "day_no").orderBy("event_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day_no").as("day"), col("cents"))
+
+    // at every knot day the rational reduces exactly to the knot cents
+    val atKnots = got.join(knots, Seq("user_id", "day"))
+    assert(atKnots.count() === knots.count())
+    assert(atKnots
+      .filter(col("interp_num") =!= col("cents") * col("interp_den"))
+      .count() === 0)
+
+    // grid is contiguous: per user, exactly (max_day - min_day + 1) rows
+    val span = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max("day") - min("day") + 1).as("want"))
+    assert(span.filter(col("n") =!= col("want")).count() === 0)
+    got.unpersist()
+  }
+
+  test("basket_pair_support: pairs ordered, support bounded by per-part counts, conf ≤ 1e6") {
+    val got = q("basket_pair_support").cache()
+    assert(got.filter(col("p1") >= col("p2")).count() === 0)
+    assert(got.filter(col("conf_e6") > 1000000L).count() === 0)
+    assert(got.filter(col("support") < 1L).count() === 0)
+
+    // support(p1,p2) ≤ min(orders containing p1, orders containing p2)
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val per = items.groupBy("pk").agg(count(lit(1)).as("n_ok"))
+    val checked = got
+      .join(per.withColumnRenamed("pk", "p1").withColumnRenamed("n_ok", "n1"), "p1")
+      .join(per.withColumnRenamed("pk", "p2").withColumnRenamed("n_ok", "n2"), "p2")
+    assert(checked.filter(col("support") > least(col("n1"), col("n2"))).count() === 0)
+    got.unpersist()
+  }
+}
