@@ -2265,13 +2265,19 @@ object RelationalQueries {
       "ts_interpolate",
       "per-user daily linear interpolation between event-value knots, exact rational output",
       (s, d) => {
-        val perDay = Window.partitionBy("user_id", "day_no").orderBy("event_id")
+        // Both windows partition on user_id alone — the per-day knot is
+        // the first row of each contiguous day_no block under
+        // (day_no, event_id) order (== min event_id that day), so knot
+        // dedup and the lead share ONE exchange instead of shuffling
+        // first on (user_id, day_no) and again on user_id.
+        val byDay = Window.partitionBy("user_id").orderBy("day_no", "event_id")
         val series = Window.partitionBy("user_id").orderBy("day_no")
         t(s, d, "events")
           .withColumn("day_no", datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long"))
           .withColumn("cents", floor(col("value") * 100))
-          .withColumn("rn", row_number().over(perDay))
-          .filter(col("rn") === 1)
+          .withColumn("first_of_day",
+            !(lag("day_no", 1).over(byDay) <=> col("day_no")))
+          .filter(col("first_of_day"))
           .select("user_id", "day_no", "cents")
           .withColumn("d1", coalesce(lead("day_no", 1).over(series), col("day_no") + 1L))
           .withColumn("c1", coalesce(lead("cents", 1).over(series), col("cents")))

@@ -305,6 +305,33 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
     assert("Exchange".r.findAllMatchIn(p).size === 1, p) // only the parallelism spread
   }
+
+  test("cume-distinct two-window form shares one user_id exchange") {
+    // the whole point of the flag+running-sum formulation: both windows
+    // partition on user_id, so EnsureRequirements inserts two sorts but
+    // exactly one shuffle — a naive distinct-count subquery would add a
+    // second exchange on (user_id, event_type)
+    val p = plan("window_cume_distinct")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("interpolation gap-fill: knot dedup and lead share one user_id exchange") {
+    val p = plan("ts_interpolate")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("basket pair self-join is a keyed equi-join; total count reaches pairs by broadcast") {
+    val p = plan("basket_pair_support")
+    assert(!p.contains("CartesianProduct"), p)
+    // order-key self-join must be a real equi-join, not nested-loop over data
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // the 1-row basket total may arrive via one broadcast loop join only
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p)
+  }
 }
 
 /** SparkSessionExtensions surface: the injected BroadcastDimsRule must
