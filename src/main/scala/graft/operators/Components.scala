@@ -298,6 +298,67 @@ object Components {
       .union(arr)
       .groupBy("id").agg(min("arr").as("arr"))
 
+  /** k-CORE decomposition by iterative peeling: repeatedly remove every
+    * vertex whose degree in the SURVIVING subgraph is below `k` until
+    * none remain — the standard dense-subgraph / influence-zone
+    * primitive (the k-core is the maximal subgraph with minimum degree
+    * ≥ k; removing one low-degree vertex can cascade, which is exactly
+    * what a single HAVING-filter pass gets wrong). Returns
+    * `(v, core_deg)` for every vertex of the k-core with its degree
+    * inside the core.
+    *
+    * Scale shape: each round is one map-side-combinable degree count
+    * plus two left-semi joins of the edge frame against the
+    * vertex-sized survivor set — keyed equi-joins only, no windows, so
+    * a hub vertex never buffers its neighborhood in one task. The
+    * surviving-edge frame is checkpointed per round (it is referenced
+    * by the degree agg and both semi joins; carrying the plan forward
+    * would grow it geometrically in the round count). Convergence is
+    * a scalar count per round — peeling is monotone (the edge set only
+    * shrinks), so the fixpoint is reached in at most |V| rounds and in
+    * practice a handful; an unrolled-CTE replay with R ≥ rounds-used is
+    * therefore bit-exact (extra rounds are no-ops). */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 20): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var nEdges = both.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val next = kCoreRound(both, k).localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      both = next
+      nEdges = n
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"kCore did not stabilize in $maxRounds rounds")
+    both.groupBy(col("src").as("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** One peel round (exposed pre-checkpoint for the plan gate): keep
+    * only edges whose BOTH endpoints currently have degree ≥ k. */
+  private[graft] def kCoreRound(both: DataFrame, k: Int): DataFrame = {
+    val keep = both.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k).select("v")
+      .localCheckpoint(true) // referenced by both semi joins below
+    both
+      .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
   /** Structural node similarity: common-neighbor JACCARD for every
     * node pair sharing ≥1 neighbor — the link-prediction primitive
     * (two nodes with near-identical neighborhoods are interchangeable

@@ -2349,6 +2349,143 @@ object RelationalQueries {
              |  CAST(support * 1000000 // x.n_ok AS BIGINT) AS conf_e6,
              |  CAST(support * n_orders * 1000000 // (x.n_ok * y.n_ok) AS BIGINT) AS lift_e6
              |FROM pairs JOIN per x ON p1 = x.pk JOIN per y ON p2 = y.pk CROSS JOIN tot
-             |ORDER BY support DESC, p1, p2 LIMIT 200""".stripMargin))
+             |ORDER BY support DESC, p1, p2 LIMIT 200""".stripMargin)),
+
+    // ── k-CORE decomposition (eighth graph operator): iterative peel
+    //    until every surviving vertex keeps degree ≥ k INSIDE the
+    //    survivors — the cascade a single HAVING pass gets wrong.
+    //    Spark runs to the fixpoint (scalar edge-count per round,
+    //    throws if > 20 rounds); the oracle unrolls 8 peel rounds,
+    //    which is ≥ the observed depth at every test SF (sf0.001: 2,
+    //    sf0.01: 3, sf0.1: 5) — peeling is monotone, so post-fixpoint
+    //    rounds are no-ops and the replay is bit-exact. ──
+    QueryDef(
+      "graph_kcore",
+      "8-core of the 1995 co-ordered-parts graph via iterative peeling",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.operators.Components.kCore(pairs, "a", "b", k = 8)
+      },
+      Some {
+        // every round references its predecessor 3× — MATERIALIZED stops
+        // DuckDB inlining the chain into 3⁸ copies of the base scan
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+             |  JOIN (SELECT src AS v FROM $prev GROUP BY 1 HAVING count(*) >= 8) ka ON e.src = ka.v
+             |  JOIN (SELECT src AS v FROM $prev GROUP BY 1 HAVING count(*) >= 8) kb ON e.dst = kb.v)"""
+            .stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+           |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+           |g0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |${(0 until 8).map(i => round(s"g$i", s"g${i + 1}")).mkString(",\n")}
+           |SELECT src AS v, count(*)::BIGINT AS core_deg FROM g8 GROUP BY 1""".stripMargin
+      },
+      bench = true),
+
+    // ── SCD type-2 interval derivation: collapse each user's event
+    //    stream into validity ranges of its event_type — the
+    //    dimension-history shape every lakehouse pipeline materializes.
+    //    A change row opens an interval at its timestamp; the next
+    //    change closes it (NULL = still current). Both windows
+    //    partition on user_id only → ONE exchange. Timestamps are
+    //    emitted at MICROsecond precision: DuckDB loads the ns parquet
+    //    column µs-truncated, so `ts_ns div 1000` (Spark) and
+    //    `epoch_us(ts)` (DuckDB) are the same exact integer while raw
+    //    nanos would differ in the sub-µs digits. Both engines also
+    //    ORDER by the µs value (+ event_id tie-break), so the change
+    //    detection itself sees identical sequences. Hash-exact BIGINTs. ──
+    QueryDef(
+      "scd2_intervals",
+      "SCD2 validity intervals of each user's event_type (change rows + close-on-next)",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        t(s, d, "events")
+          .withColumn("tus", expr("ts_ns div 1000"))
+          .withColumn("chg",
+            !(lag("event_type", 1).over(w) <=> col("event_type")))
+          .filter(col("chg"))
+          .select(col("user_id"), col("event_type"),
+            col("tus").as("valid_from_us"),
+            lead("tus", 1).over(w).as("valid_to_us"))
+      },
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+             |  FROM events)
+             |SELECT user_id, event_type, tus AS valid_from_us,
+             |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us
+             |FROM chg WHERE c = 1""".stripMargin)),
+
+    // ── Autocorrelation terms at row-lags 1..3 over each user's daily
+    //    knot series (first event per active day, integer cents — the
+    //    ts_interpolate knots). Emits every sufficient statistic of
+    //    lagged Pearson correlation (n, Σx, Σy, Σxy, Σx², Σy²) plus the
+    //    covariance numerator n·Σxy − Σx·Σy as exact BIGINTs: cents ≤
+    //    5.7e4 and n ≤ series length keep every term ≤ ~1e15 at any
+    //    per-user history a real pipeline would window. One user_id
+    //    exchange end-to-end: knot flag, three leads, and the final
+    //    keyed agg all share the partitioning. ──
+    QueryDef(
+      "ts_autocorr_terms",
+      "exact integer autocorrelation sufficient statistics at lags 1-3 per user",
+      (s, d) => {
+        val byDay = Window.partitionBy("user_id").orderBy("day_no", "event_id")
+        val series = Window.partitionBy("user_id").orderBy("day_no")
+        t(s, d, "events")
+          .withColumn("day_no", datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long"))
+          .withColumn("cents", floor(col("value") * 100))
+          .withColumn("first_of_day",
+            !(lag("day_no", 1).over(byDay) <=> col("day_no")))
+          .filter(col("first_of_day"))
+          .select(col("user_id"), col("day_no"), col("cents").as("x"))
+          .withColumn("lagged", array(
+            struct(lit(1L).as("lg"), lead("x", 1).over(series).as("y")),
+            struct(lit(2L).as("lg"), lead("x", 2).over(series).as("y")),
+            struct(lit(3L).as("lg"), lead("x", 3).over(series).as("y"))))
+          .select(col("user_id"), col("x"), explode(col("lagged")).as("p"))
+          .filter(col("p.y").isNotNull)
+          .groupBy(col("user_id"), col("p.lg").as("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("p.y")).as("sy"),
+            sum(col("x") * col("p.y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("p.y") * col("p.y")).as("syy"))
+          .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      },
+      Some("""WITH knots AS (
+             |  SELECT user_id, day_no, cents AS x FROM (
+             |    SELECT user_id,
+             |      CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_no,
+             |      CAST(floor(value * 100) AS BIGINT) AS cents,
+             |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY event_id) AS rn
+             |    FROM events) base WHERE rn = 1
+             |), led AS (
+             |  SELECT user_id, x,
+             |    lead(x, 1) OVER (PARTITION BY user_id ORDER BY day_no) AS y1,
+             |    lead(x, 2) OVER (PARTITION BY user_id ORDER BY day_no) AS y2,
+             |    lead(x, 3) OVER (PARTITION BY user_id ORDER BY day_no) AS y3
+             |  FROM knots
+             |), stacked AS (
+             |  SELECT user_id, 1::BIGINT AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT user_id, 2::BIGINT, x, y2 FROM led WHERE y2 IS NOT NULL
+             |  UNION ALL
+             |  SELECT user_id, 3::BIGINT, x, y3 FROM led WHERE y3 IS NOT NULL)
+             |SELECT user_id, lag, count(*)::BIGINT AS n,
+             |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |  CAST(sum(x * y) AS BIGINT) AS sxy,
+             |  CAST(sum(x * x) AS BIGINT) AS sxx,
+             |  CAST(sum(y * y) AS BIGINT) AS syy,
+             |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+             |FROM stacked GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -191,6 +191,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(hops.filter(col("id") === 0L).head().getLong(1) === 0L)
   }
 
+  test("kCore peels cascades a single degree filter would miss") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant path 3-4-5: vertex 4 starts at
+    // degree 2, but removing 5 (degree 1) drops it below k=2 — the
+    // cascade. A single HAVING pass would keep 4.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = Components.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore returns empty when k exceeds every degree, and is a true fixpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(Components.kCore(edges, "a", "b", k = 10).count() === 0L)
+    // fixpoint property on real data: every reported core degree ≥ k
+    val li = graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .as("x").join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2")),
+        col("ok") === col("ok2") && col("p") < col("p2"))
+      .select(col("p").as("a"), col("p2").as("b")).distinct()
+    val core = Components.kCore(pairs, "a", "b", k = 8)
+    assert(core.filter(col("core_deg") < 8).count() === 0L)
+  }
+
   test("LPA is partitioning-independent (deterministic tie-breaks)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

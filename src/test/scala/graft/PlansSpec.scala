@@ -323,6 +323,17 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("kCore peel round: degree agg + two semi joins, no window, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, d, "lineitem")
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    val p = graft.operators.Components.kCoreRound(base, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("basket pair self-join is a keyed equi-join; total count reaches pairs by broadcast") {
     val p = plan("basket_pair_support")
     assert(!p.contains("CartesianProduct"), p)

@@ -66,6 +66,45 @@ class SeriesBasketSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("scd2_intervals: per user, intervals chain exactly and types alternate") {
+    val got = q("scd2_intervals").cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us")
+    val chained = got
+      .withColumn("next_from", lead("valid_from_us", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+    // each interval closes exactly where the next one opens; the open
+    // interval (valid_to NULL) is only ever the user's last
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to_us") =!= col("next_from")).count() === 0)
+    assert(chained.filter(col("next_from").isNull &&
+      col("valid_to_us").isNotNull).count() === 0)
+    // SCD2 meaning: consecutive intervals carry DIFFERENT values
+    assert(chained.filter(col("next_type").isNotNull &&
+      col("next_type") === col("event_type")).count() === 0)
+    got.unpersist()
+  }
+
+  test("ts_autocorr_terms: pair counts and Cauchy-Schwarz hold at every lag") {
+    val got = q("ts_autocorr_terms").cache()
+    // n at lag L is knots-L (never negative, lags with no pairs absent)
+    val knots = graft.sources.Tables(spark, dir, "events")
+      .withColumn("day_no", datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long"))
+      .dropDuplicates("user_id", "day_no")
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+    val joined = got.join(knots, "user_id")
+    assert(joined.filter(col("n") =!= col("k") - col("lag")).count() === 0)
+    // |cov_num| ≤ n·sqrt((n·sxx−sx²)(n·syy−sy²)) — check the squared form
+    // squared form reaches ~1e30 — DECIMAL(38,0) intermediates, the
+    // query's own BIGINT outputs stay ≤ ~1e15
+    val cs = got.selectExpr(
+      "CAST(cov_num AS DECIMAL(38,0)) * cov_num AS lhs",
+      "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) " +
+        "* (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS rhs")
+    assert(cs.filter(col("lhs") > col("rhs")).count() === 0)
+    got.unpersist()
+  }
+
   test("basket_pair_support: pairs ordered, support bounded by per-part counts, conf ≤ 1e6") {
     val got = q("basket_pair_support").cache()
     assert(got.filter(col("p1") >= col("p2")).count() === 0)
