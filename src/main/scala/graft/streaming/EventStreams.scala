@@ -224,6 +224,43 @@ object EventStreams {
   final case class SessionAgg(startNs: Long, lastNs: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start_ts: String, dur_s: Long)
 
+  /** Streaming twin of the batch `window_cume_distinct` query: per
+    * user, the running count of DISTINCT event types seen so far,
+    * emitted per event. State per user is the set of types already
+    * seen — O(|type alphabet|) per key, the canonical bounded
+    * "badge/milestone" state shape. Each micro-batch's rows are
+    * processed in (ts_ns, event_id) order inside the handler (the
+    * runtime hands groups unsorted), so a replay whose batch boundaries
+    * respect per-user event-time order — a file replay in one batch, or
+    * any in-order source — reproduces the batch query bit-for-bit.
+    * Cross-batch OUT-OF-ORDER arrival shifts which event first carries
+    * a new type (the set union itself is order-insensitive, so final
+    * counts per user still converge to the batch value). */
+  def cumeDistinctTypes(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def handle(userId: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[Set[String]]): Iterator[(Long, Long, Long)] = {
+      var seen = state.getOption.getOrElse(Set.empty[String])
+      val out = rows.toSeq.sortBy(r => (r._2, r._1)) // (ts_ns, event_id)
+        .map { case (eid, _, _, tpe) =>
+          seen = seen + tpe
+          (userId, eid, seen.size.toLong)
+        }
+      state.update(seen)
+      out.iterator
+    }
+
+    events
+      .selectExpr("event_id", "ts_ns", "user_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Set[String], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(handle)
+      .toDF("user_id", "event_id", "types_so_far")
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state surface (SURVEY §2-H) behind the same semantics as
     * [[sessionStats]]. State per user is a list of open sessions

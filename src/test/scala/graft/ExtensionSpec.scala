@@ -576,6 +576,27 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cumulative-distinct matches the batch window query per event") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cumedist").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.cumeDistinctTypes(spark,
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_cumedist_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_cumedist_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.SparkEntry.queries("window_cume_distinct")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessions drop late events beyond the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
