@@ -1617,6 +1617,55 @@ object TextDedupQueries {
               |    CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
               |      (s2, x) -> s2 + CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
               |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-              |FROM th""".stripMargin))
+              |FROM th""".stripMargin)),
+
+    // ── Positional PHRASE search: exact multi-word occurrences via a
+    //    positional inverted index — the precise form of benchmark
+    //    decontamination (n-gram containment flags fuzzy overlap; this
+    //    finds the verbatim phrase and how often). One shape for ANY
+    //    number/length of phrases: postings (doc, pos, tok) join the
+    //    BROADCAST phrase-token list on tok, anchor = pos − i groups
+    //    candidate alignments, and an alignment with all len(phrase)
+    //    positions matched is an occurrence — one keyed agg, never a
+    //    per-word chained self-join (which would be len−1 joins and
+    //    re-shuffle the postings each time). Only phrase tokens survive
+    //    the broadcast join, so postings volume after the filter is
+    //    bounded by the phrase vocabulary — the 100 TB-safe property. ──
+    QueryDef(
+      "phrase_search",
+      "exact phrase occurrence counts per document via positional postings",
+      (s, d) => {
+        import s.implicits._
+        val phrases = Seq((1L, "slow hash batch"), (2L, "row column sort"),
+          (3L, "window fast query")).toDF("phrase_id", "phrase")
+        val ptok = phrases.select(col("phrase_id"),
+          posexplode(split(col("phrase"), " ")).as(Seq("i", "tok")))
+        val plen = ptok.groupBy("phrase_id").agg(count(lit(1)).as("len"))
+        val post = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(expr(TextFunctions.tokensSql("text"))).as(Seq("pos", "tok")))
+        post.join(broadcast(ptok), "tok")
+          .groupBy(col("doc_id"), col("phrase_id"),
+            (col("pos") - col("i")).as("anchor"))
+          .agg(count(lit(1)).as("m"))
+          .join(broadcast(plen), "phrase_id")
+          .filter(col("m") === col("len"))
+          .groupBy("doc_id", "phrase_id")
+          .agg(count(lit(1)).as("n_occ"))
+      },
+      Some("""WITH phrases(phrase_id, phrase) AS (
+             |  VALUES (1, 'slow hash batch'), (2, 'row column sort'), (3, 'window fast query')),
+             |pl AS (SELECT phrase_id, string_split(phrase, ' ') AS toks FROM phrases),
+             |pidx AS (SELECT phrase_id, toks, unnest(range(len(toks))) AS i FROM pl),
+             |ptok AS (SELECT phrase_id, i, toks[i + 1] AS tok FROM pidx),
+             |plen AS (SELECT phrase_id, count(*) AS len FROM ptok GROUP BY 1),
+             |tl AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+             |idx AS (SELECT doc_id, l, unnest(range(len(l))) AS i FROM tl),
+             |post AS (SELECT doc_id, i AS pos, l[i + 1] AS tok FROM idx),
+             |hit AS (SELECT doc_id, phrase_id, pos - ptok.i AS anchor, count(*) AS m
+             |  FROM post JOIN ptok USING (tok) GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id, count(*)::BIGINT AS n_occ
+             |FROM hit JOIN plen USING (phrase_id)
+             |WHERE m = len GROUP BY 1, 2""".stripMargin))
   )
 }

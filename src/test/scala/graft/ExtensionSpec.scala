@@ -576,6 +576,34 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("phrase_search agrees with the chained-adjacency formulation") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("phrase_search")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent formulation: len−1 chained positional self-joins
+    val post = graft.sources.Tables(spark, d, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(graft.functions.TextFunctions.tokensSql("text")))
+          .as(Seq("pos", "tok")))
+      .cache()
+    val alt = Seq((1L, Seq("slow", "hash", "batch")), (2L, Seq("row", "column", "sort")),
+      (3L, Seq("window", "fast", "query"))).flatMap { case (pid, ws) =>
+      val first = post.filter(col("tok") === ws.head)
+        .select(col("doc_id"), col("pos").as("anchor"))
+      val matched = ws.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(post.filter(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - i).as("anchor")),
+          Seq("doc_id", "anchor"))
+      }
+      matched.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .collect().map(r => (r.getLong(0), pid, r.getLong(1)))
+    }.toSet
+    post.unpersist()
+    assert(got === alt)
+    assert(got.nonEmpty || spark.read.parquet(s"$d/documents.parquet").count() == 0)
+  }
+
   test("streaming cumulative-distinct matches the batch window query per event") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cumedist").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

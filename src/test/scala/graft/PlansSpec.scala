@@ -323,6 +323,13 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("phrase_search: phrase tokens broadcast onto postings, no self-join of postings") {
+    val p = plan("phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kCore peel round: degree agg + two semi joins, no window, no cartesian") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, d, "lineitem")
