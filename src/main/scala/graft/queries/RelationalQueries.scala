@@ -2405,17 +2405,45 @@ object RelationalQueries {
     QueryDef(
       "scd2_intervals",
       "SCD2 validity intervals of each user's event_type (change rows + close-on-next)",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      (s, d) => graft.operators.Scd2.intervals(
         t(s, d, "events")
-          .withColumn("tus", expr("ts_ns div 1000"))
-          .withColumn("chg",
-            !(lag("event_type", 1).over(w) <=> col("event_type")))
-          .filter(col("chg"))
           .select(col("user_id"), col("event_type"),
-            col("tus").as("valid_from_us"),
-            lead("tus", 1).over(w).as("valid_to_us"))
+            expr("ts_ns div 1000").as("tus"), col("event_id"))),
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+             |  FROM events)
+             |SELECT user_id, event_type, tus AS valid_from_us,
+             |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us
+             |FROM chg WHERE c = 1""".stripMargin)),
+
+    // ── Incremental SCD2 MERGE: fold a new event batch into a stored
+    //    dimension-history table touching only the OPEN TAIL of users
+    //    present in the batch — closed intervals pass through verbatim,
+    //    untouched users are never read past a semi join. Because
+    //    events are append-only in time (every batch timestamp ≥ every
+    //    stored one), the tail rebuild provably equals a full
+    //    recompute, which is exactly what the oracle replays. The seed
+    //    row trick: each touched user's open interval re-enters the
+    //    change detection as a synthetic event_id −1 row carrying its
+    //    type and original start, so a batch that continues the same
+    //    type extends silently while a type flip closes the open
+    //    interval at the first new change. Same one-exchange window
+    //    shapes as scd2_intervals; the stored frame is checkpointed to
+    //    stand in for a materialized table. ──
+    QueryDef(
+      "scd2_merge_incremental",
+      "fold a new event batch into stored SCD2 intervals, rebuilding only open tails",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("tus"), col("event_id"))
+        // 2024-01-20T00:00:00Z — ~⅓ of events form the new batch
+        graft.operators.Scd2.mergeIncremental(ev, 1705708800000000L)
       },
+      // full recompute over all events — the incremental result must be
+      // indistinguishable from never having split the data at all
       Some("""WITH chg AS (
              |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
              |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)

@@ -85,6 +85,46 @@ class SeriesBasketSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("scd2_merge_incremental equals the batch rebuild on real data") {
+    val inc = q("scd2_merge_incremental")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val full = q("scd2_intervals")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
+  test("scd2 merge: untouched users pass through, continuation extends, flip closes") {
+    // crafted history (every test-data user has late events, so the
+    // anti-join passthrough never engages there): user 1 stops before
+    // the split (passthrough), user 2 continues its open type
+    // (silent extension), user 3 flips (open interval closes), user 4
+    // is brand new (no seed)
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 100L, 1L), (1L, "b", 200L, 2L),               // untouched
+      (2L, "a", 110L, 3L), (2L, "a", 900L, 4L),               // continuation
+      (3L, "a", 120L, 5L), (3L, "b", 910L, 6L),               // flip
+      (4L, "c", 920L, 7L)                                     // new user
+    ).toDF("user_id", "event_type", "tus", "event_id")
+    val got = graft.operators.Scd2.mergeIncremental(ev, 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val want = Set(
+      (1L, "a", 100L, 200L), (1L, "b", 200L, -1L),
+      (2L, "a", 110L, -1L),
+      (3L, "a", 120L, 910L), (3L, "b", 910L, -1L),
+      (4L, "c", 920L, -1L))
+    assert(got === want)
+    // and the incremental result matches the full rebuild
+    val full = graft.operators.Scd2.intervals(ev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === full)
+  }
+
   test("ts_autocorr_terms: pair counts and Cauchy-Schwarz hold at every lag") {
     val got = q("ts_autocorr_terms").cache()
     // n at lag L is knots-L (never negative, lags with no pairs absent)
