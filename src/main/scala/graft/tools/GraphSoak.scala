@@ -103,12 +103,32 @@ object GraphSoak {
       .collect()
     val lateExact = lateGot.length == 1 && lateGot(0).getLong(0) == 1L
 
+    // ── k-core DEEP CASCADE: tree + K₅ clique + one bridge to the
+    //    root, k = 3. The tree unravels one level per peel round
+    //    (leaves drop to degree 1, exposing the next level) — ~21
+    //    driver-synchronous rounds over a frame that halves each
+    //    round, the worst-case cascade depth for this graph size. The
+    //    closed form: every tree node and the bridge die; exactly the
+    //    5 clique nodes survive, each with core degree 4. ──
+    val cliqueIds = (0 until 5).map(i => n + 1 + i)
+    val cliquePairs = for { i <- cliqueIds; j <- cliqueIds if i < j } yield (i, j)
+    val kcoreEdges = tree
+      .unionAll(cliquePairs.toDF("a", "b"))
+      .unionAll(Seq((1L, n + 1)).toDF("a", "b"))
+    val (core, kcoreSec) = timed {
+      graft.operators.Components.kCore(kcoreEdges, "a", "b", k = 3, maxRounds = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val kcoreExact = core == cliqueIds.map(_ -> 4L).toMap
+
     println(
       s"""{"soak":"graph_relaxation","n_edges":$nEdges,"hub_degree":${(n - 16) / 16},""" +
       s""""bfs_labelled":${bfsHist.values.sum},"bfs_hist_exact":$bfsExact,""" +
       s""""hub_round_exact":$hubExact,""" +
       s""""sssp_labelled":${ssspGot.size},"sssp_exact":$ssspExact,""" +
       s""""temporal_exact":$tempExact,"temporal_start_gate_exact":$lateExact,""" +
+      s""""kcore_survivors":${core.size},"kcore_exact":$kcoreExact,""" +
+      s""""kcore_sec":${math.round(kcoreSec * 100) / 100.0},""" +
       s""""bfs_sec":${math.round(bfsSec * 100) / 100.0},""" +
       s""""hub_sec":${math.round(hubSec * 100) / 100.0},""" +
       s""""sssp_sec":${math.round(ssspSec * 100) / 100.0},""" +
