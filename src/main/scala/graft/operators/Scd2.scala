@@ -42,9 +42,18 @@ object Scd2 {
     * extends the interval silently while a type flip closes it at the
     * first new change. The stored frame is checkpointed to stand in
     * for a materialized table. */
-  def mergeIncremental(ev: DataFrame, splitUs: Long): DataFrame = {
-    val stored = intervals(ev.filter(col("tus") < splitUs)).localCheckpoint(true)
-    val batch = ev.filter(col("tus") >= splitUs)
+  def mergeIncremental(ev: DataFrame, splitUs: Long): DataFrame =
+    mergeBatch(
+      intervals(ev.filter(col("tus") < splitUs)).localCheckpoint(true),
+      ev.filter(col("tus") >= splitUs))
+
+  /** The stored × batch core of [[mergeIncremental]], for callers that
+    * hold a materialized interval table (the streaming maintainer
+    * folds each micro-batch through this). PRECONDITION: append-only
+    * time — every batch timestamp ≥ every stored one (the streaming
+    * caller's in-order-replay/watermark responsibility); a violating
+    * row would splice history that closed intervals no longer see. */
+  def mergeBatch(stored: DataFrame, batch: DataFrame): DataFrame = {
     val touched = batch.select("user_id").distinct()
     val closed = stored.filter(col("valid_to_us").isNotNull)
     val openUntouched = stored.filter(col("valid_to_us").isNull)

@@ -161,6 +161,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SCD2 maintainer: fold each micro-batch of events into a
+    * parquet-backed dimension-history table via
+    * [[graft.operators.Scd2.mergeBatch]] — the standing "current +
+    * history" view every lakehouse keeps, maintained incrementally
+    * instead of rebuilt. Copy-on-write per batch (the ParquetFhirStore
+    * discipline: write the merged table to a fresh versioned dir, then
+    * repoint), so readers never see a half-written table and the merge
+    * reads the PREVIOUS version while writing the next.
+    *
+    * Append-only-time caveat inherited from mergeBatch: batches must
+    * arrive in event-time order across batches (an in-order replay or
+    * a watermark-gated source); closed intervals are immutable. */
+  def scd2Maintain(stream: DataFrame, tableDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$tableDir/CURRENT")
+        val ev = batch.select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("tus"), col("event_id"))
+        val merged =
+          if (cur.exists()) {
+            val prev = scala.io.Source.fromFile(cur).mkString.trim
+            graft.operators.Scd2.mergeBatch(
+              spark.read.parquet(s"$tableDir/$prev"), ev)
+          } else graft.operators.Scd2.intervals(ev)
+        merged.write.mode("overwrite").parquet(s"$tableDir/v$id")
+        val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .start()
+
   /** Streaming exactly-once dedup on `event_id` with bounded state:
     * duplicates whose event times fall within the watermark window are
     * dropped, and key state is evicted once the watermark passes — the

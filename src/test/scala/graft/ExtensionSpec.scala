@@ -625,6 +625,47 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintainer converges to the batch interval table") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_scd2tbl").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // three time-ordered files → three in-order micro-batches
+    val cuts = Seq(Long.MinValue) ++
+      raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0).map(_.toLong) ++
+      Seq(Long.MaxValue)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      raw.filter(col("ts") >= lo && col("ts") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/part$i")
+      Thread.sleep(1100) // file source orders batches by mtime
+    }
+    // flatten: the file source watches one directory of parquet files
+    val flat = java.nio.file.Files.createTempDirectory("graft_scd2flat").toString
+    (0 until 3).foreach { i =>
+      spark.read.parquet(s"$src/part$i").coalesce(1)
+        .write.mode("overwrite").parquet(s"$flat/f$i")
+      val f = new java.io.File(s"$flat/f$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$flat/batch$i.parquet"))
+      Thread.sleep(1100)
+    }
+    val stream = graft.streaming.EventStreams.readEventStream(spark, flat,
+      maxFilesPerTrigger = Some(1))
+    val q = graft.streaming.EventStreams.scd2Maintain(stream, tbl)
+    try q.processAllAvailable() finally q.stop()
+    val ver = scala.io.Source.fromFile(s"$tbl/CURRENT").mkString.trim
+    val streamed = spark.read.parquet(s"$tbl/$ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batch = graft.SparkEntry.queries("scd2_intervals")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessions drop late events beyond the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
