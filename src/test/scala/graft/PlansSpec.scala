@@ -323,6 +323,35 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scd2 intervals: change flag and close-on-next share one user_id exchange") {
+    val p = plan("scd2_intervals")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("scd2 mergeBatch: open tails route through semi/anti joins, no cartesian") {
+    // live plan (the query's stored frame is checkpointed, which would
+    // make a gate on it vacuous): crafted stored + batch frames
+    import spark.implicits._
+    val stored = Seq((1L, "a", 10L, Option.empty[Long]), (2L, "b", 5L, Some(9L)))
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us")
+    val batch = Seq((1L, "c", 20L, 7L))
+      .toDF("user_id", "event_type", "tus", "event_id")
+    val p = graft.operators.Scd2.mergeBatch(stored, batch)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("autocorr terms: windows partitioned on user_id, partial final agg, no cartesian") {
+    val p = plan("ts_autocorr_terms")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one exchange for the user_id windows + one for the (user, lag) agg
+    assert("Exchange".r.findAllMatchIn(p).size <= 2, p)
+  }
+
   test("phrase_search: phrase tokens broadcast onto postings, no self-join of postings") {
     val p = plan("phrase_search")
     assert(p.contains("BroadcastHashJoin"), p)
