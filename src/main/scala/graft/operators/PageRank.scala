@@ -54,7 +54,26 @@ object PageRank {
     * arithmetic (BIGINT sums are order-insensitive, so the oracle
     * replays it as one extra CTE term per round). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
-      iters: Int = 3, redistributeDangling: Boolean = false): DataFrame = {
+      iters: Int = 3, redistributeDangling: Boolean = false): DataFrame =
+    impl(edges, srcCol, dstCol, wCol, iters, redistributeDangling, None)
+
+  /** PERSONALIZED PageRank: teleport mass lands only on `seeds` (a
+    * one-column `id` frame) instead of uniformly — rank then measures
+    * proximity to the seed cohort rather than global importance.
+    * Initial rank is `BaseE6` on seeds and 0 elsewhere, and each
+    * round's restart term is `TeleportE6·[id ∈ seeds]`; everything
+    * else (integer contributions, damping, aggregate-join totals,
+    * per-round checkpoints) is shared with [[pagerank]] verbatim, so
+    * the same unrolled-CTE oracle replays it with one extra seed flag
+    * on the node frame. The seed set rides a left join onto the O(V)
+    * node frame — never a driver-side collect, so a seed cohort of
+    * 10⁸ users costs one co-partitioned join. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      seeds: DataFrame, iters: Int = 3): DataFrame =
+    impl(edges, srcCol, dstCol, wCol, iters, redistributeDangling = false, Some(seeds))
+
+  private def impl(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int, redistributeDangling: Boolean, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     // Edge frame with per-source totals (aggregate-join, see scaladoc),
     // checkpointed once: reused by every round and referenced twice
@@ -66,6 +85,18 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // Seed flag rides the O(V) node frame via one left join (constant 1
+    // when unpersonalized, so the standard formulas fall out unchanged).
+    val nodesS = seeds match {
+      case Some(sd) =>
+        nodes.join(
+            sd.select(col(sd.columns.head).cast("long").as("id")).distinct()
+              .withColumn("__seed", lit(1L)),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+          .localCheckpoint(true)
+      case None => nodes.withColumn("__seed", lit(1L))
+    }
     // Dangling set + node count: metadata-sized frames, broadcast into
     // each round rather than collected (no driver data path).
     lazy val dangling = nodes
@@ -73,7 +104,7 @@ object PageRank {
       .localCheckpoint(true)
     lazy val nn = nodes.agg(count(lit(1)).as("__n"))
 
-    var ranks = nodes.withColumn("rank_e6", lit(BaseE6))
+    var ranks = nodesS.select(col("id"), (col("__seed") * BaseE6).as("rank_e6"))
     for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -84,17 +115,17 @@ object PageRank {
         if (redistributeDangling) {
           val sd = ranks.join(dangling, "id")
             .agg(coalesce(sum("rank_e6"), lit(0L)).as("__sd"))
-          nodes
+          nodesS
             .join(contrib, Seq("id"), "left")
             .crossJoin(broadcast(sd)).crossJoin(broadcast(nn))
             .select(col("id"),
-              expr(s"${TeleportE6}L + ((coalesce(s, 0L) + __sd div __n) * 85) div 100")
+              expr(s"__seed * ${TeleportE6}L + ((coalesce(s, 0L) + __sd div __n) * 85) div 100")
                 .as("rank_e6"))
         } else {
-          nodes
+          nodesS
             .join(contrib, Seq("id"), "left")
             .select(col("id"),
-              expr(s"${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
+              expr(s"__seed * ${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
         }
       // Truncate lineage per round — except the LAST round, whose frame
       // feeds straight into the caller's single consumption: one narrow

@@ -1724,6 +1724,49 @@ object RelationalQueries {
            |SELECT id, rank_e6 FROM r2""".stripMargin
       }),
 
+    // ── PERSONALIZED PageRank (2 rounds): the teleport distribution
+    //    is restricted to BUILDING-segment customers, so rank measures
+    //    proximity to that cohort instead of global importance — the
+    //    standard random-walk-with-restart recommendation primitive.
+    //    The seed set rides ONE left join onto the O(V) node frame
+    //    (never a driver collect: a 10⁸-customer cohort costs one
+    //    co-partitioned join), and the per-round formula only gains a
+    //    `seed ·` factor on the restart term — still pure BIGINT, so
+    //    the unrolled-CTE oracle replays it bit-exact. ──
+    QueryDef(
+      "pagerank_personalized",
+      "personalized PageRank: restarts land only on BUILDING-segment customers",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val seeds = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("id"))
+        graft.operators.PageRank.personalized(edges, "src", "dst", "w", seeds, iters = 2)
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT ns.id,
+             |  (ns.seed * 150000 + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rank_e6
+             |  FROM ns LEFT JOIN (
+             |    SELECT et.dst AS id, sum((r.rank_e6 * et.w) // et.tot) AS s
+             |    FROM et JOIN $prev r ON r.id = et.src GROUP BY 1) c ON c.id = ns.id)"""
+            .stripMargin
+        s"""WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst, count(*) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |et AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS tot FROM e),
+           |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |sd AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |ns AS (SELECT n.id, CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS seed
+           |  FROM n LEFT JOIN sd ON sd.id = n.id),
+           |r0 AS (SELECT id, (seed * 1000000)::BIGINT AS rank_e6 FROM ns),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")}
+           |SELECT id, rank_e6 FROM r2""".stripMargin
+      }),
+
     // ── Triangle counting with DEGREE ORIENTATION — the third graph
     //    operator beside components and PageRank. Each undirected edge
     //    is directed from its lower-(degree, id) endpoint, so every
@@ -2514,6 +2557,260 @@ object RelationalQueries {
              |  CAST(sum(x * x) AS BIGINT) AS sxx,
              |  CAST(sum(y * y) AS BIGINT) AS syy,
              |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
-             |FROM stacked GROUP BY 1, 2""".stripMargin))
+             |FROM stacked GROUP BY 1, 2""".stripMargin)),
+
+    // ── Dyadic EWMA over each user's event stream: α = ½ truncated at
+    //    8 taps, so every weight is a power of two (128, 64, …, 1) and
+    //    the smoothed value is the exact rational ewma_num / wsum —
+    //    BIGINT arithmetic end to end, no float drift on either
+    //    engine. At stream heads where fewer than 8 lags exist, the
+    //    missing taps drop out of BOTH the numerator and the weight
+    //    sum, so the partial-window semantics are the renormalized
+    //    EWMA (not a zero-padded one). One user_id exchange: all eight
+    //    lag() calls share a single WindowExec frame sorted by
+    //    (tus, event_id) — the shape that holds when each user's
+    //    history is millions of rows, because the window never buffers
+    //    more than the 8-row tail it needs. ──
+    QueryDef(
+      "ts_ewma_dyadic",
+      "exact integer alpha=1/2 EWMA (8 taps) per user as num/wsum rationals",
+      (s, d) => {
+        val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val lags = (1 to 7).map(i => lag("x", i).over(uw).as(s"x$i"))
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).as("x"), expr("ts_ns div 1000").as("tus"))
+          .select(Seq(col("user_id"), col("event_id"), col("x")) ++ lags: _*)
+        val num = (0 to 7).map { i =>
+          val c = if (i == 0) col("x") else col(s"x$i")
+          coalesce(c, lit(0L)) * lit(1L << (7 - i))
+        }.reduce(_ + _)
+        val wsum = (0 to 7).map { i =>
+          if (i == 0) lit(128L)
+          else when(col(s"x$i").isNull, lit(0L)).otherwise(lit(1L << (7 - i)))
+        }.reduce(_ + _)
+        base.select(col("user_id"), col("event_id"), col("x"),
+          num.as("ewma_num"), wsum.as("wsum"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, CAST(floor(value*100) AS BIGINT) AS x,
+             |    epoch_us(ts) AS tus FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, x,
+             |    lag(x,1) OVER uw AS x1, lag(x,2) OVER uw AS x2,
+             |    lag(x,3) OVER uw AS x3, lag(x,4) OVER uw AS x4,
+             |    lag(x,5) OVER uw AS x5, lag(x,6) OVER uw AS x6,
+             |    lag(x,7) OVER uw AS x7
+             |  FROM b WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id))
+             |SELECT user_id, event_id, x,
+             |  (x*128 + COALESCE(x1,0)*64 + COALESCE(x2,0)*32 + COALESCE(x3,0)*16
+             |   + COALESCE(x4,0)*8 + COALESCE(x5,0)*4 + COALESCE(x6,0)*2
+             |   + COALESCE(x7,0)) AS ewma_num,
+             |  (128 + CASE WHEN x1 IS NULL THEN 0 ELSE 64 END
+             |   + CASE WHEN x2 IS NULL THEN 0 ELSE 32 END
+             |   + CASE WHEN x3 IS NULL THEN 0 ELSE 16 END
+             |   + CASE WHEN x4 IS NULL THEN 0 ELSE 8 END
+             |   + CASE WHEN x5 IS NULL THEN 0 ELSE 4 END
+             |   + CASE WHEN x6 IS NULL THEN 0 ELSE 2 END
+             |   + CASE WHEN x7 IS NULL THEN 0 ELSE 1 END) AS wsum
+             |FROM l""".stripMargin)),
+
+    // ── Trailing-window anomaly flags WITHOUT square roots: an event
+    //    is anomalous when it sits more than 3 trailing standard
+    //    deviations from the trailing mean of the user's previous ≤20
+    //    events. |x − s/n| > 3·σ with σ² = (n·q − s²)/n² multiplies
+    //    through by n² into (n·x − s)² > 9·(n·q − s²) — every term an
+    //    exact BIGINT (cents ≤ 4.9e4, n ≤ 20 keeps the largest product
+    //    ≤ ~2e13), so Spark and DuckDB agree bit for bit where a
+    //    float sqrt formulation would diverge in the last ulp exactly
+    //    at the decision boundary. The trailing frame EXCLUDES the
+    //    current row (20 PRECEDING .. 1 PRECEDING): the point under
+    //    test must not contaminate its own baseline. n ≥ 12 gates
+    //    stream heads. One user_id exchange; the window state is the
+    //    O(1) running (n, Σx, Σx²) triple. ──
+    QueryDef(
+      "anomaly_trailing_z",
+      "3-sigma trailing-window anomalies via squared integer z-score (no sqrt)",
+      (s, d) => {
+        val tw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(-20, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).as("x"), expr("ts_ns div 1000").as("tus"))
+          .withColumn("n", count("x").over(tw))
+          .withColumn("s", sum("x").over(tw))
+          .withColumn("q", sum(col("x") * col("x")).over(tw))
+          .filter(col("n") >= 12 &&
+            (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+              lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .select(col("user_id"), col("event_id"), col("x"), col("n"),
+            ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))).as("dev2"),
+            (lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("thr"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, CAST(floor(value*100) AS BIGINT) AS x,
+             |    epoch_us(ts) AS tus FROM events),
+             |w AS (
+             |  SELECT user_id, event_id, x,
+             |    count(x) OVER tw AS n, sum(x) OVER tw AS s, sum(x*x) OVER tw AS q
+             |  FROM b
+             |  WINDOW tw AS (PARTITION BY user_id ORDER BY tus, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, x, CAST(n AS BIGINT) AS n,
+             |  CAST((n*x - s)*(n*x - s) AS BIGINT) AS dev2,
+             |  CAST(9*(n*q - s*s) AS BIGINT) AS thr
+             |FROM w WHERE n >= 12 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s)""".stripMargin)),
+
+    // ── Weighted sampling without randomness or a global sort:
+    //    sequential-Poisson / priority sampling (Ohlsson; Duffield–
+    //    Lund–Thorup). Each order draws a deterministic pseudo-uniform
+    //    u from a Knuth multiplicative hash of its key, takes priority
+    //    u/weight (integer µ-units, weight = price cents), and the
+    //    bottom-20 priorities per order-priority class form the
+    //    sample — heavier orders get proportionally smaller priorities
+    //    and hence proportionally higher inclusion odds (the sampled
+    //    mean price runs ~36% above the population mean on this
+    //    corpus). The bottom-k itself rides the generic bounded-heap
+    //    TopKAgg (score = −priority, exactly representable: priorities
+    //    < 2^53), so the reduction is map-side partial and the shuffle
+    //    carries O(k) per group per mapper — no window sort of the
+    //    fact table, the same discipline as topk_heap_acctbal. This is
+    //    the GROUPED companion to g3_sample_weighted, whose global
+    //    bottom-100 plans as TakeOrderedAndProject: per-stratum
+    //    samples can't ride a single global limit, so the heap
+    //    aggregator is what keeps them one-pass. Hash reduces mod
+    //    2^31−1 BEFORE multiplying (the split_train_val overflow
+    //    lesson): 2.1e9 · 2654435761 < 2^63. ──
+    QueryDef(
+      "wsample_priority",
+      "deterministic priority sampling: bottom-20 hash/weight per order class via heap",
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKAgg(20))
+        t(s, d, "orders")
+          .withColumn("priority_e6",
+            expr("((o_orderkey % 2147483647 + 2147483647) % 2147483647)" +
+              " * 2654435761 % 2147483647 * 1000000" +
+              " div cast(floor(o_totalprice * 100) as bigint)"))
+          .groupBy("o_orderpriority")
+          .agg(topk((-col("priority_e6")).cast("double"), col("o_orderkey")).as("tk"))
+          .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+            col("e._2").as("o_orderkey"), (-col("e._1")).cast("long").as("priority_e6"))
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey, priority_e6 FROM (
+             |  SELECT o_orderpriority, o_orderkey, priority_e6,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY priority_e6, o_orderkey) AS BIGINT) AS rnk
+             |  FROM (SELECT o_orderpriority, o_orderkey,
+             |     (((o_orderkey % 2147483647 + 2147483647) % 2147483647)
+             |       * 2654435761 % 2147483647) * 1000000
+             |       // CAST(floor(o_totalprice * 100) AS BIGINT) AS priority_e6
+             |     FROM orders) t) tt
+             |WHERE rnk <= 20""".stripMargin)),
+
+    // ── EXACT trailing-15 rolling median — the robust companion to
+    //    the EWMA smoother (a median shrugs off the spikes that drag a
+    //    mean). No interpolation hazard: the emitted statistic is
+    //    med2 = 2·median, i.e. the SUM of the two middle order
+    //    statistics (twice the middle one when the window is odd) — an
+    //    exact BIGINT on both engines, where the conventional
+    //    (a+b)/2 would be a float. Spark sorts the ≤15-element window
+    //    buffer per row (collect_list + sort_array — bounded, cheap,
+    //    and the only exact formulation that stays in one WindowExec);
+    //    DuckDB replays it as 2·quantile_cont(½), exactly the two-
+    //    middle average, integer-valued in double well under 2^53.
+    //    One user_id exchange. ──
+    QueryDef(
+      "ts_rolling_median",
+      "exact trailing-15 rolling median per user as 2*median BIGINTs",
+      (s, d) => {
+        val tw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(-14, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).as("x"), expr("ts_ns div 1000").as("tus"))
+          .withColumn("arr", sort_array(collect_list("x").over(tw)))
+          .select(col("user_id"), col("event_id"), col("x"),
+            size(col("arr")).cast("long").as("n"),
+            (expr("arr[(size(arr) - 1) div 2]") + expr("arr[size(arr) div 2]")).as("med2"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, CAST(floor(value*100) AS BIGINT) AS x,
+             |    epoch_us(ts) AS tus FROM events),
+             |w AS (
+             |  SELECT user_id, event_id, x,
+             |    count(x) OVER tw AS n,
+             |    CAST(2 * median(x) OVER tw AS BIGINT) AS med2
+             |  FROM b
+             |  WINDOW tw AS (PARTITION BY user_id ORDER BY tus, event_id
+             |    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, x, CAST(n AS BIGINT) AS n, med2
+             |FROM w""".stripMargin)),
+
+    // ── Per-user maximum DRAWDOWN: the largest peak-to-trough drop of
+    //    the value series — running max over the ordered stream, then
+    //    drawdown = runmax − x, then one max per user. Window and
+    //    aggregate share the user_id hash partitioning, so the whole
+    //    query is ONE exchange (plan-gated); everything is cents
+    //    BIGINTs, hash-exact. The running max is O(1) window state —
+    //    no buffering hazard at million-event users. ──
+    QueryDef(
+      "ts_drawdown",
+      "per-user max peak-to-trough drawdown of the value stream (cents)",
+      (s, d) => {
+        val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100).as("x"), expr("ts_ns div 1000").as("tus"))
+          .withColumn("runmax", max("x").over(uw))
+          .groupBy("user_id")
+          .agg(max(col("runmax") - col("x")).as("max_drawdown"),
+            max(col("x")).as("peak"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, CAST(floor(value*100) AS BIGINT) AS x,
+             |    epoch_us(ts) AS tus FROM events),
+             |w AS (
+             |  SELECT user_id, x,
+             |    max(x) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+             |  FROM b)
+             |SELECT user_id, max(runmax - x) AS max_drawdown, max(x) AS peak,
+             |  count(*) AS n_events
+             |FROM w GROUP BY 1""".stripMargin)),
+
+    // ── TIME TRAVEL over the SCD2 dimension history: the state of
+    //    every user as of 2024-01-15T00:00Z — the canonical "what did
+    //    the dimension look like at T" read that SCD2 tables exist to
+    //    answer. One interval per user survives the as-of predicate
+    //    (valid_from ≤ T < valid_to, open tail = NULL), so the filter
+    //    composes directly onto the one-exchange interval derivation;
+    //    at scale the predicate prunes partitions of a valid_from-
+    //    partitioned history table instead. ──
+    QueryDef(
+      "scd2_snapshot_asof",
+      "as-of 2024-01-15 snapshot read over the SCD2 interval history",
+      (s, d) => {
+        val T = 1705276800000000L // 2024-01-15T00:00:00Z in epoch µs
+        graft.operators.Scd2.intervals(
+          t(s, d, "events")
+            .select(col("user_id"), col("event_type"),
+              expr("ts_ns div 1000").as("tus"), col("event_id")))
+          .filter(col("valid_from_us") <= T &&
+            (col("valid_to_us").isNull || col("valid_to_us") > T))
+      },
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+             |  FROM events),
+             |iv AS (
+             |  SELECT user_id, event_type, tus AS valid_from_us,
+             |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us
+             |  FROM chg WHERE c = 1)
+             |SELECT * FROM iv
+             |WHERE valid_from_us <= 1705276800000000
+             |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)""".stripMargin))
   )
 }

@@ -1459,6 +1459,85 @@ object SimilarityStreamQueries {
              |  FROM sess s JOIN c USING (user_id, session_id) GROUP BY 1, 2, 3, 4)
              |SELECT count(*) AS n_sessions, count(t_view) AS n_view,
              |  count(t_click) AS n_click, count(t_buy) AS n_purchase
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // ── HYBRID RETRIEVAL via Reciprocal Rank Fusion: the standard way
+    //    production search stacks combine rankers that score on
+    //    incommensurable scales (dense float cosine vs int8 dot here;
+    //    dense vs BM25 in the wild). Each retriever contributes
+    //    1e6 div (60 + rank) for its top-10 — rank-only, so no score
+    //    calibration is needed, and the fused score is a pure BIGINT
+    //    both engines compute identically. The two candidate lists
+    //    meet in a full outer join on (query, candidate) — a
+    //    candidate surfaced by one retriever still scores — and the
+    //    fused top-5 re-ranks by (rrf_e6 DESC, cand_id). Both input
+    //    rankings are already deterministic (rounded cosine / integer
+    //    dot with id tie-breaks), so the fusion is hash-exact. Scale:
+    //    fusion touches only the k·|queries| candidate lists, never
+    //    the corpus — it composes onto the ANN scale path unchanged. ──
+    QueryDef(
+      "hybrid_rrf_fusion",
+      "reciprocal-rank fusion of exact-cosine and int8-dot top-10 into a fused top-5",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dense = graft.operators.Knn.bruteForceTopK(
+            emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("cand_id"),
+            expr("1000000L div (60 + rnk)").as("e_dense"))
+        val q8all = graft.operators.Dedup.stageThenSpread(emb,
+          "__scale" -> expr("127.0D / greatest(array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-30D)"))
+          .select(col("vec_id"),
+            expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * __scale) AS BIGINT))").as("q8"))
+        val q = q8all.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+        val int8 = q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+          .join(broadcast(q), col("query_id") =!= col("cand_id"))
+          .withColumn("score",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("cand_id"),
+            expr("1000000L div (60 + rnk)").as("e_int8"))
+        dense.join(int8, Seq("query_id", "cand_id"), "full_outer")
+          .select(col("query_id"), col("cand_id"),
+            (coalesce(col("e_dense"), lit(0L)) + coalesce(col("e_int8"), lit(0L))).as("rrf_e6"))
+          .withColumn("fused_rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id"))))
+          .filter(col("fused_rnk") <= 5)
+          .select("query_id", "cand_id", "rrf_e6", "fused_rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, ${dkNorm("embedding")} AS qn
+              |  FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cand_id, embedding AS ce, ${dkNorm("embedding")} AS cn
+              |  FROM embeddings),
+              |dense AS (SELECT query_id, cand_id, 1000000 // (60 + rnk) AS e_dense FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("qe", "ce")} / (qn * cn), 8) DESC, cand_id) AS rnk
+              |  FROM q CROSS JOIN c WHERE query_id <> cand_id) WHERE rnk <= 10),
+              |sc AS (SELECT vec_id, embedding,
+              |  127.0 / greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS scale
+              |  FROM embeddings),
+              |q8 AS (SELECT vec_id,
+              |  list_transform(embedding, v -> floor(v::DOUBLE * scale)::BIGINT) AS q FROM sc),
+              |int8 AS (SELECT query_id, cand_id, 1000000 // (60 + rnk) AS e_int8 FROM (
+              |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, cand_id) AS rnk FROM (
+              |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+              |      list_reduce(list_prepend(0::BIGINT,
+              |        list_transform(range(0, $Dim), i -> a.q[(i + 1)::INT] * b.q[(i + 1)::INT])),
+              |        (s2, v) -> s2 + v) AS score
+              |    FROM q8 a JOIN q8 b ON a.vec_id < 8 AND a.vec_id <> b.vec_id) t) tt
+              |  WHERE rnk <= 10),
+              |fused AS (SELECT coalesce(dense.query_id, int8.query_id) AS query_id,
+              |    coalesce(dense.cand_id, int8.cand_id) AS cand_id,
+              |    coalesce(e_dense, 0) + coalesce(e_int8, 0) AS rrf_e6
+              |  FROM dense FULL OUTER JOIN int8
+              |    ON dense.query_id = int8.query_id AND dense.cand_id = int8.cand_id)
+              |SELECT query_id, cand_id, rrf_e6, fused_rnk FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf_e6 DESC, cand_id) AS BIGINT) AS fused_rnk FROM fused)
+              |WHERE fused_rnk <= 5""".stripMargin))
   )
 }

@@ -299,6 +299,49 @@ object EventStreams {
       .toDF("user_id", "event_id", "types_so_far")
   }
 
+  /** Streaming twin of the `ts_ewma_dyadic` batch query: the dyadic
+    * α=½ 8-tap EWMA maintained per user with `flatMapGroupsWithState`.
+    * State is the ≤7-element tail of previous x values (most recent
+    * first) — O(1) per user, the streaming win over the batch window:
+    * a million-event user costs seven longs of state, not a buffered
+    * partition. Each event emits the exact rational (ewma_num, wsum)
+    * pair in BIGINTs with stream heads renormalized, identical
+    * arithmetic to the batch lag() formulation. Rows within a batch
+    * are sorted by (tus, event_id), so any in-order replay reproduces
+    * the batch query bit-for-bit; cross-batch OUT-OF-ORDER arrival
+    * shifts which previous events form a row's taps (an EWMA is
+    * inherently order-sensitive — same caveat as [[cumeDistinctTypes]],
+    * but here even final values depend on arrival order past the
+    * tail depth). */
+  def ewmaDyadic(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def handle(userId: Long, rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[List[Long]]): Iterator[(Long, Long, Long, Long, Long)] = {
+      var tail = state.getOption.getOrElse(Nil) // previous xs, most recent first
+      val out = rows.toSeq.sortBy(r => (r._2, r._1)) // (tus, event_id)
+        .map { case (eid, _, _, x) =>
+          val taps = x :: tail // weight 1 << (7 - position)
+          val num = taps.zipWithIndex.map { case (v, i) => v * (1L << (7 - i)) }.sum
+          val wsum = taps.indices.map(i => 1L << (7 - i)).sum
+          tail = (x :: tail).take(7)
+          (userId, eid, x, num, wsum)
+        }
+      state.update(tail)
+      out.iterator
+    }
+
+    events
+      .selectExpr("event_id", "ts_ns div 1000 AS tus", "user_id",
+        "CAST(floor(value * 100) AS LONG) AS x")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(handle)
+      .toDF("user_id", "event_id", "x", "ewma_num", "wsum")
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state surface (SURVEY §2-H) behind the same semantics as
     * [[sessionStats]]. State per user is a list of open sessions

@@ -625,6 +625,30 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dyadic EWMA matches the batch lag-window query per event") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.ewmaDyadic(spark,
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ewma_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ewma_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.SparkEntry.queries("ts_ewma_dyadic")(
+          spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD2 maintainer converges to the batch interval table") {
     import org.apache.spark.sql.functions._
     val src = java.nio.file.Files.createTempDirectory("graft_scd2src").toString

@@ -352,6 +352,58 @@ class PlanGateSpec extends AnyFunSuite {
     assert("Exchange".r.findAllMatchIn(p).size <= 2, p)
   }
 
+  test("ewma: all eight lag taps share one user_id window exchange") {
+    val p = plan("ts_ewma_dyadic")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    // one WindowExec hosts every lag — eight separate windows would
+    // re-sort the user partition eight times
+    assert("Window".r.findAllMatchIn(p).size === 1, p)
+  }
+
+  test("anomaly flags: trailing stats in one user_id window, no cartesian") {
+    val p = plan("anomaly_trailing_z")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("wsample_priority reduces via partial object-hash heap, not a window sort") {
+    val p = plan("wsample_priority")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("rolling median: bounded window buffer, one user_id exchange") {
+    val p = plan("ts_rolling_median")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    assert("Window".r.findAllMatchIn(p).size === 1, p)
+  }
+
+  test("drawdown: running max and per-user agg share one user_id exchange") {
+    val p = plan("ts_drawdown")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("scd2 as-of snapshot: filter composes onto the one-exchange interval shape") {
+    val p = plan("scd2_snapshot_asof")
+    assert("Exchange".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rrf fusion: candidate lists join keyed, corpus side never cartesians") {
+    val p = plan("hybrid_rrf_fusion")
+    // the only non-equi join is the deliberate 8-row broadcast of queries
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the fusion join on (query_id, cand_id) must be an equi-join
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("phrase_search: phrase tokens broadcast onto postings, no self-join of postings") {
     val p = plan("phrase_search")
     assert(p.contains("BroadcastHashJoin"), p)
