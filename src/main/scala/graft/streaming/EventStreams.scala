@@ -342,6 +342,51 @@ object EventStreams {
       .toDF("user_id", "event_id", "x", "ewma_num", "wsum")
   }
 
+  /** Streaming twin of the `anomaly_trailing_z` batch query: sqrt-free
+    * 3-sigma anomaly flags over each user's trailing ≤20 events,
+    * maintained with `flatMapGroupsWithState`. State is the ≤20-long
+    * tail of previous x values — the streaming (n, Σx, Σx²) triple is
+    * recomputed from it exactly, all BIGINT, so flags land on
+    * precisely the rows the batch window formulation flags (the
+    * decision (n·x − s)² > 9·(n·q − s²) has no float boundary to
+    * disagree on). Emits ONLY anomalous rows, which is what a
+    * monitoring stream wants: state O(20 longs) per user, output
+    * proportional to anomalies, not traffic. In-order replay
+    * reproduces the batch query bit-for-bit; cross-batch out-of-order
+    * arrival shifts which events form a row's baseline (same
+    * order-sensitivity caveat as [[ewmaDyadic]]). */
+  def anomalyTrailingZ(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def handle(userId: Long, rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[List[Long]]): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      var tail = state.getOption.getOrElse(Nil) // previous xs, most recent first
+      val out = rows.toSeq.sortBy(r => (r._2, r._1)) // (tus, event_id)
+        .flatMap { case (eid, _, _, x) =>
+          val w = tail.take(20)
+          val n = w.size.toLong
+          val s = w.sum
+          val q = w.map(v => v * v).sum
+          tail = (x :: tail).take(20)
+          val dev2 = (n * x - s) * (n * x - s)
+          val thr = 9L * (n * q - s * s)
+          if (n >= 12 && dev2 > thr) Some((userId, eid, x, n, dev2, thr)) else None
+        }
+      state.update(tail)
+      out.iterator
+    }
+
+    events
+      .selectExpr("event_id", "ts_ns div 1000 AS tus", "user_id",
+        "CAST(floor(value * 100) AS LONG) AS x")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(handle)
+      .toDF("user_id", "event_id", "x", "n", "dev2", "thr")
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state surface (SURVEY §2-H) behind the same semantics as
     * [[sessionStats]]. State per user is a list of open sessions

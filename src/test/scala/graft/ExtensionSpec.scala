@@ -649,6 +649,30 @@ class ExtensionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags match the batch trailing-z query exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.anomalyTrailingZ(spark,
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_anom_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_anom_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.SparkEntry.queries("anomaly_trailing_z")(
+          spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty || batch.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD2 maintainer converges to the batch interval table") {
     import org.apache.spark.sql.functions._
     val src = java.nio.file.Files.createTempDirectory("graft_scd2src").toString
