@@ -198,6 +198,43 @@ object Components {
     labels
   }
 
+  /** Per-landmark BFS distances over the undirected graph: one row
+    * (lm, id, hops) per landmark × vertex reachable in ≤ `maxHops` —
+    * the input to landmark-based centrality (harmonic/closeness on a
+    * landmark SAMPLE is the standard scalable stand-in for the exact
+    * O(V·E) all-sources sweep). The label key is the COMPOSITE
+    * (lm, id): one frame carries every landmark's frontier
+    * simultaneously, so L landmarks cost the same round count as one
+    * traversal — each round is still one adjacency join plus one
+    * map-side-combinable min, now keyed on (lm, id). Label state is
+    * O(L·V) rows, the deliberate trade for avoiding L sequential
+    * traversals (and it shuffles on (lm, id), so a hub vertex's rows
+    * spread over L keys instead of concentrating on one). */
+  def landmarkHops(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = landmarks.select(col(idCol).cast("long").as("lm")).distinct()
+      .select(col("lm"), col("lm").as("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops)
+      labels = landmarkRound(both, labels).localCheckpoint(true)
+    labels
+  }
+
+  /** One (lm, id)-keyed relaxation round of [[landmarkHops]], exposed
+    * pre-checkpoint for the plan gate like [[minRound]]. */
+  private[graft] def landmarkRound(both: DataFrame, labels: DataFrame): DataFrame =
+    both
+      .join(labels.select(col("lm"), col("id").as("src"), col("hops")), "src")
+      .select(col("lm"), col("dst").as("id"), (col("hops") + lit(1L)).as("hops"))
+      .union(labels)
+      .groupBy("lm", "id").agg(min("hops").as("hops"))
+
   /** One monotone min-relaxation round shared by [[bfsHops]] and
     * [[ssspRounds]] (exposed pre-checkpoint so the plan gate can assert
     * the hub-safe shape on a live plan): propagate value+step along
