@@ -209,6 +209,15 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Absolute cap on the dimension rows [[asofEnrichStatic]] will
+    * collect into its broadcast index — the same absolute-guard
+    * discipline as `Dedup.MaxBucket` and the sparse-cosine `MaxDf`: a
+    * "static side" that is actually a fact table must never OOM the
+    * driver silently. 2 M rows ≈ 48 MB of packed longs, comfortably
+    * broadcastable; above it use [[asofEnrichStaticBatched]] (the
+    * shuffle as-of plan per micro-batch, no driver collect). */
+  val MaxAsofStaticRows: Int = 2000000
+
   /** Stream-static AS-OF enrichment: each streaming row gets the
     * LATEST static right row with right.time <= row.time for its key —
     * the streaming twin of [[graft.operators.AsofJoin.asof]], for the
@@ -222,6 +231,12 @@ object EventStreams {
     * stream-stream as-of would need interval-join state; for static
     * reference data this lookup is the scale shape.
     *
+    * The collect is GUARDED by `maxIndexRows` (default
+    * [[MaxAsofStaticRows]]): an oversized dimension fails fast with a
+    * pointer at [[asofEnrichStaticBatched]] instead of OOMing the
+    * driver. The check is a `limit(max+1).count()` probe — bounded
+    * work even when the "dimension" is a 10⁹-row fact table.
+    *
     * Duplicate (key, time) right rows resolve DETERMINISTICALLY to the
     * greatest payload (the index sorts on (time, payload), and the
     * rightmost entry at the match time wins). The batch twin leaves
@@ -229,9 +244,15 @@ object EventStreams {
     * batch/stream parity on tied rows matters.
     */
   def asofEnrichStatic(events: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, payloadCol: String): DataFrame = {
+      timeCol: String, payloadCol: String,
+      maxIndexRows: Int = MaxAsofStaticRows): DataFrame = {
     val spark = right.sparkSession
     import spark.implicits._
+    val probe = right.select(col(keyCol)).limit(maxIndexRows + 1).count()
+    require(probe <= maxIndexRows,
+      s"asofEnrichStatic: static side exceeds $maxIndexRows rows — too large " +
+        "to broadcast-index on the driver; use asofEnrichStaticBatched " +
+        "(foreachBatch + the AsofJoin shuffle plan) for large dimensions")
     val idx: Map[Long, (Array[Long], Array[Long])] = right
       .select(col(keyCol).cast("long"), col(timeCol).cast("long"),
         col(payloadCol).cast("long"))
@@ -255,6 +276,40 @@ object EventStreams {
         }
       }
       .toDF(keyCol, timeCol, s"asof_$payloadCol")
+  }
+
+  /** Large-dimension fallback for [[asofEnrichStatic]]: the batch
+    * as-of SHUFFLE plan ([[graft.operators.AsofJoin.asof]] — union +
+    * one key-partitioned window, no driver collect, no broadcast)
+    * applied per micro-batch through `foreachBatch`. Same output
+    * schema and same inclusive-`<=` semantics as the broadcast-index
+    * path (ties on (key, time) resolve to the greatest payload, via a
+    * max-payload pre-dedup of the dimension — the tie contract the
+    * index path gets from its (time, payload) sort). Use when the
+    * static side exceeds [[MaxAsofStaticRows]]: the dimension is read
+    * per batch but only ever shuffled, so a 10⁹-row reference table is
+    * fine where the broadcast index is not. */
+  def asofEnrichStaticBatched(events: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dim = right
+      .select(col(keyCol).cast("long").as(keyCol),
+        col(timeCol).cast("long").as(timeCol),
+        col(payloadCol).cast("long").as(payloadCol))
+      .groupBy(keyCol, timeCol).agg(max(payloadCol).as(payloadCol))
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val enriched = graft.operators.AsofJoin.asof(
+            batch.select(col(keyCol).cast("long").as(keyCol),
+              col(timeCol).cast("long").as(timeCol)),
+            dim, keyCol, timeCol, Seq(payloadCol))
+          .select(col(keyCol), col(timeCol),
+            col(s"asof_match.$payloadCol").as(s"asof_$payloadCol"))
+        sink(enriched, id)
+        ()
+      }
+      .start()
   }
 
   /** One open session per burst: [startNs, lastNs] with an event count.

@@ -523,6 +523,58 @@ class ExtensionSpec extends AnyFunSuite {
     assert(streamed === Set((1L, 100L, 10L), (1L, 250L, 20L), (2L, 151L, 15L)))
   }
 
+  test("as-of enrichment guard rejects an oversized static dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 15L))
+      .toDF("k", "t", "v")
+    val mem = MemoryStream[(Long, Long)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.asofEnrichStatic(
+        mem.toDF().toDF("k", "t"), right, "k", "t", "v", maxIndexRows = 2)
+    }
+    assert(e.getMessage.contains("asofEnrichStaticBatched"))
+  }
+
+  test("as-of enrichment shuffle fallback matches the broadcast-index path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 15L),
+      (2L, 150L, 14L)) // (key, time) tie: both paths must keep payload 15
+      .toDF("k", "t", "v")
+    val leftRows = Seq((1L, 99L), (1L, 100L), (1L, 250L),
+      (2L, 149L), (2L, 151L), (3L, 500L))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreams.asofEnrichStaticBatched(
+      mem.toDF().toDF("k", "t"), right, "k", "t", "v") { (df, _) =>
+      got.synchronized {
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      ()
+    }
+    try {
+      mem.addData(leftRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // same rows AND the same tie resolution as the broadcast-index path
+    val memB = MemoryStream[(Long, Long)]
+    val bOut = graft.streaming.EventStreams.asofEnrichStatic(
+      memB.toDF().toDF("k", "t"), right, "k", "t", "v")
+    assert(bOut.columns.toSeq === Seq("k", "t", "asof_v"))
+    val qb = bOut.writeStream.outputMode("append")
+      .format("memory").queryName("graft_asof_bcast_twin").start()
+    val viaBroadcast =
+      try {
+        memB.addData(leftRows: _*)
+        qb.processAllAvailable()
+        spark.table("graft_asof_bcast_twin").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally qb.stop()
+    assert(got.toSet === viaBroadcast)
+    assert(got.toSet === Set((1L, 100L, 10L), (1L, 250L, 20L), (2L, 151L, 15L)))
+  }
+
   test("streaming dedup drops in-window duplicates exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
