@@ -18,13 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A query whose build/write throws must be LOUD: it gets a red row
+    // in verify_errors.json and a final count assertion line, instead of
+    // silently vanishing from the driver's CORRECTNESS compare (which is
+    // keyed on the output dirs that exist).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val written = selected.keys.count(n => new java.io.File(s"$outDir/$n").isDirectory)
+    System.err.println(s"[verify] registry ${selected.size} queries → $written outputs, " +
+      s"${errors.size} FAILED" +
+      (if (errors.nonEmpty) s": ${errors.keys.mkString(", ")}" else ""))
     spark.stop()
   }
 }

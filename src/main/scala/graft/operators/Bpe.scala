@@ -57,10 +57,45 @@ object Bpe {
   private def symsCol = split(
     col("enc").substr(lit(2), length(col("enc")) - 2), D + D)
 
+  /** Ranked pairs collected per training round — the per-round driver
+    * traffic is ≤ this many metadata rows, and the batch of merges
+    * accepted per round is ≤ this. 256 keeps a 30k-merge vocabulary
+    * within ~hundreds of driver-sync rounds instead of 30k. */
+  val RoundTopK: Int = 256
+
   /** Train `m` merges on a (word, freq) vocabulary. Returns the merge
-    * table in training order; each round collects exactly one argmax
-    * row (metadata), never vocabulary rows. */
-  def train(vocab: DataFrame, wordCol: String, freqCol: String, m: Int): Seq[Merge] = {
+    * table in training order.
+    *
+    * BATCHED greedy, bit-identical to the one-merge-at-a-time loop:
+    * each driver round collects the top-[[RoundTopK]] ranked pairs
+    * (cnt desc, a asc, b asc — metadata-sized) and accepts a PREFIX of
+    * that ranking such that (1) accepted pairs are pairwise disjoint
+    * in symbol SPELLING (a, b, and the concatenation a+b all unseen —
+    * spelling, not symbol identity, because the framed-string encoding
+    * aliases a merged `ab` with any pre-existing symbol spelled "ab"),
+    * and (2) every accepted pair after the head counts STRICTLY above
+    * the first conflicting candidate (or the collection horizon).
+    *
+    * Why that equals sequential greedy: merging a pair only changes
+    * counts of pairs whose spelling involves a, b, or ab — every newly
+    * created pair maps occurrence-for-occurrence onto an old pair
+    * sharing a spelling ((x,ab) ↤ (x,a), (ab,y) ↤ (b,y), (ab,ab) ↤
+    * (b,a)), and every such sharing pair ranks at or below the first
+    * conflict, so new-pair counts are ≤ the conflict bound. The strict
+    * `cnt > bound` rule then keeps every still-pending accepted pair
+    * above anything a merge can create or change — including on TIES,
+    * where a renamed pair ((cd,cc) → (bacccd,cc)) can relocate
+    * lexicographically ABOVE a pending equal-count pair (the case a
+    * plain disjoint-prefix rule gets wrong; caught by the randomized
+    * equivalence property in BpeSpec). Untouched pairs keep both count
+    * and spelling, so the total order among them cannot reshuffle.
+    *
+    * Each round applies its batch as one chained replace + one
+    * checkpoint; the ranking head is always accepted (it IS the
+    * sequential argmax), so progress is guaranteed and driver rounds
+    * collapse from m toward ~m/batch. */
+  def train(vocab: DataFrame, wordCol: String, freqCol: String, m: Int,
+      onRound: Int => Unit = _ => ()): Seq[Merge] = {
     require(m >= 1, s"merge count must be >= 1: $m")
     var enc = encodeChars(
       vocab.select(col(wordCol).as("word"), col(freqCol).cast("long").as("freq")),
@@ -68,7 +103,8 @@ object Bpe {
       .select("word", "freq", "enc")
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
-    for (r <- 1 to m) {
+    var exhausted = false
+    while (merges.size < m && !exhausted) {
       val top = enc
         .withColumn("syms", symsCol)
         .filter(size(col("syms")) >= 2)
@@ -78,16 +114,34 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(RoundTopK)
         .collect()
-      if (top.nonEmpty) {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += Merge(r, a, b)
-        enc = enc
-          .withColumn("enc",
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val prefix = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var conflictCnt: Option[Long] = None
+        var open = true
+        top.iterator.takeWhile(_ => open).foreach { row =>
+          val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (used(a) || used(b) || used(a + b)) { conflictCnt = Some(c); open = false }
+          else if (merges.size + prefix.size < m) {
+            prefix += ((a, b, c)); used += a; used += b; used += (a + b)
+          } else open = false
+        }
+        // bound below which a pending merge could be overtaken by a pair
+        // some earlier batch merge creates or renames
+        val bound = conflictCnt.getOrElse(
+          if (top.length == RoundTopK) top.last.getLong(2) else Long.MinValue)
+        val batch = prefix.head +: prefix.tail.takeWhile(_._3 > bound)
+        batch.foreach { case (a, b, _) =>
+          merges += Merge(merges.size + 1, a, b)
+          enc = enc.withColumn("enc",
             org.apache.spark.sql.functions.replace(col("enc"),
               lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          .localCheckpoint(true)
+        }
+        onRound(batch.size)
+        enc = enc.localCheckpoint(true)
       }
     }
     merges.toSeq

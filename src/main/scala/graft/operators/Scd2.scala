@@ -51,9 +51,31 @@ object Scd2 {
     * hold a materialized interval table (the streaming maintainer
     * folds each micro-batch through this). PRECONDITION: append-only
     * time — every batch timestamp ≥ every stored one (the streaming
-    * caller's in-order-replay/watermark responsibility); a violating
-    * row would splice history that closed intervals no longer see. */
+    * caller's in-order-replay/watermark responsibility).
+    *
+    * The precondition is ASSERTED, not assumed: a batch row older than
+    * its user's open-interval start would splice history that the
+    * user's closed intervals no longer see, and interval state cannot
+    * repair that (events absorbed into an interval are gone) — so the
+    * merge REJECTS loudly, naming the first offending row, instead of
+    * silently diverging from a full rebuild. Recovery is the caller's:
+    * rebuild the touched users with [[intervals]] over the full event
+    * log. The check is one bounded probe job per merge (inner join
+    * against the per-user open-interval frontier + limit 1); rows at
+    * or after the frontier — including same-type late arrivals inside
+    * the open interval — are mergeable and pass. */
   def mergeBatch(stored: DataFrame, batch: DataFrame): DataFrame = {
+    val frontier = stored.filter(col("valid_to_us").isNull)
+      .select(col("user_id"), col("valid_from_us").as("__frontier_us"))
+    val offending = batch.join(frontier, Seq("user_id"))
+      .filter(col("tus") < col("__frontier_us"))
+      .select("user_id", "tus", "__frontier_us").limit(1).collect()
+    require(offending.isEmpty,
+      s"Scd2.mergeBatch: OUT-OF-ORDER batch — user ${offending.headOption.map(_.get(0)).orNull} " +
+        s"has tus=${offending.headOption.map(_.get(1)).orNull} before its open-interval start " +
+        s"${offending.headOption.map(_.get(2)).orNull}; closed history cannot be respliced " +
+        "from interval state. Replay in event-time order, or rebuild that user " +
+        "with Scd2.intervals over the full event log.")
     val touched = batch.select("user_id").distinct()
     val closed = stored.filter(col("valid_to_us").isNotNull)
     val openUntouched = stored.filter(col("valid_to_us").isNull)

@@ -1368,9 +1368,12 @@ object TextDedupQueries {
     //    pair, at 1/8th the self-join input a full×full window join
     //    would need. Hot-window guard is ABSOLUTE (df > 1000 boilerplate
     //    windows leave the index via broadcast anti join — the
-    //    MaxDf/MaxBucket discipline). Pure string equality end-to-end;
-    //    at 100 TB the join key becomes a 64-bit window hash with this
-    //    same string-equality rescore. ──
+    //    MaxDf/MaxBucket discipline). The join keys on the 64-bit
+    //    xxhash64 of each window — shuffle partitioning, sort and hash
+    //    probes all pay 8-byte keys instead of 48-char strings — and a
+    //    string-equality RESCORE of hash-equal candidates keeps the
+    //    result exact (a collision would need two distinct 48-char
+    //    windows sharing a 64-bit hash AND living in joinable docs). ──
     QueryDef(
       "dedup_substring_windows",
       "cross-document exact substring duplication via strided 48-char window join",
@@ -1382,17 +1385,20 @@ object TextDedupQueries {
           .select(col("doc_id"), col("text"))
         val wa = docs.select(col("doc_id"),
             expr("graft_char_windows(text, 48, 1)").as(Seq("win_idx", "w")))
-          .select("doc_id", "w").distinct()
+          .select(col("doc_id"), xxhash64(col("w")).as("h"), col("w")).distinct()
         val wb = docs.select(col("doc_id"),
             expr("graft_char_windows(text, 48, 8)").as(Seq("win_idx", "w")))
-          .select("doc_id", "w").distinct()
-        val hot = wa.groupBy("w")
-          .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000).select("w")
-        wa.as("a").join(wb.as("b"), Seq("w"))
-          .filter(col("a.doc_id") =!= col("b.doc_id"))
-          .join(broadcast(hot), Seq("w"), "left_anti")
+          .select(col("doc_id"), xxhash64(col("w")).as("h"), col("w")).distinct()
+        val hot = wa.groupBy("h", "w")
+          .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000)
+          .select("h", "w")
+        wa.as("a").join(wb.as("b"), Seq("h"))
+          .filter(col("a.w") === col("b.w") && // rescore: hash-equal → string-equal
+            col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"), col("w"))
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+            col("h"), col("a.w").as("w"))
+          .join(broadcast(hot), Seq("h", "w"), "left_anti")
           .groupBy("id_a", "id_b").agg(countDistinct("w").as("n_shared"))
           .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
           .limit(50)

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet-on-disk schema of `events` when read with nanosAsLong. */
+  /** Canonical parquet-on-disk schema of `events`: `ts` is a real
+    * µs-precision TIMESTAMP (the current fixture encoding). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds (TIMESTAMP(NANOS) on disk)
+    StructField("ts", TimestampType), // TIMESTAMP(MICROS) on disk
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -26,17 +27,17 @@ object EventStreams {
 
   /** File-source stream over a directory of events parquet files.
     * `maxFilesPerTrigger` bounds each micro-batch (so the watermark
-    * advances between files instead of one giant batch). */
+    * advances between files instead of one giant batch). Normalization
+    * to the `ts`+`ts_ns` contract is single-sourced through
+    * [[graft.sources.Tables.normalizeEvents]] — a fixture encoding
+    * change lands in one place, not two. */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    graft.sources.Tables.normalizeEvents(reader.parquet(dir))
   }
 
   /** Watermarked 5-minute tumbling counts — streaming twin of the
@@ -213,9 +214,12 @@ object EventStreams {
     * collect into its broadcast index — the same absolute-guard
     * discipline as `Dedup.MaxBucket` and the sparse-cosine `MaxDf`: a
     * "static side" that is actually a fact table must never OOM the
-    * driver silently. 2 M rows ≈ 48 MB of packed longs, comfortably
-    * broadcastable; above it use [[asofEnrichStaticBatched]] (the
-    * shuffle as-of plan per micro-batch, no driver collect). */
+    * driver silently. The FINAL index at 2 M rows is ~48 MB of packed
+    * long arrays, but building it materializes ~2 M boxed tuples on
+    * the driver transiently — budget several× that (a few hundred MB
+    * of short-lived driver heap) before raising the cap; above it use
+    * [[asofEnrichStaticBatched]] (the shuffle as-of plan per
+    * micro-batch, no driver collect). */
   val MaxAsofStaticRows: Int = 2000000
 
   /** Stream-static AS-OF enrichment: each streaming row gets the
@@ -242,18 +246,25 @@ object EventStreams {
     * rightmost entry at the match time wins). The batch twin leaves
     * that tie to the caller — pre-deduplicate the dimension when
     * batch/stream parity on tied rows matters.
-    */
+    *
+    * Dimension rows with a NULL key, time or payload are DROPPED before
+    * indexing — the same policy as [[asofEnrichStaticBatched]], so the
+    * two "parity" paths agree on nulls instead of one throwing an
+    * opaque encoder error and the other silently grouping them. */
   def asofEnrichStatic(events: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCol: String,
       maxIndexRows: Int = MaxAsofStaticRows): DataFrame = {
     val spark = right.sparkSession
     import spark.implicits._
-    val probe = right.select(col(keyCol)).limit(maxIndexRows + 1).count()
+    require(maxIndexRows > 0 && maxIndexRows < Int.MaxValue,
+      s"asofEnrichStatic: maxIndexRows must be in (0, Int.MaxValue) — got $maxIndexRows")
+    val cleaned = right.na.drop(Seq(keyCol, timeCol, payloadCol))
+    val probe = cleaned.select(col(keyCol)).limit(maxIndexRows + 1).count()
     require(probe <= maxIndexRows,
       s"asofEnrichStatic: static side exceeds $maxIndexRows rows — too large " +
         "to broadcast-index on the driver; use asofEnrichStaticBatched " +
         "(foreachBatch + the AsofJoin shuffle plan) for large dimensions")
-    val idx: Map[Long, (Array[Long], Array[Long])] = right
+    val idx: Map[Long, (Array[Long], Array[Long])] = cleaned
       .select(col(keyCol).cast("long"), col(timeCol).cast("long"),
         col(payloadCol).cast("long"))
       .as[(Long, Long, Long)].collect()
@@ -285,18 +296,28 @@ object EventStreams {
     * schema and same inclusive-`<=` semantics as the broadcast-index
     * path (ties on (key, time) resolve to the greatest payload, via a
     * max-payload pre-dedup of the dimension — the tie contract the
-    * index path gets from its (time, payload) sort). Use when the
+    * index path gets from its (time, payload) sort; NULL key/time/
+    * payload rows are dropped, same as the index path). Use when the
     * static side exceeds [[MaxAsofStaticRows]]: the dimension is read
     * per batch but only ever shuffled, so a 10⁹-row reference table is
-    * fine where the broadcast index is not. */
+    * fine where the broadcast index is not.
+    *
+    * The deduped dimension is PERSISTED (memory-and-disk) before the
+    * stream starts: every micro-batch joins against it, and without the
+    * persist each batch would re-read and re-shuffle the full dimension.
+    * Trade-off: the executor cache holds one deduped copy of the
+    * dimension for the query's lifetime — unpersisted when the caller
+    * stops the query and drops the frame, or evicted under pressure
+    * (falling back to recompute, never to wrong results). */
   def asofEnrichStaticBatched(events: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCol: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val dim = right
+    val dim = right.na.drop(Seq(keyCol, timeCol, payloadCol))
       .select(col(keyCol).cast("long").as(keyCol),
         col(timeCol).cast("long").as(timeCol),
         col(payloadCol).cast("long").as(payloadCol))
       .groupBy(keyCol, timeCol).agg(max(payloadCol).as(payloadCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -39,4 +39,48 @@ class BpeSpec extends AnyFunSuite {
   test("training rejects a non-positive merge count") {
     intercept[IllegalArgumentException] { Bpe.train(vocab, "word", "freq", 0) }
   }
+
+  test("batched training equals one-merge-at-a-time greedy on random vocabularies") {
+    // pure-Scala sequential reference: the classic loop, one argmax per
+    // round, same total order (cnt desc, a asc, b asc) and the same
+    // left-to-right non-overlapping pair replacement as Spark's replace
+    def mergePair(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += syms(i); i += 1 }
+      }
+      buf.result()
+    }
+    def seqBpe(words: Seq[(String, Long)], m: Int): Seq[(String, String)] = {
+      var enc = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var done = false
+      while (out.size < m && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+        for ((syms, f) <- enc; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+          out += ((a, b))
+          enc = enc.map { case (syms, f) => (mergePair(syms, a, b), f) }
+        }
+      }
+      out.toSeq
+    }
+    // small alphabet + repeated motifs force interacting merges (the
+    // case where an unsound batch would diverge from sequential greedy)
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString, (1L + rnd.nextInt(9)))
+      }.distinct
+      val df = words.toDF("word", "freq")
+      val got = Bpe.train(df, "word", "freq", 25).map(mg => (mg.a, mg.b))
+      val want = seqBpe(words, 25)
+      assert(got === want, s"trial $trial vocab $words")
+    }
+  }
 }

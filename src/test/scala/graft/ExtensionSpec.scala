@@ -414,9 +414,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming session windows match the batch sessionization") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.sessionStats(
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("complete")
@@ -437,9 +436,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming KMV distinct sketch matches the batch sketch on the same data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_kmvstream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.kmvDistinctCounts(
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("complete")
@@ -467,9 +465,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming quantile-sketch histogram matches the batch sketch on the same data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_qskstream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.qsketchHistograms(
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("complete")
@@ -597,15 +594,16 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("custom-state sessionizer (flatMapGroupsWithState) matches the batch sessionization") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val raw = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    raw.drop("ts_ns").coalesce(1).write.mode("overwrite").parquet(tmp)
     Thread.sleep(1100) // file-source orders batches by mtime
     // far-future sentinel: pushes the watermark past every real session
-    val maxNs = raw.agg(max("ts")).head.getLong(0)
+    val maxNs = raw.agg(max("ts_ns")).head.getLong(0)
     spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        -1L, maxNs + 100L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}")),
+        -1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L,
+          maxNs + 100L * 86400L * 1000000000L)),
+        -1L, "sentinel", 0.0, "{}")),
       graft.streaming.EventStreams.rawSchema)
       .write.mode("append").parquet(tmp)
     val stream = graft.streaming.EventStreams.readEventStream(spark, tmp,
@@ -658,9 +656,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming cumulative-distinct matches the batch window query per event") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cumedist").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.cumeDistinctTypes(spark,
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("append")
@@ -679,9 +676,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming dyadic EWMA matches the batch lag-window query per event") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ewma").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.ewmaDyadic(spark,
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("append")
@@ -703,9 +699,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming anomaly flags match the batch trailing-z query exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.anomalyTrailingZ(spark,
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("append")
@@ -729,14 +724,13 @@ class ExtensionSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val src = java.nio.file.Files.createTempDirectory("graft_scd2src").toString
     val tbl = java.nio.file.Files.createTempDirectory("graft_scd2tbl").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
     // three time-ordered files → three in-order micro-batches
     val cuts = Seq(Long.MinValue) ++
-      raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0).map(_.toLong) ++
+      raw.stat.approxQuantile("ts_ns", Array(0.33, 0.66), 0.0).map(_.toLong) ++
       Seq(Long.MaxValue)
     cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      raw.filter(col("ts") >= lo && col("ts") < hi)
+      raw.filter(col("ts_ns") >= lo && col("ts_ns") < hi).drop("ts_ns")
         .coalesce(1).write.mode("overwrite").parquet(s"$src/part$i")
       Thread.sleep(1100) // file source orders batches by mtime
     }
@@ -864,9 +858,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming tumbling counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.tumblingCounts(
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("complete")
@@ -886,9 +879,8 @@ class ExtensionSpec extends AnyFunSuite {
   test("stream-static broadcast enrichment matches the batch join") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val dim = Seq(("click", 3.0), ("view", 1.0), ("purchase", 10.0))
       .toDF("event_type", "weight")
     val stream = graft.streaming.EventStreams.enrichWithDim(
@@ -913,9 +905,8 @@ class ExtensionSpec extends AnyFunSuite {
   test("update output mode: last emitted row per key equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.repartition(3).write.mode("overwrite").parquet(tmp) // ≥3 micro-batches
+    val raw = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    raw.drop("ts_ns").repartition(3).write.mode("overwrite").parquet(tmp) // ≥3 micro-batches
     // update mode re-emits a key's row on every batch that changes it;
     // with maxFilesPerTrigger=1 keys repeat across batches, and the
     // LAST emission per key must equal the batch-computed final state
@@ -943,9 +934,9 @@ class ExtensionSpec extends AnyFunSuite {
     val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_st").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def ev(id: Long, sec: Long, typ: String) =
-      Row(id, sec * 1000000000L, 7L, typ, 1.0, "{}")
+      Row(id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        7L, typ, 1.0, "{}")
     def writeBatch(rows: Row*): Unit =
       spark.createDataFrame(java.util.List.of(rows: _*),
         graft.streaming.EventStreams.rawSchema).write.mode("append").parquet(src)
@@ -984,9 +975,8 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("streaming sliding counts match the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
     val stream = graft.streaming.EventStreams.slidingCounts(
       graft.streaming.EventStreams.readEventStream(spark, tmp))
     val q = stream.writeStream.outputMode("complete")

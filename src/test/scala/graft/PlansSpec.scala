@@ -38,6 +38,15 @@ class PlanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("substring-window join keys on the 64-bit hash, not the 48-char string") {
+    // shuffle partitioning / sort / hash probes must all pay 8-byte
+    // keys; the string survives only as the rescore payload
+    val p = plan("dedup_substring_windows")
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("hashpartitioning(h#") ||
+      p.contains("hashpartitioning(h "), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("packing prefix sum is parallel: no single-partition exchange, no global window") {
     // the classic wrong shape is Window.orderBy with no partitionBy →
     // Exchange SinglePartition; the two-phase prefix sum must never do that

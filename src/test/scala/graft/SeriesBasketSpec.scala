@@ -125,6 +125,44 @@ class SeriesBasketSpec extends AnyFunSuite {
     assert(got === full)
   }
 
+  test("scd2 merge: out-of-order batch rejected; random in-order folds equal full rebuild") {
+    import spark.implicits._
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    // a batch row BEFORE a user's open-interval start must be rejected
+    // loudly — interval state cannot resplice closed history
+    val stored = graft.operators.Scd2.intervals(
+      Seq((2L, "a", 110L, 3L), (2L, "b", 400L, 4L))
+        .toDF("user_id", "event_type", "tus", "event_id"))
+    val late = Seq((2L, "c", 50L, 9L)).toDF("user_id", "event_type", "tus", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Scd2.mergeBatch(stored, late)
+    }
+    assert(ex.getMessage.contains("OUT-OF-ORDER"))
+
+    // property: any in-order sequence of batch folds equals the full
+    // rebuild — randomized cut points, multiple trials
+    val rnd = new scala.util.Random(42)
+    val types = Array("a", "b", "c")
+    val evDf = (1 to 400).map { i =>
+      ((rnd.nextInt(12) + 1).toLong, types(rnd.nextInt(3)), (i * 10).toLong, i.toLong)
+    }.toDF("user_id", "event_type", "tus", "event_id")
+    val full = shape(graft.operators.Scd2.intervals(evDf).collect())
+    (0 until 3).foreach { trial =>
+      val cuts = (Seq(Long.MinValue) ++
+        Seq.fill(3)(rnd.nextInt(4000).toLong).sorted ++ Seq(Long.MaxValue)).distinct
+      var state = graft.operators.Scd2.intervals(
+        evDf.filter(col("tus") < cuts(1))).localCheckpoint(true)
+      cuts.sliding(2).drop(1).foreach { case Seq(lo, hi) =>
+        state = graft.operators.Scd2.mergeBatch(state,
+          evDf.filter(col("tus") >= lo && col("tus") < hi)).localCheckpoint(true)
+      }
+      assert(shape(state.collect()) === full, s"trial $trial cuts $cuts")
+    }
+  }
+
   test("ts_autocorr_terms: pair counts and Cauchy-Schwarz hold at every lag") {
     val got = q("ts_autocorr_terms").cache()
     // n at lag L is knots-L (never negative, lags with no pairs absent)
