@@ -57,6 +57,32 @@ class FixtureSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeEvents: legacy ns-long and micros-timestamp encodings produce identical frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same five events under both historical fixture encodings
+    val ns = Seq(
+      (1L, 1700000000000000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000000500000000L, 10L, "view", 2.0, "{}"),
+      (3L, 1700003600000001000L, 11L, "click", 0.5, "{}"),
+      (4L, 1700003600999999000L, 11L, "purchase", 9.9, "{}"),
+      (5L, 1700007200123456000L, 12L, "view", 3.3, "{}"))
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_evlegacy").toString
+    val microsDir = java.nio.file.Files.createTempDirectory("graft_evmicros").toString
+    ns.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    ns.map { case (id, t, u, e, v, p) =>
+      (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L, t)), u, e, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+    def load(dir: String) = graft.sources.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts_ns"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(load(legacyDir) === load(microsDir))
+    assert(load(legacyDir).map(_._2) === ns.map(_._2).toSet)
+  }
+
   test("every registered query analyzes against the sf0.001 fixture") {
     // Analysis only (`.schema` forces resolution, runs no job for pure
     // plans) — this is the in-round tripwire for the failure mode where a
