@@ -38,6 +38,17 @@ class PlanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("events time-range predicates push down to the parquet scan post-normalization") {
+    // unlocked by the micros-timestamp fixture encoding: ts is a real
+    // parquet column now, so time filters reach the scan (they could
+    // not when ts was derived from the legacy ns-long column)
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = Tables(spark, d, "events")
+      .filter(col("ts") < lit("2024-06-01").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(ts,"), p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("substring-window join keys on the 64-bit hash, not the 48-char string") {
     // shuffle partitioning / sort / hash probes must all pay 8-byte
     // keys; the string survives only as the rescore payload
