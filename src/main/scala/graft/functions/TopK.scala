@@ -110,3 +110,31 @@ object TopKAgg {
   def strings(k: Int): TopKAgg[String] =
     new TopKAgg[String](k)(codePointOrdering, ExpressionEncoder[Array[(Double, String)]]())
 }
+
+/** Payload-DISTINCT bounded top-k: [[TopKAgg]] whose buffer never holds
+  * a payload twice — the aggregation-state form of the batch
+  * `.distinct()` on candidate pairs, for STREAMING plans where a
+  * blocking distinct is unavailable and the same candidate arrives once
+  * per colliding LSH table. Exactness contract: the payload determines
+  * the score (re-arrivals carry the same score, true for any
+  * (query, candidate) → cosine pairing), so dropping a re-arrival —
+  * whether the payload currently sits in the buffer or was already
+  * evicted by k better ones — never changes the distinct top-k. */
+class TopKDistinctAgg[P](k: Int)(implicit ordP: Ordering[P],
+    bufEnc: Encoder[Array[(Double, P)]])
+    extends Aggregator[(Double, P), Array[(Double, P)], Array[(Double, P)]] {
+  private val inner = new TopKAgg[P](k)
+  def zero: Array[(Double, P)] = inner.zero
+  def reduce(buf: Array[(Double, P)], x: (Double, P)): Array[(Double, P)] =
+    if (buf.exists(_._2 == x._2)) buf else inner.reduce(buf, x)
+  def merge(a: Array[(Double, P)], b: Array[(Double, P)]): Array[(Double, P)] =
+    b.foldLeft(a)(reduce)
+  def finish(buf: Array[(Double, P)]): Array[(Double, P)] = buf
+  def bufferEncoder: Encoder[Array[(Double, P)]] = bufEnc
+  def outputEncoder: Encoder[Array[(Double, P)]] = bufEnc
+}
+
+object TopKDistinctAgg {
+  def longs(k: Int): TopKDistinctAgg[Long] =
+    new TopKDistinctAgg[Long](k)(Ordering.Long, ExpressionEncoder[Array[(Double, Long)]]())
+}

@@ -115,6 +115,63 @@ object Components {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** Fold a batch of NEW edges into a stored component labelling
+    * without re-running CC over the old edge set — the standing
+    * duplicate-cluster INDEX maintenance shape: verified near-dup
+    * pairs stream in per ingest batch, and the cluster table is a
+    * maintained store, not a per-batch rebuild.
+    *
+    * Exactness by CONTRACTION: every stored component is collapsed to
+    * its label (labels are component-minimum vertex ids, so the label
+    * IS a member vertex), new-edge endpoints map to their stored label
+    * (identity for first-seen vertices), and connected components runs
+    * on that contracted graph only — |batch| edges, not |history|.
+    * The contracted component minimum equals the true merged-component
+    * minimum (min over old labels = min over their members; fresh ids
+    * participate directly), so composing `newLabel(oldLabel(v))` over
+    * the store reproduces the full rebuild bit-for-bit — the
+    * Scd2.mergeBatch equality discipline, proven by the randomized
+    * fold property in ExtensionSpec and by `dedup_components_incremental`
+    * sharing the full-rebuild recursive-CTE oracle.
+    *
+    * Scale shape: one keyed join of the batch's endpoint set against
+    * the store (on a lakehouse the store is bucketed by id — no
+    * shuffle), the contracted CC over batch-sized frames, then one
+    * label-keyed join applying the batch-sized remap to the store
+    * (AQE broadcasts it — the checkpointed remap's size is known) and
+    * a broadcast semi join admitting first-seen vertices. Untouched
+    * components pass through the left join unchanged. */
+  def mergeIncremental(stored: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val lbl = stored.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // referenced by the endpoint set and both mapping joins
+    // batch endpoint → stored label (identity when first seen); small:
+    // bounded by 2·|batch|
+    val vm = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("lab"),
+        col("component").isNotNull.as("known"))
+      .localCheckpoint(true)
+    val mapped = e
+      .join(vm.select(col("id").as("src"), col("lab").as("ls")), Seq("src"))
+      .join(vm.select(col("id").as("dst"), col("lab").as("ld")), Seq("dst"))
+      .select(col("ls").as("src"), col("ld").as("dst"))
+    val contracted = connectedComponents(mapped, "src", "dst")
+      .localCheckpoint(true) // referenced by remap and the fresh-vertex semi join
+    val remap = contracted.select(col("id").as("component"), col("component").as("__nc"))
+    val updated = lbl.join(remap, Seq("component"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("component")).as("component"))
+    val fresh = contracted
+      .join(broadcast(vm.filter(!col("known")).select("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("component"))
+    updated.unionByName(fresh)
+  }
+
   /** Deterministic SYNCHRONOUS label propagation (community detection):
     * every vertex starts labelled with its own id; each round, every
     * vertex simultaneously adopts the most frequent label among its

@@ -495,6 +495,36 @@ object TextDedupQueries {
               |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin),
       bench = true),
 
+    // ── INCREMENTAL cluster maintenance: the pair set split into a
+    //    "stored" partition (clustered once) and an arriving batch
+    //    folded in via Components.mergeIncremental — CC runs only on
+    //    the contracted batch graph, the store is remapped by label.
+    //    Equality with the full rebuild is the operator's contract, so
+    //    the oracle IS the full-rebuild recursive CTE of
+    //    dedup_components verbatim. ──
+    QueryDef(
+      "dedup_components_incremental",
+      "cluster ids maintained incrementally (stored partition + folded batch) == full rebuild",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).localCheckpoint(true)
+        val oldPairs = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+        val batch = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+        val stored = graft.operators.Components
+          .connectedComponents(oldPairs, "id_a", "id_b", edgesDistinct = true)
+          .localCheckpoint(true)
+        graft.operators.Components.mergeIncremental(stored, batch, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst)
+              |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
     // ── Applying the dedup at cluster granularity: keep exactly one
     //    representative (the min id) per duplicate cluster. Differs from
     //    the greedy pair-break on transitive chains: pairs (2,3),(1,3)

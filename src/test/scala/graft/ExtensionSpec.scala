@@ -400,6 +400,72 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components: fold equals full rebuild on random graphs and crafted cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def cc(edges: Seq[(Long, Long)]) = graft.operators.Components
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fold(old: Seq[(Long, Long)], batch: Seq[(Long, Long)]) = {
+      val stored = graft.operators.Components
+        .connectedComponents(old.toDF("a", "b"), "a", "b").localCheckpoint(true)
+      graft.operators.Components
+        .mergeIncremental(stored, batch.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // crafted: batch bridges two stored components, adds a fresh chain,
+    // adds an internal (no-op) edge, and leaves component {8,9} untouched
+    val old = Seq((1L, 2L), (3L, 4L), (8L, 9L))
+    val batch = Seq((2L, 3L), (4L, 4L), (1L, 2L), (20L, 21L), (21L, 22L), (4L, 30L))
+    assert(fold(old, batch) === cc(old ++ batch))
+    // randomized: arbitrary graphs, arbitrary splits
+    val rnd = new scala.util.Random(23)
+    (0 until 4).foreach { trial =>
+      val all = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val (o, b) = all.partition(_ => rnd.nextBoolean())
+      assert(fold(o, b) === cc(all), s"trial $trial old=$o batch=$b")
+      assert(fold(all, Seq.empty[(Long, Long)]) === cc(all), s"trial $trial empty batch")
+    }
+  }
+
+  test("streaming ANN serving matches the batch multi-table LSH top-k") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val d = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annserve").toString
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+    emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(tmp)
+    val (dim, tPlanes, nTables) = (64, 7, 16)
+    val index = graft.operators.Knn
+      .withLshTables(emb, "embedding", dim, tPlanes, nTables)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      index.count() // materialize once; the stream reads it per micro-batch
+      val qstream = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(tmp)
+      val out = graft.streaming.VectorStreams.annServe(
+        qstream, index, "vec_id", "embedding", dim, tPlanes, nTables, 3)
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("graft_annserve_test").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("graft_annserve_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val batch = graft.operators.Knn
+          .lshTopKMultiTable(index, "vec_id", "embedding", col("vec_id") < 32, 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1), r.getDouble(2))).toSet
+        assert(streamed === batch)
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("minhash signature invariant under permutation and duplication of hashes") {
     val rnd = new scala.util.Random(7)
     (1 to 50).foreach { _ =>

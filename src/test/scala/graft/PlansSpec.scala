@@ -49,6 +49,26 @@ class PlanGateSpec extends AnyFunSuite {
     assert(p.contains("LessThan(ts,"), p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("ANN serving plan: broadcast index join + heap aggregate, no sort-merge, no window") {
+    // the stream-side plan is the same ops on a batch frame: bucket
+    // projection, broadcast (tbl,bucket) join, payload-distinct heap —
+    // the stream must never shuffle before aggregation and top-k must
+    // be ObjectHashAggregate state, not a per-query window sort
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, d, "embeddings")
+    val index = graft.operators.Knn
+      .withLshTables(emb, "embedding", 64, 7, 16)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bucket"))
+    val p = graft.streaming.VectorStreams
+      .annServe(emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+        index, "vec_id", "embedding", 64, 7, 16, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("substring-window join keys on the 64-bit hash, not the 48-char string") {
     // shuffle partitioning / sort / hash probes must all pay 8-byte
     // keys; the string survives only as the rescore payload

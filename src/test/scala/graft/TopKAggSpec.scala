@@ -84,4 +84,28 @@ class TopKAggSpec extends AnyFunSuite {
       .map(x => (x.getDouble(0), x.getLong(1)))
     assert(got === Seq((5.0, 2L), (5.0, 3L), (2.0, 1L)))
   }
+
+  test("payload-distinct top-k equals distinct-then-sort on duplicated data, any partitioning") {
+    // the streaming ANN shape: each (payload, score) pair arrives once
+    // per colliding LSH table — duplicates must collapse in aggregation
+    // state exactly like the batch plan's blocking .distinct()
+    val rnd = new scala.util.Random(9)
+    val base = (1L to 300L).map(i => (i % 5, rnd.nextInt(12).toDouble, i))
+    val dup = base ++ base.filter(_ => rnd.nextBoolean()) ++ base.take(80)
+    val expected = base.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).distinct.sortBy { case (sc, id) => (-sc, id) }.take(4)
+    }
+    Seq(1, 3, 16).foreach { parts =>
+      val topk = udaf(graft.functions.TopKDistinctAgg.longs(4))
+      val got = dup.toDF("g", "score", "id").repartition(parts)
+        .groupBy("g").agg(topk(col("score"), col("id")).as("tk"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      expected.foreach { case (g, want) =>
+        assert(got(g) === want, s"group $g at $parts partitions")
+      }
+    }
+  }
 }
