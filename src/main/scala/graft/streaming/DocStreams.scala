@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Dedup}
+
+/** Structured Streaming surface over the `documents` shape: the full
+  * DEDUP-AT-INGEST pipeline as a standing, incrementally maintained
+  * index — the production loop where yesterday's corpus is stored
+  * state and today's crawl batch deduplicates against it, instead of
+  * re-deduping the world per batch.
+  *
+  * Reference context: no document surface in the reference; this
+  * composes the SURVEY §7.5 dedup extension (MinHash/LSH banding,
+  * exact-Jaccard rescore, duplicate-cluster components) with the
+  * streaming maintenance discipline of [[EventStreams.scd2Maintain]].
+  */
+object DocStreams {
+
+  /** Fold each micro-batch of `(doc_id, text)` documents into three
+    * copy-on-write tables under `tableDir` (versioned dirs + an atomic
+    * CURRENT pointer, the scd2Maintain discipline):
+    *
+    *   - `bands/`    — the MinHash-LSH band index (doc_id, band,
+    *                   band_hash): the store new batches probe;
+    *   - `hashes/`   — per-doc distinct shingle hashes (doc_id, hs):
+    *                   the exact-Jaccard rescore side;
+    *   - `clusters/` — duplicate-cluster labels (id, component),
+    *                   maintained via [[Components.mergeIncremental]] —
+    *                   CC runs on the batch-sized contracted graph
+    *                   only, never on the accumulated pair history.
+    *
+    * Per batch: new docs are banded (narrow codegen'd signature pass),
+    * candidates are the union of batch-vs-store band-bucket collisions
+    * and within-batch pairs (per-side hot-bucket caps — the MaxBucket
+    * discipline; caps apply to the CURRENT state like the batch
+    * `dedup_incremental`, so a bucket that only becomes degenerate
+    * across many ingests is capped from the ingest that tips it),
+    * verified by exact Jaccard ≥ `threshold` on the stored hash sets,
+    * and folded into the cluster table by contraction. On a corpus
+    * where no cap engages, an N-batch replay converges to EXACTLY the
+    * one-shot `dedup_components` clustering of the full corpus
+    * (equivalence-tested in ExtensionSpec).
+    *
+    * Reads of the previous version and the write of the next touch
+    * different directories, so readers never see a half-written table
+    * and the merge reads consistent state. */
+  def dedupIngest(docStream: DataFrame, tableDir: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.MaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val cur = new java.io.File(s"$tableDir/CURRENT")
+        val ver: Option[String] =
+          if (cur.exists()) Some(scala.io.Source.fromFile(cur).mkString.trim) else None
+        def stored(t: String): Option[DataFrame] =
+          ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+
+        val hashed = Dedup.withShingleHashes(batch.select("doc_id", "text"), "text")
+          .localCheckpoint(true) // feeds bands + rescore side
+        val newBands = Dedup.minhashBandsFromHashes(hashed, "doc_id")
+          .localCheckpoint(true) // probed twice (cross + within) and written
+        val newHs = hashed
+          .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+        val newCapped = Dedup.dropHotBuckets(newBands, Seq("band", "band_hash"),
+          maxBucket, s"dedupIngest_new_b$id")
+
+        val within = Dedup.lshCandidatePairs(newCapped, "doc_id", maxBucket)
+        val cands = stored("bands") match {
+          case None => within
+          case Some(sb) =>
+            val oldCapped = Dedup.dropHotBuckets(sb, Seq("band", "band_hash"),
+              maxBucket, s"dedupIngest_old_b$id")
+            val cross = newCapped.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+              .join(oldCapped.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
+                Seq("band", "band_hash"))
+              .select("id_a", "id_b").distinct()
+            within.unionByName(cross)
+        }
+        val allHs = stored("hashes").map(_.unionByName(newHs)).getOrElse(newHs)
+        val pairs = cands
+          .join(allHs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+          .join(allHs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b")
+        val clusters = stored("clusters") match {
+          case Some(st) => Components.mergeIncremental(st, pairs, "id_a", "id_b")
+          case None => Components.connectedComponents(pairs, "id_a", "id_b", edgesDistinct = true)
+        }
+
+        val vdir = s"$tableDir/v$id"
+        stored("bands").map(_.unionByName(newBands)).getOrElse(newBands)
+          .write.mode("overwrite").parquet(s"$vdir/bands")
+        allHs.write.mode("overwrite").parquet(s"$vdir/hashes")
+        clusters.write.mode("overwrite").parquet(s"$vdir/clusters")
+        val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .start()
+}

@@ -429,6 +429,42 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup ingest converges to the one-shot corpus clustering") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val src = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_ingest_tbl").toString
+    val docs = graft.sources.Tables(spark, d, "documents").select("doc_id", "text")
+    // three ingest batches by doc_id tercile — separate files so the
+    // file source replays them as three micro-batches
+    Seq((0L, 170L), (170L, 340L), (340L, Long.MaxValue)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/stage$i")
+        val f = new java.io.File(s"$src/stage$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$src/batch$i.parquet"))
+        Thread.sleep(1100) // file source orders batches by mtime
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = graft.streaming.DocStreams.dedupIngest(stream, tbl)
+    try q.processAllAvailable() finally q.stop()
+    val ver = scala.io.Source.fromFile(s"$tbl/CURRENT").mkString.trim
+    val streamed = spark.read.parquet(s"$tbl/$ver/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.SparkEntry.queries("dedup_components")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ANN serving matches the batch multi-table LSH top-k") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
