@@ -2022,6 +2022,55 @@ object RelationalQueries {
            |SELECT id, arr FROM r3""".stripMargin
       }),
 
+    // ── Landmark-based HARMONIC CENTRALITY estimate (consumer of
+    //    Components.landmarkHops): exact all-sources harmonic
+    //    centrality is O(V·E); the standard scalable stand-in runs BFS
+    //    from a landmark SAMPLE and sums 1/d(lm, v). One composite-
+    //    keyed (lm, id) frame carries every landmark's frontier
+    //    simultaneously — L landmarks cost the same round count as one
+    //    traversal, and a hub's label rows spread over L keys instead
+    //    of concentrating on one. Contribution 10⁶ div hops keeps the
+    //    score an exact integer, so the unrolled-CTE replay is
+    //    bit-exact. ──
+    QueryDef(
+      "graph_landmark_harmonic",
+      "landmark-sample harmonic centrality over the co-order graph (composite-keyed multi-BFS)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(expr("year(o_orderdate) = 1995")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        val landmarks = pairs.select(col("a").as("id"))
+          .unionAll(pairs.select(col("b").as("id")))
+          .filter(col("id") < 40).distinct()
+        graft.operators.Components.landmarkHops(pairs, "a", "b", landmarks, "id", maxHops = 3)
+          .filter(col("hops") > 0)
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_lm"),
+            sum(expr("1000000 div hops")).as("harm_e6"))
+      },
+      Some {
+        val round = (prev: String, cur: String) =>
+          s"""$cur AS (SELECT lm, id, min(hops) AS hops FROM (
+             |  SELECT h.lm, e.dst AS id, h.hops + 1 AS hops
+             |  FROM ed e JOIN $prev h ON h.id = e.src
+             |  UNION ALL SELECT lm, id, hops FROM $prev) GROUP BY 1, 2)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995),
+           |pairs AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+           |ed AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |h0 AS (SELECT DISTINCT src AS lm, src AS id, 0::BIGINT AS hops FROM ed WHERE src < 40),
+           |${round("h0", "h1")},
+           |${round("h1", "h2")},
+           |${round("h2", "h3")}
+           |SELECT id, count(*)::BIGINT AS n_lm, sum(1000000 // hops)::BIGINT AS harm_e6
+           |FROM h3 WHERE hops > 0 GROUP BY id""".stripMargin
+      }),
+
     // ── Grouped top-k WITHOUT a window sort: bounded-heap typed
     //    Aggregator keeps only the k best per group, so the reduction
     //    is map-side partial (ObjectHashAggregate) and the shuffle

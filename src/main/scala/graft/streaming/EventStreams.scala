@@ -123,6 +123,26 @@ object EventStreams {
         col("event_type"), col("bucket"), col("cnt"))
   }
 
+  /** Streaming twin of the `cms_heavy_hitters` counter grid: the
+    * count-min sketch maintained as streaming aggregation state. The
+    * grid is a (row, hash-bucket) → count frame, and counts are plain
+    * sums — they merge across micro-batches exactly (a CMS of a union
+    * is the cell-wise sum of the CMSs), so the streamed grid is
+    * bit-identical to a batch build over the same data
+    * (equivalence-tested) and frequency estimates read downstream
+    * inherit the one-sided est ≥ exact guarantee. State is the fixed
+    * O(D·W) cell space — 4×1024 — regardless of stream history: the
+    * third mergeable-sketch state shape beside [[kmvDistinctCounts]]
+    * and [[qsketchHistograms]]. */
+  def cmsGrid(events: DataFrame): DataFrame = {
+    val P = 1000003L; val W = 1024; val D = 4
+    events
+      .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("j"))
+      .withColumn("bucket",
+        ((col("j") * 2 + 3) * (col("user_id") % P) + (col("j") * 7919 + 13)) % P % W)
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+  }
+
   /** Stream-static broadcast enrichment: the third join class beside
     * stream-stream and foreachBatch — a static dimension joined into
     * the stream. Stateless (no watermark, no state store): every

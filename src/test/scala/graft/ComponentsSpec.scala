@@ -114,6 +114,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L))
   }
 
+  test("landmarkHops carries every landmark's frontier with per-landmark exact distances") {
+    // path 1-2-3-4-5 plus branch 3-10; landmarks 1 and 5 must each
+    // label their own distances — (lm, id) keyed, no cross-landmark min
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 10L))
+    val got = Components.landmarkHops(edges.toDF("a", "b"), "a", "b",
+        Seq(1L, 5L).toDF("id"), "id", maxHops = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 3L, (1L, 10L) -> 3L,
+      (5L, 5L) -> 0L, (5L, 4L) -> 1L, (5L, 3L) -> 2L, (5L, 2L) -> 3L, (5L, 10L) -> 3L))
+    // harmonic composition: node 3 is reached by both landmarks at 2
+    // → harm_e6 = 2 * (1000000 div 2)
+    val harm = got.collect { case ((_, id), h) if h > 0 && id == 3L => 1000000L / h }.sum
+    assert(harm === 1000000L)
+  }
+
   private def sssp(edges: Seq[(Long, Long, Long)], srcs: Seq[Long], rounds: Int): Map[Long, Long] = {
     import spark.implicits._
     Components.ssspRounds(edges.toDF("a", "b", "w"), "a", "b", "w",

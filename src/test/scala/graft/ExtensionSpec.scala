@@ -429,6 +429,26 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS grid matches the batch sketch cell-for-cell") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmsstream").toString
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .drop("ts_ns").write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.EventStreams.cmsGrid(
+      graft.streaming.EventStreams.readEventStream(spark, tmp))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_cms_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.streaming.EventStreams.cmsGrid(
+          graft.sources.Tables(spark, "/root/testdata/sf0.001", "events"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup ingest converges to the one-shot corpus clustering") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
