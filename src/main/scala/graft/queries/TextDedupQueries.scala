@@ -1215,6 +1215,51 @@ object TextDedupQueries {
               |    THEN 1.0 - len(${dkTokShingles("text")})
               |      / (len($dkTokens) - 2)::DOUBLE ELSE 0.0 END)::DECIMAL(18,12), 6) <= 0.999""".stripMargin)),
 
+    // ── PROFILE-DRIFT monitor (the "expectations" / data-quality gate
+    //    every standing ingest runs): per-language profiles of a stored
+    //    BASELINE corpus vs an arriving batch — counts and char-mass
+    //    means — with drift decided by INTEGER CROSS-MULTIPLICATION
+    //    (|ch_b·n_a − ch_a·n_b|·5 > ch_a·n_b ⇔ mean moved >20%), so no
+    //    float ratio can disagree between engines, plus new/vanished-
+    //    language flags off the full-outer join. At 100 TB both
+    //    profiles are metadata-sized aggregates (one map-side-combined
+    //    groupBy each); the comparison never touches row data. ──
+    QueryDef(
+      "profile_drift_lang",
+      "baseline-vs-batch per-language profile: counts, >20% exact mean-chars drift, new/vanished flags",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def prof(df: DataFrame) = df.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("ch"))
+        val base = prof(docs.filter(col("doc_id") % 2 === 0))
+          .select(col("lang"), col("n").as("n_base"), col("ch").as("ch_base"))
+        val batch = prof(docs.filter(col("doc_id") % 2 === 1))
+          .select(col("lang"), col("n").as("n_batch"), col("ch").as("ch_batch"))
+        base.join(batch, Seq("lang"), "full")
+          .select(col("lang"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            col("n_base").isNull.cast("int").as("lang_new"),
+            col("n_batch").isNull.cast("int").as("lang_gone"),
+            (coalesce(col("n_base"), lit(0L)) > 0 &&
+              coalesce(col("n_batch"), lit(0L)) > 0 &&
+              abs(col("ch_batch") * col("n_base") - col("ch_base") * col("n_batch")) * 5 >
+                col("ch_base") * col("n_batch")).cast("int").as("mean_drift"))
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_base, sum(n_chars) AS ch_base
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT lang, count(*) AS n_batch, sum(n_chars) AS ch_batch
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+             |SELECT coalesce(a.lang, b.lang) AS lang,
+             |  coalesce(n_base, 0)::BIGINT AS n_base,
+             |  coalesce(n_batch, 0)::BIGINT AS n_batch,
+             |  (a.lang IS NULL)::INT AS lang_new,
+             |  (b.lang IS NULL)::INT AS lang_gone,
+             |  (coalesce(n_base, 0) > 0 AND coalesce(n_batch, 0) > 0 AND
+             |   abs(ch_batch * n_base - ch_base * n_batch) * 5 > ch_base * n_batch)::INT
+             |    AS mean_drift
+             |FROM a FULL JOIN b ON a.lang = b.lang""".stripMargin)),
+
     // ── Percentile-based curation: keep the top half of each SOURCE by
     //    token count. The cut is 2·rank ≤ n+1 — pure integer arithmetic
     //    on rank() and a partition count, so no engine pair can disagree

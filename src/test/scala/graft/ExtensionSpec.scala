@@ -429,6 +429,29 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("profile drift monitor fires each flag on a crafted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // aa: batch mean doubles (drift); bb: baseline-only (gone);
+    // cc: batch-only (new); dd: balanced (no flags)
+    Seq(
+      (0L, "x", "aa", "s", 100L), (2L, "x", "aa", "s", 100L),
+      (1L, "x", "aa", "s", 200L), (3L, "x", "aa", "s", 200L),
+      (4L, "x", "bb", "s", 50L),
+      (5L, "x", "cc", "s", 50L),
+      (6L, "x", "dd", "s", 80L), (7L, "x", "dd", "s", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("profile_drift_lang")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(got("aa") === ((2L, 2L, 0, 0, 1))) // mean 100 → 200: drift
+    assert(got("bb") === ((1L, 0L, 0, 1, 0))) // vanished from the batch
+    assert(got("cc") === ((0L, 1L, 1, 0, 0))) // new in the batch
+    assert(got("dd") === ((1L, 1L, 0, 0, 0))) // stable
+  }
+
   test("streaming CMS grid matches the batch sketch cell-for-cell") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmsstream").toString
     graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
