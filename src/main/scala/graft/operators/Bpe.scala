@@ -127,7 +127,14 @@ object Bpe {
           if (used(a) || used(b) || used(a + b)) { conflictCnt = Some(c); open = false }
           else if (merges.size + prefix.size < m) {
             prefix += ((a, b, c)); used += a; used += b; used += (a + b)
-          } else open = false
+          } else {
+            // m-cap cut: the row we stop AT bounds pending merges the
+            // same way a conflict row does — without recording it, a
+            // cap-truncated batch could accept a tie-count pair that an
+            // earlier batch merge would have renamed ahead of it,
+            // diverging from one-at-a-time greedy.
+            conflictCnt = Some(c); open = false
+          }
         }
         // bound below which a pending merge could be overtaken by a pair
         // some earlier batch merge creates or renames

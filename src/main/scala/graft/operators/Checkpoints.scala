@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation policy for the iterative operators (connected
+  * components, LPA, BFS/SSSP, k-core, PageRank, incremental-CC): each
+  * round MUST cut lineage or the plan grows unboundedly, but HOW it
+  * cuts is a deployment decision:
+  *
+  *   - `localCheckpoint` (default): blocks live on executor local
+  *     storage — cheapest, and correct on a stable cluster, but an
+  *     executor lost MID-ITERATION loses its blocks and the job dies
+  *     (local checkpoints are exempt from lineage recompute).
+  *   - reliable `checkpoint` (set `spark.graft.reliableCheckpoint` =
+  *     true and a `sparkContext.setCheckpointDir` on durable storage):
+  *     each round's frame is written to the checkpoint dir, so a
+  *     1000-executor run with routine churn resumes the round from
+  *     HDFS/S3 instead of restarting hours of iteration.
+  *
+  * One conf, read per call: long-running sessions can flip it between
+  * jobs without rebuilding operators.
+  */
+object Checkpoints {
+  val ConfKey = "spark.graft.reliableCheckpoint"
+
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** `.truncated` — drop-in for the eager `.localCheckpoint(true)`
+    * idiom at every iterative round boundary. */
+  implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
+    def truncated: DataFrame = Checkpoints.truncate(df)
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.TruncateOps
 
 /** Distributed connected components over an undirected edge list, via
   * iterative min-label propagation: every vertex starts labelled with
@@ -16,13 +17,14 @@ import org.apache.spark.sql.functions._
   * adjacency join) plus a label-of-label pointer-jumping join that
   * doubles propagation reach per round, so convergence takes
   * O(log diameter) rounds — near-dup clusters are shallow, so 2–4
-  * rounds is typical. Each round's labels are eagerly `localCheckpoint`ed:
-  * the labels frame is referenced three times per round (adjacency join,
+  * rounds is typical. Each round's labels are eagerly truncated via
+  * [[Checkpoints.truncate]] (localCheckpoint by default; reliable
+  * `checkpoint` under `spark.graft.reliableCheckpoint` for cluster
+  * deployments that must survive executor churn mid-iteration): the
+  * labels frame is referenced three times per round (adjacency join,
   * closed-neighborhood union, pointer-jump lookup), so carrying the
   * logical plan forward would grow the analysis tree exponentially with
-  * the round count — checkpointing truncates lineage to the materialized
-  * RDD each round (a cluster deployment with executor churn would use
-  * reliable `checkpoint` instead). Convergence is detected by the monotone label sum
+  * the round count. Convergence is detected by the monotone label sum
   * (strictly decreases until the fixpoint), one scalar agg per round —
   * no driver-side collect of vertex data. For graphs with huge diameter
   * (not duplicate clusters), the alternating star variant (Kiveris et
@@ -57,7 +59,7 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     val adj = (if (edgesDistinct) base else base.distinct())
-      .localCheckpoint(true)
+      .truncated
     // The two-orientation frame stays LAZY: it is a narrow union over
     // the checkpointed `adj` blocks, so each round's re-evaluation is a
     // cheap block read — a second materialization job would only add
@@ -79,7 +81,7 @@ object Components {
       .groupBy(col("src").as("id"))
       .agg(min("dst").as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("comp"))
-      .localCheckpoint(true)
+      .truncated
     // sum() over zero rows is SQL NULL — an empty edge set (no pairs at
     // this scale) must yield an empty labelling, not an NPE.
     def labelSum(df: DataFrame): Long =
@@ -102,7 +104,7 @@ object Components {
         .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), least(col("comp"), col("jump")).as("comp"))
-        .localCheckpoint(true) // truncate lineage: see scaladoc
+        .truncated // truncate lineage: see scaladoc
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == checksum
@@ -149,20 +151,20 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true) // referenced by the endpoint set and both mapping joins
+      .truncated // referenced by the endpoint set and both mapping joins
     // batch endpoint → stored label (identity when first seen); small:
     // bounded by 2·|batch|
     val vm = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       .join(lbl, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("lab"),
         col("component").isNotNull.as("known"))
-      .localCheckpoint(true)
+      .truncated
     val mapped = e
       .join(vm.select(col("id").as("src"), col("lab").as("ls")), Seq("src"))
       .join(vm.select(col("id").as("dst"), col("lab").as("ld")), Seq("dst"))
       .select(col("ls").as("src"), col("ld").as("dst"))
     val contracted = connectedComponents(mapped, "src", "dst")
-      .localCheckpoint(true) // referenced by remap and the fresh-vertex semi join
+      .truncated // referenced by remap and the fresh-vertex semi join
     val remap = contracted.select(col("id").as("component"), col("component").as("__nc"))
     val updated = lbl.join(remap, Seq("component"), "left")
       .select(col("id"), coalesce(col("__nc"), col("component")).as("component"))
@@ -204,13 +206,13 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = both.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .truncated
     for (_ <- 1 to iters)
-      labels = lpaRound(both, labels).localCheckpoint(true)
+      labels = lpaRound(both, labels).truncated
     labels.select(col("id"), col("lbl").as("community"))
   }
 
@@ -245,13 +247,13 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+      .truncated
     for (_ <- 1 to maxHops)
-      labels = minRound(both, labels, "hops", lit(1L)).localCheckpoint(true)
+      labels = minRound(both, labels, "hops", lit(1L)).truncated
     labels
   }
 
@@ -273,13 +275,13 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = landmarks.select(col(idCol).cast("long").as("lm")).distinct()
       .select(col("lm"), col("lm").as("id"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .truncated
     for (_ <- 1 to maxHops)
-      labels = landmarkRound(both, labels).localCheckpoint(true)
+      labels = landmarkRound(both, labels).truncated
     labels
   }
 
@@ -333,13 +335,13 @@ object Components {
         col(weightCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("w").as("w"))
-      .localCheckpoint(true)
+      .truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .truncated
     for (_ <- 1 to rounds)
-      dist = minRound(both, dist, "dist", col("w")).localCheckpoint(true)
+      dist = minRound(both, dist, "dist", col("w")).truncated
     dist
   }
 
@@ -371,13 +373,13 @@ object Components {
         col(timeCol).cast("long").as("t"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("t")))
     var arr = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("arr", lit(startTime))
-      .localCheckpoint(true)
+      .truncated
     for (_ <- 1 to rounds)
-      arr = temporalRound(both, arr).localCheckpoint(true)
+      arr = temporalRound(both, arr).truncated
     arr
   }
 
@@ -422,14 +424,14 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncated
     var both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .truncated
     var nEdges = both.count()
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
-      val next = kCoreRound(both, k).localCheckpoint(true)
+      val next = kCoreRound(both, k).truncated
       val n = next.count()
       converged = n == nEdges
       both = next
@@ -446,7 +448,7 @@ object Components {
   private[graft] def kCoreRound(both: DataFrame, k: Int): DataFrame = {
     val keep = both.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= k).select("v")
-      .localCheckpoint(true) // referenced by both semi joins below
+      .truncated // referenced by both semi joins below
     both
       .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
       .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
@@ -475,7 +477,7 @@ object Components {
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true) // referenced by ed (x2), deg, wedge join
+      .truncated // referenced by ed (x2), deg, wedge join
     val ed = base.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(base.select(col("b").as("src"), col("a").as("dst")))
     val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))

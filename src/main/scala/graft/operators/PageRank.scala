@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.TruncateOps
 
 /** Deterministic fixed-point PageRank over a weighted directed edge
   * list — the second iterative graph operator beside
@@ -81,10 +82,10 @@ object PageRank {
     val e = withTotals(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w")))
-      .localCheckpoint(true)
+      .truncated
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .truncated
     // Seed flag rides the O(V) node frame via one left join (constant 1
     // when unpersonalized, so the standard formulas fall out unchanged).
     val nodesS = seeds match {
@@ -94,14 +95,14 @@ object PageRank {
               .withColumn("__seed", lit(1L)),
             Seq("id"), "left")
           .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
-          .localCheckpoint(true)
+          .truncated
       case None => nodes.withColumn("__seed", lit(1L))
     }
     // Dangling set + node count: metadata-sized frames, broadcast into
     // each round rather than collected (no driver data path).
     lazy val dangling = nodes
       .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .truncated
     lazy val nn = nodes.agg(count(lit(1)).as("__n"))
 
     var ranks = nodesS.select(col("id"), (col("__seed") * BaseE6).as("rank_e6"))
@@ -131,7 +132,7 @@ object PageRank {
       // feeds straight into the caller's single consumption: one narrow
       // join+agg over checkpointed inputs, so a final materialization
       // job would only duplicate the write.
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      if (i < iters) ranks = ranks.truncated
     }
     ranks
   }

@@ -53,17 +53,23 @@ object Scd2 {
     * time — every batch timestamp ≥ every stored one (the streaming
     * caller's in-order-replay/watermark responsibility).
     *
-    * The precondition is ASSERTED, not assumed: a batch row older than
-    * its user's open-interval start would splice history that the
-    * user's closed intervals no longer see, and interval state cannot
-    * repair that (events absorbed into an interval are gone) — so the
-    * merge REJECTS loudly, naming the first offending row, instead of
-    * silently diverging from a full rebuild. Recovery is the caller's:
-    * rebuild the touched users with [[intervals]] over the full event
-    * log. The check is one bounded probe job per merge (inner join
-    * against the per-user open-interval frontier + limit 1); rows at
-    * or after the frontier — including same-type late arrivals inside
-    * the open interval — are mergeable and pass. */
+    * The precondition check is a BEST-EFFORT TRIPWIRE, not a full
+    * assertion: the probe catches any batch row older than its user's
+    * open-interval START, but interval state cannot see events that
+    * were ABSORBED into an interval (a same-type run keeps only its
+    * first timestamp) — a late row of a different type landing between
+    * the open-interval start and the newest absorbed event passes the
+    * probe yet still diverges from a full rebuild. The full
+    * precondition therefore remains the caller's; what the probe
+    * guarantees is that the loudest violation class REJECTS, naming
+    * the first offending row, instead of silently splicing closed
+    * history. The check is one bounded probe job per merge (inner
+    * join against the per-user open-interval frontier + limit 1).
+    *
+    * Recovery: pass `recoverLog` (the full event log that produced
+    * `stored`, PLUS this batch's rows) and out-of-order users are
+    * REBUILT from the log via [[intervals]] instead of rejected —
+    * see [[mergeBatchRecovering]]. */
   def mergeBatch(stored: DataFrame, batch: DataFrame): DataFrame = {
     val frontier = stored.filter(col("valid_to_us").isNull)
       .select(col("user_id"), col("valid_from_us").as("__frontier_us"))
@@ -86,5 +92,43 @@ object Scd2 {
         col("valid_from_us").as("tus"), lit(-1L).as("event_id"))
     val rebuilt = intervals(seed.unionByName(batch))
     closed.unionByName(openUntouched).unionByName(rebuilt)
+  }
+
+  /** [[mergeBatch]] with the auto-recovery its error message promises:
+    * users whose batch rows arrive out of order are rebuilt from
+    * `log` — the full event log that produced `stored`, plus this
+    * batch's rows — while every well-ordered user still takes the
+    * incremental open-tail path.
+    *
+    * Out-of-order detection here is EXACT, not the interval-state
+    * tripwire: with the log in hand, a user is unsafe iff some batch
+    * row's tus is ≤ the max tus of the user's NON-batch log rows
+    * (batch rows are identified in the log by event_id). The ≤ is
+    * deliberately conservative — an equal-timestamp arrival could
+    * still splice via the event_id tie-break, and over-rebuilding is
+    * always correct: a rebuilt user's output IS the full-recompute
+    * answer. This closes the absorbed-event blind spot the
+    * [[mergeBatch]] docstring describes: divergence there was
+    * invisible to interval state, but the log sees every event.
+    *
+    * Cost at scale: one anti join of log×batch on event_id plus a
+    * per-user max — both map-side-combinable — and the rebuild reads
+    * only the unsafe users' log rows (left_semi). A standing pipeline
+    * pays the log scan ONLY on batches that actually contain late
+    * data if the caller probes with [[mergeBatch]] first and falls
+    * back to this on rejection. */
+  def mergeBatchRecovering(stored: DataFrame, batch: DataFrame,
+      log: DataFrame): DataFrame = {
+    val nonBatch = log.join(batch.select("event_id"), Seq("event_id"), "left_anti")
+    val seen = nonBatch.groupBy("user_id").agg(max("tus").as("__max_seen_us"))
+    val unsafe = batch.join(seen, Seq("user_id"))
+      .filter(col("tus") <= col("__max_seen_us"))
+      .select("user_id").distinct()
+      .localCheckpoint(true) // reused by three pruning joins below
+    val rebuilt = intervals(log.join(unsafe, Seq("user_id"), "left_semi"))
+    mergeBatch(
+        stored.join(unsafe, Seq("user_id"), "left_anti"),
+        batch.join(unsafe, Seq("user_id"), "left_anti"))
+      .unionByName(rebuilt)
   }
 }

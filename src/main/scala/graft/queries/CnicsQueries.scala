@@ -31,6 +31,41 @@ object CnicsQueries {
              | ('Observation', 'insert', CAST(3 AS BIGINT)), ('Observation', 'update', CAST(0 AS BIGINT)), ('Observation', 'delete', CAST(0 AS BIGINT))
              |) t(resource_type, action, n)""".stripMargin)),
 
+    // ── The lakehouse-store twin of the e2e gate: the SAME pipeline
+    //    run TWICE against the copy-on-write ParquetFhirStore. Run 1
+    //    reconciles against an empty store (pure inserts, the e2e
+    //    counters); run 2 snapshots what run 1 wrote — including the
+    //    get_json_object subject fan-out for per-patient children —
+    //    and must classify every stored row as an UPDATE (the
+    //    reference's PUT-always exists→update semantics, E6 — no
+    //    content diffing), zero inserts, zero deletes. This pins the
+    //    store's snapshot round-trip, the reconcile against stored
+    //    state, and the versioned-directory rewrite in one
+    //    driver-visible CORRECTNESS row (round-8 verdict #8). ──
+    QueryDef(
+      "cnics_e2e_audit_parquet",
+      "pipeline twice against the copy-on-write parquet store: insert run, then all-update reconcile",
+      (s, _) => {
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft_pqstore").toString
+        val store = new graft.sinks.ParquetFhirStore(base)
+        val first = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw").run()
+        val second = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw").run()
+        (first.toSeq.map { case ((rt, a), n) => (1L, rt, a, n) } ++
+          second.toSeq.map { case ((rt, a), n) => (2L, rt, a, n) })
+          .toDF("run", "resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 'Patient', 'insert', CAST(2 AS BIGINT)), (1, 'Patient', 'update', 0), (1, 'Patient', 'delete', 0),
+             | (1, 'Condition', 'insert', 2), (1, 'Condition', 'update', 0), (1, 'Condition', 'delete', 0),
+             | (1, 'MedicationRequest', 'insert', 1), (1, 'MedicationRequest', 'update', 0), (1, 'MedicationRequest', 'delete', 0),
+             | (1, 'Observation', 'insert', 3), (1, 'Observation', 'update', 0), (1, 'Observation', 'delete', 0),
+             | (2, 'Patient', 'insert', 0), (2, 'Patient', 'update', 2), (2, 'Patient', 'delete', 0),
+             | (2, 'Condition', 'insert', 0), (2, 'Condition', 'update', 2), (2, 'Condition', 'delete', 0),
+             | (2, 'MedicationRequest', 'insert', 0), (2, 'MedicationRequest', 'update', 1), (2, 'MedicationRequest', 'delete', 0),
+             | (2, 'Observation', 'insert', 0), (2, 'Observation', 'update', 3), (2, 'Observation', 'delete', 0)
+             |) t(run, resource_type, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden

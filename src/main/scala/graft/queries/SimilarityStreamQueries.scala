@@ -279,13 +279,60 @@ object SimilarityStreamQueries {
       .join(broadcast(pqCentroids(s, d)), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell").as("code"),
         expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
-    pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
+    val ranked = pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
       .join(broadcast(lut), Seq("m", "code"))
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adist_e6"), col("cand_id"))))
-      .filter(col("rnk") <= keep)
+    adcTopK(ranked, keep)
+  }
+
+  /** Bounded-heap top-k by (adist_e6 asc, cand_id asc) — the exact
+    * total order `row_number().over(orderBy(adist, cand))` gives, but
+    * as a map-side-combining ObjectHashAggregate instead of a
+    * full-shuffle-then-sort Window: the shuffle carries O(k) entries
+    * per query per mapper, not every scored candidate (plan-gated in
+    * PqSpec). Score = −adist_e6 (exact: ADC sums are ≤ ~2³⁰, far
+    * inside the double-exact integer range); payload tie-break asc
+    * matches the window's cand_id asc. */
+  private def adcTopK(scored: DataFrame, keep: Int,
+      distCol: String = "adist_e6"): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg.longs(keep))
+    scored
+      .groupBy("query_id")
+      .agg(topk((-col(distCol)).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as(distCol),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** IVF×PQ composition (the production 100 TB ANN shape): the trained
+    * coarse quantizer prunes the corpus to the `IvfProbe` probed cells
+    * per query FIRST, and the ADC LUT scan then touches only codes of
+    * candidates posted to a probed cell — candidates ≈ nprobe·assign/K
+    * of the corpus instead of 100% of it. The candidate frame is
+    * queries × (corpus/K × nprobe × assign) rows, broadcast against
+    * the code index, so the big `pqCodes` scan is pruned by a
+    * broadcast join BELOW the ADC aggregate (plan-gated in PqSpec). */
+  private[graft] def pqIvfAdcRanked(s: SparkSession, d: String, keep: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val probes = ivfRanked(s, d)
+      .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val cand = probes.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val lut = pqSubs(s, d).filter(col("vec_id") < 32)
+      .join(broadcast(pqCentroids(s, d)), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cell").as("code"),
+        expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
+    val ranked = pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the LUT scan
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+    adcTopK(ranked, keep)
   }
 
   /** The production PQ pipeline: ADC shortlist of 20 per query (codes
@@ -305,9 +352,25 @@ object SimilarityStreamQueries {
       .withColumn("d_e6",
         expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
       .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist_e6"), col("cand_id"))))
-      .filter(col("rnk") <= 3)
+      .transform(adcTopK(_, 3, "dist_e6"))
+  }
+
+  /** Exact rerank of the IVF×PQ ADC shortlist (composition twin of
+    * [[pqRerankTop3]]): same 20-candidate exact rescoring, but the
+    * shortlist came from the coarse-pruned code scan. */
+  private def pqIvfRerankTop3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val short = pqIvfAdcRanked(s, d, 20).select("query_id", "cand_id")
+    val subs = pqSubs(s, d)
+    short
+      .join(subs.select(col("vec_id").as("query_id"), col("m"), col("sub").as("q_sub")),
+        Seq("query_id"))
+      .join(subs.select(col("vec_id").as("cand_id"), col("m"), col("sub").as("c_sub")),
+        Seq("cand_id", "m"))
+      .withColumn("d_e6",
+        expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
+      .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
+      .transform(adcTopK(_, 3, "dist_e6"))
   }
 
   // DuckDB squared-L2 with the same sequential fold as d2Sql.
@@ -365,6 +428,35 @@ object SimilarityStreamQueries {
        |  FROM (SELECT s.query_id, s.cand_id,
        |      sum(floor(${dkD2("q.sub", "c.sub")} * 1000000.0)::BIGINT)::BIGINT AS dist_e6
        |    FROM padc s JOIN pv q ON q.vec_id = s.query_id
+       |    JOIN pv c ON c.vec_id = s.cand_id AND c.m = q.m
+       |    GROUP BY 1, 2)) WHERE rnk <= 3)""".stripMargin
+
+  // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
+  // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
+  // probed cells, then the ADC code-sum restricted to those candidates,
+  // then an exact rerank of the shortlist (ivfrr).
+  private def dkIvfAdcCtes: String =
+    s"""cand AS (SELECT DISTINCT p.query_id, c.cand_id
+       |  FROM (SELECT vec_id AS query_id, cell FROM rk
+       |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
+       |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
+       |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
+       |plut AS (SELECT q.vec_id AS query_id, c.m, c.cell AS code,
+       |    floor(${dkD2("q.sub", "c.cw")} * 1000000.0)::BIGINT AS dq_e6
+       |  FROM pv q JOIN p$PqIters c ON c.m = q.m WHERE q.vec_id < 32),
+       |ivfadc AS (SELECT query_id, cand_id, adist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+       |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+       |    FROM pcode pc JOIN cand cd ON cd.cand_id = pc.vec_id
+       |    JOIN plut l ON l.query_id = cd.query_id AND l.m = pc.m AND l.code = pc.code
+       |    GROUP BY 1, 2)),
+       |ivfrr AS (SELECT * FROM (
+       |  SELECT query_id, cand_id, dist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist_e6, cand_id) AS rnk
+       |  FROM (SELECT s.query_id, s.cand_id,
+       |      sum(floor(${dkD2("q.sub", "c.sub")} * 1000000.0)::BIGINT)::BIGINT AS dist_e6
+       |    FROM (SELECT query_id, cand_id FROM ivfadc WHERE rnk <= 20) s
+       |    JOIN pv q ON q.vec_id = s.query_id
        |    JOIN pv c ON c.vec_id = s.cand_id AND c.m = q.m
        |    GROUP BY 1, 2)) WHERE rnk <= 3)""".stripMargin
 
@@ -742,6 +834,63 @@ object SimilarityStreamQueries {
               |SELECT b.query_id, count(a.cand_id) AS n_hits,
               |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
               |FROM pex b LEFT JOIN prr a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
+
+    // ── IVF×PQ composition: the missing production piece round 8
+    //    flagged — pure ADC scans 100% of codes per query; composing
+    //    the trained coarse quantizer in front bounds the scan to the
+    //    nprobe·assign/K candidate fraction. Both halves replay
+    //    bit-exact in SQL, so the composition does too. ──
+    QueryDef(
+      "pq_ivf_adc_topk",
+      s"IVF-ADC top-3: coarse prune to $IvfProbe/$IvfK probed cells, then PQ code-scan only those",
+      (s, d) => pqIvfAdcRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM ivfadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
+
+    QueryDef(
+      "pq_ivf_recall",
+      "recall@3 of IVF-ADC shortlist+rerank vs exact subspace-summed L2 top-3 per query",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val subs = pqSubs(s, d)
+        val qd = subs.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), col("m"), col("sub").as("q_sub"))
+        val exact = subs
+          .select(col("vec_id").as("cand_id"), col("m"), col("sub").as("c_sub"))
+          .join(broadcast(qd), Seq("m"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("d_e6",
+            expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
+          .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("dist_e6"), col("cand_id"))))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "cand_id")
+        val ann = pqIvfRerankTop3(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes,
+              |pex AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY sum(floor(${dkD2("q.sub", "c.sub")} * 1000000.0)::BIGINT), c.vec_id) AS rnk
+              |  FROM pv q JOIN pv c ON c.m = q.m AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32 GROUP BY q.vec_id, c.vec_id) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM pex b LEFT JOIN ivfrr a
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
 

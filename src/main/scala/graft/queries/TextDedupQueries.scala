@@ -1219,8 +1219,10 @@ object TextDedupQueries {
     //    every standing ingest runs): per-language profiles of a stored
     //    BASELINE corpus vs an arriving batch — counts and char-mass
     //    means — with drift decided by INTEGER CROSS-MULTIPLICATION
-    //    (|ch_b·n_a − ch_a·n_b|·5 > ch_a·n_b ⇔ mean moved >20%), so no
-    //    float ratio can disagree between engines, plus new/vanished-
+    //    (|ch_b·n_a − ch_a·n_b|·5 > ch_a·n_b ⇔ mean moved >20%) with
+    //    DECIMAL(38,0)/HUGEINT products (BIGINT would wrap at 100 TB
+    //    char masses), so no float ratio or overflow can disagree
+    //    between engines, plus new/vanished-
     //    language flags off the full-outer join. At 100 TB both
     //    profiles are metadata-sized aggregates (one map-side-combined
     //    groupBy each); the comparison never touches row data. ──
@@ -1241,10 +1243,17 @@ object TextDedupQueries {
             coalesce(col("n_batch"), lit(0L)).as("n_batch"),
             col("n_base").isNull.cast("int").as("lang_new"),
             col("n_batch").isNull.cast("int").as("lang_gone"),
+            // DECIMAL(38,0) products (HUGEINT in the oracle): at 100 TB
+            // ch ~ 1e14 chars times n ~ 1e5 langs-worth of rows exceeds
+            // the BIGINT range, and non-ANSI engines would wrap silently
+            // where the oracle promotes — exactly the disagreement the
+            // integer cross-multiplication exists to rule out
             (coalesce(col("n_base"), lit(0L)) > 0 &&
               coalesce(col("n_batch"), lit(0L)) > 0 &&
-              abs(col("ch_batch") * col("n_base") - col("ch_base") * col("n_batch")) * 5 >
-                col("ch_base") * col("n_batch")).cast("int").as("mean_drift"))
+              abs(col("ch_batch").cast("decimal(38,0)") * col("n_base") -
+                  col("ch_base").cast("decimal(38,0)") * col("n_batch")) * 5 >
+                col("ch_base").cast("decimal(38,0)") * col("n_batch"))
+              .cast("int").as("mean_drift"))
       },
       Some("""WITH a AS (SELECT lang, count(*) AS n_base, sum(n_chars) AS ch_base
              |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -1256,7 +1265,8 @@ object TextDedupQueries {
              |  (a.lang IS NULL)::INT AS lang_new,
              |  (b.lang IS NULL)::INT AS lang_gone,
              |  (coalesce(n_base, 0) > 0 AND coalesce(n_batch, 0) > 0 AND
-             |   abs(ch_batch * n_base - ch_base * n_batch) * 5 > ch_base * n_batch)::INT
+             |   abs(ch_batch::HUGEINT * n_base - ch_base::HUGEINT * n_batch) * 5 >
+             |     ch_base::HUGEINT * n_batch)::INT
              |    AS mean_drift
              |FROM a FULL JOIN b ON a.lang = b.lang""".stripMargin)),
 
@@ -1467,13 +1477,20 @@ object TextDedupQueries {
         val hot = wa.groupBy("h", "w")
           .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000)
           .select("h", "w")
-        wa.as("a").join(wb.as("b"), Seq("h"))
+        // The cap must hit BOTH join inputs BEFORE the h-keyed pair
+        // join: one boilerplate window shared by 10^6 docs would
+        // otherwise materialize ~10^12/2 pair rows that a post-join
+        // anti-join only deletes after the blowup. Output-identical
+        // (every hot-window pair is removed either way); plan-gated in
+        // PlansSpec: LeftAnti strictly below the Inner pair join.
+        val waCold = wa.join(broadcast(hot), Seq("h", "w"), "left_anti")
+        val wbCold = wb.join(broadcast(hot), Seq("h", "w"), "left_anti")
+        waCold.as("a").join(wbCold.as("b"), Seq("h"))
           .filter(col("a.w") === col("b.w") && // rescore: hash-equal → string-equal
             col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
-            col("h"), col("a.w").as("w"))
-          .join(broadcast(hot), Seq("h", "w"), "left_anti")
+            col("a.w").as("w"))
           .groupBy("id_a", "id_b").agg(countDistinct("w").as("n_shared"))
           .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
           .limit(50)

@@ -55,7 +55,17 @@ object DocStreams {
         graft.functions.GraftFunctions.register(spark)
         val cur = new java.io.File(s"$tableDir/CURRENT")
         val ver: Option[String] =
-          if (cur.exists()) Some(scala.io.Source.fromFile(cur).mkString.trim) else None
+          if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+          else None
+        // Idempotent replay: a failure between the atomic CURRENT swing
+        // and the streaming commit re-delivers this batch id. CURRENT
+        // already naming v$id means the fold for exactly this batch
+        // committed all three tables — re-running would lazily read
+        // $tableDir/v$id while overwriting the same directories
+        // (rejected or corrupting). Skip: the store already holds this
+        // batch's fold, bit-for-bit.
+        if (!ver.contains(s"v$id")) {
+
         def stored(t: String): Option[DataFrame] =
           ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
 
@@ -103,6 +113,7 @@ object DocStreams {
         java.nio.file.Files.move(tmp.toPath, cur.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         ()
       }
       .start()

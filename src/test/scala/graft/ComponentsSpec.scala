@@ -20,6 +20,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc(Seq((7L, 7L))) === Map.empty)
   }
 
+  test("reliable-checkpoint mode: CC converges identically and writes to the checkpoint dir") {
+    // spark.graft.reliableCheckpoint=true routes every round's lineage
+    // cut through checkpoint() (durable storage) instead of
+    // localCheckpoint (executor blocks) — the cluster-deployment mode
+    // that survives executor churn mid-iteration
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.operators.Checkpoints.ConfKey, "true")
+    try {
+      val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+      // evidence the reliable path actually ran: round frames landed
+      // in the checkpoint dir
+      def countFiles(d: java.io.File): Int =
+        Option(d.listFiles).toSeq.flatten
+          .map(f => if (f.isDirectory) countFiles(f) else 1).sum
+      assert(countFiles(new java.io.File(ckDir)) > 0,
+        s"no checkpoint files written under $ckDir")
+    } finally spark.conf.set(graft.operators.Checkpoints.ConfKey, "false")
+  }
+
   test("chain, triangle and isolated pair resolve to min-id components") {
     // chain 1-2-3-4, triangle 10-11-12 (with chord), pair 20-21
     val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),

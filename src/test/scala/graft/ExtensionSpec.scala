@@ -508,6 +508,38 @@ class ExtensionSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup ingest: replay of an already-committed batch is a no-op, store intact") {
+    // recovery semantics: a failure between the atomic CURRENT swing
+    // and the streaming commit re-delivers the same batch id. The fold
+    // must skip (CURRENT already names v<id>) — re-running would read
+    // v<id> while overwriting it and wedge the standing index.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_ingest_replay").toString
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (2L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss"))
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.DocStreams.dedupIngest(mem1.toDF().toDF("doc_id", "text"), tbl)
+    try { mem1.addData(docs: _*); q1.processAllAvailable() } finally q1.stop()
+    def current() =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$tbl/CURRENT")).trim
+    assert(current() == "v0")
+    def clusters() = spark.read.parquet(s"$tbl/v0/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = clusters()
+    assert(before.nonEmpty)
+    // a fresh query over the same store re-delivers batch id 0 with the
+    // same rows — exactly the post-swing replay shape
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DocStreams.dedupIngest(mem2.toDF().toDF("doc_id", "text"), tbl)
+    try { mem2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(current() == "v0")
+    assert(clusters() === before)
+  }
+
   test("streaming ANN serving matches the batch multi-table LSH top-k") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -715,6 +747,36 @@ class ExtensionSpec extends AnyFunSuite {
       } finally qb.stop()
     assert(got.toSet === viaBroadcast)
     assert(got.toSet === Set((1L, 100L, 10L), (1L, 250L, 20L), (2L, 151L, 15L)))
+  }
+
+  test("shuffle-fallback dimension is scanned once across micro-batches, not per batch") {
+    // the persisted deduped dim must materialize during the first batch
+    // and be served from cache afterwards — per-batch re-scans of a
+    // 10⁹-row reference table are the failure mode this pins down.
+    // An accumulator-bearing UDF on the payload counts source-row
+    // touches: one materialization of a 3-row dim = exactly 3 touches,
+    // regardless of how many batches join against it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val scans = spark.sparkContext.longAccumulator("graft_dim_row_touches")
+    val touch = udf((v: Long) => { scans.add(1L); v })
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 15L))
+      .toDF("k", "t", "v0")
+      .withColumn("v", touch(col("v0"))).drop("v0")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreams.asofEnrichStaticBatched(
+      mem.toDF().toDF("k", "t"), right, "k", "t", "v") { (df, _) =>
+      df.collect(); batches.incrementAndGet(); ()
+    }
+    try {
+      mem.addData((1L, 150L)); q.processAllAvailable()
+      mem.addData((2L, 200L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.get() >= 2, s"expected >=2 micro-batches, got ${batches.get()}")
+    assert(scans.value == 3L,
+      s"dim rows touched ${scans.value} times across ${batches.get()} batches — " +
+        "expected exactly one 3-row materialization (cache miss on later batches?)")
   }
 
   test("streaming dedup drops in-window duplicates exactly once") {

@@ -78,6 +78,26 @@ class PlanGateSpec extends AnyFunSuite {
       p.contains("hashpartitioning(h "), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("substring-window hot cap anti-joins sit BELOW the pair join, never above") {
+    // the scale discipline: a df>1000 boilerplate window must leave
+    // BOTH join inputs before the h-keyed self-join — a post-join cap
+    // materializes the quadratic pair blowup before deleting it
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+    val qe = graft.SparkEntry.queries("dedup_substring_windows")(spark, d).queryExecution
+    val joins = qe.sparkPlan.collect { case j: BaseJoinExec => j }
+    val antis = joins.filter(_.joinType == LeftAnti)
+    assert(antis.size == 2, s"expected both pair-join inputs hot-capped:\n${qe.sparkPlan}")
+    antis.foreach { a =>
+      val innerBelow = a.collect { case j: BaseJoinExec if j.joinType == Inner => j }
+      assert(innerBelow.isEmpty,
+        s"hot-window anti-join sits ABOVE the pair join (post-join cap):\n${qe.sparkPlan}")
+    }
+    val pairAboveBoth = joins.exists(j => j.joinType == Inner &&
+      j.collect { case x: BaseJoinExec if x.joinType == LeftAnti => x }.size == 2)
+    assert(pairAboveBoth, s"pair join does not sit above both hot caps:\n${qe.sparkPlan}")
+  }
+
   test("packing prefix sum is parallel: no single-partition exchange, no global window") {
     // the classic wrong shape is Window.orderBy with no partitionBy →
     // Exchange SinglePartition; the two-phase prefix sum must never do that

@@ -63,4 +63,49 @@ class PqSpec extends AnyFunSuite {
     assert(rerankHits.toDouble / (3 * totalQueries) >= 0.25,
       s"recall@3 collapsed: $rerankHits hits over $totalQueries queries")
   }
+
+  test("IVF-ADC composition: scores agree with full-scan ADC on shared pairs, " +
+      "candidates are a strict subset, and the coarse prune sits below the agg") {
+    // the composed path must never invent a score: for every
+    // (query, cand) it returns, the full ADC scan computes the same
+    // adist_e6 (both sum the same PqM LUT entries)
+    val ivf = q("pq_ivf_adc_topk").select("query_id", "cand_id", "adist_e6")
+    val full = SimilarityStreamQueries.pqAdcRanked(spark, dir, Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("adist_e6").as("full_e6"))
+    val joined = ivf.join(full, Seq("query_id", "cand_id"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(2) == r.getLong(3),
+        s"composed ADC diverges from full scan on ${r.getLong(0)}->${r.getLong(1)}") }
+    // the point of the composition: the code scan is bounded by the
+    // candidate set, a strict subset of all queriesx(n-1) pairs
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val nQueries = emb.filter(col("vec_id") < 32).count()
+    val candPairs = SimilarityStreamQueries.pqIvfAdcRanked(spark, dir, Int.MaxValue).count()
+    assert(candPairs < nQueries * (n - 1),
+      s"IVF prune admitted every pair ($candPairs of ${nQueries * (n - 1)})")
+    // plan gate: the candidate restriction is a broadcast join BELOW
+    // the ADC aggregate — the full code scan never reaches the LUT join
+    val plan = q("pq_ivf_adc_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("PQ rankers are bounded-heap aggregates, not per-query window sorts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    // the annServe discipline: top-k per query must be map-side-combining
+    // ObjectHashAggregate state (shuffle carries O(k) per query per
+    // mapper), never row_number over a full-shuffle window sort
+    Seq("pq_adc_topk", "pq_rerank_topk").foreach { n =>
+      val p = q(n).queryExecution.sparkPlan
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$n still plans a Window sort:\n$p")
+      assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, s"$n:\n$p")
+    }
+    // the composed path keeps the (K=16-cell, per-vector) ivf ranking
+    // window, but its ADC ranking must be heap-aggregated too
+    val p = q("pq_ivf_adc_topk").queryExecution.sparkPlan
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, p.toString)
+  }
 }

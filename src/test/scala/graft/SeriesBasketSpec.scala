@@ -163,6 +163,50 @@ class SeriesBasketSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 mergeBatchRecovering: arbitrary out-of-order batch splits equal full rebuild") {
+    import spark.implicits._
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    // the exact case mergeBatch rejects: with the log supplied, user 2
+    // is rebuilt from it instead
+    val storedEv = Seq((2L, "a", 110L, 3L), (2L, "b", 400L, 4L))
+      .toDF("user_id", "event_type", "tus", "event_id")
+    val late = Seq((2L, "c", 50L, 9L)).toDF("user_id", "event_type", "tus", "event_id")
+    val log0 = storedEv.unionByName(late)
+    val recovered = shape(graft.operators.Scd2.mergeBatchRecovering(
+      graft.operators.Scd2.intervals(storedEv), late, log0).collect())
+    assert(recovered === shape(graft.operators.Scd2.intervals(log0).collect()))
+
+    // property: events assigned to batches with NO regard for time —
+    // every batch is out of order for some users — folding with
+    // recovery must still equal the full rebuild at every step's end
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c")
+    val rows = (1 to 300).map { i =>
+      ((rnd.nextInt(10) + 1).toLong, types(rnd.nextInt(3)),
+        (rnd.nextInt(500) * 10).toLong, i.toLong)
+    }
+    val full = shape(graft.operators.Scd2.intervals(
+      rows.toDF("user_id", "event_type", "tus", "event_id")).collect())
+    (0 until 3).foreach { trial =>
+      val assign = rows.map(_ => rnd.nextInt(4))
+      val batches = (0 until 4)
+        .map(b => rows.zip(assign).collect { case (r, a) if a == b => r })
+        .filter(_.nonEmpty)
+        .map(_.toDF("user_id", "event_type", "tus", "event_id"))
+      var state = graft.operators.Scd2.intervals(batches.head).localCheckpoint(true)
+      var logSoFar = batches.head
+      batches.tail.foreach { b =>
+        logSoFar = logSoFar.unionByName(b).localCheckpoint(true)
+        state = graft.operators.Scd2
+          .mergeBatchRecovering(state, b, logSoFar).localCheckpoint(true)
+      }
+      assert(shape(state.collect()) === full, s"trial $trial")
+    }
+  }
+
   test("ts_autocorr_terms: pair counts and Cauchy-Schwarz hold at every lag") {
     val got = q("ts_autocorr_terms").cache()
     // n at lag L is knots-L (never negative, lags with no pairs absent)
