@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal.MediaRow
+
+/** Perceptual fingerprints for the non-text modalities, plus the one
+  * generic join that makes them searchable: an EXACT 64-bit hamming
+  * near-dup pair join with pigeonhole-complete banding.
+  *
+  * A multimodal training corpus dedups images and audio the same way
+  * it dedups text — by a compact content fingerprint robust to benign
+  * re-encoding — but the candidate generation must never be all-pairs.
+  * For 64-bit fingerprints there is a classical exact trick: split the
+  * hash into 8 disjoint 8-bit bands. Two hashes within hamming
+  * distance ≤ 7 differ in at most 7 bit positions, which cannot touch
+  * all 8 bands, so AT LEAST ONE band matches exactly — a band-keyed
+  * equi-join finds every such pair (no LSH misses), and an exact
+  * `bit_count(xor)` rescore removes false candidates. The join
+  * shuffles on (band_idx, band_value) only; degenerate bands (the
+  * all-black thumbnail, digital silence) fall under the same absolute
+  * hot-bucket cap as every other bucket join in the repo
+  * ([[Dedup.dropHotBuckets]]).
+  *
+  * Fingerprint producers:
+  *  - [[dHash64]] — image difference hash: 9×8 bilinear downscale to
+  *    integer Rec.601 grayscale, bit(y·8+x) = gray(x+1,y) > gray(x,y).
+  *    Invariant to uniform brightness/contrast scaling and resolution;
+  *    flips few bits under small local edits.
+  *  - [[audioFingerprint64]] — energy-contour hash: the PCM clip is
+  *    cut into 65 equal frames, bit i = energy(i+1) > energy(i).
+  *    Gain-invariant (energy comparisons are scale-free) and
+  *    sample-rate tolerant at fixed duration.
+  *
+  * Both producers run as `mapPartitions` over executor-side JDK
+  * decoders (imageio / javax.sound) with the corrupt-payload drop
+  * policy of [[Multimodal]]; no driver row ever holds media bytes.
+  *
+  * Reference context: no media surface in the reference; training-
+  * pipeline extension (SURVEY §7.5 multimodal).
+  */
+object Fingerprint {
+
+  /** Max hamming radius the 8-band scheme is complete for. */
+  val MaxRadius = 7
+
+  /** Exact near-dup pairs among `bits`-bit fingerprints: every (id_a <
+    * id_b) pair with hamming distance ≤ `maxHamming`, provably equal
+    * to the brute-force O(n²) scan when no hot-bucket cap engages
+    * (pigeonhole over the 8 disjoint bands of bits/8 bits each).
+    * `maxHamming` must be ≤ [[MaxRadius]]; a larger radius needs more
+    * bands (16 nibble bands reach 15) — not needed for near-dup work,
+    * where ≥ 8 differing bits IS a different image. 64-bit hashes get
+    * 256-value byte bands (the scale path); 32-bit hashes (SimHash)
+    * get 16-value nibble bands, where the hot-bucket cap carries more
+    * of the load. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 6, maxBucket: Int = Dedup.MaxBucket,
+      what: String = "hammingNearDup", bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= MaxRadius,
+      s"8-band join is complete only to radius $MaxRadius, got $maxHamming")
+    require(bits % 8 == 0 && bits > 0 && bits <= 64,
+      s"bits must be a positive multiple of 8 up to 64, got $bits")
+    val w = bits / 8
+    val mask = (1L << w) - 1
+    val bands = hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"), posexplode(array(
+        (0 until 8).map(i => shiftright(col("h"), i * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("pos", "band")))
+    val capped = Dedup.dropHotBuckets(bands, Seq("pos", "band"), maxBucket, what)
+    capped.select(col("pos"), col("band"), col("id").as("id_a"), col("h").as("h_a"))
+      .join(capped.select(col("pos"), col("band"), col("id").as("id_b"), col("h").as("h_b")),
+        Seq("pos", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b")
+      .distinct() // a pair may collide in several bands; h is id-determined
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Difference hash of each decodable image payload: (doc_id, dhash).
+    * Undecodable payloads are dropped. */
+  def dHash64(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (src == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, 9, 8, null)
+            g.dispose()
+            val px = dst.getRGB(0, 0, 9, 8, null, 0, 9)
+            // integer Rec.601 luma — deterministic across JVMs
+            def gray(x: Int, y: Int): Int = {
+              val rgb = px(y * 9 + x)
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+            }
+            var h = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Some((r.doc_id, h))
+          }
+        } catch { case _: Exception => None }
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Energy-contour fingerprint of each decodable audio payload:
+    * (doc_id, ahash). The clip is cut into 65 equal sample frames;
+    * bit i compares adjacent frame energies. Clips with fewer than 65
+    * samples are dropped (no stable contour). */
+  def audioFingerprint64(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val data = ais.readAllBytes()
+            val big = fmt.isBigEndian
+            val signed8 = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val samples: Array[Double] =
+              if (bits == 16) {
+                val n = data.length / 2
+                val out = new Array[Double](n)
+                var i = 0
+                while (i < n) {
+                  val lo = data(if (big) 2 * i + 1 else 2 * i) & 0xff
+                  val hi = data(if (big) 2 * i else 2 * i + 1)
+                  out(i) = ((hi << 8) | lo).toShort / 32768.0
+                  i += 1
+                }
+                out
+              } else {
+                val out = new Array[Double](data.length)
+                var i = 0
+                while (i < data.length) {
+                  out(i) = (if (signed8) data(i).toDouble
+                            else (data(i) & 0xff) - 128.0) / 128.0
+                  i += 1
+                }
+                out
+              }
+            if (samples.length < 65) None
+            else {
+              val energies = new Array[Double](65)
+              var f = 0
+              while (f < 65) {
+                val from = (samples.length.toLong * f / 65).toInt
+                val to = (samples.length.toLong * (f + 1) / 65).toInt
+                var s = 0.0
+                var i = from
+                while (i < to) { s += samples(i) * samples(i); i += 1 }
+                energies(f) = s
+                f += 1
+              }
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (energies(i + 1) > energies(i)) h |= 1L << i
+                i += 1
+              }
+              Some((r.doc_id, h))
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+}

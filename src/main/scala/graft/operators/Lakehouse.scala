@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance for the copy-on-write versioned stores the streaming
+  * operators maintain ([[graft.streaming.DocStreams.dedupIngest]],
+  * [[graft.streaming.EventStreams.scd2Maintain]]) and for plain
+  * parquet table dirs ([[graft.sinks.ParquetFhirStore]]).
+  *
+  * A standing ingest writes one full version dir per micro-batch under
+  * an atomic CURRENT pointer — correct (readers never see half-written
+  * state) but unbounded: version dirs accumulate forever, and each
+  * version's file count tracks the writing job's parallelism, not the
+  * data (the small-file problem — at 100 TB a day of 1-minute batches
+  * is 1440 versions × shuffle-partitions files, and a scan pays an
+  * object-store round trip per file). The two standard lakehouse
+  * maintenance jobs close both:
+  *
+  *  - [[vacuum]]: delete version dirs past a retention count. CURRENT
+  *    is never deleted regardless of age, so an in-flight reader
+  *    pinned on it cannot lose its files; older pinned readers are
+  *    protected by the retention window, exactly the contract Delta
+  *    and Iceberg document for their vacuum/expire-snapshots.
+  *  - [[compactCurrent]] / [[compactDir]]: rewrite a table's files to
+  *    a target size. Versioned stores compact copy-on-write — the
+  *    rewrite lands as a NEW version (`v<id>c<n>`, same batch id) and
+  *    CURRENT swings only after the write completes, so compaction is
+  *    invisible to readers and crash-safe like any other fold; the
+  *    old version stays behind for vacuum. Flat dirs (the FhirStore
+  *    lakehouse target) rewrite through a tmp dir + swap with a
+  *    row-count guard before the swap.
+  *
+  * All paths go through the Hadoop [[FileSystem]] API, so the same
+  * code runs against local disk (tests), HDFS, or an object store —
+  * with the documented caveat that dir renames are atomic only where
+  * the store makes them so; on S3-like stores the CURRENT pointer
+  * file remains the real commit point, which is why every mutation
+  * here completes its writes before touching CURRENT.
+  *
+  * No counterpart in the reference (it writes row-at-a-time to a FHIR
+  * server); this is the operational half of the §7 lakehouse sink
+  * extension.
+  */
+object Lakehouse {
+
+  /** Version dir names: `v<batchId>` as written by the streaming
+    * folds, or `v<batchId>c<gen>` for the gen-th compacted rewrite of
+    * that batch's state. Ordering is (batchId, gen): a compacted
+    * rewrite is strictly newer than its source but older than the
+    * next batch. */
+  private val VerName = "^v(\\d+)(?:c(\\d+))?$".r
+
+  /** (batchId, compactionGen) for a well-formed version name. */
+  def versionKey(name: String): Option[(Long, Long)] = name match {
+    case VerName(id, gen) =>
+      Some((id.toLong, if (gen == null) 0L else gen.toLong))
+    case _ => None
+  }
+
+  /** Does `verName` carry the state of batch `batchId` (directly or as
+    * a compacted rewrite)? The idempotent-replay check in
+    * `dedupIngest` uses this so a replayed batch is still skipped when
+    * a compaction ran between the CURRENT swing and the crash. */
+  def sameBatch(verName: String, batchId: Long): Boolean =
+    versionKey(verName).exists(_._1 == batchId)
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+    val f = fs(spark, tableDir)
+    val cur = new Path(tableDir, "CURRENT")
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Well-formed version dirs under `tableDir`, oldest first. */
+  def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => versionKey(n).map(k => (k, n)))
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
+  /** Delete version dirs beyond the newest `keep`, never CURRENT.
+    * Returns the deleted names. `keep` is clamped to ≥ 1 — a store
+    * with no versions is not a store. */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val all = listVersions(spark, tableDir)
+    val cur = currentVersion(spark, tableDir)
+    val retained = all.takeRight(math.max(keep, 1)).toSet ++ cur.toSet
+    val doomed = all.filterNot(retained)
+    doomed.foreach(n => f.delete(new Path(tableDir, n), true))
+    doomed
+  }
+
+  final case class CompactStats(path: String, filesBefore: Int,
+      filesAfter: Int, bytes: Long)
+
+  private def parquetFiles(f: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    f.listStatus(dir).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Target file count for `bytes` of data currently in `files` files:
+    * merge-only (never split a table into MORE files than it has). */
+  private def targetFiles(bytes: Long, files: Int, targetBytes: Long): Int =
+    math.max(1, math.min(files.toLong, (bytes + targetBytes - 1) / targetBytes)).toInt
+
+  /** Rewrite the parquet dir at `src` into `dst` with ~`targetBytes`
+    * files. `coalesce` (not `repartition`) — compaction must not pay a
+    * shuffle: each output task concatenates whole input splits. */
+  private def rewrite(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long): CompactStats = {
+    val f = fs(spark, src)
+    val before = parquetFiles(f, new Path(src))
+    val bytes = before.map(_.getLen).sum
+    val n = targetFiles(bytes, before.size, targetBytes)
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    CompactStats(src, before.size, parquetFiles(f, new Path(dst)).size, bytes)
+  }
+
+  /** Compact a flat parquet table dir in place: rewrite through a tmp
+    * dir, guard on row count, then swap (old dir kept as `.bak` until
+    * the swap lands). Returns the stats; a no-op (already ≤ target
+    * count) returns stats with filesAfter == filesBefore and touches
+    * nothing. */
+  def compactDir(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    val f = fs(spark, dir)
+    val before = parquetFiles(f, new Path(dir))
+    val bytes = before.map(_.getLen).sum
+    val n = targetFiles(bytes, before.size, targetBytes)
+    if (n >= before.size)
+      return CompactStats(dir, before.size, before.size, bytes)
+    val tmp = dir + ".compact"
+    val rowsBefore = spark.read.parquet(dir).count()
+    val stats = rewrite(spark, dir, tmp, targetBytes)
+    val rowsAfter = spark.read.parquet(tmp).count()
+    require(rowsAfter == rowsBefore,
+      s"compaction row-count mismatch at $dir: $rowsBefore -> $rowsAfter")
+    val bak = new Path(dir + ".bak")
+    f.delete(bak, true)
+    f.rename(new Path(dir), bak)
+    f.rename(new Path(tmp), new Path(dir))
+    f.delete(bak, true)
+    stats
+  }
+
+  /** Copy-on-write compaction of a versioned store's CURRENT version:
+    * every parquet subtable (or the version dir itself when it is a
+    * flat table, as `scd2Maintain` writes) is rewritten to ~
+    * `targetBytes` files inside a NEW version dir `v<id>c<gen+1>`,
+    * and CURRENT swings only after all subtables land. Readers pinned
+    * on the old version keep their files (vacuum owns their
+    * retirement); a crash before the swing leaves CURRENT — and the
+    * store — untouched. */
+  def compactCurrent(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20): (String, Seq[CompactStats]) = {
+    val curName = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val (id, gen) = versionKey(curName).getOrElse(
+      throw new IllegalStateException(s"unparseable CURRENT version '$curName'"))
+    val nextName = s"v${id}c${gen + 1}"
+    val f = fs(spark, tableDir)
+    val curDir = new Path(tableDir, curName)
+    val subtables = f.listStatus(curDir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val stats =
+      if (subtables.isEmpty)
+        Seq(rewrite(spark, new Path(tableDir, curName).toString,
+          new Path(tableDir, nextName).toString, targetBytes))
+      else subtables.map { t =>
+        rewrite(spark, new Path(curDir, t).toString,
+          new Path(tableDir, s"$nextName/$t").toString, targetBytes)
+      }
+    val tmp = new Path(tableDir, "CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(tableDir, "CURRENT"))) {
+      // local/HDFS rename refuses to clobber; replace explicitly
+      f.delete(new Path(tableDir, "CURRENT"), false)
+      f.rename(tmp, new Path(tableDir, "CURRENT"))
+    }
+    (nextName, stats)
+  }
+}

@@ -1224,6 +1224,43 @@ object SimilarityStreamQueries {
              |1 + octet_length(encode(text)) % 16 AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ── Image near-dup end-to-end: deterministic PNGs are synthesized
+    //    on executors (four doc_ids share each noise seed — planted
+    //    exact-duplicate images), decoded through the REAL imageio
+    //    dHash (9×8 bilinear grayscale gradient → 64-bit), and paired
+    //    by the pigeonhole-complete 8-band hamming join. No SQL oracle
+    //    (an image decoder is not SQL-expressible) → rows-only check;
+    //    FingerprintSpec proves the join == brute force and the hash
+    //    invariances. ──
+    QueryDef(
+      "mm_image_neardup",
+      "synthesized PNGs -> real imageio dHash -> exact hamming near-dup pairs",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 160).as[Long].map { id =>
+            val seed = (id % 40L).toInt
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                val g = ((seed * 1000003 + x * 9176 + y * 31) % 256 + 256) % 256
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "image/png")
+          }
+        graft.operators.Fingerprint.hammingNearDupPairs(
+          graft.operators.Fingerprint.dHash64(s, media), "doc_id", "dhash", 6)
+      },
+      None),
+
     // ── Tumbling-window aggregation over the event stream ──
     QueryDef(
       "ev_window_tumbling",

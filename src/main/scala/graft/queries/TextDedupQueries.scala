@@ -1717,6 +1717,40 @@ object TextDedupQueries {
               |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
               |FROM th""".stripMargin)),
 
+    // ── Exact hamming near-dup pairs over the SimHash: 8 disjoint
+    //    bands, pigeonhole-complete to radius 7 (≤ 7 differing bits
+    //    cannot touch all 8 bands, so some band matches exactly) — a
+    //    band-keyed equi-join + bit_count rescore, never an all-pairs
+    //    scan. The hot-band cap is mirrored in the oracle (QUALIFY),
+    //    like the sim_probe_recall contract; the 64-bit twin of this
+    //    join serves the image/audio fingerprints (FingerprintSpec
+    //    proves == brute force at every radius). ──
+    QueryDef(
+      "dedup_simhash_hamming",
+      "hamming<=3 SimHash pairs via pigeonhole-complete 8-band join",
+      (s, d) => graft.operators.Fingerprint.hammingNearDupPairs(
+        Dedup.simhash(t(s, d, "documents"), "text", "doc_id"),
+        "doc_id", "simhash", maxHamming = 3, bits = 32),
+      Some(s"""WITH th AS (SELECT doc_id,
+              |  list_transform(regexp_split_to_array(trim($dkClean), '\\s+'), t -> ${dkPoly("t")}) AS h
+              |  FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT, range(0, 32)), (acc, b) -> acc +
+              |    CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
+              |      (s2, x) -> s2 + CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              |FROM th),
+              |bands AS (SELECT doc_id, simhash, i AS pos, (simhash >> (4 * i)) & 15 AS band
+              |  FROM sh, range(0, 8) t(i)),
+              |ok AS (SELECT * FROM bands
+              |  QUALIFY count(*) OVER (PARTITION BY pos, band) <= ${Dedup.MaxBucket}),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.simhash AS ha, b.simhash AS hb
+              |  FROM ok a JOIN ok b ON a.pos = b.pos AND a.band = b.band
+              |    AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+              |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)),
+
     // ── Positional PHRASE search: exact multi-word occurrences via a
     //    positional inverted index — the precise form of benchmark
     //    decontamination (n-gram containment flags fuzzy overlap; this

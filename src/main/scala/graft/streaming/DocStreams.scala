@@ -59,12 +59,13 @@ object DocStreams {
           else None
         // Idempotent replay: a failure between the atomic CURRENT swing
         // and the streaming commit re-delivers this batch id. CURRENT
-        // already naming v$id means the fold for exactly this batch
-        // committed all three tables — re-running would lazily read
-        // $tableDir/v$id while overwriting the same directories
-        // (rejected or corrupting). Skip: the store already holds this
-        // batch's fold, bit-for-bit.
-        if (!ver.contains(s"v$id")) {
+        // already naming this batch's state (v$id, or a compacted
+        // rewrite v${id}cN of it — Lakehouse.compactCurrent keeps the
+        // batch id) means the fold committed all three tables —
+        // re-running would lazily read the current version while
+        // overwriting the same directories (rejected or corrupting).
+        // Skip: the store already holds this batch's fold, bit-for-bit.
+        if (!ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) {
 
         def stored(t: String): Option[DataFrame] =
           ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))

@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Fingerprint, Multimodal}
+
+/** Perceptual-fingerprint dedup for images and audio: the 8-band
+  * hamming join is EXACT (== brute force) to radius 7, dHash is
+  * invariant under brightness scaling and analytic re-rendering at a
+  * different resolution, the audio energy contour is gain-invariant,
+  * and degenerate fingerprints fall under the hot-bucket cap. */
+class FingerprintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def bruteForce(hashes: Map[Long, Long], maxH: Int): Set[(Long, Long, Int)] = {
+    val ids = hashes.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      d = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if d <= maxH
+    } yield (ids(i), ids(j), d)).toSet
+  }
+
+  private def bandedPairs(hashes: Map[Long, Long], maxH: Int,
+      maxBucket: Int = 100000): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    val df = hashes.toSeq.toDF("id", "h")
+    Fingerprint.hammingNearDupPairs(df, "id", "h", maxH, maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("8-band hamming join equals brute force at every radius 0..7") {
+    val rnd = new scala.util.Random(42)
+    // 40 random hashes + planted clusters at controlled distances
+    val base = (0L until 40L).map(i => i -> rnd.nextLong()).toMap
+    var next = 100L
+    val planted = base.take(8).flatMap { case (_, h) =>
+      (1 to 3).map { k =>
+        var v = h
+        // flip k random distinct bits
+        rnd.shuffle((0 until 64).toList).take(k).foreach(b => v ^= 1L << b)
+        next += 1; next -> v
+      }
+    }
+    val all = base ++ planted ++ Map(200L -> base(0L), 201L -> base(0L)) // exact dupes
+    for (r <- Seq(0, 3, 6, 7)) {
+      assert(bandedPairs(all, r) === bruteForce(all, r), s"radius $r")
+    }
+    assert(bruteForce(all, 0).nonEmpty) // the exact dupes
+    intercept[IllegalArgumentException](
+      Fingerprint.hammingNearDupPairs(
+        spark.range(1).selectExpr("id", "id as h"), "id", "h", 8))
+  }
+
+  test("hot fingerprint buckets are capped like every other bucket join") {
+    // 10 identical hashes: every band bucket is hot at cap 5 -> no pairs
+    val pile = (0L until 10L).map(i => i -> 0x1234567890abcdefL).toMap
+    // plus a clean near-dup pair away from the pile, which must survive
+    val clean = Map(50L -> 0x0f0f0f0f0f0f0f0fL, 51L -> 0x0f0f0f0f0f0f0f1fL)
+    val got = bandedPairs(pile ++ clean, 6, maxBucket = 5)
+    assert(got === Set((50L, 51L, 1)))
+  }
+
+  private def pngBytes(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = pix(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: brightness-invariant, resolution-tolerant, exact copies collide") {
+    import spark.implicits._
+    // smooth horizontal gradient with steps large enough that halving
+    // the brightness preserves every strict gray comparison
+    def grad(w: Int)(x: Int, y: Int): Int = math.min(255, x * 256 / w)
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(64, 64)(grad(64)), "image/png"),
+      Multimodal.MediaRow(2L, pngBytes(64, 64)((x, y) => grad(64)(x, y) / 2), "image/png"),
+      Multimodal.MediaRow(3L, pngBytes(128, 128)(grad(128)), "image/png"),
+      Multimodal.MediaRow(4L, pngBytes(64, 64)(grad(64)), "image/png"), // exact copy of 1
+      Multimodal.MediaRow(5L, "not an image".getBytes, "image/png"),    // dropped
+      Multimodal.MediaRow(6L, pngBytes(64, 64)((x, y) => ((x * 37 + y * 91) % 251)), "image/png")
+    ).toDS()
+    val hashes = Fingerprint.dHash64(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L, 6L)) // corrupt payload dropped
+    assert(hashes(1L) === hashes(4L)) // exact copy
+    assert(hashes(1L) === hashes(2L)) // half brightness: same gradient signs
+    assert(hashes(1L) === hashes(3L)) // same image analytically re-rendered at 2x
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(6L)) > 7) // different content
+  }
+
+  test("image near-dup end-to-end: banded pairs equal brute force over real decodes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise(seed: Int)(x: Int, y: Int): Int = {
+      val r = new scala.util.Random(seed * 1000003 + x * 9176 + y * 31)
+      r.nextInt(256)
+    }
+    val rows =
+      (0 until 20).map(i => Multimodal.MediaRow(i.toLong, pngBytes(32, 32)(noise(i)), "image/png")) ++
+      Seq(
+        Multimodal.MediaRow(100L, pngBytes(32, 32)(noise(3)), "image/png"),  // copy of 3
+        Multimodal.MediaRow(101L, pngBytes(32, 32)(noise(11)), "image/png")) // copy of 11
+    val hashes = Fingerprint.dHash64(spark, rows.toDS())
+    val hmap = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Fingerprint.hammingNearDupPairs(hashes, "doc_id", "dhash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === bruteForce(hmap, 6))
+    assert(got.contains((3L, 100L, 0)) && got.contains((11L, 101L, 0)))
+  }
+
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint: gain-invariant, envelope-sensitive, banded join exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // per-frame square-wave amplitudes (all divisible by 4, so a 0.5x
+    // gain is exact integer PCM and frame energies scale by exactly 1/4)
+    def clip(seed: Int, gainShift: Int): Array[Short] = {
+      val r = new scala.util.Random(seed)
+      val amps = Array.fill(65)((r.nextInt(60) + 4) * 4)
+      val out = new Array[Short](65 * 100)
+      for (f <- 0 until 65; i <- 0 until 100) {
+        val a = amps(f) >> gainShift
+        out(f * 100 + i) = (if (i % 2 == 0) a else -a).toShort
+      }
+      out
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, wavBytes(clip(1, 0)), "audio/wav"),
+      Multimodal.MediaRow(2L, wavBytes(clip(1, 1)), "audio/wav"), // same envelope, half gain
+      Multimodal.MediaRow(3L, wavBytes(clip(2, 0)), "audio/wav"), // different envelope
+      Multimodal.MediaRow(4L, wavBytes(Array.fill(10)(100.toShort)), "audio/wav"), // too short
+      Multimodal.MediaRow(5L, "junk".getBytes, "audio/wav")
+    ).toDS()
+    val hashes = Fingerprint.audioFingerprint64(spark, media)
+    val hmap = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hmap.keySet === Set(1L, 2L, 3L))
+    assert(hmap(1L) === hmap(2L)) // gain-invariant
+    assert(hmap(1L) !== hmap(3L))
+    val got = Fingerprint.hammingNearDupPairs(hashes, "doc_id", "ahash", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === bruteForce(hmap, 4))
+    assert(got.contains((1L, 2L, 0)))
+  }
+}

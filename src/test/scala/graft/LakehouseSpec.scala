@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Lakehouse
+
+/** Maintenance jobs for the versioned copy-on-write stores: vacuum
+  * retention (CURRENT never deleted), merge-only small-file
+  * compaction (content-preserving, shuffle-free), and copy-on-write
+  * compaction of a live dedup-ingest store that keeps the
+  * idempotent-replay contract intact. */
+class LakehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("version names parse and order; compacted rewrites keep the batch id") {
+    assert(Lakehouse.versionKey("v0") === Some((0L, 0L)))
+    assert(Lakehouse.versionKey("v12") === Some((12L, 0L)))
+    assert(Lakehouse.versionKey("v12c3") === Some((12L, 3L)))
+    assert(Lakehouse.versionKey("CURRENT") === None)
+    assert(Lakehouse.versionKey("v1.parquet") === None)
+    assert(Lakehouse.sameBatch("v7", 7L))
+    assert(Lakehouse.sameBatch("v7c2", 7L))
+    assert(!Lakehouse.sameBatch("v7c2", 2L))
+    assert(!Lakehouse.sameBatch("v70", 7L))
+  }
+
+  private def mkStore(versions: Seq[String], current: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    versions.foreach { v =>
+      Seq((1L, v)).toDF("id", "ver").write.parquet(s"$dir/$v/t")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/CURRENT"),
+      current.getBytes("UTF-8"))
+    dir
+  }
+
+  test("vacuum keeps the newest N versions and never deletes CURRENT") {
+    val dir = mkStore(Seq("v0", "v1", "v2", "v2c1", "v3"), "v3")
+    val deleted = Lakehouse.vacuum(spark, dir, keep = 2)
+    assert(deleted === Seq("v0", "v1", "v2"))
+    assert(Lakehouse.listVersions(spark, dir) === Seq("v2c1", "v3"))
+    // CURRENT pinned on an OLD version survives keep=1
+    val dir2 = mkStore(Seq("v0", "v1", "v2"), "v0")
+    val deleted2 = Lakehouse.vacuum(spark, dir2, keep = 1)
+    assert(deleted2 === Seq("v1"))
+    assert(Lakehouse.listVersions(spark, dir2) === Seq("v0", "v2"))
+    // keep clamps to >= 1
+    val dir3 = mkStore(Seq("v0", "v1"), "v1")
+    Lakehouse.vacuum(spark, dir3, keep = 0)
+    assert(Lakehouse.listVersions(spark, dir3) === Seq("v1"))
+  }
+
+  test("compactDir merges small files, preserves content, and no-ops below target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    (1L to 1000L).toDF("id").withColumn("payload", col("id") * 7)
+      .repartition(16).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files() == 16)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stats = Lakehouse.compactDir(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore == 16 && stats.filesAfter == 1)
+    assert(files() == 1)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+    // already compact: second run touches nothing
+    val again = Lakehouse.compactDir(spark, dir, targetBytes = 1L << 30)
+    assert(again.filesBefore == 1 && again.filesAfter == 1)
+  }
+
+  test("compactDir is merge-only: a tiny target never splits into more files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    (1L to 100L).toDF("id").repartition(4).write.parquet(dir)
+    val stats = Lakehouse.compactDir(spark, dir, targetBytes = 1L)
+    assert(stats.filesAfter == stats.filesBefore) // no-op, never a split
+  }
+
+  test("copy-on-write compaction of a live dedup-ingest store: readers, replay, vacuum") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_ingest").toString
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (2L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.dedupIngest(mem.toDF().toDF("doc_id", "text"), tbl)
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    def current() = Lakehouse.currentVersion(spark, tbl).get
+    assert(current() == "v0")
+    def table(t: String) = spark.read.parquet(s"$tbl/${current()}/$t")
+      .collect().map(_.toSeq).toSet
+    val (bandsBefore, hashesBefore, clustersBefore) =
+      (table("bands"), table("hashes"), table("clusters"))
+
+    val (next, stats) = Lakehouse.compactCurrent(spark, tbl, targetBytes = 1L << 30)
+    assert(next == "v0c1" && current() == "v0c1")
+    assert(stats.map(_.path).size == 3) // bands, hashes, clusters
+    assert(stats.forall(_.filesAfter <= 1))
+    assert(table("bands") === bandsBefore)
+    assert(table("hashes") === hashesBefore)
+    assert(table("clusters") === clustersBefore)
+    // the pre-compaction version is still on disk for pinned readers…
+    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1"))
+    // …until vacuum retires it
+    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
+
+    // idempotent replay survives compaction: batch 0 re-delivered with
+    // CURRENT = v0c1 is still recognized as already-committed state
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DocStreams.dedupIngest(mem2.toDF().toDF("doc_id", "text"), tbl)
+    try { mem2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(current() == "v0c1")
+    assert(table("clusters") === clustersBefore)
+  }
+
+  test("flat versioned store (no subtables) compacts through a whole-version rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_flat").toString
+    (1L to 500L).toDF("id").repartition(8).write.parquet(s"$dir/v4")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/CURRENT"),
+      "v4".getBytes("UTF-8"))
+    val before = spark.read.parquet(s"$dir/v4").collect().map(_.getLong(0)).toSet
+    val (next, stats) = Lakehouse.compactCurrent(spark, dir, targetBytes = 1L << 30)
+    assert(next == "v4c1")
+    assert(stats.size == 1 && stats.head.filesBefore == 8 && stats.head.filesAfter == 1)
+    val after = spark.read.parquet(s"$dir/v4c1").collect().map(_.getLong(0)).toSet
+    assert(after === before)
+    // a second compaction stacks the generation, same batch id
+    val (next2, _) = Lakehouse.compactCurrent(spark, dir, targetBytes = 1L << 30)
+    assert(next2 == "v4c2" && Lakehouse.sameBatch(next2, 4L))
+  }
+}
