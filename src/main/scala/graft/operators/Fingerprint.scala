@@ -44,6 +44,23 @@ object Fingerprint {
   /** Max hamming radius the 8-band scheme is complete for. */
   val MaxRadius = 7
 
+  /** The 8 disjoint band projections of a fingerprint column:
+    * (id, h, pos, band) — one row per band. The probe/index frames of
+    * every hamming join, exposed so a standing index can persist its
+    * band table once and let batches join against it. */
+  def bandsOf(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64): DataFrame = {
+    require(bits % 8 == 0 && bits > 0 && bits <= 64,
+      s"bits must be a positive multiple of 8 up to 64, got $bits")
+    val w = bits / 8
+    val mask = (1L << w) - 1
+    hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"), posexplode(array(
+        (0 until 8).map(i => shiftright(col("h"), i * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("pos", "band")))
+  }
+
   /** Exact near-dup pairs among `bits`-bit fingerprints: every (id_a <
     * id_b) pair with hamming distance ≤ `maxHamming`, provably equal
     * to the brute-force O(n²) scan when no hot-bucket cap engages
@@ -59,16 +76,8 @@ object Fingerprint {
       what: String = "hammingNearDup", bits: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxRadius,
       s"8-band join is complete only to radius $MaxRadius, got $maxHamming")
-    require(bits % 8 == 0 && bits > 0 && bits <= 64,
-      s"bits must be a positive multiple of 8 up to 64, got $bits")
-    val w = bits / 8
-    val mask = (1L << w) - 1
-    val bands = hashes
-      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
-      .select(col("id"), col("h"), posexplode(array(
-        (0 until 8).map(i => shiftright(col("h"), i * w).bitwiseAND(lit(mask))): _*))
-        .as(Seq("pos", "band")))
-    val capped = Dedup.dropHotBuckets(bands, Seq("pos", "band"), maxBucket, what)
+    val capped = Dedup.dropHotBuckets(bandsOf(hashes, idCol, hashCol, bits),
+      Seq("pos", "band"), maxBucket, what)
     capped.select(col("pos"), col("band"), col("id").as("id_a"), col("h").as("h_a"))
       .join(capped.select(col("pos"), col("band"), col("id").as("id_b"), col("h").as("h_b")),
         Seq("pos", "band"))

@@ -66,7 +66,14 @@ object Lakehouse {
     versionKey(verName).exists(_._1 == batchId)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      // local runs: the checksummed view would reject CURRENT pointers
+      // written by the streaming folds' java.nio fast path (no .crc
+      // sidecar); the raw view matches what Spark's committers use.
+      // HDFS/object stores pass through untouched.
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
 
   def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
     val f = fs(spark, tableDir)

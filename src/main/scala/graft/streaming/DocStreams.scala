@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, Fingerprint, Lakehouse, Multimodal}
 
 /** Structured Streaming surface over the `documents` shape: the full
   * DEDUP-AT-INGEST pipeline as a standing, incrementally maintained
@@ -47,7 +47,8 @@ object DocStreams {
     * and the merge reads consistent state. */
   def dedupIngest(docStream: DataFrame, tableDir: String,
       threshold: Double = 0.8,
-      maxBucket: Int = Dedup.MaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucket: Int = Dedup.MaxBucket,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -114,6 +115,110 @@ object DocStreams {
         java.nio.file.Files.move(tmp.toPath, cur.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
+        }
+        ()
+      }
+      .start()
+
+  /** Post-commit auto-maintenance for the standing stores: every
+    * `compactEvery` batches, compact the just-committed version
+    * copy-on-write ([[Lakehouse.compactCurrent]] — lands as
+    * `v<id>c<n>`, so a replayed batch is still recognized by
+    * [[Lakehouse.sameBatch]]) and retire versions past `vacuumKeep`.
+    * Runs AFTER the CURRENT swing: a crash mid-maintenance loses only
+    * maintenance, never the fold. `compactEvery = 0` disables. */
+  private def maybeMaintain(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, batchId: Long, compactEvery: Int, vacuumKeep: Int): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      Lakehouse.compactCurrent(spark, tableDir)
+      Lakehouse.vacuum(spark, tableDir, vacuumKeep)
+    }
+
+  /** Perceptual dedup-at-ingest for MEDIA streams — the image/audio
+    * twin of [[dedupIngest]]: each micro-batch of
+    * `(doc_id, payload, mime)` rows is fingerprinted by `hasher`
+    * (default [[Fingerprint.dHash64]]; pass
+    * [[Fingerprint.audioFingerprint64]] for audio), candidate pairs
+    * are band-bucket collisions of the pigeonhole-complete 8-band
+    * split ([[Fingerprint.bandsOf]]) — batch-vs-store plus
+    * within-batch, per-side hot-band caps — rescored by exact
+    * `bit_count(xor)` ≤ `maxHamming`, and verified pairs fold into the
+    * cluster store via [[Components.mergeIncremental]]. Two
+    * copy-on-write tables under the atomic CURRENT pointer:
+    *
+    *   - `bands/` — (id, h, pos, band): the persisted band index new
+    *     batches probe (the hash rides along, so rescoring needs no
+    *     second store);
+    *   - `clusters/` — (id, component) duplicate-cluster labels.
+    *
+    * Per-batch work scales with the batch (band join + one map-side
+    * cap scan of the store), never with pair history; an N-batch
+    * replay equals the one-shot [[Fingerprint.hammingNearDupPairs]] →
+    * connected components clustering of the full corpus
+    * (equivalence-tested in FingerprintSpec). Same idempotent-replay
+    * and auto-maintenance contract as [[dedupIngest]]. */
+  def mediaDedupIngest(mediaStream: DataFrame, tableDir: String,
+      hasher: (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.Dataset[Multimodal.MediaRow]) => DataFrame =
+        Fingerprint.dHash64,
+      maxHamming: Int = 6,
+      maxBucket: Int = Dedup.MaxBucket,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ver = Lakehouse.currentVersion(spark, tableDir)
+        if (!ver.exists(Lakehouse.sameBatch(_, id))) {
+          def stored(t: String): Option[DataFrame] =
+            ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+          val media = batch
+            .select(col("doc_id").cast("long"), col("payload").cast("binary"),
+              col("mime").cast("string"))
+            .as[Multimodal.MediaRow]
+          val newBands = Fingerprint
+            .bandsOf(hasher(spark, media).toDF("id", "h"), "id", "h")
+            .localCheckpoint(true) // probed twice (cross + within) and written
+          val newCapped = Dedup.dropHotBuckets(newBands, Seq("pos", "band"),
+            maxBucket, s"mediaIngest_new_b$id")
+          def side(df: DataFrame, suf: String) = df.select(
+            col("pos"), col("band"), col("id").as(s"id_$suf"), col("h").as(s"h_$suf"))
+          val within = side(newCapped, "a").join(side(newCapped, "b"), Seq("pos", "band"))
+            .filter(col("id_a") < col("id_b"))
+          val cands = stored("bands") match {
+            case None => within
+            case Some(sb) =>
+              val oldCapped = Dedup.dropHotBuckets(sb, Seq("pos", "band"),
+                maxBucket, s"mediaIngest_old_b$id")
+              within.unionByName(
+                side(newCapped, "a").join(side(oldCapped, "b"), Seq("pos", "band")))
+          }
+          val pairs = cands
+            .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+            .select(col("id_a"), col("id_b"),
+              expr("bit_count(h_a ^ h_b)").cast("int").as("hamming"))
+            .filter(col("hamming") <= maxHamming)
+            .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"))
+          val clusters = stored("clusters") match {
+            case Some(st) => Components.mergeIncremental(st, pairs, "id_a", "id_b")
+            case None => Components.connectedComponents(pairs, "id_a", "id_b",
+              edgesDistinct = true)
+          }
+          val vdir = s"$tableDir/v$id"
+          stored("bands").map(_.unionByName(newBands)).getOrElse(newBands)
+            .write.mode("overwrite").parquet(s"$vdir/bands")
+          clusters.write.mode("overwrite").parquet(s"$vdir/clusters")
+          val f = new java.io.File(s"$tableDir/CURRENT.tmp")
+          java.nio.file.Files.write(f.toPath,
+            s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$tableDir/CURRENT").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
         }
         ()
       }

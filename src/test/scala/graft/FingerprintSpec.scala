@@ -115,6 +115,49 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got.contains((3L, 100L, 0)) && got.contains((11L, 101L, 0)))
   }
 
+  test("streaming media dedup-at-ingest equals one-shot clustering; auto-maintenance compacts and vacuums") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def noise(seed: Int)(x: Int, y: Int): Int =
+      ((seed * 1000003 + x * 9176 + y * 31) % 256 + 256) % 256
+    def img(id: Long, seed: Int) =
+      (id, pngBytes(32, 32)(noise(seed)), "image/png")
+    // batch 0: seeds 1,2,3 plus an exact copy of seed 1
+    // batch 1: a cross-batch copy of seed 2, a fresh seed 9, junk
+    val b0 = Seq(img(1L, 1), img(2L, 2), img(3L, 3), img(10L, 1))
+    val b1 = Seq(img(20L, 2), img(21L, 9), (22L, "junk".getBytes, "image/png"))
+    val tbl = java.nio.file.Files.createTempDirectory("graft_media_ingest").toString
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = graft.streaming.DocStreams.mediaDedupIngest(
+      mem.toDF().toDF("doc_id", "payload", "mime"), tbl,
+      compactEvery = 1, vacuumKeep = 1)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cur = graft.operators.Lakehouse.currentVersion(spark, tbl).get
+    assert(cur == "v1c1") // every batch compacted copy-on-write
+    // vacuum with keep=1 retired everything but the compacted head
+    assert(graft.operators.Lakehouse.listVersions(spark, tbl) === Seq("v1c1"))
+    val streamed = spark.read.parquet(s"$tbl/$cur/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-shot: hash the full corpus, exact hamming pairs, CC
+    val media = (b0 ++ b1).map { case (id, p, m) =>
+      Multimodal.MediaRow(id, p, m) }.toDS()
+    val oneShotPairs = Fingerprint.hammingNearDupPairs(
+      Fingerprint.dHash64(spark, media), "doc_id", "dhash", 6)
+    val oneShot = graft.operators.Components
+      .connectedComponents(oneShotPairs, "id_a", "id_b", edgesDistinct = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === oneShot)
+    // the planted copies actually clustered (1,10) and (2,20)
+    val byDoc = streamed.toMap
+    assert(byDoc(1L) === byDoc(10L))
+    assert(byDoc(2L) === byDoc(20L))
+    assert(!byDoc.contains(22L)) // corrupt payload dropped
+  }
+
   private def wavBytes(samples: Array[Short]): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val data = new Array[Byte](samples.length * 2)
