@@ -11,15 +11,19 @@ import graft.operators.Multimodal.MediaRow
   * A multimodal training corpus dedups images and audio the same way
   * it dedups text — by a compact content fingerprint robust to benign
   * re-encoding — but the candidate generation must never be all-pairs.
-  * For 64-bit fingerprints there is a classical exact trick: split the
-  * hash into 8 disjoint 8-bit bands. Two hashes within hamming
-  * distance ≤ 7 differ in at most 7 bit positions, which cannot touch
-  * all 8 bands, so AT LEAST ONE band matches exactly — a band-keyed
-  * equi-join finds every such pair (no LSH misses), and an exact
-  * `bit_count(xor)` rescore removes false candidates. The join
-  * shuffles on (band_idx, band_value) only; degenerate bands (the
-  * all-black thumbnail, digital silence) fall under the same absolute
-  * hot-bucket cap as every other bucket join in the repo
+  * For hamming radius r there is a classical exact scheme (the
+  * multi-index-hashing pigeonhole): split the hash into r+1 disjoint
+  * bands. ≤ r differing bits cannot touch all r+1 bands, so AT LEAST
+  * ONE band matches exactly — a band-keyed equi-join finds every such
+  * pair (no LSH misses), and an exact `bit_count(xor)` rescore removes
+  * false candidates. Using EXACTLY r+1 bands (not a fixed 8) makes
+  * each band as wide — and its value space as large — as the radius
+  * allows: radius 3 over 64 bits gives 4 bands of 65 536 values, so at
+  * N items the expected bucket is N/65 536 and candidate volume is
+  * ~N²/65 536 instead of the N²/256 a byte-banded split would pay.
+  * The join shuffles on (band_idx, band_value) only; degenerate bands
+  * (the all-black thumbnail, digital silence) fall under the same
+  * absolute hot-bucket cap as every other bucket join in the repo
   * ([[Dedup.dropHotBuckets]]).
   *
   * Fingerprint producers:
@@ -41,42 +45,49 @@ import graft.operators.Multimodal.MediaRow
   */
 object Fingerprint {
 
-  /** Max hamming radius the 8-band scheme is complete for. */
-  val MaxRadius = 7
-
-  /** The 8 disjoint band projections of a fingerprint column:
-    * (id, h, pos, band) — one row per band. The probe/index frames of
-    * every hamming join, exposed so a standing index can persist its
-    * band table once and let batches join against it. */
+  /** The disjoint band projections of a fingerprint column:
+    * (id, h, pos, band) — one row per band, `nBands` bands splitting
+    * the low `bits` bits into near-equal contiguous chunks (the low
+    * bands get the extra bit when it doesn't divide evenly). The
+    * probe/index frames of every hamming join, exposed so a standing
+    * index can persist its band table once and let batches join
+    * against it — the band scheme (nBands, bits) is part of a
+    * persisted index's on-disk contract. */
   def bandsOf(hashes: DataFrame, idCol: String, hashCol: String,
-      bits: Int = 64): DataFrame = {
-    require(bits % 8 == 0 && bits > 0 && bits <= 64,
-      s"bits must be a positive multiple of 8 up to 64, got $bits")
-    val w = bits / 8
-    val mask = (1L << w) - 1
+      bits: Int = 64, nBands: Int = 8): DataFrame = {
+    require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+    require(nBands > 0 && nBands <= bits,
+      s"need 1..$bits bands for a $bits-bit hash, got $nBands")
+    val base = bits / nBands
+    val rem = bits % nBands
+    // band i covers width_i = base (+1 for the first `rem` bands) bits
+    val offsets = (0 until nBands).scanLeft(0) { (off, i) =>
+      off + base + (if (i < rem) 1 else 0)
+    }
+    val slices = (0 until nBands).map { i =>
+      val w = offsets(i + 1) - offsets(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftright(col("h"), offsets(i)).bitwiseAND(lit(mask))
+    }
     hashes
       .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
-      .select(col("id"), col("h"), posexplode(array(
-        (0 until 8).map(i => shiftright(col("h"), i * w).bitwiseAND(lit(mask))): _*))
-        .as(Seq("pos", "band")))
+      .select(col("id"), col("h"), posexplode(array(slices: _*)).as(Seq("pos", "band")))
   }
 
   /** Exact near-dup pairs among `bits`-bit fingerprints: every (id_a <
     * id_b) pair with hamming distance ≤ `maxHamming`, provably equal
     * to the brute-force O(n²) scan when no hot-bucket cap engages
-    * (pigeonhole over the 8 disjoint bands of bits/8 bits each).
-    * `maxHamming` must be ≤ [[MaxRadius]]; a larger radius needs more
-    * bands (16 nibble bands reach 15) — not needed for near-dup work,
-    * where ≥ 8 differing bits IS a different image. 64-bit hashes get
-    * 256-value byte bands (the scale path); 32-bit hashes (SimHash)
-    * get 16-value nibble bands, where the hot-bucket cap carries more
-    * of the load. */
+    * (pigeonhole over maxHamming+1 disjoint bands). The band count
+    * adapts to the radius so each band keeps the largest value space
+    * the radius allows; `maxHamming` must leave bands at least one bit
+    * wide (< `bits`). */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 6, maxBucket: Int = Dedup.MaxBucket,
       what: String = "hammingNearDup", bits: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= MaxRadius,
-      s"8-band join is complete only to radius $MaxRadius, got $maxHamming")
-    val capped = Dedup.dropHotBuckets(bandsOf(hashes, idCol, hashCol, bits),
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"radius must be in 0..${bits - 1} for a $bits-bit hash, got $maxHamming")
+    val capped = Dedup.dropHotBuckets(
+      bandsOf(hashes, idCol, hashCol, bits, nBands = maxHamming + 1),
       Seq("pos", "band"), maxBucket, what)
     capped.select(col("pos"), col("band"), col("id").as("id_a"), col("h").as("h_a"))
       .join(capped.select(col("pos"), col("band"), col("id").as("id_b"), col("h").as("h_b")),

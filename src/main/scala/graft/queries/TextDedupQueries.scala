@@ -1717,9 +1717,9 @@ object TextDedupQueries {
               |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
               |FROM th""".stripMargin)),
 
-    // ── Exact hamming near-dup pairs over the SimHash: 8 disjoint
-    //    bands, pigeonhole-complete to radius 7 (≤ 7 differing bits
-    //    cannot touch all 8 bands, so some band matches exactly) — a
+    // ── Exact hamming near-dup pairs over the SimHash: radius+1 = 4
+    //    disjoint 8-bit bands, pigeonhole-complete (≤ 3 differing bits
+    //    cannot touch all 4 bands, so some band matches exactly) — a
     //    band-keyed equi-join + bit_count rescore, never an all-pairs
     //    scan. The hot-band cap is mirrored in the oracle (QUALIFY),
     //    like the sim_probe_recall contract; the 64-bit twin of this
@@ -1740,8 +1740,8 @@ object TextDedupQueries {
               |      (s2, x) -> s2 + CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
               |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
               |FROM th),
-              |bands AS (SELECT doc_id, simhash, i AS pos, (simhash >> (4 * i)) & 15 AS band
-              |  FROM sh, range(0, 8) t(i)),
+              |bands AS (SELECT doc_id, simhash, i AS pos, (simhash >> (8 * i)) & 255 AS band
+              |  FROM sh, range(0, 4) t(i)),
               |ok AS (SELECT * FROM bands
               |  QUALIFY count(*) OVER (PARTITION BY pos, band) <= ${Dedup.MaxBucket}),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

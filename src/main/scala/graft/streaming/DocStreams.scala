@@ -179,7 +179,8 @@ object DocStreams {
               col("mime").cast("string"))
             .as[Multimodal.MediaRow]
           val newBands = Fingerprint
-            .bandsOf(hasher(spark, media).toDF("id", "h"), "id", "h")
+            .bandsOf(hasher(spark, media).toDF("id", "h"), "id", "h",
+              nBands = maxHamming + 1) // fixed per store: the on-disk band scheme
             .localCheckpoint(true) // probed twice (cross + within) and written
           val newCapped = Dedup.dropHotBuckets(newBands, Seq("pos", "band"),
             maxBucket, s"mediaIngest_new_b$id")

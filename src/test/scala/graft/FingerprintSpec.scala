@@ -29,7 +29,7 @@ class FingerprintSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
   }
 
-  test("8-band hamming join equals brute force at every radius 0..7") {
+  test("adaptive-band hamming join equals brute force across radii") {
     val rnd = new scala.util.Random(42)
     // 40 random hashes + planted clusters at controlled distances
     val base = (0L until 40L).map(i => i -> rnd.nextLong()).toMap
@@ -43,13 +43,15 @@ class FingerprintSpec extends AnyFunSuite {
       }
     }
     val all = base ++ planted ++ Map(200L -> base(0L), 201L -> base(0L)) // exact dupes
-    for (r <- Seq(0, 3, 6, 7)) {
+    // r+1 bands each time: 1 band (pure equality join) through 11
+    for (r <- Seq(0, 3, 6, 7, 10)) {
       assert(bandedPairs(all, r) === bruteForce(all, r), s"radius $r")
     }
     assert(bruteForce(all, 0).nonEmpty) // the exact dupes
+    // a radius that leaves no band a single bit is rejected
     intercept[IllegalArgumentException](
       Fingerprint.hammingNearDupPairs(
-        spark.range(1).selectExpr("id", "id as h"), "id", "h", 8))
+        spark.range(1).selectExpr("id", "id as h"), "id", "h", 64))
   }
 
   test("hot fingerprint buckets are capped like every other bucket join") {

@@ -482,6 +482,16 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hamming near-dup: band-keyed equi-join, no cartesian, no sort-merge") {
+    val p = plan("dedup_simhash_hamming")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the pair join is HASH-keyed on the (pos, band) bucket key —
+    // broadcast at fixture size, shuffle-hash on the same key at scale
+    // — never the raw hash or an unkeyed product
+    assert(p.contains("HashJoin [pos"), p)
+  }
+
   test("basket pair self-join is a keyed equi-join; total count reaches pairs by broadcast") {
     val p = plan("basket_pair_support")
     assert(!p.contains("CartesianProduct"), p)
