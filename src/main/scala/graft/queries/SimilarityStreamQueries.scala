@@ -647,6 +647,60 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkIvfCtes
               |SELECT vec_id, cell FROM rk WHERE rn = 1""".stripMargin)),
 
+    // ── Embedding-distribution drift gate: the "retrain the coarse
+    //    quantizer?" signal. Baseline vs batch (even/odd vec_id — the
+    //    standing corpus vs the new crawl) are profiled by their
+    //    trained-cell assignment counts; a >20% move in any cell's
+    //    SHARE of its corpus — decided by integer cross-multiplication
+    //    (DECIMAL(38,0)/HUGEINT products: at 1e9 vectors n·T exceeds
+    //    BIGINT), never a float ratio — plus new/emptied-cell flags
+    //    from the full-outer join. Both profiles are K-row map-side
+    //    aggregates off the existing assignment, so the gate costs two
+    //    groupBys at any corpus size — the embedding twin of
+    //    profile_drift_lang. ──
+    QueryDef(
+      "profile_drift_cells",
+      "baseline-vs-batch IVF cell-assignment profile: counts, >20% share drift, new/emptied flags",
+      (s, d) => {
+        val asg = ivfCells(s, d).select(col("vec_id"), col("cell"))
+        def prof(even: Boolean, n: String) = asg
+          .filter(pmod(col("vec_id"), lit(2)) === (if (even) 0 else 1))
+          .groupBy("cell").agg(count(lit(1)).as(n))
+        val base = prof(even = true, "n_base")
+        val batch = prof(even = false, "n_batch")
+        val totals = asg.agg(
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("t_base"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("t_batch"))
+        base.join(batch, Seq("cell"), "full")
+          .crossJoin(broadcast(totals)) // 1-row aggregate broadcast
+          .select(col("cell"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            col("n_base").isNull.cast("int").as("cell_new"),
+            col("n_batch").isNull.cast("int").as("cell_gone"),
+            (coalesce(col("n_base"), lit(0L)) > 0 &&
+              coalesce(col("n_batch"), lit(0L)) > 0 &&
+              abs(col("n_batch").cast("decimal(38,0)") * col("t_base") -
+                  col("n_base").cast("decimal(38,0)") * col("t_batch")) * 5 >
+                col("n_base").cast("decimal(38,0)") * col("t_batch"))
+              .cast("int").as("share_drift"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+              |a AS (SELECT cell, count(*) AS n_base FROM asg WHERE vec_id % 2 = 0 GROUP BY 1),
+              |b AS (SELECT cell, count(*) AS n_batch FROM asg WHERE vec_id % 2 = 1 GROUP BY 1),
+              |ta AS (SELECT count(*) AS t_base FROM asg WHERE vec_id % 2 = 0),
+              |tb AS (SELECT count(*) AS t_batch FROM asg WHERE vec_id % 2 = 1)
+              |SELECT coalesce(a.cell, b.cell) AS cell,
+              |  coalesce(n_base, 0)::BIGINT AS n_base,
+              |  coalesce(n_batch, 0)::BIGINT AS n_batch,
+              |  (a.cell IS NULL)::INT AS cell_new,
+              |  (b.cell IS NULL)::INT AS cell_gone,
+              |  (coalesce(n_base, 0) > 0 AND coalesce(n_batch, 0) > 0 AND
+              |   abs(n_batch::HUGEINT * t_base - n_base::HUGEINT * t_batch) * 5 >
+              |     n_base::HUGEINT * t_batch)::INT AS share_drift
+              |FROM a FULL JOIN b ON a.cell = b.cell, ta, tb""".stripMargin)),
+
     QueryDef(
       "sim_ivf_topk",
       s"IVF top-3: probe the $IvfProbe best of $IvfK cells against ${IvfAssign}x-posted index",

@@ -1679,6 +1679,76 @@ object TextDedupQueries {
              |FROM itr JOIN szq sa ON sa.doc_id = id_a JOIN szq sb ON sb.doc_id = id_b
              |WHERE inter * 10 >= 7 * (sa.n + sb.n - inter)""".stripMargin)),
 
+    // ── LSH quality eval: measured RECALL of the production MinHash-
+    //    LSH near-dup pipeline against an exact ground truth — the
+    //    "is 16 bands × 2 rows enough?" measurement a pipeline owner
+    //    re-runs after every parameter change. Ground truth is the
+    //    prefix-filtered EXACT Jaccard ≥ 0.8 join over the same
+    //    distinct-shingle-hash sets the pipeline rescores (complete:
+    //    no LSH misses; integer cross-multiplied threshold), so every
+    //    pipeline pair is a true pair and recall = hits / truth. Both
+    //    sides are bucket-bounded (prefix tokens / capped bands) — the
+    //    eval itself rides the scale path, no all-pairs scan. ──
+    QueryDef(
+      "dedup_lsh_recall",
+      "recall of banded MinHash-LSH near-dup pairs vs exact set-join ground truth",
+      (s, d) => {
+        val hs = Dedup.withShingleHashes(t(s, d, "documents"), "text")
+          .select(col("doc_id"), explode(array_distinct(col("shingle_hashes"))).as("tok"))
+          .localCheckpoint(true) // feeds df, sizes, prefix AND verification
+        val dfq = hs.groupBy("tok").agg(count(lit(1)).as("df"))
+        val szq = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pfx = hs.join(dfq, "tok").join(szq, "doc_id")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+          .filter(col("rk") <= col("n") - expr("(8 * n + 9) div 10") + 1)
+          .select("doc_id", "tok")
+        val cand = pfx.select(col("doc_id").as("id_a"), col("tok"))
+          .join(pfx.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val exact = cand
+          .join(hs.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+          .join(hs.select(col("doc_id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(szq.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(szq.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .filter(expr("inter * 10 >= 8 * (na + nb - inter)"))
+          .select("id_a", "id_b")
+        val lsh = neardupPairs(s, d).select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+        exact.join(lsh, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh"))) // 1-row aggregate broadcast
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            expr("n_hit * 1000000L div n_exact").as("recall_e6"))
+      },
+      Some(s"""WITH $dkNeardupCtes,
+              |tk AS (SELECT doc_id, unnest(h) AS tok FROM hh),
+              |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+              |szq AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+              |rk AS (SELECT tk.doc_id, tk.tok, s.n,
+              |    row_number() OVER (PARTITION BY tk.doc_id ORDER BY d.df, tk.tok) AS rk
+              |  FROM tk JOIN dfq d ON d.tok = tk.tok JOIN szq s ON s.doc_id = tk.doc_id),
+              |pfx AS (SELECT doc_id, tok FROM rk WHERE rk <= n - (8 * n + 9) // 10 + 1),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+              |itr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c JOIN tk ta ON ta.doc_id = c.id_a
+              |  JOIN tk tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+              |  GROUP BY 1, 2),
+              |exact AS (SELECT id_a, id_b FROM itr
+              |  JOIN szq sa ON sa.doc_id = id_a JOIN szq sb ON sb.doc_id = id_b
+              |  WHERE inter * 10 >= 8 * (sa.n + sb.n - inter)),
+              |lsh AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8)
+              |SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+              |  (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+              |  (SELECT count(*) FROM exact e JOIN lsh l
+              |     ON e.id_a = l.id_a AND e.id_b = l.id_b)::BIGINT AS n_hit,
+              |  ((SELECT count(*) FROM exact e JOIN lsh l
+              |     ON e.id_a = l.id_a AND e.id_b = l.id_b) * 1000000
+              |   // (SELECT count(*) FROM exact))::BIGINT AS recall_e6""".stripMargin)),
+
     // ── Dataset fingerprint for drift detection / data contracts: per-
     //    source row count + order-insensitive content checksum. Each
     //    row contributes md5(doc_id || '|' || text) reduced mod 2³¹ and
