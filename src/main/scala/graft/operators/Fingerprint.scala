@@ -100,6 +100,31 @@ object Fingerprint {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Search a PERSISTED band index (the `bands/` table a
+    * [[graft.streaming.DocStreams.mediaDedupIngest]] store maintains:
+    * (id, h, pos, band) rows under a fixed radius+1 scheme) with a
+    * batch of probe fingerprints: every (probe_id, id, hamming) hit
+    * within `maxHamming`, exact under the index's band scheme. The
+    * probe side is banded with the SAME scheme and the join shuffles
+    * on (pos, band) only — per-query work scales with bucket sizes,
+    * never the index; hot index buckets fall under the cap like every
+    * other bucket join. This is the lookup half of the ingest loop,
+    * exposed for batch dedup-against-index and serving. */
+  def searchIndex(indexBands: DataFrame, probes: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int,
+      maxBucket: Int = Dedup.MaxBucket, bits: Int = 64,
+      what: String = "fingerprintSearch"): DataFrame = {
+    val pb = bandsOf(probes, idCol, hashCol, bits, nBands = maxHamming + 1)
+    val ib = Dedup.dropHotBuckets(indexBands, Seq("pos", "band"),
+      maxBucket, what)
+    pb.select(col("pos"), col("band"), col("id").as("probe_id"), col("h").as("h_p"))
+      .join(ib.select(col("pos"), col("band"), col("id"), col("h")), Seq("pos", "band"))
+      .select("probe_id", "id", "h_p", "h").distinct()
+      .select(col("probe_id"), col("id"),
+        expr("bit_count(h_p ^ h)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Difference hash of each decodable image payload: (doc_id, dhash).
     * Undecodable payloads are dropped. */
   def dHash64(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {

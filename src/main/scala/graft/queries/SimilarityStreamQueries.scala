@@ -1315,6 +1315,55 @@ object SimilarityStreamQueries {
       },
       None),
 
+    // ── Audio twin: deterministic 16-bit PCM WAVs synthesized on
+    //    executors (four doc_ids share each per-frame amplitude
+    //    envelope — planted duplicate clips), decoded through the REAL
+    //    javax.sound pipeline into the gain-invariant energy-contour
+    //    fingerprint, paired by the exact hamming join. Rows-only like
+    //    mm_image_neardup (no SQL audio decoder); FingerprintSpec
+    //    carries the invariance and exactness proofs. ──
+    QueryDef(
+      "mm_audio_neardup",
+      "synthesized WAVs -> real javax.sound energy fingerprint -> exact hamming pairs",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 120).as[Long].map { id =>
+            val seed = (id % 30L).toInt
+            val r = new scala.util.Random(seed)
+            val amps = Array.fill(65)((r.nextInt(60) + 4) * 4)
+            val samples = new Array[Short](65 * 40)
+            var f = 0
+            while (f < 65) {
+              var i = 0
+              while (i < 40) {
+                samples(f * 40 + i) =
+                  (if (i % 2 == 0) amps(f) else -amps(f)).toShort
+                i += 1
+              }
+              f += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val data = new Array[Byte](samples.length * 2)
+            var j = 0
+            while (j < samples.length) {
+              data(2 * j) = (samples(j) & 0xff).toByte
+              data(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+              j += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(data), fmt, samples.length)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "audio/wav")
+          }
+        graft.operators.Fingerprint.hammingNearDupPairs(
+          graft.operators.Fingerprint.audioFingerprint64(s, media),
+          "doc_id", "ahash", 4)
+      },
+      None),
+
     // ── Tumbling-window aggregation over the event stream ──
     QueryDef(
       "ev_window_tumbling",

@@ -117,6 +117,37 @@ class FingerprintSpec extends AnyFunSuite {
     assert(got.contains((3L, 100L, 0)) && got.contains((11L, 101L, 0)))
   }
 
+  test("searchIndex: probe-vs-index hits equal brute force; hot index buckets capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val organic = (0L until 50L).map(i => i -> rnd.nextLong()).toMap
+    val pile = (100L until 112L).map(i => i -> 0L).toMap // degenerate, 12 copies
+    val index = organic ++ pile
+    // probes: perturbed copies of three organic entries + one probe at
+    // the degenerate value (must see NO hits: its buckets are capped)
+    def flip(h: Long, k: Int, seed: Int): Long = {
+      val r = new scala.util.Random(seed)
+      var v = h
+      r.shuffle((0 until 64).toList).take(k).foreach(b => v ^= 1L << b)
+      v
+    }
+    val probes = Map(1000L -> flip(organic(3L), 2, 1), 1001L -> flip(organic(7L), 3, 2),
+      1002L -> organic(11L), 1003L -> 0L)
+    val indexBands = graft.operators.Fingerprint.bandsOf(
+      index.toSeq.toDF("id", "h"), "id", "h", 64, nBands = 4)
+    val got = graft.operators.Fingerprint.searchIndex(
+      indexBands, probes.toSeq.toDF("id", "h"), "id", "h",
+      maxHamming = 3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (pid, ph) <- probes.toSeq; (iid, ih) <- organic.toSeq
+      d = java.lang.Long.bitCount(ph ^ ih) if d <= 3
+    } yield (pid, iid, d)).toSet
+    assert(got === brute)
+    assert(got.map(_._2).intersect(pile.keySet).isEmpty)
+    assert(got.contains((1002L, 11L, 0)) && got.exists(_._1 == 1000L))
+  }
+
   test("streaming media dedup-at-ingest equals one-shot clustering; auto-maintenance compacts and vacuums") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
