@@ -66,4 +66,46 @@ object VectorStreams {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
+
+  /** Enrich a stream of `(id, h)` 64-bit perceptual fingerprints (the
+    * "did we already crawl this image?" lookup) with their k nearest
+    * index entries within hamming radius `maxHamming`, from a STATIC
+    * persisted band index (the `bands/` table a
+    * [[DocStreams.mediaDedupIngest]] store maintains).
+    *
+    * Same serving discipline as [[annServe]]: probe banding is a pure
+    * projection under the index's radius+1 scheme
+    * ([[graft.operators.Fingerprint.bandsOf]]), the capped index
+    * broadcast-joins on (pos, band) so the stream never shuffles
+    * before aggregation, and per-probe top-k is the payload-distinct
+    * bounded heap (a candidate colliding in several bands carries one
+    * identical hamming score — the distinct heap collapses it in O(k)
+    * aggregation state, standing in for the blocking `.distinct()` the
+    * batch [[graft.operators.Fingerprint.searchIndex]] runs). Within
+    * the radius the result is EXACT (pigeonhole completeness); ties
+    * resolve to the smaller cand_id, matching a batch
+    * row_number(hamming asc, cand_id asc) ranking row for row
+    * (equivalence-tested).
+    *
+    * Output per emission: (probe_id, rnk, cand_id, hamming). */
+  def fingerprintServe(probeStream: DataFrame, indexBands: DataFrame,
+      maxHamming: Int, k: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val cand = Dedup.dropHotBuckets(indexBands, Seq("pos", "band"),
+        maxBucket, "fingerprintServe")
+      .select(col("pos"), col("band"), col("id").as("cand_id"), col("h").as("h_c"))
+    val q = graft.operators.Fingerprint
+      .bandsOf(probeStream, "id", "h", 64, nBands = maxHamming + 1)
+      .select(col("id").as("probe_id"), col("pos"), col("band"), col("h").as("h_p"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    q.join(broadcast(cand), Seq("pos", "band"))
+      .withColumn("hamming", expr("bit_count(h_p ^ h_c)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      // heap ranks by score DESC; negate so nearer (smaller hamming) wins
+      .groupBy("probe_id")
+      .agg(topk(-col("hamming").cast("double"), col("cand_id")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e._2").as("cand_id"), (-col("e._1")).cast("int").as("hamming"))
+  }
 }

@@ -191,6 +191,57 @@ class FingerprintSpec extends AnyFunSuite {
     assert(!byDoc.contains(22L)) // corrupt payload dropped
   }
 
+  test("streaming fingerprint serving matches the batch index-search ranking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val organic = (0L until 60L).map(i => i -> rnd.nextLong()).toMap
+    val pile = (200L until 210L).map(i => i -> -1L).toMap // degenerate all-ones
+    val index = (organic ++ pile).toSeq.toDF("id", "h")
+    val indexBands = graft.operators.Fingerprint
+      .bandsOf(index, "id", "h", 64, nBands = 4) // radius-3 scheme
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      indexBands.count()
+      def flip(h: Long, k: Int, seed: Int): Long = {
+        val r = new scala.util.Random(seed)
+        var v = h
+        r.shuffle((0 until 64).toList).take(k).foreach(b => v ^= 1L << b)
+        v
+      }
+      val probes = Seq(
+        1000L -> organic(5L),                // exact hit + maybe near ties
+        1001L -> flip(organic(17L), 2, 4),   // 2-bit neighbor
+        1002L -> flip(organic(17L), 3, 5),   // 3-bit neighbor of the same entry
+        1003L -> -1L,                        // degenerate: capped, no hits
+        1004L -> rnd.nextLong())             // likely no hits at all
+      val mem = MemoryStream[(Long, Long)]
+      val out = graft.streaming.VectorStreams.fingerprintServe(
+        mem.toDF().toDF("id", "h"), indexBands, maxHamming = 3, k = 2, maxBucket = 5)
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("graft_fpserve_test").start()
+      try {
+        mem.addData(probes: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("graft_fpserve_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+        // batch twin: same capped index search, ranked (hamming asc, id asc)
+        val hits = graft.operators.Fingerprint.searchIndex(
+            indexBands, probes.toDF("id", "h"), "id", "h", 3, maxBucket = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        val batch = hits.groupBy(_._1).toSeq.flatMap { case (pid, hs) =>
+          hs.sortBy(h => (h._3, h._2)).take(2).zipWithIndex.map {
+            case ((_, cid, d), i) => (pid, (i + 1).toLong, cid, d)
+          }.toSeq
+        }.toSet
+        assert(streamed === batch)
+        assert(streamed.exists { case (p, _, c, d) => p == 1000L && c == 5L && d == 0 })
+        assert(!streamed.exists(_._1 == 1003L)) // degenerate probe: capped away
+      } finally q.stop()
+    } finally indexBands.unpersist()
+  }
+
   private def wavBytes(samples: Array[Short]): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val data = new Array[Byte](samples.length * 2)
