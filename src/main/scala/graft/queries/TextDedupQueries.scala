@@ -1819,7 +1819,8 @@ object TextDedupQueries {
               |  FROM ok a JOIN ok b ON a.pos = b.pos AND a.band = b.band
               |    AND a.doc_id < b.doc_id)
               |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
-              |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin)),
+              |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
+      bench = true),
 
     // ── Positional PHRASE search: exact multi-word occurrences via a
     //    positional inverted index — the precise form of benchmark
