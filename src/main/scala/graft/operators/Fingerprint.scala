@@ -86,8 +86,15 @@ object Fingerprint {
       what: String = "hammingNearDup", bits: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"radius must be in 0..${bits - 1} for a $bits-bit hash, got $maxHamming")
+    // the (id, h) projection feeds the cap scan and BOTH sides of the
+    // self-join; materialize it once (16 bytes/row) so an expensive
+    // upstream hash derivation (simhash over text, an image decode)
+    // never runs three times
+    val slim = hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      .localCheckpoint(true)
     val capped = Dedup.dropHotBuckets(
-      bandsOf(hashes, idCol, hashCol, bits, nBands = maxHamming + 1),
+      bandsOf(slim, "id", "h", bits, nBands = maxHamming + 1),
       Seq("pos", "band"), maxBucket, what)
     capped.select(col("pos"), col("band"), col("id").as("id_a"), col("h").as("h_a"))
       .join(capped.select(col("pos"), col("band"), col("id").as("id_b"), col("h").as("h_b")),

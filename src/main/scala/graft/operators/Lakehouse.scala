@@ -87,6 +87,20 @@ object Lakehouse {
     }
   }
 
+  /** Read a subtable of the CURRENT version (or the whole version dir
+    * for flat stores): one pointer read pins a consistent version for
+    * the reader's whole lifetime — concurrent folds, compactions, and
+    * vacuums (within the retention window) never change the files
+    * under it. This is the read path every consumer of a versioned
+    * store should use instead of resolving CURRENT per access. */
+  def readCurrent(spark: SparkSession, tableDir: String,
+      subtable: String = ""): org.apache.spark.sql.DataFrame = {
+    val cur = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val p = if (subtable.isEmpty) s"$tableDir/$cur" else s"$tableDir/$cur/$subtable"
+    spark.read.parquet(p)
+  }
+
   /** Well-formed version dirs under `tableDir`, oldest first. */
   def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)

@@ -111,6 +111,10 @@ class LakehouseSpec extends AnyFunSuite {
     // …until vacuum retires it
     assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
 
+    // pinned read path resolves the compacted CURRENT
+    assert(Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(_.toSeq).toSet === clustersBefore)
+
     // idempotent replay survives compaction: batch 0 re-delivered with
     // CURRENT = v0c1 is still recognized as already-committed state
     val mem2 = MemoryStream[(Long, String)]

@@ -16,6 +16,42 @@ class StorageLayoutSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("JSONL ingest: declared schema, one-pass dead-letter split, no cache") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr", "extra": "dropped"}""",
+      "",
+      """{"doc_id": 3, "text": "missing lang"}""",
+      """{"doc_id": broken json""",
+      """[1, 2, 3]""",
+      """"just a string"""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (valid, quarantine) = graft.sources.Jsonl.read(spark, dir, schema)
+    val good = valid.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(good === Set(
+      (1L, "hello world", Some("en")),
+      (2L, "bonjour", Some("fr")),          // off-contract field dropped
+      (3L, "missing lang", None)))          // missing field -> null
+    val bad = quarantine.collect().map(_.getString(0)).toSet
+    // malformed line AND well-formed non-objects are quarantined with
+    // their raw text; the blank padding line is dropped entirely
+    assert(bad === Set("""{"doc_id": broken json""", "[1, 2, 3]", "\"just a string\""))
+    assert(quarantine.columns.toSeq === Seq("_raw", "_source_file"))
+    assert(quarantine.collect().forall(_.getString(1).contains("part-0.jsonl")))
+    // scale contract: the text scan reads ONE pruned column and the
+    // split is a filter over it - no caching, no second format pass
+    val plan = valid.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<value:string>"), plan)
+    assert(!plan.contains("InMemoryTableScan"), plan)
+  }
+
   test("hive-style partition layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
