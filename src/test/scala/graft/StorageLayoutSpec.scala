@@ -52,6 +52,32 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(!plan.contains("InMemoryTableScan"), plan)
   }
 
+  test("JSONL composes into the streaming dedup ingest: crawl files -> parse -> standing index") {
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft_jsonl_tbl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/crawl-0.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "aaa bbb ccc ddd eee fff ggg hhh"}""",
+        """{"doc_id": 2, "text": "aaa bbb ccc ddd eee fff ggg hhh"}""",
+        """not json at all""",
+        """{"doc_id": 3, "text": "zzz yyy xxx www vvv uuu ttt sss"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val lines = spark.readStream.text(src)
+      .select(col("value").as(graft.sources.Jsonl.RawCol))
+    val (docs, _) = graft.sources.Jsonl.split(lines, schema)
+    val q = graft.streaming.DocStreams.dedupIngest(docs, tbl)
+    try q.processAllAvailable() finally q.stop()
+    val clusters = graft.operators.Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the two duplicate crawl docs clustered; the corrupt line never
+    // reached the index; the distinct doc is not in any cluster
+    assert(clusters(1L) === clusters(2L))
+    assert(!clusters.contains(3L))
+  }
+
   test("hive-style partition layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
