@@ -178,6 +178,72 @@ object Lakehouse {
     stats
   }
 
+  /** General copy-on-write REWRITE of a versioned store's CURRENT
+    * version: every parquet subtable (or the flat version dir) passes
+    * through `f(subtableName, df)` and the results land as a NEW
+    * version dir before CURRENT swings — the same crash/reader safety
+    * as a fold or a compaction. The new version keeps the batch id
+    * (`v<id>c<n>`): a replayed batch id must still be recognized as
+    * committed (the rewrite SUPERSEDES the fold — re-folding it would
+    * resurrect what the rewrite removed). Flat stores pass subtable
+    * name "".
+    *
+    * This is the primitive behind targeted deletion ([[deleteWhere]]):
+    * at 100 TB, removing a user's rows is a rewrite of survivors into
+    * a fresh version, never an in-place mutation — readers pinned on
+    * the old version keep a consistent view until vacuum retires it
+    * (retention = the compliance window). */
+  def rewriteCurrent(spark: SparkSession, tableDir: String)
+      (f: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): String = {
+    val curName = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val (id, gen) = versionKey(curName).getOrElse(
+      throw new IllegalStateException(s"unparseable CURRENT version '$curName'"))
+    val nextName = s"v${id}c${gen + 1}"
+    val fsys = fs(spark, tableDir)
+    val curDir = new Path(tableDir, curName)
+    val subtables = fsys.listStatus(curDir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    if (subtables.isEmpty)
+      f("", spark.read.parquet(curDir.toString))
+        .write.mode("overwrite").parquet(new Path(tableDir, nextName).toString)
+    else subtables.foreach { t =>
+      f(t, spark.read.parquet(new Path(curDir, t).toString))
+        .write.mode("overwrite").parquet(new Path(tableDir, s"$nextName/$t").toString)
+    }
+    swingCurrent(fsys, tableDir, nextName)
+    nextName
+  }
+
+  /** Targeted deletion (the right-to-be-forgotten path): rewrite the
+    * CURRENT version keeping only rows where `cond` is FALSE in every
+    * subtable that carries the predicate's columns (subtables without
+    * them pass through unchanged). Returns the new version name; the
+    * doomed rows remain readable only in pre-rewrite versions, which
+    * [[vacuum]] retires within the retention window. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      cond: org.apache.spark.sql.Column): String =
+    rewriteCurrent(spark, tableDir) { (_, df) =>
+      // a subtable that doesn't carry the predicate's columns passes
+      // through unchanged (decided by analysis, not name matching)
+      try {
+        val out = df.filter(!cond)
+        out.queryExecution.assertAnalyzed()
+        out
+      } catch { case _: org.apache.spark.sql.AnalysisException => df }
+    }
+
+  private def swingCurrent(f: FileSystem, tableDir: String, nextName: String): Unit = {
+    val tmp = new Path(tableDir, "CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(tableDir, "CURRENT"))) {
+      // local/HDFS rename refuses to clobber; replace explicitly
+      f.delete(new Path(tableDir, "CURRENT"), false)
+      f.rename(tmp, new Path(tableDir, "CURRENT"))
+    }
+  }
+
   /** Copy-on-write compaction of a versioned store's CURRENT version:
     * every parquet subtable (or the version dir itself when it is a
     * flat table, as `scd2Maintain` writes) is rewritten to ~
@@ -204,15 +270,7 @@ object Lakehouse {
         rewrite(spark, new Path(curDir, t).toString,
           new Path(tableDir, s"$nextName/$t").toString, targetBytes)
       }
-    val tmp = new Path(tableDir, "CURRENT.tmp")
-    val out = f.create(tmp, true)
-    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, new Path(tableDir, "CURRENT"))) {
-      // local/HDFS rename refuses to clobber; replace explicitly
-      f.delete(new Path(tableDir, "CURRENT"), false)
-      f.rename(tmp, new Path(tableDir, "CURRENT"))
-    }
+    swingCurrent(f, tableDir, nextName)
     (nextName, stats)
   }
 }

@@ -124,6 +124,47 @@ class LakehouseSpec extends AnyFunSuite {
     assert(table("clusters") === clustersBefore)
   }
 
+  test("deleteWhere: right-to-be-forgotten rewrite across a live store's subtables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_gdpr").toString
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (2L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.dedupIngest(mem.toDF().toDF("doc_id", "text"), tbl)
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    // forget doc 2 (present in bands, hashes, and — as a duplicate of
+    // doc 1 — in clusters)
+    val before = Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(before.contains(2L))
+    val next = Lakehouse.deleteWhere(spark, tbl,
+      org.apache.spark.sql.functions.col("doc_id") === 2L)
+    assert(next == "v0c1" && Lakehouse.currentVersion(spark, tbl).contains("v0c1"))
+    assert(Lakehouse.readCurrent(spark, tbl, "bands")
+      .filter(col("doc_id") === 2L).count() === 0)
+    assert(Lakehouse.readCurrent(spark, tbl, "hashes")
+      .filter(col("doc_id") === 2L).count() === 0)
+    // clusters table keys by `id`, not doc_id — the predicate's column
+    // is absent there, so it passes through by analysis (the caller
+    // issues a second delete on the right key)
+    assert(Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(r => r.getLong(0)).toSet === before)
+    Lakehouse.deleteWhere(spark, tbl, col("id") === 2L)
+    val after = Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(after === (before - 2L))
+    // surviving rows intact everywhere
+    assert(Lakehouse.readCurrent(spark, tbl, "hashes")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // doomed rows live only in pre-rewrite versions until vacuum
+    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1", "v0c2"))
+    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0", "v0c1"))
+  }
+
   test("flat versioned store (no subtables) compacts through a whole-version rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_flat").toString
