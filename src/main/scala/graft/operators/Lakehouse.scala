@@ -101,6 +101,54 @@ object Lakehouse {
     spark.read.parquet(p)
   }
 
+  /** Time-travel read: a subtable of one PINNED version (audits,
+    * reproducing a run against the exact corpus it trained on, and the
+    * inputs of [[diffVersions]]). The version must still be within
+    * [[vacuum]]'s retention window. */
+  def readVersion(spark: SparkSession, tableDir: String, version: String,
+      subtable: String = ""): org.apache.spark.sql.DataFrame = {
+    val p = if (subtable.isEmpty) s"$tableDir/$version" else s"$tableDir/$version/$subtable"
+    spark.read.parquet(p)
+  }
+
+  /** Version-to-version CHANGE FEED: diff one subtable between two
+    * pinned versions on `keyCols`. Returns the key columns plus
+    * `change` ∈ insert/delete/update; unchanged rows are dropped. An
+    * incremental consumer (cache invalidation, a downstream index, an
+    * audit) reads what a fold, rewrite, compaction, or [[deleteWhere]]
+    * did to the store without replaying the operation — compaction
+    * correctly diffs as empty.
+    *
+    * Non-key columns are compared through ONE xxhash64 over their
+    * name-sorted struct, so each side is a column-pruned scan producing
+    * (key, 8-byte hash) and the whole diff is a single key-keyed
+    * full-outer join, whatever the row width — at 100 TB the join
+    * carries 16-byte rows, never documents. Keys are assumed unique per
+    * version (the store invariant the folds maintain). */
+  def diffVersions(spark: SparkSession, tableDir: String,
+      oldVersion: String, newVersion: String, keyCols: Seq[String],
+      subtable: String = ""): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = readVersion(spark, tableDir, oldVersion, subtable)
+    val n = readVersion(spark, tableDir, newVersion, subtable)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema mismatch between $oldVersion and $newVersion: " +
+        s"${o.columns.sorted.mkString(",")} vs ${n.columns.sorted.mkString(",")}")
+    val nonKey = o.columns.filterNot(keyCols.contains).sorted.toSeq
+    def hashed(df: org.apache.spark.sql.DataFrame, hName: String) =
+      df.select(keyCols.map(col) :+
+        (if (nonKey.isEmpty) lit(0L)
+         else xxhash64(struct(nonKey.map(col): _*))).as(hName): _*)
+    hashed(o, "__h_old")
+      .join(hashed(n, "__h_new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__h_old").isNull, lit("insert"))
+          .when(col("__h_new").isNull, lit("delete"))
+          .when(col("__h_old") =!= col("__h_new"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Well-formed version dirs under `tableDir`, oldest first. */
   def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)

@@ -27,6 +27,12 @@ object SimilarityStreamQueries {
   val TPlanes = 7
   val NTables = 16
 
+  // NDCG rank-2 discount 1/log2(3). Interpolated verbatim into both the
+  // Spark literal and the oracle SQL (Double.toString round-trips), so
+  // the two engines share one double value instead of each computing
+  // its own log2 — DCG stays bit-identical.
+  val W2: Double = 1.0 / (math.log(3.0) / math.log(2.0))
+
   // One persisted (vec_id, embedding, bucket, nrm) frame per (session,
   // dataset): bucket assignment + norms are shared by the LSH-bucket,
   // ANN-top-k and embedding-near-dup queries instead of recomputed per
@@ -635,6 +641,90 @@ object SimilarityStreamQueries {
               |FROM brute b LEFT JOIN ann a
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
+
+    // ── Graded ranking metrics: MRR@3 and NDCG@3 of the ANN ranking
+    //    against exact-cosine graded relevance (rel = 4 - exact rank).
+    //    Recall treats the top-k as a SET; MRR/NDCG grade the ORDER the
+    //    index returns — the numbers a retrieval deployment actually
+    //    tracks. Everything is fixed-order arithmetic: the per-rank
+    //    relevances are pivoted to columns first, so DCG is a 3-term
+    //    expression tree (never a float SUM whose order the engine
+    //    picks), and the 1/log2(3) weight is one shared double literal
+    //    on both engines — bit-identical, exactly oracled. ──
+    QueryDef(
+      "eval_rank_metrics",
+      "MRR@3 and NDCG@3 of multi-table ANN vs exact graded relevance",
+      (s, d) => {
+        val sys = Knn.lshTopKMultiTable(embTables(s, d), "vec_id", "embedding",
+          col("vec_id") < 32, 3)
+          .select(col("query_id"), col("cand_id"), col("rnk"))
+        val emb = t(s, d, "embeddings")
+        val truth = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
+          "vec_id", "embedding", 3)
+          .select(col("query_id"), col("cand_id"), (lit(4) - col("rnk")).as("rel"))
+        // graded relevance observed at each SYSTEM rank (0 = that pick
+        // is outside the exact top-3; absent rank = short result list)
+        val atRank = sys.join(truth, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(
+            coalesce(max(when(col("rnk") === 1, coalesce(col("rel"), lit(0)))), lit(0)).as("r1"),
+            coalesce(max(when(col("rnk") === 2, coalesce(col("rel"), lit(0)))), lit(0)).as("r2"),
+            coalesce(max(when(col("rnk") === 3, coalesce(col("rel"), lit(0)))), lit(0)).as("r3"))
+        val ideal = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+        ideal.join(atRank, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_rel"),
+            coalesce(col("r1"), lit(0)).as("r1"),
+            coalesce(col("r2"), lit(0)).as("r2"),
+            coalesce(col("r3"), lit(0)).as("r3"))
+          .select(col("query_id"),
+            when(col("r1") > 0, lit(1.0)).when(col("r2") > 0, lit(0.5))
+              .when(col("r3") > 0, lit(0.333333)).otherwise(lit(0.0)).as("rr"),
+            round((col("r1") * lit(1.0) + col("r2") * lit(W2) + col("r3") * lit(0.5)) /
+              (when(col("n_rel") === 3, lit(3.0 + 2.0 * W2 + 0.5))
+                .when(col("n_rel") === 2, lit(3.0 + 2.0 * W2))
+                .otherwise(lit(3.0))), 6).as("ndcg"))
+      },
+      Some(s"""WITH wt AS $dkTables,
+              |cc AS (SELECT * FROM wt
+              |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+              |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              |  FROM wt q JOIN cc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              |    AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |ann AS (SELECT * FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM pairs JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = cand_id
+              |  ) WHERE rnk <= 3),
+              |brute AS (SELECT query_id, cand_id, 4 - rnk AS rel FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |atr AS (SELECT a.query_id,
+              |    coalesce(max(CASE WHEN a.rnk = 1 THEN coalesce(b.rel, 0) END), 0) AS r1,
+              |    coalesce(max(CASE WHEN a.rnk = 2 THEN coalesce(b.rel, 0) END), 0) AS r2,
+              |    coalesce(max(CASE WHEN a.rnk = 3 THEN coalesce(b.rel, 0) END), 0) AS r3
+              |  FROM ann a LEFT JOIN brute b
+              |    ON b.query_id = a.query_id AND b.cand_id = a.cand_id
+              |  GROUP BY a.query_id),
+              |idl AS (SELECT query_id, count(*) AS n_rel FROM brute GROUP BY 1)
+              |SELECT query_id,
+              |  (CASE WHEN r1 > 0 THEN 1.0 WHEN r2 > 0 THEN 0.5
+              |        WHEN r3 > 0 THEN 0.333333 ELSE 0.0 END)::DOUBLE AS rr,
+              |  round((r1::DOUBLE * 1.0::DOUBLE + r2::DOUBLE * ($W2)::DOUBLE
+              |      + r3::DOUBLE * 0.5::DOUBLE) /
+              |    (CASE WHEN n_rel = 3 THEN (${3.0 + 2.0 * W2 + 0.5})::DOUBLE
+              |          WHEN n_rel = 2 THEN (${3.0 + 2.0 * W2})::DOUBLE
+              |          ELSE 3.0::DOUBLE END), 6) AS ndcg
+              |FROM (SELECT i.query_id, i.n_rel,
+              |    coalesce(a.r1, 0) AS r1, coalesce(a.r2, 0) AS r2, coalesce(a.r3, 0) AS r3
+              |  FROM idl i LEFT JOIN atr a ON a.query_id = i.query_id)""".stripMargin)),
 
     // ── IVF ANN (partition-based, the second ANN family): coarse-cell
     //    assignment + nprobe search over TRAINED centroids (IvfIters

@@ -1164,6 +1164,51 @@ object TextDedupQueries {
              |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
              |            WHEN 'es' THEN 800 WHEN 'zh' THEN 1000 ELSE 0 END""".stripMargin)),
 
+    // ── Temperature-smoothed mixture weights (the multilingual-LM
+    //    sampling standard, Conneau & Lample: p_l ∝ share_l^α): the
+    //    ratios mix_sample_by_lang hardcodes, COMPUTED from the corpus.
+    //    α = 1/4 is dyadic on purpose — share^α = sqrt(sqrt(share)) is
+    //    two IEEE-exact operations, identical in any engine, where a
+    //    pow(x, 0.3) could differ in the last ulp between libm
+    //    implementations. The smoothed masses quantize to DECIMAL
+    //    before normalization so the denominator is an order-free exact
+    //    decimal sum, not a float reduction. Two K-row aggregates +
+    //    1-row broadcasts (decorrelated scalars) at any corpus size. ──
+    QueryDef(
+      "mix_temperature_weights",
+      "per-language temperature-smoothed sampling weights (alpha = 1/4)",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .withColumn("__toks", expr(TextFunctions.tokensSql("text")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount("__toks").cast("long")).as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("__tot"))
+        val sh = per.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("__tot").cast("double"))
+          .withColumn("q", expr("CAST(sqrt(sqrt(share)) AS DECIMAL(20,16))"))
+        val qtot = sh.agg(sum("q").as("__qtot"))
+        sh.crossJoin(broadcast(qtot))
+          .withColumn("weight",
+            round(col("q").cast("double") / col("__qtot").cast("double"), 8))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 8).as("share"), col("weight"),
+            round(col("weight") / col("share"), 6).as("epochs"))
+      },
+      Some(s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+              |    sum(len($dkTokens))::BIGINT AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
+              |sh AS (SELECT lang, n_docs, n_tokens,
+              |    n_tokens::DOUBLE / t::DOUBLE AS share,
+              |    (sqrt(sqrt(n_tokens::DOUBLE / t::DOUBLE)))::DECIMAL(20,16) AS q
+              |  FROM per, tot),
+              |qt AS (SELECT sum(q) AS qtot FROM sh)
+              |SELECT lang, n_docs, n_tokens, round(share, 8) AS share,
+              |  round(q::DOUBLE / qtot::DOUBLE, 8) AS weight,
+              |  round(round(q::DOUBLE / qtot::DOUBLE, 8) / share, 6) AS epochs
+              |FROM sh, qt""".stripMargin)),
+
     // ── Deterministic global shuffle into training shards: order by a
     //    seeded hash (reproducible epoch-0 data order), shard by hash
     //    mod N. Shard assignment needs no global sort at all — it is a

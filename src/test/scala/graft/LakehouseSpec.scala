@@ -165,6 +165,39 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0", "v0c1"))
   }
 
+  test("diffVersions: change feed between pinned versions; compaction diffs empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_diff").toString
+    // v1: ids 1..5, payload = id*7; v2: ids 2..6, id 3's payload edited
+    (1L to 5L).toDF("id").withColumn("payload", col("id") * 7)
+      .write.parquet(s"$dir/v1/t")
+    (2L to 6L).toDF("id")
+      .withColumn("payload", when(col("id") === 3L, 999L).otherwise(col("id") * 7))
+      .write.parquet(s"$dir/v2/t")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/CURRENT"),
+      "v2".getBytes("UTF-8"))
+    val feed = Lakehouse.diffVersions(spark, dir, "v1", "v2", Seq("id"), "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((1L, "delete"), (3L, "update"), (6L, "insert")))
+    // time-travel read sees the pinned (pre-edit) payload
+    assert(Lakehouse.readVersion(spark, dir, "v1", "t")
+      .filter(col("id") === 3L).head().getLong(1) === 21L)
+    // self-diff and a content-preserving compaction both feed nothing
+    assert(Lakehouse.diffVersions(spark, dir, "v2", "v2", Seq("id"), "t").count() === 0)
+    val (next, _) = Lakehouse.compactCurrent(spark, dir, targetBytes = 1L << 30)
+    assert(Lakehouse.diffVersions(spark, dir, "v2", next, Seq("id"), "t").count() === 0)
+    // a live deleteWhere shows up as exactly its deletions
+    val v3 = Lakehouse.deleteWhere(spark, dir, col("id") >= 5L)
+    val feed2 = Lakehouse.diffVersions(spark, dir, next, v3, Seq("id"), "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed2 === Set((5L, "delete"), (6L, "delete")))
+    // schema drift between versions is rejected loudly
+    (1L to 3L).toDF("id").write.parquet(s"$dir/v9/t")
+    intercept[IllegalArgumentException] {
+      Lakehouse.diffVersions(spark, dir, "v2", "v9", Seq("id"), "t")
+    }
+  }
+
   test("flat versioned store (no subtables) compacts through a whole-version rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_flat").toString
