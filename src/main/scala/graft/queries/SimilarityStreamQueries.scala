@@ -557,6 +557,44 @@ object SimilarityStreamQueries {
               |QUALIFY rnk <= 5""".stripMargin),
       bench = true),
 
+    // ── Contrastive-training data mining: semi-hard negatives per
+    //    anchor — the candidates ranked just BELOW the positives
+    //    (ranks 4..13 here, with rank ≤ 3 standing in for the positive
+    //    set), each with its margin to the weakest positive. This is
+    //    the FaceNet/DPR curriculum: negatives close enough to teach
+    //    the boundary, far enough to be true negatives. Composes the
+    //    existing top-k machinery (one wider k, one broadcast self-join
+    //    on the rank-3 row) — at scale the anchor ranking comes from
+    //    the ANN path, so mining cost is the serving cost. ──
+    QueryDef(
+      "sim_hard_negatives",
+      "semi-hard negatives per anchor (ranks 4..13) with margin vs weakest positive",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val top = Knn.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", 13)
+        val pos = top.filter(col("rnk") === 3)
+          .select(col("query_id"), col("cosine").as("__pos3"))
+        top.filter(col("rnk") >= 4)
+          .join(broadcast(pos), Seq("query_id"))
+          .select(col("query_id"), col("cand_id").as("neg_id"), col("cosine"),
+            round(col("__pos3") - col("cosine"), 8).as("margin"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, ${dkNorm("embedding")} AS qn
+              |  FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cand_id, embedding AS ce, ${dkNorm("embedding")} AS cn
+              |  FROM embeddings),
+              |rk AS (SELECT query_id, cand_id, cosine,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |  FROM (SELECT query_id, cand_id,
+              |      round(${dkDot("qe", "ce")} / (qn * cn), 8) AS cosine
+              |    FROM q CROSS JOIN c WHERE query_id <> cand_id)),
+              |top AS (SELECT * FROM rk WHERE rnk <= 13),
+              |pos AS (SELECT query_id, cosine AS pos3 FROM top WHERE rnk = 3)
+              |SELECT t.query_id, t.cand_id AS neg_id, t.cosine,
+              |  round(pos3 - t.cosine, 8) AS margin, t.rnk
+              |FROM top t JOIN pos USING (query_id) WHERE t.rnk >= 4""".stripMargin)),
+
     // ── LSH bucket assignment (the scale path for ANN) ──
     QueryDef(
       "sim_lsh_bucket",

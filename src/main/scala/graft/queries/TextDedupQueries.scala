@@ -626,6 +626,85 @@ object TextDedupQueries {
               |  FROM tf JOIN dfc USING (term) CROSS JOIN n)
               |WHERE rn <= 3""".stripMargin)),
 
+    // ── BM25 lexical retrieval (Robertson/Lucene form): the sparse
+    //    half of the hybrid stack hybrid_rrf_fusion fuses. Shape is the
+    //    production one — a term-keyed posting-list join (query terms
+    //    broadcast, df/doclen side tables, corpus stats a 1-row
+    //    broadcast), so cost scales with posting lists hit, never the
+    //    corpus. Exactness: idf = ln(1 + (N−df+½)/(df+½)) quantizes
+    //    through DECIMAL(18,12)→6 digits immediately after the ln (the
+    //    one libm call; everything else is IEEE-exact rational
+    //    arithmetic), each term's contribution quantizes to
+    //    DECIMAL(18,8), and the doc score is an order-free exact
+    //    DECIMAL sum — so ranking ties break identically in any
+    //    engine. ──
+    QueryDef(
+      "txt_bm25_topk",
+      "BM25 top-5 docs per query (k1=1.2, b=0.75) via posting-list join",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+          (2L, "fast vector scan"), (3L, "customer query filter"))
+          .toDF("query_id", "qtext")
+        val qterms = qs.select(col("query_id"),
+          explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
+        val docs = Dedup.stageThenSpread(t(s, d, "documents"),
+          "__toks" -> expr(TextFunctions.tokensSql("text")))
+        val toks = docs.select(col("doc_id"), explode(col("__toks")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+        val dlen = docs.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+        val stats = dlen.agg(count(lit(1)).as("__n"), sum("dl").as("__tot"))
+        tf.join(broadcast(qterms), Seq("term"))
+          .join(broadcast(dfc), Seq("term"))
+          .join(dlen, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("__idf6", round(
+            log(lit(1.0) + (col("__n").cast("double") - col("df_cnt").cast("double") + 0.5) /
+              (col("df_cnt").cast("double") + 0.5)).cast("decimal(18,12)"), 6)
+            .cast("double"))
+          .withColumn("__tff",
+            (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") /
+                  (col("__tot").cast("double") / col("__n").cast("double"))))))
+          .withColumn("__c8",
+            round((col("__idf6") * col("__tff")).cast("decimal(18,12)"), 8)
+              .cast("decimal(18,8)"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("__c8").as("__score_dec"), count(lit(1)).as("n_terms"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("__score_dec").desc, col("doc_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("doc_id"), col("n_terms"),
+            round(col("__score_dec").cast("double"), 6).as("score"), col("rnk"))
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
+              |    (1, 'stream window agg'), (2, 'fast vector scan'),
+              |    (3, 'customer query filter')) v(query_id, qtext)),
+              |qterms AS (SELECT query_id::BIGINT AS query_id,
+              |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
+              |toks AS (SELECT doc_id, unnest($dkTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |dlen AS (SELECT doc_id, len($dkTokens)::BIGINT AS dl FROM documents),
+              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
+              |contrib AS (SELECT query_id, t.doc_id,
+              |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+              |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+              |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+              |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+              |      8)::DECIMAL(18,8) AS c8
+              |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
+              |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
+              |scored AS (SELECT query_id, doc_id, sum(c8) AS sd, count(*) AS n_terms
+              |  FROM contrib GROUP BY 1, 2)
+              |SELECT query_id, doc_id, n_terms, round(sd::DOUBLE, 6) AS score,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sd DESC, doc_id) AS INT) AS rnk
+              |FROM scored QUALIFY rnk <= 5""".stripMargin)),
+
     // ── Normalization-aware exact dedup: fingerprint AFTER lowercasing
     //    and whitespace collapse, so documents differing only in case or
     //    formatting collapse — the standard normalize-then-hash stage
@@ -1370,6 +1449,46 @@ object TextDedupQueries {
              |       WHEN (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 90 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
+
+    // ── Split-leakage audit: near-dup pairs CROSSING split boundaries.
+    //    A random doc-level split leaks near-duplicates of training
+    //    docs into val/test, silently inflating eval — the standard
+    //    fix is splitting by dedup CLUSTER, and this query is the gate
+    //    that proves whether you need it: the contamination matrix of
+    //    verified near-dup pairs by (split_a, split_b). Composes the
+    //    production near-dup pipeline (shared memoized band index) with
+    //    the deterministic split — two broadcast-sized hash joins on
+    //    the pair list, never a rescan of the corpus. ──
+    QueryDef(
+      "split_leakage_check",
+      "near-dup pairs by split pair (cross-split rows = eval contamination)",
+      (s, d) => {
+        val splitCol =
+          when((((col("doc_id") % 2147483647L + 2147483647L) % 2147483647L)
+            * 2654435761L + 97L) % 100L < 80, "train")
+            .when((((col("doc_id") % 2147483647L + 2147483647L) % 2147483647L)
+              * 2654435761L + 97L) % 100L < 90, "val")
+            .otherwise("test")
+        val sp = t(s, d, "documents").select(col("doc_id"), splitCol.as("split"))
+        neardupPairs(s, d).select("id_a", "id_b")
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_leaked"))
+      },
+      Some(s"""WITH $dkNeardupCtes,
+              |sel AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |sp AS (SELECT doc_id,
+              |    CASE WHEN (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 80 THEN 'train'
+              |         WHEN (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_pairs,
+              |  sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+              |FROM sel JOIN sp a ON a.doc_id = sel.id_a
+              |  JOIN sp b ON b.doc_id = sel.id_b
+              |GROUP BY 1, 2""".stripMargin)),
 
     // ── Length-bucketed inference batching: docs grouped into power-of-
     //    two token-length buckets, then fixed-size batches within each

@@ -32,6 +32,17 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("bm25: posting joins broadcast; top-k limit pushes below the rank shuffle") {
+    val p = plan("txt_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // WindowGroupLimit: each mapper keeps only its per-query top-5
+    // before the rank exchange — the scan never ships full posting
+    // join output through the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("no cartesian product in any benchmark query plan") {
     graft.SparkEntry.benchNames.foreach { n =>
       assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
