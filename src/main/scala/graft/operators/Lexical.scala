@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical (sparse) retrieval: BM25 over term-keyed posting lists.
+  *
+  * Reference context: no text-retrieval surface in the reference
+  * (cnics_to_fhir.py is an ETL job); this is the SURVEY §7.5 extension
+  * completing the hybrid stack — `txt_bm25_topk` is the batch query,
+  * [[graft.streaming.DocStreams.indexIngest]] maintains the same four
+  * tables as a standing store, and [[searchStore]] serves from it.
+  *
+  * Exactness discipline (the repo-wide oracle contract): idf
+  * = ln(1 + (N−df+½)/(df+½)) quantizes through DECIMAL(18,12)→6
+  * digits immediately after the ln — the one libm call in the whole
+  * scoring path; everything else is IEEE-exact rational arithmetic.
+  * Each (doc, term) contribution quantizes to DECIMAL(18,8), so a doc
+  * score is an order-free exact decimal SUM and the (score DESC,
+  * doc_id) ranking ties identically in any engine.
+  *
+  * Scale shape: scoring is a term-keyed equi-join of broadcast query
+  * terms against posting lists — cost follows the posting lists hit,
+  * never the corpus. df and corpus stats are separate store-maintained
+  * side tables (vocabulary-sized and 1-row), so a search never
+  * re-aggregates the postings.
+  */
+object Lexical {
+
+  val K1 = 1.2
+  val B = 0.75
+  // Spelled as literals, NOT derived (1.2 + 1.0 != the double literal
+  // 2.2 in the last ulp) — the oracle SQL interpolates the same
+  // literals, so both engines compute on identical doubles.
+  val K1Plus1 = 2.2
+  val OneMinusB = 0.25
+
+  /** Posting lists: one row per (doc, term) with its term frequency. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(expr(graft.functions.TextFunctions.tokensSql(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token length (the BM25 length normalizer). */
+  def doclens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(expr(graft.functions.TextFunctions.tokensSql(textCol))).cast("long").as("dl"))
+
+  /** Per-term document frequency from a posting table. */
+  def termstats(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+
+  /** 1-row corpus stats (doc count, total token length). */
+  def corpusStats(dlens: DataFrame): DataFrame =
+    dlens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+
+  /** BM25 top-`k` over prebuilt index tables. `queries` is
+    * (query_id, qtext); terms are whitespace-split and deduped.
+    * Output: (query_id, doc_id, n_terms, score, rnk). */
+  def bm25TopK(post: DataFrame, dlens: DataFrame, tstats: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
+    post.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(tstats), Seq("term"))
+      .join(dlens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf6", round(
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df_cnt").cast("double") + 0.5) /
+          (col("df_cnt").cast("double") + 0.5)).cast("decimal(18,12)"), 6)
+        .cast("double"))
+      .withColumn("__tff",
+        (col("tf").cast("double") * K1Plus1) /
+          (col("tf").cast("double") + lit(K1) * (lit(OneMinusB) +
+            lit(B) * (col("dl").cast("double") /
+              (col("total_len").cast("double") / col("n_docs").cast("double"))))))
+      .withColumn("__c8",
+        round((col("__idf6") * col("__tff")).cast("decimal(18,12)"), 8)
+          .cast("decimal(18,8)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__c8").as("__score_dec"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__score_dec").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("__score_dec").cast("double"), 6).as("score"), col("rnk"))
+  }
+
+  /** Batch convenience: build the four index tables from `docs` and
+    * score `queries` in one go (the `txt_bm25_topk` shape). */
+  def bm25(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val post = postings(docs)
+    val dl = doclens(docs)
+    bm25TopK(post, dl, termstats(post), corpusStats(dl), queries, k)
+  }
+
+  /** Serve BM25 from a standing [[graft.streaming.DocStreams.indexIngest]]
+    * store: one CURRENT resolution pins a consistent version of all
+    * four tables for the query's lifetime. */
+  def searchStore(spark: SparkSession, tableDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    bm25TopK(
+      Lakehouse.readCurrent(spark, tableDir, "postings"),
+      Lakehouse.readCurrent(spark, tableDir, "doclens"),
+      Lakehouse.readCurrent(spark, tableDir, "termstats"),
+      Lakehouse.readCurrent(spark, tableDir, "stats"),
+      queries, k)
+}

@@ -646,39 +646,7 @@ object TextDedupQueries {
         val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
           (2L, "fast vector scan"), (3L, "customer query filter"))
           .toDF("query_id", "qtext")
-        val qterms = qs.select(col("query_id"),
-          explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
-        val docs = Dedup.stageThenSpread(t(s, d, "documents"),
-          "__toks" -> expr(TextFunctions.tokensSql("text")))
-        val toks = docs.select(col("doc_id"), explode(col("__toks")).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
-        val dlen = docs.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
-        val stats = dlen.agg(count(lit(1)).as("__n"), sum("dl").as("__tot"))
-        tf.join(broadcast(qterms), Seq("term"))
-          .join(broadcast(dfc), Seq("term"))
-          .join(dlen, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("__idf6", round(
-            log(lit(1.0) + (col("__n").cast("double") - col("df_cnt").cast("double") + 0.5) /
-              (col("df_cnt").cast("double") + 0.5)).cast("decimal(18,12)"), 6)
-            .cast("double"))
-          .withColumn("__tff",
-            (col("tf").cast("double") * 2.2) /
-              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-                lit(0.75) * (col("dl").cast("double") /
-                  (col("__tot").cast("double") / col("__n").cast("double"))))))
-          .withColumn("__c8",
-            round((col("__idf6") * col("__tff")).cast("decimal(18,12)"), 8)
-              .cast("decimal(18,8)"))
-          .groupBy("query_id", "doc_id")
-          .agg(sum("__c8").as("__score_dec"), count(lit(1)).as("n_terms"))
-          .withColumn("rnk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-              .orderBy(col("__score_dec").desc, col("doc_id"))))
-          .filter(col("rnk") <= 5)
-          .select(col("query_id"), col("doc_id"), col("n_terms"),
-            round(col("__score_dec").cast("double"), 6).as("score"), col("rnk"))
+        graft.operators.Lexical.bm25(t(s, d, "documents"), qs, 5)
       },
       Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
               |    (1, 'stream window agg'), (2, 'fast vector scan'),

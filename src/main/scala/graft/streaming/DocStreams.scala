@@ -135,6 +135,83 @@ object DocStreams {
       Lakehouse.vacuum(spark, tableDir, vacuumKeep)
     }
 
+  /** Lexical INDEX-at-ingest: fold each micro-batch of `(doc_id,
+    * text)` documents into the four BM25 index tables
+    * ([[graft.operators.Lexical]]) as copy-on-write versioned state
+    * under an atomic CURRENT pointer — the searchable-corpus twin of
+    * [[dedupIngest]]:
+    *
+    *   - `postings/`  — (doc_id, term, tf): the term-keyed probe side;
+    *   - `doclens/`   — (doc_id, dl): the length normalizer;
+    *   - `termstats/` — (term, df_cnt): vocabulary-sized df merge;
+    *   - `stats/`     — 1 row (n_docs, total_len).
+    *
+    * Per batch, everything is batch-proportional except the store
+    * unions the fold writes: batch postings append to the stored
+    * lists, batch df counts merge into termstats by one
+    * vocabulary-keyed full-outer join, and stats is a 1-row add. Doc
+    * ids are assumed new (the ingest contract [[dedupIngest]] shares);
+    * an N-batch replay therefore folds to exactly the index
+    * [[graft.operators.Lexical.bm25]] builds from the full corpus —
+    * equivalence-tested in LexicalSpec, and [[graft.operators.
+    * Lexical.searchStore]] serves the same ranking from CURRENT. */
+  def indexIngest(docStream: DataFrame, tableDir: String,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$tableDir/CURRENT")
+        val ver: Option[String] =
+          if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+          else None
+        // Idempotent replay (the dedupIngest discipline): CURRENT
+        // already carrying this batch id means the fold committed.
+        if (!ver.exists(Lakehouse.sameBatch(_, id))) {
+          def stored(t: String): Option[DataFrame] =
+            ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+          val docs = batch.select("doc_id", "text")
+          val post = graft.operators.Lexical.postings(docs).localCheckpoint(true)
+          val dl = graft.operators.Lexical.doclens(docs).localCheckpoint(true)
+          val allPost = stored("postings").map(_.unionByName(post)).getOrElse(post)
+          val allDl = stored("doclens").map(_.unionByName(dl)).getOrElse(dl)
+          val batchTs = graft.operators.Lexical.termstats(post)
+          val allTs = stored("termstats") match {
+            case None => batchTs
+            case Some(old) =>
+              old.select(col("term"), col("df_cnt").as("__old"))
+                .join(batchTs.select(col("term"), col("df_cnt").as("__new")),
+                  Seq("term"), "full_outer")
+                .select(col("term"),
+                  (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+                    .as("df_cnt"))
+          }
+          val batchStats = graft.operators.Lexical.corpusStats(dl)
+          val allStats = stored("stats") match {
+            case None => batchStats
+            case Some(old) =>
+              old.select(col("n_docs").as("__on"), col("total_len").as("__ot"))
+                .crossJoin(batchStats)
+                .select((col("__on") + col("n_docs")).as("n_docs"),
+                  (col("__ot") + col("total_len")).as("total_len"))
+          }
+          val vdir = s"$tableDir/v$id"
+          allPost.write.mode("overwrite").parquet(s"$vdir/postings")
+          allDl.write.mode("overwrite").parquet(s"$vdir/doclens")
+          allTs.write.mode("overwrite").parquet(s"$vdir/termstats")
+          allStats.write.mode("overwrite").parquet(s"$vdir/stats")
+          val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp.toPath, cur.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
+        }
+        ()
+      }
+      .start()
+
   /** Perceptual dedup-at-ingest for MEDIA streams — the image/audio
     * twin of [[dedupIngest]]: each micro-batch of
     * `(doc_id, payload, mime)` rows is fingerprinted by `hasher`

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Lakehouse, Lexical}
+
+/** BM25 lexical retrieval: the streaming index fold converges to the
+  * batch-built index, serving reads the pinned CURRENT, and replay of
+  * a committed batch is a no-op (the dedupIngest store discipline). */
+class LexicalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def queries() = {
+    import spark.implicits._
+    Seq((0L, "spark hash join"), (1L, "stream window agg"),
+      (2L, "fast vector scan"), (3L, "customer query filter"))
+      .toDF("query_id", "qtext")
+  }
+
+  private def ranking(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getInt(4))).toSet
+
+  test("two-batch indexIngest fold == batch-built BM25 index, served from CURRENT") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(docs.size > 10)
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.indexIngest(
+      mem.toDF().toDF("doc_id", "text"), tbl)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v0"))
+    } finally q.stop()
+
+    // a crash between the CURRENT swing and the streaming commit
+    // re-delivers batch 0 while CURRENT already names v0: the fold
+    // must skip instead of double-counting (idempotent replay) —
+    // then the next batch folds normally on top
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DocStreams.indexIngest(
+      mem2.toDF().toDF("doc_id", "text"), tbl)
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v0"))
+      assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+        === b1.size.toLong)
+      mem2.addData(b2: _*); q2.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q2.stop()
+
+    val batchDf = docs.toDF("doc_id", "text")
+    val expected = ranking(Lexical.bm25(batchDf, queries(), 5))
+    val served = ranking(Lexical.searchStore(spark, tbl, queries(), 5))
+    assert(served === expected)
+    assert(served.nonEmpty)
+
+    // store stats match the corpus exactly
+    val st = Lakehouse.readCurrent(spark, tbl, "stats").head()
+    assert(st.getLong(0) === docs.size.toLong)
+
+    // searching a pinned pre-fold version still works (time travel)
+    val v0 = Lexical.bm25TopK(
+      Lakehouse.readVersion(spark, tbl, "v0", "postings"),
+      Lakehouse.readVersion(spark, tbl, "v0", "doclens"),
+      Lakehouse.readVersion(spark, tbl, "v0", "termstats"),
+      Lakehouse.readVersion(spark, tbl, "v0", "stats"),
+      queries(), 5)
+    assert(ranking(v0) === ranking(Lexical.bm25(b1.toDF("doc_id", "text"), queries(), 5)))
+  }
+}
