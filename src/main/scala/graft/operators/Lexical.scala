@@ -98,14 +98,28 @@ object Lexical {
   }
 
   /** Serve BM25 from a standing [[graft.streaming.DocStreams.indexIngest]]
-    * store: one CURRENT resolution pins a consistent version of all
-    * four tables for the query's lifetime. */
+    * store, pinned to `version` (defaults to CURRENT).
+    *
+    * Consistency without rewrites: postings/doclens are APPEND-ONLY
+    * batch partitions (`postings/batch=N/`), so a reader pinned on
+    * version `vN` filters `batch <= N` — partition pruning makes that
+    * a planning-time file-list cut, and a half-appended next batch is
+    * invisible until CURRENT swings. termstats/stats come from the
+    * pinned version dir. One pointer read = one consistent snapshot. */
   def searchStore(spark: SparkSession, tableDir: String,
-      queries: DataFrame, k: Int): DataFrame =
+      queries: DataFrame, k: Int, version: Option[String] = None): DataFrame = {
+    val ver = version.orElse(Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val maxBatch = Lakehouse.versionKey(ver).map(_._1)
+      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
+    def pinned(t: String) =
+      spark.read.parquet(s"$tableDir/$t")
+        .filter(col("batch") <= maxBatch).drop("batch")
     bm25TopK(
-      Lakehouse.readCurrent(spark, tableDir, "postings"),
-      Lakehouse.readCurrent(spark, tableDir, "doclens"),
-      Lakehouse.readCurrent(spark, tableDir, "termstats"),
-      Lakehouse.readCurrent(spark, tableDir, "stats"),
+      pinned("postings"),
+      pinned("doclens"),
+      Lakehouse.readVersion(spark, tableDir, ver, "termstats"),
+      Lakehouse.readVersion(spark, tableDir, ver, "stats"),
       queries, k)
+  }
 }

@@ -137,24 +137,34 @@ object DocStreams {
 
   /** Lexical INDEX-at-ingest: fold each micro-batch of `(doc_id,
     * text)` documents into the four BM25 index tables
-    * ([[graft.operators.Lexical]]) as copy-on-write versioned state
-    * under an atomic CURRENT pointer — the searchable-corpus twin of
-    * [[dedupIngest]]:
+    * ([[graft.operators.Lexical]]) — the searchable-corpus twin of
+    * [[dedupIngest]], with the layout split by update pattern:
     *
-    *   - `postings/`  — (doc_id, term, tf): the term-keyed probe side;
-    *   - `doclens/`   — (doc_id, dl): the length normalizer;
-    *   - `termstats/` — (term, df_cnt): vocabulary-sized df merge;
-    *   - `stats/`     — 1 row (n_docs, total_len).
+    *   - `postings/batch=N/`, `doclens/batch=N/` — APPEND-ONLY batch
+    *     partitions. A fold writes exactly its batch's rows; the
+    *     standing corpus is never rewritten, so fold I/O is
+    *     batch-proportional at any store size (where a unioned
+    *     copy-on-write rewrite would be corpus-proportional — the
+    *     difference between an ingest that stays O(batch) at 100 TB
+    *     and one that does not).
+    *   - `v<N>/termstats`, `v<N>/stats` — copy-on-write versions
+    *     under the atomic CURRENT pointer: the vocabulary-sized df
+    *     merge (one term-keyed full-outer join vs the stored table)
+    *     and the 1-row corpus totals.
     *
-    * Per batch, everything is batch-proportional except the store
-    * unions the fold writes: batch postings append to the stored
-    * lists, batch df counts merge into termstats by one
-    * vocabulary-keyed full-outer join, and stats is a 1-row add. Doc
-    * ids are assumed new (the ingest contract [[dedupIngest]] shares);
-    * an N-batch replay therefore folds to exactly the index
-    * [[graft.operators.Lexical.bm25]] builds from the full corpus —
-    * equivalence-tested in LexicalSpec, and [[graft.operators.
-    * Lexical.searchStore]] serves the same ranking from CURRENT. */
+    * Snapshot consistency across the split: a reader pinned on `vN`
+    * filters the append tables to `batch <= N` (planning-time
+    * partition pruning), so a half-appended next batch is invisible
+    * until CURRENT swings — [[graft.operators.Lexical.searchStore]].
+    *
+    * Crash/replay: partitions land first, the version dir second,
+    * CURRENT swings last. A replay after any prefix of that sequence
+    * overwrites the same `batch=N` partitions with identical content
+    * and re-derives termstats/stats from the still-pinned previous
+    * version; a replay after the swing is skipped (CURRENT already
+    * names `vN`). Doc ids are assumed new (the [[dedupIngest]] ingest
+    * contract); an N-batch fold therefore equals the batch-built
+    * index exactly — equivalence-tested in LexicalSpec. */
   def indexIngest(docStream: DataFrame, tableDir: String,
       compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
@@ -173,8 +183,8 @@ object DocStreams {
           val docs = batch.select("doc_id", "text")
           val post = graft.operators.Lexical.postings(docs).localCheckpoint(true)
           val dl = graft.operators.Lexical.doclens(docs).localCheckpoint(true)
-          val allPost = stored("postings").map(_.unionByName(post)).getOrElse(post)
-          val allDl = stored("doclens").map(_.unionByName(dl)).getOrElse(dl)
+          post.write.mode("overwrite").parquet(s"$tableDir/postings/batch=$id")
+          dl.write.mode("overwrite").parquet(s"$tableDir/doclens/batch=$id")
           val batchTs = graft.operators.Lexical.termstats(post)
           val allTs = stored("termstats") match {
             case None => batchTs
@@ -196,8 +206,6 @@ object DocStreams {
                   (col("__ot") + col("total_len")).as("total_len"))
           }
           val vdir = s"$tableDir/v$id"
-          allPost.write.mode("overwrite").parquet(s"$vdir/postings")
-          allDl.write.mode("overwrite").parquet(s"$vdir/doclens")
           allTs.write.mode("overwrite").parquet(s"$vdir/termstats")
           allStats.write.mode("overwrite").parquet(s"$vdir/stats")
           val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
@@ -205,7 +213,7 @@ object DocStreams {
             s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           java.nio.file.Files.move(tmp.toPath, cur.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
         }
         ()

@@ -67,13 +67,18 @@ class LexicalSpec extends AnyFunSuite {
     val st = Lakehouse.readCurrent(spark, tbl, "stats").head()
     assert(st.getLong(0) === docs.size.toLong)
 
-    // searching a pinned pre-fold version still works (time travel)
-    val v0 = Lexical.bm25TopK(
-      Lakehouse.readVersion(spark, tbl, "v0", "postings"),
-      Lakehouse.readVersion(spark, tbl, "v0", "doclens"),
-      Lakehouse.readVersion(spark, tbl, "v0", "termstats"),
-      Lakehouse.readVersion(spark, tbl, "v0", "stats"),
-      queries(), 5)
+    // searching a pinned pre-fold version still works (time travel):
+    // the batch<=0 partition cut + v0 termstats/stats reproduce the
+    // batch-1-only index exactly, even though batch 1's partitions
+    // are already on disk
+    val v0 = Lexical.searchStore(spark, tbl, queries(), 5, version = Some("v0"))
     assert(ranking(v0) === ranking(Lexical.bm25(b1.toDF("doc_id", "text"), queries(), 5)))
+
+    // fold I/O is batch-proportional: each batch wrote exactly its own
+    // partition of the append tables, nothing was rewritten
+    def parts(t: String) = new java.io.File(s"$tbl/$t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts("postings") === Seq("batch=0", "batch=1"))
+    assert(parts("doclens") === Seq("batch=0", "batch=1"))
   }
 }
