@@ -80,5 +80,14 @@ class LexicalSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(parts("postings") === Seq("batch=0", "batch=1"))
     assert(parts("doclens") === Seq("batch=0", "batch=1"))
+
+    // the pinned-snapshot cut is PARTITION PRUNING, not a data filter:
+    // the batch<=N predicate must land in the scan's PartitionFilters
+    // (a planning-time file-list cut — at 100 TB the reader never
+    // opens newer batches' files)
+    val pp = Lexical.searchStore(spark, tbl, queries(), 5, version = Some("v0"))
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("PartitionFilters"), pp)
+    assert(pp.contains("(batch#") && pp.contains("<= 0)"), pp)
   }
 }
