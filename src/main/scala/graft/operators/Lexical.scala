@@ -56,18 +56,11 @@ object Lexical {
   def corpusStats(dlens: DataFrame): DataFrame =
     dlens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
 
-  /** BM25 top-`k` over prebuilt index tables. `queries` is
-    * (query_id, qtext); terms are whitespace-split and deduped.
-    * Output: (query_id, doc_id, n_terms, score, rnk). */
-  def bm25TopK(post: DataFrame, dlens: DataFrame, tstats: DataFrame,
-      stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qterms = queries.select(col("query_id"),
-      explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
-    post.join(broadcast(qterms), Seq("term"))
-      .join(broadcast(tstats), Seq("term"))
-      .join(dlens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf6", round(
+  /** Append the quantized BM25 contribution `__c8` (DECIMAL(18,8)) to
+    * any frame carrying (tf, df_cnt, dl, n_docs, total_len) — shared
+    * by the ad-hoc scorer and the precomputed impact index. */
+  private def withContribution(df: DataFrame): DataFrame =
+    df.withColumn("__idf6", round(
         log(lit(1.0) + (col("n_docs").cast("double") - col("df_cnt").cast("double") + 0.5) /
           (col("df_cnt").cast("double") + 0.5)).cast("decimal(18,12)"), 6)
         .cast("double"))
@@ -79,6 +72,19 @@ object Lexical {
       .withColumn("__c8",
         round((col("__idf6") * col("__tff")).cast("decimal(18,12)"), 8)
           .cast("decimal(18,8)"))
+
+  /** BM25 top-`k` over prebuilt index tables. `queries` is
+    * (query_id, qtext); terms are whitespace-split and deduped.
+    * Output: (query_id, doc_id, n_terms, score, rnk). */
+  def bm25TopK(post: DataFrame, dlens: DataFrame, tstats: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
+    withContribution(
+      post.join(broadcast(qterms), Seq("term"))
+        .join(broadcast(tstats), Seq("term"))
+        .join(dlens, Seq("doc_id"))
+        .crossJoin(broadcast(stats)))
       .groupBy("query_id", "doc_id")
       .agg(sum("__c8").as("__score_dec"), count(lit(1)).as("n_terms"))
       .withColumn("rnk", row_number().over(
@@ -121,5 +127,80 @@ object Lexical {
       Lakehouse.readVersion(spark, tableDir, ver, "termstats"),
       Lakehouse.readVersion(spark, tableDir, ver, "stats"),
       queries, k)
+  }
+
+  /** Precomputed IMPACT INDEX: every posting scored up front —
+    * (term, doc_id, c8s) with `c8s` the exact contribution as a
+    * 1e-8-scaled BIGINT (DECIMAL(18,8) × 10⁸, lossless). Serving then
+    * touches no df/doclen/stats table at all: one term-keyed join plus
+    * integer adds. `maxPostingsPerTerm` is the static-pruning lever
+    * (Carmel et al.): keep only the top-impact postings of each term,
+    * bounding both index size and the per-query candidate set — the
+    * cap that keeps a stop-word's posting list from dominating serving
+    * cost at corpus scale (exact when uncapped; WindowGroupLimit keeps
+    * the one-time build's per-term cut map-side). */
+  def impactIndex(post: DataFrame, dlens: DataFrame, tstats: DataFrame,
+      stats: DataFrame, maxPostingsPerTerm: Int = Int.MaxValue): DataFrame = {
+    val scored = withContribution(
+        post.join(broadcast(tstats), Seq("term"))
+          .join(dlens, Seq("doc_id"))
+          .crossJoin(broadcast(stats)))
+      .select(col("term"), col("doc_id"),
+        (col("__c8") * 100000000L).cast("long").as("c8s"))
+    if (maxPostingsPerTerm == Int.MaxValue) scored
+    else scored
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")
+          .orderBy(col("c8s").desc, col("doc_id"))))
+      .filter(col("__r") <= maxPostingsPerTerm)
+      .drop("__r")
+  }
+
+  /** Bounded BM25 top-`k` as ONE aggregation: per-doc integer score
+    * sums and the final (score DESC, doc_id) heap live in the same
+    * Aggregator state, so the whole ranking is a single
+    * ObjectHashAggregate — legal in a streaming query (where the
+    * two-level groupBy of [[bm25TopK]] is not) and map-side combining
+    * in batch. Exact: scaled-BIGINT adds are order-free. */
+  final class ScoreTopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Map[Long, Long], Array[(Long, Long)]] {
+    require(k > 0, s"k must be positive: $k")
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(m: Map[Long, Long], x: (Long, Long)): Map[Long, Long] =
+      m.updated(x._1, m.getOrElse(x._1, 0L) + x._2)
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (m, (d, s)) => m.updated(d, m.getOrElse(d, 0L) + s) }
+    def finish(m: Map[Long, Long]): Array[(Long, Long)] =
+      m.toArray.sortWith { case ((d1, s1), (d2, s2)) =>
+        s1 > s2 || (s1 == s2 && d1 < d2)
+      }.take(k)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** ONLINE BM25 serving (the lexical half of the hybrid stack, under
+    * the annServe/fingerprintServe discipline): `queryStream` rows are
+    * (query_id, qtext); the stream side is a pure projection (term
+    * explode), joined term-keyed against the precomputed
+    * [[impactIndex]], and ranked by the single-aggregation
+    * [[ScoreTopKAgg]] — the stream never shuffles before its one
+    * aggregation. Output per emission: (query_id, rnk, doc_id, score),
+    * row-for-row equal to [[bm25TopK]] over the same index
+    * (equivalence-tested in LexicalSpec; score = c8-sum, single
+    * double rounding on both paths). */
+  def bm25Serve(queryStream: DataFrame, impactIdx: DataFrame, k: Int): DataFrame = {
+    val qterms = queryStream.select(col("query_id"),
+      explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
+    val topk = udaf(new ScoreTopKAgg(k))
+    qterms.join(impactIdx, Seq("term"))
+      .groupBy("query_id")
+      .agg(topk(col("doc_id"), col("c8s")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e._1").as("doc_id"),
+        round(col("e._2").cast("double") / lit(1.0e8), 6).as("score"))
   }
 }

@@ -90,4 +90,49 @@ class LexicalSpec extends AnyFunSuite {
     assert(pp.contains("PartitionFilters"), pp)
     assert(pp.contains("(batch#") && pp.contains("<= 0)"), pp)
   }
+
+  test("bm25Serve: streamed ranking over the impact index == batch top-k; one-agg plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, d, "documents").select("doc_id", "text")
+    val post = Lexical.postings(docs).localCheckpoint(true)
+    val dl = Lexical.doclens(docs).localCheckpoint(true)
+    val ts = Lexical.termstats(post)
+    val st = Lexical.corpusStats(dl)
+    val idx = Lexical.impactIndex(post, dl, ts, st).localCheckpoint(true)
+
+    val qrows = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+      (2L, "fast vector scan"), (3L, "customer query filter"))
+    val mem = MemoryStream[(Long, String)]
+    val out = Lexical.bm25Serve(mem.toDF().toDF("query_id", "qtext"), idx, 5)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_bm25serve_test").start()
+    val streamed =
+      try {
+        mem.addData(qrows: _*); q.processAllAvailable()
+        spark.table("graft_bm25serve_test").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      } finally q.stop()
+
+    // batch twin over the SAME prebuilt tables: identical rankings and
+    // identical (single-double-rounding) scores
+    val batch = Lexical.bm25TopK(post, dl, ts, st, queries(), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+
+    // serving is ONE aggregation (streaming-legal, map-side combining):
+    // ObjectHashAggregate over the heap state, no window sort anywhere
+    val pp = Lexical.bm25Serve(queries(), idx, 5).queryExecution.executedPlan.toString
+    assert(pp.contains("ObjectHashAggregate"), pp)
+    assert(!pp.contains("Window"), pp)
+
+    // static pruning bounds every posting list; the capped index still
+    // serves (approximate by design once the cap bites)
+    val capped = Lexical.impactIndex(post, dl, ts, st, maxPostingsPerTerm = 7)
+    val maxList = capped.groupBy("term").count().agg(max("count")).head().getLong(0)
+    assert(maxList <= 7L)
+    assert(Lexical.bm25Serve(queries(), capped, 5).count() > 0)
+  }
 }
