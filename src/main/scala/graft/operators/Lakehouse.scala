@@ -131,9 +131,13 @@ object Lakehouse {
     import org.apache.spark.sql.functions._
     val o = readVersion(spark, tableDir, oldVersion, subtable)
     val n = readVersion(spark, tableDir, newVersion, subtable)
-    require(o.columns.sorted.sameElements(n.columns.sorted),
+    // names AND types: a silent type drift would hash every row
+    // differently and report the whole table as updated
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(sig(o) == sig(n),
       s"schema mismatch between $oldVersion and $newVersion: " +
-        s"${o.columns.sorted.mkString(",")} vs ${n.columns.sorted.mkString(",")}")
+        s"${sig(o).mkString(",")} vs ${sig(n).mkString(",")}")
     val nonKey = o.columns.filterNot(keyCols.contains).sorted.toSeq
     def hashed(df: org.apache.spark.sql.DataFrame, hName: String) =
       df.select(keyCols.map(col) :+

@@ -52,9 +52,13 @@ object Lexical {
   def termstats(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df_cnt"))
 
-  /** 1-row corpus stats (doc count, total token length). */
+  /** 1-row corpus stats (doc count, total token length). The sum is
+    * null-guarded: an EMPTY batch (real streams deliver them) must
+    * fold as (0, 0), not (0, null) — a null total would silently
+    * poison every later fold's avgdl through the stats add. */
   def corpusStats(dlens: DataFrame): DataFrame =
-    dlens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    dlens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("total_len"))
 
   /** Append the quantized BM25 contribution `__c8` (DECIMAL(18,8)) to
     * any frame carrying (tf, df_cnt, dl, n_docs, total_len) — shared

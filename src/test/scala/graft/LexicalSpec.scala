@@ -91,6 +91,21 @@ class LexicalSpec extends AnyFunSuite {
     assert(pp.contains("(batch#") && pp.contains("<= 0)"), pp)
   }
 
+  test("corpusStats of an empty batch folds as (0, 0), never (0, null)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "dl")
+    val st = Lexical.corpusStats(empty).head()
+    assert(st.getLong(0) === 0L)
+    assert(!st.isNullAt(1) && st.getLong(1) === 0L)
+    // the stats ADD an indexIngest fold performs stays non-null
+    val prev = Seq((10L, 400L)).toDF("n_docs", "total_len")
+    val folded = prev.select(col("n_docs").as("__on"), col("total_len").as("__ot"))
+      .crossJoin(Lexical.corpusStats(empty))
+      .select((col("__on") + col("n_docs")).as("n_docs"),
+        (col("__ot") + col("total_len")).as("total_len")).head()
+    assert(folded.getLong(0) === 10L && folded.getLong(1) === 400L)
+  }
+
   test("bm25Serve: streamed ranking over the impact index == batch top-k; one-agg plan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
