@@ -185,6 +185,16 @@ object DocStreams {
           val dl = graft.operators.Lexical.doclens(docs).localCheckpoint(true)
           post.write.mode("overwrite").parquet(s"$tableDir/postings/batch=$id")
           dl.write.mode("overwrite").parquet(s"$tableDir/doclens/batch=$id")
+          // Small-file control for the append layout: each fold leaves
+          // up to shuffle-partitions files in its batch dir, and batch
+          // dirs accumulate forever. Compact HERE — before the CURRENT
+          // swing — while batch=N is still invisible to every reader
+          // (they filter batch <= N-1), so the rewrite needs none of
+          // the copy-on-write machinery the version tables need.
+          if (compactEvery > 0) {
+            Lakehouse.compactDir(spark, s"$tableDir/postings/batch=$id")
+            Lakehouse.compactDir(spark, s"$tableDir/doclens/batch=$id")
+          }
           val batchTs = graft.operators.Lexical.termstats(post)
           val allTs = stored("termstats") match {
             case None => batchTs

@@ -91,6 +91,27 @@ class LexicalSpec extends AnyFunSuite {
     assert(pp.contains("(batch#") && pp.contains("<= 0)"), pp)
   }
 
+  test("indexIngest with maintenance compacts each batch partition pre-swing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lex_cmp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.indexIngest(
+      mem.toDF().toDF("doc_id", "text"), tbl, compactEvery = 1)
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    def files(t: String) = new java.io.File(s"$tbl/$t/batch=0").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files("postings") === 1)
+    assert(files("doclens") === 1)
+    // compaction is content-preserving: served == batch-built
+    assert(ranking(Lexical.searchStore(spark, tbl, queries(), 5))
+      === ranking(Lexical.bm25(docs.toDF("doc_id", "text"), queries(), 5)))
+  }
+
   test("corpusStats of an empty batch folds as (0, 0), never (0, null)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "dl")
