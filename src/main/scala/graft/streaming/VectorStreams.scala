@@ -67,6 +67,117 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  /** Dense-vector INDEX-at-ingest: fold each micro-batch of
+    * `(vec_id, embedding)` rows into a standing multi-table sign-LSH
+    * store — the dense twin of [[DocStreams.indexIngest]] (lexical)
+    * and [[DocStreams.mediaDedupIngest]] (perceptual), completing the
+    * standing-store matrix for all three retrieval families. Layout
+    * follows the append-only discipline:
+    *
+    *   - `buckets/batch=N/` — (vec_id, tbl, bucket): the banded
+    *     postings (L rows per vector, 20 bytes each);
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm): the rescore
+    *     side, stored ONCE per vector (never ×L — the banded frame's
+    *     embedding duplication is a query-time artifact the store
+    *     must not pay for);
+    *   - `v<N>/stats` — 1-row (n_vecs) copy-on-write under CURRENT:
+    *     the snapshot pin.
+    *
+    * Fold I/O is O(batch) (bucket assignment is a narrow projection,
+    * both writes are the batch's own partitions); a reader pinned on
+    * `vN` filters `batch <= N` — partition pruning, so a half-appended
+    * batch is invisible until CURRENT swings. Vector ids are assumed
+    * new (the ingest contract all three stores share). */
+  def vectorIndexIngest(vecStream: DataFrame, tableDir: String,
+      dim: Int, nPlanes: Int, nTables: Int,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$tableDir/CURRENT")
+        val ver: Option[String] =
+          if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+          else None
+        if (!ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) {
+          val tabled = graft.operators.Knn.withLshTables(
+              batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
+            .localCheckpoint(true)
+          tabled.select(col("vec_id"), col("tbl"), col("bucket"))
+            .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
+          tabled.filter(col("tbl") === 0)
+            .select(col("vec_id"), col("embedding"), col("nrm"))
+            .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+          if (compactEvery > 0) {
+            graft.operators.Lakehouse.compactDir(spark, s"$tableDir/buckets/batch=$id")
+            graft.operators.Lakehouse.compactDir(spark, s"$tableDir/vectors/batch=$id")
+          }
+          val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
+          val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
+            case None => batchStats
+            case Some(old) =>
+              old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
+                .select((col("__on") + col("n_vecs")).as("n_vecs"))
+          }
+          allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
+          val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp.toPath, cur.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+            graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
+        }
+        ()
+      }
+      .start()
+
+  /** ANN top-k from a standing [[vectorIndexIngest]] store, pinned to
+    * `version` (default CURRENT). `probes` may be a batch frame or a
+    * streaming one — the probe side is a pure bucket projection, the
+    * capped pinned index joins on (tbl, bucket), embeddings join back
+    * from the once-per-vector `vectors` table for the exact cosine,
+    * and per-probe top-k is the payload-distinct bounded heap (the
+    * [[annServe]] discipline end to end). Ranking ties (cosine desc,
+    * cand_id) match [[graft.operators.Knn.lshTopKMultiTable]] row for
+    * row over the same corpus (equivalence-tested). */
+  def searchVectorStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame,
+      dim: Int, nPlanes: Int, nTables: Int, k: Int,
+      maxBucket: Int = Dedup.MaxBucket,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
+      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
+    def pinned(t: String) =
+      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val cand = Dedup.dropHotBuckets(pinned("buckets"),
+        Seq("tbl", "bucket"), maxBucket, "searchVectorStore")
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val vecs = pinned("vectors")
+    val q = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", VectorFunctions.norm("q_emb"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket",
+        expr(VectorFunctions.lshBucketTableSql("q_emb", dim, nPlanes, "tbl")))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    q.join(cand, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_norm")), Seq("cand_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("cand_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e._2").as("cand_id"), col("e._1").as("cosine"))
+  }
+
   /** Enrich a stream of `(id, h)` 64-bit perceptual fingerprints (the
     * "did we already crawl this image?" lookup) with their k nearest
     * index entries within hamming radius `maxHamming`, from a STATIC

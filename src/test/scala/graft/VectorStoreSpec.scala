@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, Lakehouse}
+import graft.streaming.VectorStreams
+
+/** Standing dense-vector store: the streamed index fold converges to
+  * the in-session multi-table LSH index, serving (batch and streamed)
+  * matches the batch ANN ranking row for row, and pinned versions
+  * time-travel. */
+class VectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private val (dim, tp, nt) = (64, 7, 16)
+
+  private def ranking(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet
+
+  test("two-batch vectorIndexIngest == in-session index; pinned + streamed serving") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_vecstore").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.vectorIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, dim, tp, nt, compactEvery = 1)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v0"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === rows.size.toLong)
+
+    // store search == in-session multi-table ANN over the same corpus
+    val probes = emb.filter(col("vec_id") < 32)
+    val expected = Knn.lshTopKMultiTable(
+        Knn.withLshTables(emb, "embedding", dim, tp, nt), "vec_id", "embedding",
+        col("vec_id") < 32, 3)
+      .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("cosine"))
+    val served = VectorStreams.searchVectorStore(
+        spark, tbl, probes, dim, tp, nt, 3)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+    assert(ranking(served) === ranking(expected))
+    assert(ranking(served).nonEmpty)
+
+    // pinned v0 snapshot == in-session index over batch 0 only (time
+    // travel; batch 1's partitions are on disk but pruned away)
+    val b0df = b0.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val exp0 = Knn.lshTopKMultiTable(
+        Knn.withLshTables(b0df, "embedding", dim, tp, nt), "vec_id", "embedding",
+        col("vec_id") < 32, 3)
+      .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("cosine"))
+    val served0 = VectorStreams.searchVectorStore(
+        spark, tbl, b0df.filter(col("vec_id") < 32), dim, tp, nt, 3,
+        version = Some("v0"))
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+    assert(ranking(served0) === ranking(exp0))
+
+    // streamed probes over the same store == the batch search
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val out = VectorStreams.searchVectorStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding"), dim, tp, nt, 3)
+    val sq = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_vecserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        ranking(spark.table("graft_vecserve_test"))
+      } finally sq.stop()
+    assert(streamed === ranking(expected))
+
+    // append-only layout: one partition dir per batch, compacted to
+    // single files pre-swing
+    def parts(t: String) = new java.io.File(s"$tbl/$t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts("buckets") === Seq("batch=0", "batch=1"))
+    assert(parts("vectors") === Seq("batch=0", "batch=1"))
+    assert(new java.io.File(s"$tbl/vectors/batch=0").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) === 1)
+  }
+}
