@@ -153,6 +153,51 @@ object Lakehouse {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** Survivor rewrite of an APPEND table's batch partitions (the
+    * deletion primitive for `batch=N`-partitioned stores): every
+    * partition holding a row matching `cond` is rewritten in place —
+    * survivors land in a dot-prefixed tmp dir (invisible to readers),
+    * then an atomic-rename swap. Readers pinned mid-scan during the
+    * swap may fail and must retry (right-to-be-forgotten beats reader
+    * isolation — the Delta/Iceberg compliance-vacuum trade). Partition
+    * values are preserved, so `batch <= N` snapshot cuts keep working.
+    * Returns the number of partitions rewritten. */
+  def deleteFromPartitions(spark: SparkSession, tableDir: String,
+      cond: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, tableDir)
+    val affected = spark.read.parquet(tableDir).filter(cond)
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    affected.foreach { b =>
+      val dir = new Path(s"$tableDir/batch=$b")
+      val tmp = new Path(s"$tableDir/.batch=$b.delete.tmp")
+      spark.read.parquet(dir.toString).filter(!cond)
+        .write.mode("overwrite").parquet(tmp.toString)
+      f.delete(dir, true)
+      if (!f.rename(tmp, dir))
+        throw new IllegalStateException(s"deleteFromPartitions: rename failed for $dir")
+    }
+    affected.length
+  }
+
+  /** Open the next copy-on-write version (`v<id>c<gen+1>`): `write`
+    * receives the new version dir to populate its subtables, then
+    * CURRENT swings — the crash contract of every versioned store op
+    * (a failure inside `write` leaves CURRENT, and the store, on the
+    * old version). Returns the new version name. */
+  def bumpVersion(spark: SparkSession, tableDir: String)
+      (write: String => Unit): String = {
+    val curName = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val (id, gen) = versionKey(curName).getOrElse(
+      throw new IllegalStateException(s"unparseable CURRENT version '$curName'"))
+    val nextName = s"v${id}c${gen + 1}"
+    write(s"$tableDir/$nextName")
+    swingCurrent(fs(spark, tableDir), tableDir, nextName)
+    nextName
+  }
+
   /** Well-formed version dirs under `tableDir`, oldest first. */
   def listVersions(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)

@@ -133,6 +133,61 @@ object Lexical {
       queries, k)
   }
 
+  /** Right-to-be-forgotten for the APPEND store (the operation
+    * [[Lakehouse.deleteWhere]] gives copy-on-write stores): remove
+    * `docIds` from a [[graft.streaming.DocStreams.indexIngest]] store
+    * and CORRECT the statistics, so a later [[searchStore]] equals a
+    * from-scratch index over the surviving corpus exactly (tested).
+    *
+    * Mechanics: the doomed postings/doclens are located by a
+    * column-pruned scan, only the batch partitions that actually
+    * contain them are rewritten (survivors → a dot-prefixed tmp dir —
+    * invisible to readers — then an atomic-rename swap), per-term df
+    * decrements and the doc/len mass fold into a NEW termstats/stats
+    * version (`v<id>c<n>`), and CURRENT swings last.
+    *
+    * Isolation caveat, stated plainly: unlike every other operation on
+    * this store, deletion REWRITES partitions in place — a reader
+    * pinned on an older version may fail mid-scan during the swap and
+    * must retry. That is the same trade Delta/Iceberg make when
+    * compliance vacuum removes files a stale reader holds:
+    * right-to-be-forgotten beats reader isolation, by design.
+    *
+    * Returns the number of partitions rewritten. */
+  def forgetDocs(spark: SparkSession, tableDir: String, docIds: Seq[Long]): Int = {
+    val curName = Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val cond = col("doc_id").isin(docIds: _*)
+    // materialize the doomed rows BEFORE their files are rewritten:
+    // the statistic corrections below must read pre-delete state
+    def doomedIn(t: String) =
+      spark.read.parquet(s"$tableDir/$t").filter(cond).localCheckpoint(true)
+    val doomedPost = doomedIn("postings")
+    val doomedDl = doomedIn("doclens")
+    val rewritten =
+      Lakehouse.deleteFromPartitions(spark, s"$tableDir/postings", cond) +
+        Lakehouse.deleteFromPartitions(spark, s"$tableDir/doclens", cond)
+    // exact statistic corrections: each doomed (doc, term) row is one
+    // df decrement; terms reaching zero leave the vocabulary
+    val dfDec = doomedPost.groupBy("term").agg(count(lit(1)).as("__dec"))
+    val newTs = Lakehouse.readVersion(spark, tableDir, curName, "termstats")
+      .join(dfDec, Seq("term"), "left")
+      .select(col("term"),
+        (col("df_cnt") - coalesce(col("__dec"), lit(0L))).as("df_cnt"))
+      .filter(col("df_cnt") > 0)
+    val dlLoss = doomedDl.agg(count(lit(1)).as("__nd"),
+      coalesce(sum("dl"), lit(0L)).as("__dl"))
+    val newStats = Lakehouse.readVersion(spark, tableDir, curName, "stats")
+      .crossJoin(dlLoss)
+      .select((col("n_docs") - col("__nd")).as("n_docs"),
+        (col("total_len") - col("__dl")).as("total_len"))
+    Lakehouse.bumpVersion(spark, tableDir) { vdir =>
+      newTs.write.mode("overwrite").parquet(s"$vdir/termstats")
+      newStats.write.mode("overwrite").parquet(s"$vdir/stats")
+    }
+    rewritten
+  }
+
   /** Precomputed IMPACT INDEX: every posting scored up front —
     * (term, doc_id, c8s) with `c8s` the exact contribution as a
     * 1e-8-scaled BIGINT (DECIMAL(18,8) × 10⁸, lossless). Serving then

@@ -133,6 +133,33 @@ object VectorStreams {
       }
       .start()
 
+  /** Right-to-be-forgotten for the standing vector store: remove
+    * `vecIds` from buckets and vectors (survivor rewrite of only the
+    * batch partitions that contain them —
+    * [[graft.operators.Lakehouse.deleteFromPartitions]], with its
+    * documented reader-retry caveat) and fold the count correction
+    * into a new stats version before CURRENT swings. Returns the
+    * number of partitions rewritten. */
+  def forgetVectors(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, vecIds: Seq[Long]): Int = {
+    val curName = graft.operators.Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val cond = col("vec_id").isin(vecIds: _*)
+    val lost = spark.read.parquet(s"$tableDir/vectors").filter(cond)
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val rewritten =
+      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/buckets", cond) +
+        graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/vectors", cond)
+    val newStats = graft.operators.Lakehouse
+      .readVersion(spark, tableDir, curName, "stats")
+      .crossJoin(lost)
+      .select((col("n_vecs") - col("__n")).as("n_vecs"))
+    graft.operators.Lakehouse.bumpVersion(spark, tableDir) { vdir =>
+      newStats.write.mode("overwrite").parquet(s"$vdir/stats")
+    }
+    rewritten
+  }
+
   /** ANN top-k from a standing [[vectorIndexIngest]] store, pinned to
     * `version` (default CURRENT). `probes` may be a batch frame or a
     * streaming one — the probe side is a pure bucket projection, the

@@ -112,6 +112,42 @@ class LexicalSpec extends AnyFunSuite {
       === ranking(Lexical.bm25(docs.toDF("doc_id", "text"), queries(), 5)))
   }
 
+  test("forgetDocs: append-store GDPR delete == from-scratch index over survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lex_gdpr").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.indexIngest(
+      mem.toDF().toDF("doc_id", "text"), tbl)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // forget two docs that the index currently RETURNS (one per batch)
+    val top = Lexical.searchStore(spark, tbl, queries(), 5)
+      .select("doc_id").collect().map(_.getLong(0)).distinct
+    val doomed = Seq(top.find(_ % 2 == 0).get, top.find(_ % 2 == 1).get)
+    val rewritten = Lexical.forgetDocs(spark, tbl, doomed)
+    assert(rewritten === 4) // both tables × both batches
+    assert(Lakehouse.currentVersion(spark, tbl).contains("v1c1"))
+
+    // the store now equals a from-scratch index over the survivors —
+    // rankings AND scores (df/avgdl corrections are exact, not lossy)
+    val survivors = docs.filterNot(r => doomed.contains(r._1))
+    assert(ranking(Lexical.searchStore(spark, tbl, queries(), 5))
+      === ranking(Lexical.bm25(survivors.toDF("doc_id", "text"), queries(), 5)))
+    assert(!Lexical.searchStore(spark, tbl, queries(), 5)
+      .select("doc_id").collect().map(_.getLong(0)).exists(doomed.contains))
+    val st = Lakehouse.readCurrent(spark, tbl, "stats").head()
+    assert(st.getLong(0) === survivors.size.toLong)
+  }
+
   test("corpusStats of an empty batch folds as (0, 0), never (0, null)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "dl")

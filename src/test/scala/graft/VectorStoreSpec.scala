@@ -89,5 +89,29 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(parts("vectors") === Seq("batch=0", "batch=1"))
     assert(new java.io.File(s"$tbl/vectors/batch=0").listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet")) === 1)
+
+    // right-to-be-forgotten: forget two served candidates (one per
+    // batch); the store then equals the in-session index over the
+    // survivors, and the count correction landed in a new version
+    val cands = ranking(VectorStreams.searchVectorStore(
+      spark, tbl, probes, dim, tp, nt, 3)).map(_._3).toSeq.distinct
+    val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
+    assert(rewritten === 4)
+    assert(Lakehouse.currentVersion(spark, tbl).contains("v1c1"))
+    val survivors = rows.filterNot(r => doomed.contains(r._1))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val expSurv = Knn.lshTopKMultiTable(
+        Knn.withLshTables(survivors, "embedding", dim, tp, nt), "vec_id", "embedding",
+        col("vec_id") < 32 && !col("vec_id").isin(doomed: _*), 3)
+      .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("cosine"))
+    val afterForget = VectorStreams.searchVectorStore(spark, tbl,
+        probes.filter(!col("vec_id").isin(doomed: _*)), dim, tp, nt, 3)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))
+    assert(ranking(afterForget) === ranking(expSurv))
+    assert(!ranking(afterForget).exists(r => doomed.contains(r._3)))
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === (rows.size - 2).toLong)
   }
 }
