@@ -673,6 +673,37 @@ object TextDedupQueries {
               |    ORDER BY sd DESC, doc_id) AS INT) AS rnk
               |FROM scored QUALIFY rnk <= 5""".stripMargin)),
 
+    // ── The SERVING index itself as a driver-visible row: every
+    //    posting's precomputed BM25 contribution as a lossless
+    //    1e-8-scaled BIGINT — what Lexical.bm25Serve joins online.
+    //    Pinning the full index (not just a top-k) per round means any
+    //    drift in the scoring path surfaces as a hash mismatch on the
+    //    complete posting mass. ──
+    QueryDef(
+      "txt_bm25_impact",
+      "precomputed BM25 impact index: (term, doc_id, c8s) over all postings",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val post = graft.operators.Lexical.postings(docs)
+        val dl = graft.operators.Lexical.doclens(docs)
+        graft.operators.Lexical.impactIndex(post, dl,
+          graft.operators.Lexical.termstats(post),
+          graft.operators.Lexical.corpusStats(dl))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($dkTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |dlen AS (SELECT doc_id, len($dkTokens)::BIGINT AS dl FROM documents),
+              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen)
+              |SELECT term, t.doc_id,
+              |  (round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+              |      / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+              |    * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+              |      * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+              |    8)::DECIMAL(18,8) * 100000000)::BIGINT AS c8s
+              |FROM tf t JOIN dfc USING (term)
+              |  JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st""".stripMargin)),
+
     // ── Normalization-aware exact dedup: fingerprint AFTER lowercasing
     //    and whitespace collapse, so documents differing only in case or
     //    formatting collapse — the standard normalize-then-hash stage
