@@ -702,7 +702,8 @@ object TextDedupQueries {
               |      * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
               |    8)::DECIMAL(18,8) * 100000000)::BIGINT AS c8s
               |FROM tf t JOIN dfc USING (term)
-              |  JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st""".stripMargin)),
+              |  JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st""".stripMargin),
+      bench = true),
 
     // ── Normalization-aware exact dedup: fingerprint AFTER lowercasing
     //    and whitespace collapse, so documents differing only in case or
