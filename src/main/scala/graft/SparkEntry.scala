@@ -18,6 +18,7 @@ object SparkEntry {
     TranscodeQueries.defs,
     TextDedupQueries.defs,
     SimilarityStreamQueries.defs,
+    CurationQueries.defs,
     CnicsQueries.defs
   ))
 

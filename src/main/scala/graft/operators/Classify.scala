@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical corpus-curation models over token counts: multinomial
+  * Naive Bayes classification, n-gram language-model scoring (the
+  * CCNet-style perplexity quality filter), and DSIR-style hashed
+  * importance weighting for targeted data selection.
+  *
+  * Reference context: the reference (`cnics_to_fhir.py`) has no
+  * model-based curation surface — this is the SURVEY §7.5 LLM-pipeline
+  * extension. The shapes follow the public literature: fastText/NB
+  * quality classifiers and KenLM perplexity filtering (CCNet,
+  * Wenzek et al. 2020) and hashed-n-gram importance resampling (DSIR,
+  * Xie et al. 2023).
+  *
+  * Exactness discipline (the repo-wide oracle contract, see
+  * [[Lexical]]): every model probability is integer-count-derived, so
+  * the double quotient feeding `ln` is bit-identical in any engine;
+  * the `ln` result quantizes through DECIMAL(18,12)→6 digits — the one
+  * libm call in the scoring path; each per-token contribution
+  * quantizes to DECIMAL(18,8) so a document score is an order-free
+  * exact decimal SUM and rankings tie identically everywhere.
+  *
+  * Scale shape: training is one groupBy over the tokenized corpus
+  * (map-side combined counts — the model IS an aggregate); the model
+  * tables are vocabulary-sized, never corpus-sized, and scoring is a
+  * term-keyed equi-join of the batch against the model — cost follows
+  * the batch, never the training corpus. All model tables are plain
+  * DataFrames, so they persist/fold/store exactly like the lexical
+  * index ([[graft.streaming.DocStreams.indexIngest]] discipline):
+  * counts are mergeable by summation, making every model here
+  * incrementally maintainable by construction.
+  */
+object Classify {
+
+  /** ln quantized through DECIMAL(18,12)→6 digits (the [[Lexical]]
+    * idf discipline — one libm call, then decimal). */
+  def logq6(c: Column): Column =
+    round(log(c).cast("decimal(18,12)"), 6).cast("double")
+
+  /** Contribution quantizer: double → DECIMAL(18,8), the order-free
+    * exact-summation cell type. */
+  def c8(c: Column): Column =
+    round(c.cast("decimal(18,12)"), 8).cast("decimal(18,8)")
+
+  private def toks(textCol: String): String =
+    graft.functions.TextFunctions.tokensSql(textCol)
+
+  /** Per-(label, term) token counts + per-label totals + vocabulary:
+    * the complete sufficient statistics of a multinomial NB model.
+    * Every table is a pure additive aggregate — fold new batches by
+    * summing counts. */
+  final case class NbModel(
+      condCounts: DataFrame, // (label, term, cnt)
+      classStats: DataFrame, // (label, total_c, n_docs_c)
+      vocab: DataFrame) // (term)
+
+  /** Train sufficient statistics from labelled documents.
+    * One tokenize pass; both aggregates map-side combine. */
+  def nbTrain(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "label"): NbModel = {
+    val t = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      explode(expr(toks(textCol))).as("term"))
+    val cond = t.groupBy("label", "term").agg(count(lit(1)).as("cnt"))
+    val perDocLen = docs.select(col(labelCol).as("label"),
+      size(expr(toks(textCol))).cast("long").as("dl"))
+    val cstats = perDocLen.groupBy("label")
+      .agg(coalesce(sum("dl"), lit(0L)).as("total_c"),
+        count(lit(1)).as("n_docs_c"))
+    NbModel(cond, cstats, cond.select("term").distinct())
+  }
+
+  /** The dense smoothed log-probability table (label × vocab): each
+    * cell lp6 = logq6((cnt+1)/(total_c+V)) — add-one smoothing over
+    * the training vocabulary. Vocabulary-sized (K·V rows), the
+    * "impact index" of the classifier: compute once, reuse per batch.
+    * The label grid is a broadcast-able K-row side. */
+  def nbLogProbs(m: NbModel): DataFrame = {
+    val v1 = m.vocab.agg(count(lit(1)).as("v")) // 1 row
+    m.vocab.crossJoin(broadcast(m.classStats)).crossJoin(broadcast(v1))
+      .join(m.condCounts, Seq("label", "term"), "left")
+      .select(col("label"), col("term"),
+        logq6((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("total_c") + col("v")).cast("double")).as("lp6"))
+  }
+
+  /** Quantized per-label log prior: lprior8 (DECIMAL(18,8)). */
+  def nbPriors(m: NbModel): DataFrame = {
+    val n1 = m.classStats.agg(coalesce(sum("n_docs_c"), lit(0L)).as("n"))
+    m.classStats.crossJoin(broadcast(n1))
+      .select(col("label"),
+        c8(logq6(col("n_docs_c").cast("double") / col("n").cast("double")))
+          .as("lprior8"))
+  }
+
+  /** Joint log-likelihood of each (doc, label): prior + Σ tf·lp6.
+    * Out-of-vocabulary tokens drop (inner join with the model) — the
+    * standard closed-vocabulary NB treatment; a doc with zero
+    * in-vocabulary tokens drops entirely. Scoring cost = batch
+    * postings × K; the training corpus is never rescanned. */
+  def nbScores(logProbs: DataFrame, priors: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(logProbs, Seq("term"))
+      .select(col("doc_id"), col("label"),
+        c8(col("tf").cast("double") * col("lp6")).as("__c8"))
+      .groupBy("doc_id", "label")
+      .agg(sum("__c8").as("__ll"), count(lit(1)).as("n_terms"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("label"),
+        (col("__ll") + col("lprior8")).as("__score_dec"), col("n_terms"))
+  }
+
+  /** Argmax prediction per doc: (score DESC, label ASC) — exact
+    * decimal comparison, so ties break identically in any engine. */
+  def nbPredict(scores: DataFrame): DataFrame =
+    scores.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("__score_dec").desc, col("label"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        round(col("__score_dec").cast("double"), 6).as("score"),
+        col("n_terms"))
+
+  // ───────────────────────── n-gram LM ─────────────────────────
+
+  /** (doc_id, w1, w2) bigram stream. Docs under 2 tokens contribute
+    * nothing (explicit length guard: Spark's `sequence(1, 0)` would
+    * DESCEND, not empty). */
+  def bigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), expr(toks(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__tk) - 1), " +
+          "i -> struct(element_at(__tk, i) AS w1, element_at(__tk, i + 1) AS w2))"))
+        .as("__bg"))
+      .select(col("doc_id"), col("__bg.w1"), col("__bg.w2"))
+
+  /** Bigram LM sufficient statistics: bigram counts, unigram
+    * (context) counts, vocabulary size — all additive aggregates. */
+  final case class LmModel(
+      bigramCounts: DataFrame, // (w1, w2, cnt2)
+      unigramCounts: DataFrame, // (w1, cnt1)
+      vocab: DataFrame) // (term)
+
+  def lmTrain(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): LmModel = {
+    val uni = docs.select(explode(expr(toks(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val bi = bigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    LmModel(bi, uni, uni.select(col("w1").as("term")))
+  }
+
+  /** Per-document average negative log-likelihood under the add-one
+    * bigram model: nll = Σ −logq6((cnt2+1)/(cnt1+V)) / n_bigrams.
+    * Only bigrams whose BOTH tokens are in the training vocabulary
+    * score (closed-vocabulary; the join drops the rest). High avg_nll
+    * = high perplexity = the CCNet "unusual text" signal. Scoring is
+    * two vocab-keyed joins against model tables; the per-bigram sum is
+    * exact decimal. */
+  def lmPerplexity(m: LmModel, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val v1 = m.vocab.agg(count(lit(1)).as("v")) // 1 row
+    val bg = bigrams(docs, idCol, textCol)
+      .join(m.vocab.select(col("term").as("w1")), Seq("w1"), "left_semi")
+      .join(m.vocab.select(col("term").as("w2")), Seq("w2"), "left_semi")
+    bg.join(m.unigramCounts, Seq("w1"))
+      .join(m.bigramCounts, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        c8(lit(-1.0) * logq6((coalesce(col("cnt2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cnt1") + col("v")).cast("double"))).as("__c8"))
+      .groupBy("doc_id")
+      .agg(sum("__c8").as("__nll_dec"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__nll_dec").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+  }
+
+  // ───────────────────────── DSIR ─────────────────────────
+
+  /** Hashed-unigram importance weights (DSIR): per doc,
+    * logw = Σ_slots tf·(logq6 p_target(slot) − logq6 p_raw(slot)),
+    * add-one smoothed over `buckets` hash slots. The feature space is
+    * FIXED-width (buckets rows per model) regardless of vocabulary —
+    * the hashing trick that lets the target/raw models broadcast at
+    * any corpus size. Requires `graft_poly` registered on the session
+    * ([[graft.functions.GraftFunctions.register]]). */
+  def dsirLogWeights(target: DataFrame, raw: DataFrame, score: DataFrame,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def slotTf(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("__tok"))
+      .select(col("doc_id"), expr(s"pmod(graft_poly(__tok), $buckets)").as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("tf"))
+    def slotCounts(docs: DataFrame): DataFrame =
+      slotTf(docs).groupBy("slot").agg(sum("tf").as("cnt"))
+    val tc = slotCounts(target)
+    val rc = slotCounts(raw)
+    val tot = tc.agg(coalesce(sum("cnt"), lit(0L)).as("tot_t")).crossJoin(
+      rc.agg(coalesce(sum("cnt"), lit(0L)).as("tot_r"))) // 1 row
+    slotTf(score)
+      .join(broadcast(tc.withColumnRenamed("cnt", "cnt_t")), Seq("slot"), "left")
+      .join(broadcast(rc.withColumnRenamed("cnt", "cnt_r")), Seq("slot"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        c8(col("tf").cast("double") *
+          (logq6((coalesce(col("cnt_t"), lit(0L)) + lit(1L)).cast("double") /
+             (col("tot_t") + lit(buckets.toLong)).cast("double")) -
+           logq6((coalesce(col("cnt_r"), lit(0L)) + lit(1L)).cast("double") /
+             (col("tot_r") + lit(buckets.toLong)).cast("double")))).as("__c8"))
+      .groupBy("doc_id")
+      .agg(sum("__c8").as("__lw_dec"), count(lit(1)).as("n_slots"))
+      .select(col("doc_id"), col("n_slots"),
+        col("__lw_dec").as("logw_dec"))
+  }
+
+  // ───────────────────────── χ² association ─────────────────────────
+
+  /** Per-term chi-square association with a boolean document class,
+    * from document-frequency 2×2 tables — the classic feature-
+    * selection statistic. All four cells are exact integer counts; the
+    * numerator N·(ad−bc)² and denominator row/column products are
+    * computed in DECIMAL(38,0) (HUGEINT in the oracle) so they stay
+    * exact far past 2⁵³, and only the final ratio drops to double
+    * (correctly rounded from exact integers in both engines) before
+    * the 6-digit round. One presence aggregate + one vocab-sized
+    * pass; no joins against the corpus. `classCol` must be a boolean
+    * column on `docs`. */
+  def chi2Terms(docs: DataFrame, classCol: Column, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Long = 5L): DataFrame = {
+    val pres = docs
+      .select(col(idCol).as("doc_id"), classCol.as("__pos"), explode(
+        expr(s"array_distinct(${toks(textCol)})")).as("term"))
+    val totals = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(classCol, 1L).otherwise(0L)), lit(0L)).as("n_pos")) // 1 row
+    val grid = pres.groupBy("term").agg(
+      coalesce(sum(when(col("__pos"), 1L).otherwise(0L)), lit(0L)).as("a"),
+      coalesce(sum(when(col("__pos"), 0L).otherwise(1L)), lit(0L)).as("b"))
+    val d38 = "decimal(38,0)"
+    grid.crossJoin(broadcast(totals))
+      .filter(col("a") + col("b") >= minDf)
+      .withColumn("c", col("n_pos") - col("a"))
+      .withColumn("d", col("n") - col("n_pos") - col("b"))
+      .withColumn("__diff",
+        col("a").cast(d38) * col("d").cast(d38) -
+          col("b").cast(d38) * col("c").cast(d38))
+      .withColumn("__num", col("n").cast(d38) * col("__diff") * col("__diff"))
+      .withColumn("__den",
+        (col("a") + col("b")).cast(d38) * (col("c") + col("d")).cast(d38) *
+          (col("a") + col("c")).cast(d38) * (col("b") + col("d")).cast(d38))
+      .filter(col("__den") > 0)
+      .select(col("term"), col("a").as("df_pos"), col("b").as("df_neg"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("chi2"))
+  }
+}

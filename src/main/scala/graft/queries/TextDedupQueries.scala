@@ -75,11 +75,11 @@ object TextDedupQueries {
   }
 
   // DuckDB-side building blocks mirroring TextFunctions/Dedup exactly.
-  private val dkClean = "lower(regexp_replace(text, '[^ -~]', '', 'g'))"
-  private def dkPoly(e: String) =
+  private[queries] val dkClean = "lower(regexp_replace(text, '[^ -~]', '', 'g'))"
+  private[queries] def dkPoly(e: String) =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), ch -> ord(ch)::BIGINT)), " +
       s"(a, x) -> (a * 31 + x) % 1000000007)"
-  private val dkTokens = "regexp_split_to_array(trim(text), '\\s+')"
+  private[queries] val dkTokens = "regexp_split_to_array(trim(text), '\\s+')"
   private def dkShingles(src: String) =
     s"list_distinct(list_transform(range(1, length($src) - 1), i -> substr($src, i::INT, 3)))"
   // token 3-shingles of the cleaned text (mirrors tokenShinglesSql)
