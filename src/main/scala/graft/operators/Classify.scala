@@ -73,17 +73,22 @@ object Classify {
   }
 
   /** The dense smoothed log-probability table (label × vocab): each
-    * cell lp6 = logq6((cnt+1)/(total_c+V)) — add-one smoothing over
-    * the training vocabulary. Vocabulary-sized (K·V rows), the
-    * "impact index" of the classifier: compute once, reuse per batch.
-    * The label grid is a broadcast-able K-row side. */
+    * cell lp8 = c8(logq6((cnt+1)/(total_c+V))) — add-one smoothing
+    * over the training vocabulary. c8 of a 6-digit-rounded double is
+    * EXACT (the nearest double of a 6-decimal value re-rounds to the
+    * same value at 8 digits), so lp8 is the model cell as an exact
+    * decimal: per-token contributions become exact decimal products
+    * and a tf-weighted batch sum equals a per-occurrence streaming
+    * sum bit-for-bit — the property the online serving path rides.
+    * Vocabulary-sized (K·V rows), the "impact index" of the
+    * classifier: compute once, reuse per batch. */
   def nbLogProbs(m: NbModel): DataFrame = {
     val v1 = m.vocab.agg(count(lit(1)).as("v")) // 1 row
     m.vocab.crossJoin(broadcast(m.classStats)).crossJoin(broadcast(v1))
       .join(m.condCounts, Seq("label", "term"), "left")
       .select(col("label"), col("term"),
-        logq6((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("total_c") + col("v")).cast("double")).as("lp6"))
+        c8(logq6((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("total_c") + col("v")).cast("double"))).as("lp8"))
   }
 
   /** Quantized per-label log prior: lprior8 (DECIMAL(18,8)). */
@@ -107,7 +112,7 @@ object Classify {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     tf.join(logProbs, Seq("term"))
       .select(col("doc_id"), col("label"),
-        c8(col("tf").cast("double") * col("lp6")).as("__c8"))
+        (col("tf").cast("decimal(18,0)") * col("lp8")).as("__c8"))
       .groupBy("doc_id", "label")
       .agg(sum("__c8").as("__ll"), count(lit(1)).as("n_terms"))
       .join(broadcast(priors), Seq("label"))
@@ -116,15 +121,88 @@ object Classify {
   }
 
   /** Argmax prediction per doc: (score DESC, label ASC) — exact
-    * decimal comparison, so ties break identically in any engine. */
+    * decimal comparison, so ties break identically in any engine.
+    * Implemented as `min(struct(-score, label, …))`, NOT a per-doc
+    * window: a plain hash aggregate combines map-side and carries no
+    * sort, and the same expression is legal over a streaming frame
+    * (the serving path) where a Window would not be. */
   def nbPredict(scores: DataFrame): DataFrame =
-    scores.withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("__score_dec").desc, col("label"))))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"),
-        round(col("__score_dec").cast("double"), 6).as("score"),
-        col("n_terms"))
+    scores.groupBy("doc_id")
+      .agg(min(struct(
+        (lit(0).cast("decimal(18,8)") - col("__score_dec")).as("__ns"),
+        col("label"), col("n_terms"), col("__score_dec").as("__sd"))).as("__w"))
+      .select(col("doc_id"), col("__w.label").as("pred_label"),
+        round(col("__w.__sd").cast("double"), 6).as("score"),
+        col("__w.n_terms").as("n_terms"))
+
+  /** Serving form of the model: (term, label, lp8s) with the exact
+    * DECIMAL(18,8) cell as a LOSSLESS 1e-8-scaled BIGINT (the
+    * [[Lexical.impactIndex]] trick) — integer sums in the online
+    * aggregator are then exact and equal the batch decimal sums. */
+  def nbImpact(logProbs: DataFrame): DataFrame =
+    logProbs.select(col("term"), col("label"),
+      (col("lp8") * lit(100000000L)).cast("long").as("lp8s"))
+
+  /** K-row scaled prior map for [[ArgmaxSumAgg]] (metadata-sized
+    * driver collect, like the BPE round tables). */
+  def nbPriorMap(priors: DataFrame): Map[String, Long] =
+    priors.select(col("label"),
+        (col("lprior8") * lit(100000000L)).cast("long").as("p8s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Single-aggregation streaming argmax: state is the K-entry
+    * label → Σ lp8s map (bounded by the label alphabet, merges
+    * pointwise — map-side combining works); finish adds the scaled
+    * priors and picks (max score, min label). The NB analogue of
+    * [[graft.functions.TopK]]'s bounded heaps: one ObjectHashAggregate,
+    * no Window, legal over a streaming frame. */
+  final class ArgmaxSumAgg(priors: Map[String, Long])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), Map[String, Long], (String, Long)] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: (String, Long)): Map[String, Long] =
+      b.updated(a._1, b.getOrElse(a._1, 0L) + a._2)
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    /** (winning label, SCALED score) — the final /1e8 + round happens
+      * in SQL via Spark's own `round`, so the score goes through the
+      * identical double-rounding path as the batch twin. Only labels
+      * with at least one scored token compete — mirrors the batch
+      * inner join (a label can't miss: the grid is dense over
+      * vocab × labels). */
+    def finish(r: Map[String, Long]): (String, Long) =
+      r.iterator
+        .map { case (l, s) => (l, s + priors.getOrElse(l, 0L)) }
+        .reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[(String, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** ONLINE NB classification (the annServe/bm25Serve discipline):
+    * `probe` rows are (doc_id, text) — batch OR streaming frame. The
+    * probe side is a pure projection (token explode, no tf
+    * pre-aggregation), joined term-keyed against the precomputed
+    * [[nbImpact]] grid, argmax'd by ONE [[ArgmaxSumAgg]] aggregation.
+    * Output (doc_id, pred_label, score) equals [[nbPredict]] of the
+    * batch path bit-for-bit: per-occurrence integer sums == tf-
+    * weighted decimal sums (exact arithmetic end to end; the only
+    * difference is n_terms, which the occurrence stream cannot count
+    * distinctly and therefore omits). */
+  def nbServe(probe: DataFrame, impact: DataFrame,
+      priorMap: Map[String, Long]): DataFrame = {
+    val agg = udaf(new ArgmaxSumAgg(priorMap))
+    probe
+      .select(col("doc_id"), explode(expr(toks("text"))).as("term"))
+      .join(impact, Seq("term"))
+      .groupBy("doc_id")
+      .agg(agg(col("label"), col("lp8s")).as("w"))
+      .select(col("doc_id"), col("w._1").as("pred_label"),
+        round(col("w._2").cast("double") / lit(1.0e8), 6).as("score"))
+  }
 
   // ───────────────────────── n-gram LM ─────────────────────────
 

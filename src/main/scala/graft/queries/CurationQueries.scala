@@ -27,6 +27,37 @@ object CurationQueries {
   private def dkC8(e: String) =
     s"round(($e)::DECIMAL(18,12), 8)::DECIMAL(18,8)"
 
+  /** CTE prefix replaying NB training + holdout scoring end-to-end
+    * (terminal CTE `fin`: one scored (doc, label) row each). Shared by
+    * the prediction and confusion-matrix oracles. */
+  private def dkNbCtes =
+    s"""train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |ttk AS (SELECT lang, unnest($dkToks) AS term FROM train),
+       |cond AS (SELECT lang, term, count(*) AS cnt FROM ttk GROUP BY 1, 2),
+       |cst AS (SELECT lang, count(*) AS total_c FROM ttk GROUP BY 1),
+       |cdoc AS (SELECT lang, count(*) AS ndc FROM train GROUP BY 1),
+       |nd AS (SELECT count(*) AS n FROM train),
+       |vocab AS (SELECT DISTINCT term FROM ttk),
+       |vs AS (SELECT count(*) AS v FROM vocab),
+       |model AS (SELECT cs.lang, vb.term,
+       |    ${dkC8(dkLogq6("(coalesce(cc.cnt, 0) + 1)::DOUBLE / (cs.total_c + vs.v)::DOUBLE"))} AS lp8
+       |  FROM vocab vb CROSS JOIN cst cs CROSS JOIN vs
+       |  LEFT JOIN cond cc ON cc.term = vb.term AND cc.lang = cs.lang),
+       |pri AS (SELECT lang,
+       |    ${dkC8(dkLogq6("ndc::DOUBLE / n::DOUBLE"))} AS lprior8
+       |  FROM cdoc CROSS JOIN nd),
+       |htk AS (SELECT doc_id, lang AS true_lang, unnest($dkToks) AS term FROM hold),
+       |htf AS (SELECT doc_id, true_lang, term, count(*) AS tf FROM htk GROUP BY 1, 2, 3),
+       |contrib AS (SELECT h.doc_id, h.true_lang, m.lang,
+       |    h.tf * m.lp8 AS c8
+       |  FROM htf h JOIN model m USING (term)),
+       |sc AS (SELECT doc_id, true_lang, lang, sum(c8) AS ll, count(*) AS n_terms
+       |  FROM contrib GROUP BY 1, 2, 3),
+       |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+       |    sc.ll + p.lprior8 AS sd, sc.n_terms
+       |  FROM sc JOIN pri p ON p.lang = sc.lang)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Multinomial Naive Bayes language classifier ──
@@ -49,37 +80,37 @@ object CurationQueries {
           .select(col("doc_id"), col("true_lang"),
             col("pred_label").as("pred_lang"), col("score"), col("n_terms"))
       },
-      Some(s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-              |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-              |ttk AS (SELECT lang, unnest($dkToks) AS term FROM train),
-              |cond AS (SELECT lang, term, count(*) AS cnt FROM ttk GROUP BY 1, 2),
-              |cst AS (SELECT lang, count(*) AS total_c FROM ttk GROUP BY 1),
-              |cdoc AS (SELECT lang, count(*) AS ndc FROM train GROUP BY 1),
-              |nd AS (SELECT count(*) AS n FROM train),
-              |vocab AS (SELECT DISTINCT term FROM ttk),
-              |vs AS (SELECT count(*) AS v FROM vocab),
-              |model AS (SELECT cs.lang, vb.term,
-              |    ${dkLogq6("(coalesce(cc.cnt, 0) + 1)::DOUBLE / (cs.total_c + vs.v)::DOUBLE")} AS lp6
-              |  FROM vocab vb CROSS JOIN cst cs CROSS JOIN vs
-              |  LEFT JOIN cond cc ON cc.term = vb.term AND cc.lang = cs.lang),
-              |pri AS (SELECT lang,
-              |    ${dkC8(dkLogq6("ndc::DOUBLE / n::DOUBLE"))} AS lprior8
-              |  FROM cdoc CROSS JOIN nd),
-              |htk AS (SELECT doc_id, lang AS true_lang, unnest($dkToks) AS term FROM hold),
-              |htf AS (SELECT doc_id, true_lang, term, count(*) AS tf FROM htk GROUP BY 1, 2, 3),
-              |contrib AS (SELECT h.doc_id, h.true_lang, m.lang,
-              |    ${dkC8("h.tf::DOUBLE * m.lp6")} AS c8
-              |  FROM htf h JOIN model m USING (term)),
-              |sc AS (SELECT doc_id, true_lang, lang, sum(c8) AS ll, count(*) AS n_terms
-              |  FROM contrib GROUP BY 1, 2, 3),
-              |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
-              |    sc.ll + p.lprior8 AS sd, sc.n_terms
-              |  FROM sc JOIN pri p ON p.lang = sc.lang)
+      Some(s"""WITH $dkNbCtes
               |SELECT doc_id, true_lang, lang AS pred_lang,
               |  round(sd::DOUBLE, 6) AS score, n_terms
               |FROM fin QUALIFY row_number() OVER (PARTITION BY doc_id
               |  ORDER BY sd DESC, lang) = 1""".stripMargin),
       bench = true),
+
+    // ── Classifier quality eval: the confusion matrix of the NB
+    //    holdout predictions — the accuracy surface a curation
+    //    pipeline monitors before trusting a filter model. K²-row
+    //    output from the same scored frame; no extra corpus pass. ──
+    QueryDef(
+      "eval_confusion_nb",
+      "NB holdout confusion matrix: (true_lang, pred_lang, n)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val hold = docs.filter(col("doc_id") % 5 === 0)
+        val m = Classify.nbTrain(train, "doc_id", "text", "lang")
+        Classify.nbPredict(
+            Classify.nbScores(Classify.nbLogProbs(m), Classify.nbPriors(m), hold))
+          .join(hold.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+          .groupBy(col("true_lang"), col("pred_label").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH $dkNbCtes,
+              |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY sd DESC, lang) = 1)
+              |SELECT true_lang, pred_lang, count(*) AS n
+              |FROM pred GROUP BY 1, 2""".stripMargin)),
 
     // ── Bigram LM perplexity (the CCNet quality filter) ──
     //    Add-one bigram model trained on the 4/5 split; the holdout's

@@ -1490,6 +1490,32 @@ object TextDedupQueries {
               |  JOIN sp b ON b.doc_id = sel.id_b
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Near-dup benchmark decontamination: the fuzzy twin of
+    //    `decontam_keep` (which removes exact matches). Every VERIFIED
+    //    near-dup pair (shared memoized band index, exact-Jaccard
+    //    rescore ≥ 0.8) touching a benchmark doc (doc_id % 17 == 0, the
+    //    stand-in eval set) flags its non-benchmark side — the docs a
+    //    training corpus must drop to avoid fuzzy eval leakage. Pair
+    //    list is index-bounded; the corpus is never rescanned. ──
+    QueryDef(
+      "decontam_neardup",
+      "training docs near-duplicating a benchmark doc (fuzzy decontamination list)",
+      (s, d) => {
+        val pairs = neardupPairs(s, d).select("id_a", "id_b")
+        pairs.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+          .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+          .filter(col("doc_id") % 17 =!= 0 && col("other") % 17 === 0)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_benchmark_dups"))
+      },
+      Some(s"""WITH $dkNeardupCtes,
+              |sel AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |sides AS (SELECT id_a AS doc_id, id_b AS other FROM sel
+              |  UNION ALL SELECT id_b, id_a FROM sel)
+              |SELECT doc_id, count(*) AS n_benchmark_dups FROM sides
+              |WHERE doc_id % 17 <> 0 AND other % 17 = 0
+              |GROUP BY 1""".stripMargin)),
+
     // ── Length-bucketed inference batching: docs grouped into power-of-
     //    two token-length buckets, then fixed-size batches within each
     //    bucket (minimizes padding waste at serving time). Within-bucket

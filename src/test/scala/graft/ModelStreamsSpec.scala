@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+import graft.streaming.ModelStreams
+
+class ModelStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  private def fixtureDocs() =
+    graft.sources.Tables(spark, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang").as("label"))
+
+  private def predictions(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.select("doc_id", "pred_label", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("nbServe (single-agg scaled-integer path) == batch nbPredict incl. scores; one-agg plan") {
+    val docs = fixtureDocs()
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val probe = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val m = Classify.nbTrain(train)
+    val lp = Classify.nbLogProbs(m).localCheckpoint(true)
+    val batch = predictions(Classify.nbPredict(
+      Classify.nbScores(lp, Classify.nbPriors(m), probe)))
+    val served = Classify.nbServe(probe, Classify.nbImpact(lp),
+      Classify.nbPriorMap(Classify.nbPriors(m)))
+    assert(predictions(served) === batch)
+    assert(batch.nonEmpty)
+    // serving is ONE aggregation (streaming-legal): ObjectHashAggregate
+    // over the K-entry label-sum map, no Window, no per-doc sort
+    val pp = served.queryExecution.executedPlan.toString
+    assert(pp.contains("ObjectHashAggregate"), pp)
+    assert(!pp.contains("Window"), pp)
+    // ... and the batch argmax is itself aggregate-shaped (min-struct),
+    // not a window: map-side combinable at any fan-in
+    val bp = Classify.nbPredict(
+      Classify.nbScores(lp, Classify.nbPriors(m), probe))
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("Window"), bp)
+  }
+
+  test("two-batch nbModelIngest fold == batch-trained model; replay is a no-op; streamed probe == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft_nbstore").toString
+
+    val all = fixtureDocs().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = ModelStreams.nbModelIngest(
+      mem.toDF().toDF("doc_id", "text", "label"), tbl)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v1"))
+
+    // folded sufficient statistics == one-shot training on the union
+    val whole = Classify.nbTrain(fixtureDocs())
+    val stored = ModelStreams.nbModelFromStore(spark, tbl)
+    assert(stored.condCounts.except(whole.condCounts).isEmpty &&
+      whole.condCounts.except(stored.condCounts).isEmpty)
+    assert(stored.classStats.except(whole.classStats).isEmpty &&
+      whole.classStats.except(stored.classStats).isEmpty)
+
+    // replaying an already-committed batch id must not re-fold (the
+    // crash-between-swing-and-commit redelivery): store is unchanged
+    val before = stored.condCounts.agg(sum("cnt")).head().getLong(0)
+    ModelStreams.foldNbBatch(
+      b2.toDF("doc_id", "text", "label"), tbl, 1L)
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v1"))
+    assert(ModelStreams.nbModelFromStore(spark, tbl)
+      .condCounts.agg(sum("cnt")).head().getLong(0) === before)
+
+    // ONLINE serving from the pinned store == batch nbPredict of the
+    // union-trained model, scores included
+    val probe = fixtureDocs().filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val want = predictions(Classify.nbPredict(Classify.nbScores(
+      Classify.nbLogProbs(whole), Classify.nbPriors(whole), probe)))
+    assert(predictions(ModelStreams.nbServeFromStore(probe, tbl)) === want)
+
+    // ... and a STREAMED probe frame through the same serve path
+    // yields the same classifications
+    val pm = MemoryStream[(Long, String)]
+    val out = ModelStreams.nbServeFromStore(
+      pm.toDF().toDF("doc_id", "text"), tbl)
+    val q2 = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_nbserve_test").start()
+    val streamed =
+      try {
+        pm.addData(probe.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q2.processAllAvailable()
+        predictions(spark.table("graft_nbserve_test"))
+      } finally q2.stop()
+    assert(streamed === want)
+  }
+}
