@@ -19,6 +19,7 @@ object CurationQueries {
 
   private val dkToks = TextDedupQueries.dkTokens
   private def dkPoly(e: String) = TextDedupQueries.dkPoly(e)
+  private def dkNdCtes = TextDedupQueries.dkNeardupCtes
 
   /** logq6 in DuckDB: ln → DECIMAL(18,12) → 6 digits → DOUBLE. */
   private def dkLogq6(e: String) =
@@ -57,6 +58,34 @@ object CurationQueries {
        |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
        |    sc.ll + p.lprior8 AS sd, sc.n_terms
        |  FROM sc JOIN pri p ON p.lang = sc.lang)""".stripMargin
+
+  /** CTE suite replaying the add-one bigram LM end-to-end: train on
+    * the 4/5 split, score relation `scoreRel` (must expose doc_id,
+    * text). Terminal CTE `lmagg`: (doc_id, n_bigrams, nd) with the
+    * exact decimal NLL sum. Shared by the perplexity query and the
+    * curation manifest. */
+  private def dkLmCtes(scoreRel: String) =
+    s"""lmtrain AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |uni AS (SELECT w1, count(*) AS cnt1 FROM
+       |    (SELECT unnest($dkToks) AS w1 FROM lmtrain) GROUP BY 1),
+       |vs AS (SELECT count(*) AS v FROM uni),
+       |tbg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM
+       |    (SELECT $dkToks AS tk FROM lmtrain WHERE len($dkToks) >= 2),
+       |    unnest(range(1, len(tk))) AS r(i)),
+       |bi AS (SELECT w1, w2, count(*) AS cnt2 FROM tbg GROUP BY 1, 2),
+       |hbg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM
+       |    (SELECT doc_id, $dkToks AS tk FROM $scoreRel WHERE len($dkToks) >= 2),
+       |    unnest(range(1, len(tk))) AS r(i)),
+       |hbv AS (SELECT doc_id, w1, w2 FROM hbg
+       |  WHERE w1 IN (SELECT w1 FROM uni) AND w2 IN (SELECT w1 FROM uni)),
+       |lmcon AS (SELECT h.doc_id,
+       |    ${dkC8("-1.0::DOUBLE * " + dkLogq6(
+              "(coalesce(b.cnt2, 0) + 1)::DOUBLE / (u.cnt1 + vs.v)::DOUBLE"))} AS c8
+       |  FROM hbv h JOIN uni u USING (w1)
+       |  LEFT JOIN bi b ON b.w1 = h.w1 AND b.w2 = h.w2
+       |  CROSS JOIN vs),
+       |lmagg AS (SELECT doc_id, sum(c8) AS nd, count(*) AS n_bigrams
+       |  FROM lmcon GROUP BY 1)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -126,31 +155,11 @@ object CurationQueries {
         Classify.lmPerplexity(Classify.lmTrain(train), hold)
           .orderBy(desc("avg_nll"), asc("doc_id")).limit(20)
       },
-      Some(s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-              |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-              |uni AS (SELECT w1, count(*) AS cnt1 FROM
-              |    (SELECT unnest($dkToks) AS w1 FROM train) GROUP BY 1),
-              |vs AS (SELECT count(*) AS v FROM uni),
-              |tbg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM
-              |    (SELECT $dkToks AS tk FROM train WHERE len($dkToks) >= 2),
-              |    unnest(range(1, len(tk))) AS r(i)),
-              |bi AS (SELECT w1, w2, count(*) AS cnt2 FROM tbg GROUP BY 1, 2),
-              |hbg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM
-              |    (SELECT doc_id, $dkToks AS tk FROM hold WHERE len($dkToks) >= 2),
-              |    unnest(range(1, len(tk))) AS r(i)),
-              |hbv AS (SELECT doc_id, w1, w2 FROM hbg
-              |  WHERE w1 IN (SELECT w1 FROM uni) AND w2 IN (SELECT w1 FROM uni)),
-              |con AS (SELECT h.doc_id,
-              |    ${dkC8("-1.0::DOUBLE * " + dkLogq6(
-                     "(coalesce(b.cnt2, 0) + 1)::DOUBLE / (u.cnt1 + vs.v)::DOUBLE"))} AS c8
-              |  FROM hbv h JOIN uni u USING (w1)
-              |  LEFT JOIN bi b ON b.w1 = h.w1 AND b.w2 = h.w2
-              |  CROSS JOIN vs),
-              |agg AS (SELECT doc_id, sum(c8) AS nd, count(*) AS n_bigrams
-              |  FROM con GROUP BY 1)
+      Some(s"""WITH hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              |${dkLmCtes("hold")}
               |SELECT doc_id, n_bigrams,
               |  round(nd::DOUBLE / n_bigrams::DOUBLE, 6) AS avg_nll
-              |FROM agg ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin),
+              |FROM lmagg ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin),
       bench = true),
 
     // ── DSIR hashed importance selection ──
@@ -198,6 +207,69 @@ object CurationQueries {
               |  FROM con GROUP BY 1)
               |SELECT doc_id, n_slots, round(lw::DOUBLE, 6) AS logw
               |FROM agg ORDER BY lw DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ── End-to-end curation manifest: the decision record a training-
+    //    corpus build emits, composing three independent filters per
+    //    document (each individually oracled elsewhere):
+    //      drop_dup     — a verified (J≥0.8) near-dup partner with a
+    //                     SMALLER doc_id exists (keep-first rule: no
+    //                     cluster closure needed, pairwise-local and
+    //                     deterministic at any scale);
+    //      drop_contam  — a verified near-dup partner in the benchmark
+    //                     set (doc_id % 17 == 0; benchmark docs are
+    //                     never themselves corpus members);
+    //      drop_quality — bigram-LM avg_nll ≥ 3.5 (the CCNet tail);
+    //      keep         — none of the above.
+    //    Pair flags aggregate the shared memoized band index; the LM
+    //    scores every doc through vocab-keyed joins — the corpus is
+    //    tokenized once, never self-joined. ──
+    QueryDef(
+      "corpus_curation_manifest",
+      "per-doc keep/drop decision record: near-dup, benchmark-contamination, LM-quality filters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = TextDedupQueries.neardupPairs(s, d).select("id_a", "id_b")
+        val sides = pairs.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+          .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+        val pairFlags = sides.groupBy("doc_id").agg(
+          max(when(col("other") < col("doc_id"), true).otherwise(false)).as("__dup"),
+          max(when(col("other") % 17 === 0, true).otherwise(false)).as("__contam"))
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val nll = Classify.lmPerplexity(Classify.lmTrain(train), docs)
+          .select(col("doc_id"), (col("avg_nll") >= 3.5).as("__lowq"))
+        docs.select("doc_id")
+          .join(pairFlags, Seq("doc_id"), "left")
+          .join(nll, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__dup"), lit(false)).as("drop_dup"),
+            (coalesce(col("__contam"), lit(false)) && col("doc_id") % 17 =!= 0)
+              .as("drop_contam"),
+            coalesce(col("__lowq"), lit(false)).as("drop_quality"))
+          .withColumn("keep",
+            !(col("drop_dup") || col("drop_contam") || col("drop_quality")))
+      },
+      Some(s"""WITH $dkNdCtes,
+              |selp AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |sides AS (SELECT id_a AS doc_id, id_b AS other FROM selp
+              |  UNION ALL SELECT id_b, id_a FROM selp),
+              |pf AS (SELECT doc_id,
+              |    bool_or(other < doc_id) AS dup,
+              |    bool_or(other % 17 = 0) AS contam
+              |  FROM sides GROUP BY 1),
+              |${dkLmCtes("documents")},
+              |lq AS (SELECT doc_id,
+              |    round(nd::DOUBLE / n_bigrams::DOUBLE, 6) >= 3.5 AS lowq
+              |  FROM lmagg)
+              |SELECT d.doc_id,
+              |  coalesce(pf.dup, false) AS drop_dup,
+              |  (coalesce(pf.contam, false) AND d.doc_id % 17 <> 0) AS drop_contam,
+              |  coalesce(lq.lowq, false) AS drop_quality,
+              |  NOT (coalesce(pf.dup, false)
+              |    OR (coalesce(pf.contam, false) AND d.doc_id % 17 <> 0)
+              |    OR coalesce(lq.lowq, false)) AS keep
+              |FROM documents d
+              |LEFT JOIN pf ON pf.doc_id = d.doc_id
+              |LEFT JOIN lq ON lq.doc_id = d.doc_id""".stripMargin)),
 
     // ── χ² token–class association (feature selection) ──
     //    Document-frequency 2×2 tables vs the lang='en' class; exact

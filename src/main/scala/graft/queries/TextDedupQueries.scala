@@ -63,7 +63,7 @@ object TextDedupQueries {
 
   /** LSH candidates → exact-Jaccard rescore pairs (shared by the
     * near-dup report query and the dedup_apply keep-list). */
-  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def neardupPairs(s: SparkSession, d: String): DataFrame = {
     val cands = Dedup.lshCandidatePairs(bandIndex(s, d), "doc_id")
     val hs = docHashes(s, d)
       .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
@@ -107,7 +107,7 @@ object TextDedupQueries {
   /** Full near-dup CTE chain (hashes → signatures → capped bands →
     * candidates → Jaccard-scored pairs), shared by the near-dup report
     * and dedup_apply oracles. Terminal CTE: `scored(id_a, id_b, jaccard)`. */
-  private def dkNeardupCtes: String =
+  private[queries] def dkNeardupCtes: String =
     s"""hh AS (SELECT doc_id,
        |  list_distinct(list_transform(${dkTokShingles(dkClean)}, sh -> ${dkPoly("sh")})) AS h
        |  FROM documents),
