@@ -208,6 +208,41 @@ object CurationQueries {
               |SELECT doc_id, n_slots, round(lw::DOUBLE, 6) AS logw
               |FROM agg ORDER BY lw DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
+    //    a corpus doc sharing ANY 13-token shingle with a benchmark
+    //    doc (doc_id % 17 == 0) is flagged, with its shared-shingle
+    //    count. Shingles hash through graft_poly (8-byte join keys —
+    //    the substring-windows discipline) and the benchmark shingle
+    //    set broadcasts: benchmark suites are small by definition, so
+    //    the corpus side streams through one semi-shaped join, never
+    //    self-joins. Complements `decontam_keep` (whole-doc exact) and
+    //    `decontam_neardup` (fuzzy). ──
+    QueryDef(
+      "decontam_ngram_overlap",
+      "corpus docs sharing a 13-token shingle with the benchmark set",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = graft.operators.Dedup.stageThenSpread(t(s, d, "documents"),
+            "__tk" -> expr(graft.functions.TextFunctions.tokensSql("text")))
+          .select(col("doc_id"), explode(expr(
+            graft.functions.TextFunctions.tokenShinglesSql("__tk", 13))).as("__s"))
+          .select(col("doc_id"), expr("graft_poly(__s)").as("h"))
+        val bench = sh.filter(col("doc_id") % 17 === 0).select("h").distinct()
+        sh.filter(col("doc_id") % 17 =!= 0)
+          .join(broadcast(bench), Seq("h"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_13grams"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dkToks AS tk FROM documents),
+              |sh AS (SELECT doc_id, ${dkPoly("s")} AS h FROM (
+              |    SELECT doc_id, unnest(list_distinct(list_transform(
+              |      range(1, len(tk) - 11),
+              |      i -> array_to_string(tk[i:i+12], ' ')))) AS s FROM tk)),
+              |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0)
+              |SELECT doc_id, count(*) AS n_shared_13grams
+              |FROM sh JOIN bench USING (h)
+              |WHERE doc_id % 17 <> 0
+              |GROUP BY 1""".stripMargin)),
+
     // ── End-to-end curation manifest: the decision record a training-
     //    corpus build emits, composing three independent filters per
     //    document (each individually oracled elsewhere):
