@@ -24,37 +24,40 @@ import graft.operators.{Classify, Lakehouse}
   */
 object ModelStreams {
 
-  /** One micro-batch fold (exposed for replay tests): train counts on
-    * the batch, sum into the stored tables, write v`id`, swing
-    * CURRENT. Replaying an already-committed batch id is a no-op (the
-    * dedupIngest idempotency contract — a crash between the swing and
-    * the streaming commit re-delivers the id). */
-  def foldNbBatch(batch: DataFrame, tableDir: String, id: Long,
-      labelCol: String = "label"): Unit = {
-    val spark = batch.sparkSession
+  /** One table of an additive-count model: `batch` holds this batch's
+    * counts, `keys` the grouping identity, `sums` the count columns to
+    * merge by summation. */
+  final case class CountTable(name: String, batch: DataFrame,
+      keys: Seq[String], sums: Seq[String])
+
+  /** Generic micro-batch fold for a model made of ADDITIVE count
+    * tables (sufficient statistics): sum each table into its stored
+    * counterpart, write v`id`, swing CURRENT atomically. Fold ≡
+    * retrain is then a theorem, not a test target. Replaying an
+    * already-committed batch id is a no-op (the dedupIngest
+    * idempotency contract — a crash between the swing and the
+    * streaming commit re-delivers the id). */
+  def foldCountTables(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, id: Long, tables: Seq[CountTable]): Unit = {
     val ver = Lakehouse.currentVersion(spark, tableDir)
     if (ver.exists(Lakehouse.sameBatch(_, id))) return
-    def stored(t: String): Option[DataFrame] =
-      ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
-    val bm = Classify.nbTrain(batch, "doc_id", "text", labelCol)
-    val cond = stored("cond") match {
-      case None => bm.condCounts
-      case Some(st) => st.unionByName(bm.condCounts)
-        .groupBy("label", "term").agg(sum("cnt").as("cnt"))
-    }
-    val cstats = stored("cstats") match {
-      case None => bm.classStats
-      case Some(st) => st.unionByName(bm.classStats)
-        .groupBy("label").agg(sum("total_c").as("total_c"),
-          sum("n_docs_c").as("n_docs_c"))
-    }
     // reads (previous version) and writes (next) touch different
     // directories; ordering is tables → CURRENT swing, so a reader
     // never sees a half-written version and a crash before the swing
     // leaves the store on the previous consistent version
     val vdir = s"$tableDir/v$id"
-    cond.write.mode("overwrite").parquet(s"$vdir/cond")
-    cstats.write.mode("overwrite").parquet(s"$vdir/cstats")
+    tables.foreach { tb =>
+      val merged = ver match {
+        case None => tb.batch
+        case Some(v) =>
+          spark.read.parquet(s"$tableDir/$v/${tb.name}")
+            .unionByName(tb.batch)
+            .groupBy(tb.keys.map(col): _*)
+            .agg(sum(tb.sums.head).as(tb.sums.head),
+              tb.sums.tail.map(c => sum(c).as(c)): _*)
+      }
+      merged.write.mode("overwrite").parquet(s"$vdir/${tb.name}")
+    }
     val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
     val cur = new java.io.File(s"$tableDir/CURRENT")
     java.nio.file.Files.write(tmp.toPath,
@@ -62,6 +65,16 @@ object ModelStreams {
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One NB micro-batch fold (exposed for replay tests). */
+  def foldNbBatch(batch: DataFrame, tableDir: String, id: Long,
+      labelCol: String = "label"): Unit = {
+    val bm = Classify.nbTrain(batch, "doc_id", "text", labelCol)
+    foldCountTables(batch.sparkSession, tableDir, id, Seq(
+      CountTable("cond", bm.condCounts, Seq("label", "term"), Seq("cnt")),
+      CountTable("cstats", bm.classStats, Seq("label"),
+        Seq("total_c", "n_docs_c"))))
   }
 
   /** Fold each micro-batch of `(doc_id, text, <labelCol>)` labelled
@@ -97,4 +110,44 @@ object ModelStreams {
     Classify.nbServe(probe, Classify.nbImpact(lp),
       Classify.nbPriorMap(Classify.nbPriors(m)))
   }
+
+  // ───────────── bigram-LM store (the perplexity filter) ─────────────
+
+  /** One LM micro-batch fold: bigram + unigram counts are additive
+    * sufficient statistics exactly like NB's, so the same
+    * [[foldCountTables]] discipline applies. */
+  def foldLmBatch(batch: DataFrame, tableDir: String, id: Long): Unit = {
+    val m = Classify.lmTrain(batch)
+    foldCountTables(batch.sparkSession, tableDir, id, Seq(
+      CountTable("bi", m.bigramCounts, Seq("w1", "w2"), Seq("cnt2")),
+      CountTable("uni", m.unigramCounts, Seq("w1"), Seq("cnt1"))))
+  }
+
+  /** Fold each micro-batch of `(doc_id, text)` documents into the
+    * standing bigram-LM store under `tableDir`. */
+  def lmModelIngest(docStream: DataFrame,
+      tableDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        foldLmBatch(batch.toDF(), tableDir, id)
+        ()
+      }
+      .start()
+
+  /** [[Classify.LmModel]] view of one PINNED store version. */
+  def lmModelFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Classify.LmModel = {
+    val bi = Lakehouse.readCurrent(spark, tableDir, "bi")
+    val uni = Lakehouse.readCurrent(spark, tableDir, "uni")
+    Classify.LmModel(bi, uni, uni.select(col("w1").as("term")))
+  }
+
+  /** ONLINE perplexity scoring from the standing store. The scoring
+    * plan is already streaming-legal as written — bigram extraction is
+    * a projection, the model joins are stream-static, and the per-doc
+    * NLL sum is the query's single aggregation — so the same call
+    * serves batch and streaming probes. */
+  def lmScoreFromStore(probe: DataFrame, tableDir: String): DataFrame =
+    Classify.lmPerplexity(lmModelFromStore(probe.sparkSession, tableDir), probe)
 }

@@ -100,4 +100,45 @@ class ModelStreamsSpec extends AnyFunSuite {
       } finally q2.stop()
     assert(streamed === want)
   }
+
+  test("bigram-LM store: two-batch fold == one-shot train; streamed probe scores == batch perplexity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lmstore").toString
+
+    val docs = fixtureDocs().select("doc_id", "text")
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = ModelStreams.lmModelIngest(mem.toDF().toDF("doc_id", "text"), tbl)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val whole = Classify.lmTrain(docs)
+    val stored = ModelStreams.lmModelFromStore(spark, tbl)
+    assert(stored.bigramCounts.except(whole.bigramCounts).isEmpty &&
+      whole.bigramCounts.except(stored.bigramCounts).isEmpty)
+    assert(stored.unigramCounts.except(whole.unigramCounts).isEmpty &&
+      whole.unigramCounts.except(stored.unigramCounts).isEmpty)
+
+    // streamed probe through the SAME scoring call == batch scores
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = scores(Classify.lmPerplexity(whole, probe))
+    val pm = MemoryStream[(Long, String)]
+    val out = ModelStreams.lmScoreFromStore(pm.toDF().toDF("doc_id", "text"), tbl)
+    val q2 = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_lmserve_test").start()
+    val streamed =
+      try {
+        pm.addData(probe.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q2.processAllAvailable()
+        scores(spark.table("graft_lmserve_test"))
+      } finally q2.stop()
+    assert(streamed === want)
+    assert(want.nonEmpty)
+  }
 }
