@@ -116,6 +116,26 @@ object CurationQueries {
               |  ORDER BY sd DESC, lang) = 1""".stripMargin),
       bench = true),
 
+    // ── The SERVING grid itself as a driver-visible row: every
+    //    (term, label) cell's smoothed log-probability as a lossless
+    //    1e-8-scaled BIGINT — what Classify.nbServe joins online (the
+    //    txt_bm25_impact precedent). Pinning the full K×V grid per
+    //    round means any drift in training or quantization surfaces as
+    //    a hash mismatch on the complete model, not just on argmax
+    //    winners. ──
+    QueryDef(
+      "nb_impact_grid",
+      "NB serving grid: (term, label, lp8s) — the full scaled-integer model",
+      (s, d) => {
+        val train = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+        Classify.nbImpact(Classify.nbLogProbs(
+          Classify.nbTrain(train, "doc_id", "text", "lang")))
+      },
+      Some(s"""WITH $dkNbCtes
+              |SELECT term, lang AS label,
+              |  (lp8 * 100000000)::BIGINT AS lp8s
+              |FROM model""".stripMargin)),
+
     // ── Classifier quality eval: the confusion matrix of the NB
     //    holdout predictions — the accuracy surface a curation
     //    pipeline monitors before trusting a filter model. K²-row
