@@ -14,6 +14,29 @@ class PlanGateSpec extends AnyFunSuite {
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  test("ngram decontam: benchmark shingles broadcast on 8-byte hash keys, no SMJ, no cartesian") {
+    val p = plan("decontam_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curation manifest: filter composition stays keyed — no cartesian product") {
+    val p = plan("corpus_curation_manifest")
+    // the final corpus-vs-flags joins are doc_id-keyed LeftOuter — at
+    // 100 TB both sides are corpus-sized, so a sort-merge there is the
+    // RIGHT plan; the gate only forbids unkeyed blowups
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("NB training query: argmax is aggregate-shaped, no per-doc window") {
+    val p = plan("nb_train_classify")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a1: predicates and pruning reach the parquet scan") {
     val p = plan("a1_scan_pushdown")
     assert(p.contains("PushedFilters: ["), p)
