@@ -228,6 +228,72 @@ object CurationQueries {
               |SELECT doc_id, n_slots, round(lw::DOUBLE, 6) AS logw
               |FROM agg ORDER BY lw DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ── Per-class precision/recall/F1 off the confusion matrix — the
+    //    classification counterpart of `eval_rank_metrics` (MRR/NDCG).
+    //    All counts integer-exact; ratios are correctly-rounded doubles
+    //    of exact integers, zero-denominator guarded (ANSI-safe). ──
+    QueryDef(
+      "eval_prf_nb",
+      "NB holdout per-class precision/recall/F1",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val hold = docs.filter(col("doc_id") % 5 === 0)
+        val m = Classify.nbTrain(train, "doc_id", "text", "lang")
+        val cm = Classify.nbPredict(
+            Classify.nbScores(Classify.nbLogProbs(m), Classify.nbPriors(m), hold))
+          .join(hold.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+          .groupBy(col("true_lang"), col("pred_label").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val byTrue = cm.groupBy(col("true_lang").as("label"))
+          .agg(sum("n").as("n_true"))
+        val byPred = cm.groupBy(col("pred_lang").as("label"))
+          .agg(sum("n").as("n_pred"))
+        val diag = cm.filter(col("true_lang") === col("pred_lang"))
+          .select(col("true_lang").as("label"), col("n").as("__tp"))
+        byTrue.join(byPred, Seq("label"), "full_outer")
+          .join(diag, Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("__tp"), lit(0L)).as("tp"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+          .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+            when(col("n_pred") > 0,
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+              .as("precision"),
+            when(col("n_true") > 0,
+              round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+              .as("recall"),
+            when(col("n_true") + col("n_pred") > 0,
+              round(lit(2.0) * col("tp").cast("double") /
+                (col("n_true") + col("n_pred")).cast("double"), 6)).as("f1"))
+      },
+      Some(s"""WITH $dkNbCtes,
+              |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY sd DESC, lang) = 1),
+              |cm AS (SELECT true_lang, pred_lang, count(*) AS n
+              |  FROM pred GROUP BY 1, 2),
+              |bt AS (SELECT true_lang AS label, sum(n) AS n_true FROM cm GROUP BY 1),
+              |bp AS (SELECT pred_lang AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+              |dg AS (SELECT true_lang AS label, n AS tp FROM cm
+              |  WHERE true_lang = pred_lang),
+              |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+              |    coalesce(dg.tp, 0) AS tp,
+              |    coalesce(bt.n_true, 0) AS n_true,
+              |    coalesce(bp.n_pred, 0) AS n_pred
+              |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label
+              |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label))
+              |SELECT label, tp, n_true, n_pred,
+              |  CASE WHEN n_pred > 0
+              |    THEN round(tp::DOUBLE / n_pred::DOUBLE, 6) END AS precision,
+              |  CASE WHEN n_true > 0
+              |    THEN round(tp::DOUBLE / n_true::DOUBLE, 6) END AS recall,
+              |  CASE WHEN n_true + n_pred > 0
+              |    THEN round(2.0::DOUBLE * tp::DOUBLE
+              |      / (n_true + n_pred)::DOUBLE, 6) END AS f1
+              |FROM j""".stripMargin)),
+
     // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
     //    a corpus doc sharing ANY 13-token shingle with a benchmark
     //    doc (doc_id % 17 == 0) is flagged, with its shared-shingle
