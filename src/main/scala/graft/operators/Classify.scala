@@ -100,7 +100,7 @@ object Classify {
           .as("lprior8"))
   }
 
-  /** Joint log-likelihood of each (doc, label): prior + Σ tf·lp6.
+  /** Joint log-likelihood of each (doc, label): prior + Σ tf·lp8.
     * Out-of-vocabulary tokens drop (inner join with the model) — the
     * standard closed-vocabulary NB treatment; a doc with zero
     * in-vocabulary tokens drops entirely. Scoring cost = batch

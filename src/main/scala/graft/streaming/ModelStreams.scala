@@ -38,7 +38,8 @@ object ModelStreams {
     * idempotency contract — a crash between the swing and the
     * streaming commit re-delivers the id). */
   def foldCountTables(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, id: Long, tables: Seq[CountTable]): Unit = {
+      tableDir: String, id: Long, tables: Seq[CountTable],
+      unlearn: Boolean = false): Unit = {
     val ver = Lakehouse.currentVersion(spark, tableDir)
     if (ver.exists(Lakehouse.sameBatch(_, id))) return
     // reads (previous version) and writes (next) touch different
@@ -56,7 +57,26 @@ object ModelStreams {
             .agg(sum(tb.sums.head).as(tb.sums.head),
               tb.sums.tail.map(c => sum(c).as(c)): _*)
       }
-      merged.write.mode("overwrite").parquet(s"$vdir/${tb.name}")
+      // unlearning (negative folds) must leave EXACTLY the counts a
+      // retrain-on-survivors would produce: all-zero rows vanish (a
+      // fully-forgotten term/label is not "present with count 0" —
+      // add-one smoothing over the vocabulary would differ), and a
+      // negative survivor means the caller unlearned rows that were
+      // never folded in — corrupt by construction, so fail LOUDLY
+      // before the swing (the store stays on the previous version).
+      val cleaned =
+        if (!unlearn) merged
+        else {
+          val allZero = tb.sums.map(c => col(c) === 0L).reduce(_ && _)
+          val anyNeg = tb.sums.map(c => col(c) < 0L).reduce(_ || _)
+          val m2 = merged.filter(!allZero).localCheckpoint(true)
+          val neg = m2.filter(anyNeg).limit(1).count()
+          require(neg == 0L,
+            s"unlearn fold drove ${tb.name} counts negative: " +
+              "batch contains rows never folded into this store")
+          m2
+        }
+      cleaned.write.mode("overwrite").parquet(s"$vdir/${tb.name}")
     }
     val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
     val cur = new java.io.File(s"$tableDir/CURRENT")
@@ -109,6 +129,37 @@ object ModelStreams {
     val lp = Classify.nbLogProbs(m)
     Classify.nbServe(probe, Classify.nbImpact(lp),
       Classify.nbPriorMap(Classify.nbPriors(m)))
+  }
+
+  /** EXACT machine unlearning (right-to-be-forgotten for the trained
+    * model — the [[graft.operators.Lexical]].forgetDocs twin): because
+    * the model is additive sufficient statistics, forgetting documents
+    * is folding their counts NEGATED — the post-unlearn store equals a
+    * retrain on the survivors bit-for-bit, at batch cost, no retrain.
+    * `docs` must be rows previously folded in (tripwired: a count
+    * driven negative aborts before the CURRENT swing). Replay-
+    * idempotent like any fold. */
+  def unlearnNbBatch(docs: DataFrame, tableDir: String, id: Long,
+      labelCol: String = "label"): Unit = {
+    val bm = Classify.nbTrain(docs, "doc_id", "text", labelCol)
+    foldCountTables(docs.sparkSession, tableDir, id, Seq(
+      CountTable("cond",
+        bm.condCounts.withColumn("cnt", -col("cnt")),
+        Seq("label", "term"), Seq("cnt")),
+      CountTable("cstats",
+        bm.classStats.withColumn("total_c", -col("total_c"))
+          .withColumn("n_docs_c", -col("n_docs_c")),
+        Seq("label"), Seq("total_c", "n_docs_c"))), unlearn = true)
+  }
+
+  /** Exact unlearning for the bigram-LM store (see [[unlearnNbBatch]]). */
+  def unlearnLmBatch(docs: DataFrame, tableDir: String, id: Long): Unit = {
+    val m = Classify.lmTrain(docs)
+    foldCountTables(docs.sparkSession, tableDir, id, Seq(
+      CountTable("bi", m.bigramCounts.withColumn("cnt2", -col("cnt2")),
+        Seq("w1", "w2"), Seq("cnt2")),
+      CountTable("uni", m.unigramCounts.withColumn("cnt1", -col("cnt1")),
+        Seq("w1"), Seq("cnt1"))), unlearn = true)
   }
 
   // ───────────── bigram-LM store (the perplexity filter) ─────────────

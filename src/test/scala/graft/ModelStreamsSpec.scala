@@ -101,6 +101,56 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(streamed === want)
   }
 
+  test("exact unlearning: negative fold == retrain on survivors; tripwire on never-trained rows") {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_nbunlearn").toString
+    val docs = fixtureDocs()
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    ModelStreams.foldNbBatch(b1, tbl, 0L)
+    ModelStreams.foldNbBatch(b2, tbl, 1L)
+
+    // right-to-be-forgotten: every doc with doc_id % 10 == 1 leaves
+    val forget = docs.filter(col("doc_id") % 10 === 1)
+    ModelStreams.unlearnNbBatch(forget, tbl, 2L)
+    val survivors = docs.filter(col("doc_id") % 10 =!= 1)
+    val want = Classify.nbTrain(survivors)
+    val got = ModelStreams.nbModelFromStore(spark, tbl)
+    assert(got.condCounts.except(want.condCounts).isEmpty &&
+      want.condCounts.except(got.condCounts).isEmpty)
+    assert(got.classStats.except(want.classStats).isEmpty &&
+      want.classStats.except(got.classStats).isEmpty)
+
+    // served classifications after the unlearn == batch predictions of
+    // the survivor-retrained model
+    val probe = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val wantPred = predictions(Classify.nbPredict(Classify.nbScores(
+      Classify.nbLogProbs(want), Classify.nbPriors(want), probe)))
+    assert(predictions(ModelStreams.nbServeFromStore(probe, tbl)) === wantPred)
+
+    // unlearning rows never folded in must abort LOUDLY before the
+    // swing: counts would go negative
+    import spark.implicits._
+    val alien = Seq((999999L, "zzz_never_trained zzz_never_trained", "xx"))
+      .toDF("doc_id", "text", "label")
+    intercept[IllegalArgumentException] {
+      ModelStreams.unlearnNbBatch(alien, tbl, 3L)
+    }
+    // ... and the store is still on the pre-abort version
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v2"))
+
+    // LM twin: fold-all then unlearn the same cohort == retrain
+    val ltbl = java.nio.file.Files.createTempDirectory("graft_lmunlearn").toString
+    val dtext = docs.select("doc_id", "text")
+    ModelStreams.foldLmBatch(dtext, ltbl, 0L)
+    ModelStreams.unlearnLmBatch(dtext.filter(col("doc_id") % 10 === 1), ltbl, 1L)
+    val lwant = Classify.lmTrain(dtext.filter(col("doc_id") % 10 =!= 1))
+    val lgot = ModelStreams.lmModelFromStore(spark, ltbl)
+    assert(lgot.bigramCounts.except(lwant.bigramCounts).isEmpty &&
+      lwant.bigramCounts.except(lgot.bigramCounts).isEmpty)
+    assert(lgot.unigramCounts.except(lwant.unigramCounts).isEmpty &&
+      lwant.unigramCounts.except(lgot.unigramCounts).isEmpty)
+  }
+
   test("bigram-LM store: two-batch fold == one-shot train; streamed probe scores == batch perplexity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
