@@ -390,7 +390,8 @@ object CurationQueries {
               |    OR coalesce(lq.lowq, false)) AS keep
               |FROM documents d
               |LEFT JOIN pf ON pf.doc_id = d.doc_id
-              |LEFT JOIN lq ON lq.doc_id = d.doc_id""".stripMargin)),
+              |LEFT JOIN lq ON lq.doc_id = d.doc_id""".stripMargin),
+      bench = true),
 
     // ── χ² token–class association (feature selection) ──
     //    Document-frequency 2×2 tables vs the lang='en' class; exact

@@ -101,6 +101,30 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(streamed === want)
   }
 
+  test("ArgmaxSumAgg merge laws: any partitioning of the input stream yields the same argmax") {
+    // the map-side-combine guarantee: reduce/merge must commute and
+    // associate so the K-entry label-sum state gives one answer under
+    // ANY split of rows across partitions — checked against a plain
+    // sequential fold, with deliberate ties (few labels, coarse sums)
+    val rnd = new scala.util.Random(11)
+    val priors = Map("a" -> 7L, "b" -> -3L, "c" -> 0L)
+    val agg = new Classify.ArgmaxSumAgg(priors)
+    (1 to 50).foreach { trial =>
+      val rows = Seq.fill(200)(
+        (Seq("a", "b", "c", "d")(rnd.nextInt(4)), (rnd.nextInt(5) - 2).toLong))
+      val seq = rows.foldLeft(agg.zero)(agg.reduce)
+      val nParts = 1 + rnd.nextInt(7)
+      val merged = rows.grouped(rows.size / nParts + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === agg.finish(seq), s"trial $trial")
+      // and the winner really is (max prior-adjusted sum, min label)
+      val adj = seq.map { case (l, s) => (l, s + priors.getOrElse(l, 0L)) }
+      val want = adj.toSeq.sortBy { case (l, s) => (-s, l) }.head
+      assert(agg.finish(seq) === want, s"trial $trial")
+    }
+  }
+
   test("exact unlearning: negative fold == retrain on survivors; tripwire on never-trained rows") {
     val tbl = java.nio.file.Files.createTempDirectory("graft_nbunlearn").toString
     val docs = fixtureDocs()
