@@ -52,6 +52,23 @@ object DocStreams {
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupFoldBatch(batch.toDF(), tableDir, id, threshold, maxBucket,
+          compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** One dedup-store micro-batch fold (the [[dedupIngest]] body,
+    * exposed so composed pipelines — [[curationIngest]] — and replay
+    * tests can drive it directly). Returns this fold's VERIFIED
+    * near-dup pair frame (batch-vs-store ∪ within-batch, J ≥
+    * `threshold`, locally checkpointed so it survives the store
+    * swing), or None when the batch id was already committed (the
+    * idempotent replay skip). */
+  def dedupFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      threshold: Double = 0.8,
+      maxBucket: Int = Dedup.MaxBucket,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Option[DataFrame] = {
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
         val cur = new java.io.File(s"$tableDir/CURRENT")
@@ -66,7 +83,8 @@ object DocStreams {
         // re-running would lazily read the current version while
         // overwriting the same directories (rejected or corrupting).
         // Skip: the store already holds this batch's fold, bit-for-bit.
-        if (!ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) {
+        if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) None
+        else {
 
         def stored(t: String): Option[DataFrame] =
           ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
@@ -93,12 +111,16 @@ object DocStreams {
             within.unionByName(cross)
         }
         val allHs = stored("hashes").map(_.unionByName(newHs)).getOrElse(newHs)
+        // checkpointed: evaluated ONCE, shared by the cluster fold and
+        // the caller (a composed pipeline reads it after the swing,
+        // when lazy lineage over the pre-swing version would be stale)
         val pairs = cands
           .join(allHs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
           .join(allHs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b")
+          .localCheckpoint(true)
         val clusters = stored("clusters") match {
           case Some(st) => Components.mergeIncremental(st, pairs, "id_a", "id_b")
           case None => Components.connectedComponents(pairs, "id_a", "id_b", edgesDistinct = true)
@@ -116,6 +138,89 @@ object DocStreams {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
+        Some(pairs)
+        }
+      }
+
+  /** CURATION-AT-INGEST: the complete crawl-day decision loop as one
+    * streaming pipeline. Per micro-batch of `(doc_id, text)`:
+    *
+    *   1. fold the batch into the standing dedup store
+    *      ([[dedupFoldBatch]] — bands/hashes/clusters, replay-safe);
+    *   2. flag each doc against the POST-FOLD store and the standing
+    *      model stores: `drop_dup` (a verified J≥`threshold` partner
+    *      with a SMALLER doc_id exists in the corpus seen so far — the
+    *      deterministic first-id-wins rule, recomputable from store
+    *      state alone so crash recovery needs no batch provenance),
+    *      `drop_quality` (bigram-LM avg_nll ≥ `nllCut` from `lmDir`),
+    *      and `pred_lang` (NB classification from `nbDir`);
+    *   3. append the decision record to `manifestDir/batch=N`
+    *      (append-only partitions — the indexIngest I/O discipline;
+    *      an existing partition makes replay a no-op).
+    *
+    * With doc_id-ordered feeds the accumulated manifest equals the
+    * batch `corpus_curation_manifest` dup/quality rules over the same
+    * corpus (equivalence-tested in ExtensionSpec/ModelStreamsSpec);
+    * under arbitrary arrival order the decisions are as-of ingest
+    * time — a later smaller-id partner does not retro-flag an already
+    * admitted doc (reprocess via the batch manifest when that
+    * matters). */
+  def curationIngest(docStream: DataFrame, dedupDir: String,
+      lmDir: String, nbDir: String, manifestDir: String,
+      threshold: Double = 0.8, nllCut: Double = 3.5,
+      maxBucket: Int = Dedup.MaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch0.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val batch = batch0.toDF().select("doc_id", "text").localCheckpoint(true)
+        dedupFoldBatch(batch, dedupDir, id, threshold, maxBucket)
+        val mdir = new java.io.File(s"$manifestDir/batch=$id")
+        if (!mdir.exists()) {
+          // probe the post-fold store: the batch's own bands/hashes are
+          // in it, so one (band, band_hash)-keyed join against CURRENT
+          // finds every partner seen so far (self-pairs excluded)
+          val probeBands = Dedup.dropHotBuckets(
+            Dedup.minhashBandsFromHashes(
+              Dedup.withShingleHashes(batch, "text"), "doc_id"),
+            Seq("band", "band_hash"), maxBucket, s"curation_probe_b$id")
+          val storeBands = Dedup.dropHotBuckets(
+            Lakehouse.readCurrent(spark, dedupDir, "bands"),
+            Seq("band", "band_hash"), maxBucket, s"curation_store_b$id")
+          val storeHs = Lakehouse.readCurrent(spark, dedupDir, "hashes")
+          val partners = probeBands
+            .select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+            .join(storeBands.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
+              Seq("band", "band_hash"))
+            .filter(col("id_a") =!= col("id_b"))
+            .select("id_a", "id_b").distinct()
+            .join(storeHs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+            .join(storeHs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+            .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+            .filter(col("jaccard") >= threshold)
+          val dupFlags = partners
+            .groupBy(col("id_a").as("doc_id"))
+            .agg(max(when(col("id_b") < col("id_a"), true).otherwise(false))
+              .as("__dup"))
+          val lq = graft.streaming.ModelStreams
+            .lmScoreFromStore(batch, lmDir)
+            .select(col("doc_id"), col("avg_nll"),
+              (col("avg_nll") >= nllCut).as("__lowq"))
+          val pred = graft.streaming.ModelStreams
+            .nbServeFromStore(batch, nbDir)
+            .select(col("doc_id"), col("pred_label").as("pred_lang"))
+          batch.select("doc_id")
+            .join(dupFlags, Seq("doc_id"), "left")
+            .join(lq, Seq("doc_id"), "left")
+            .join(pred, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__dup"), lit(false)).as("drop_dup"),
+              col("avg_nll"),
+              coalesce(col("__lowq"), lit(false)).as("drop_quality"),
+              col("pred_lang"))
+            .withColumn("keep", !(col("drop_dup") || col("drop_quality")))
+            .write.mode("overwrite").parquet(mdir.getPath)
         }
         ()
       }

@@ -175,6 +175,82 @@ class ModelStreamsSpec extends AnyFunSuite {
       lwant.unigramCounts.except(lgot.unigramCounts).isEmpty)
   }
 
+  test("curationIngest: streamed decision manifest == batch curation rules on an id-ordered feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs = fixtureDocs()
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (dedupDir, lmDir, nbDir, manifestDir) =
+      (tmp("graft_cur_dedup"), tmp("graft_cur_lm"), tmp("graft_cur_nb"), tmp("graft_cur_m"))
+    ModelStreams.foldLmBatch(train.select("doc_id", "text"), lmDir, 0L)
+    ModelStreams.foldNbBatch(train, nbDir, 0L)
+
+    // id-ordered feed: batch 0 = lower half of doc_ids, batch 1 = upper
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.curationIngest(
+      mem.toDF().toDF("doc_id", "text"), dedupDir, lmDir, nbDir, manifestDir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val manifest = spark.read.parquet(manifestDir)
+      .select("doc_id", "drop_dup", "drop_quality", "pred_lang").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(manifest.size === all.length)
+
+    // batch rules over the SAME corpus with the same operators:
+    // dup = verified J>=0.8 partner with a smaller doc_id
+    val hashed = Dedup.withShingleHashes(docs.select("doc_id", "text"), "text")
+      .localCheckpoint(true)
+    val bands = Dedup.minhashBandsFromHashes(hashed, "doc_id")
+    val capped = Dedup.dropHotBuckets(bands, Seq("band", "band_hash"),
+      Dedup.MaxBucket, "curation_test")
+    val hs = hashed.select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+    val pairs = Dedup.lshCandidatePairs(capped, "doc_id")
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+      .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+    val dupIds = pairs.select(col("id_a").as("d"), col("id_b").as("o"))
+      .union(pairs.select(col("id_b").as("d"), col("id_a").as("o")))
+      .filter(col("o") < col("d")).select("d").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val wantLq = Classify.lmPerplexity(Classify.lmTrain(train), docs)
+      .filter(col("avg_nll") >= 3.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val m = Classify.nbTrain(train)
+    val wantPred = Classify.nbPredict(Classify.nbScores(
+        Classify.nbLogProbs(m), Classify.nbPriors(m), docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    all.foreach { case (id, _) =>
+      val (dup, lowq, pred) = manifest(id)
+      assert(dup === dupIds.contains(id), s"dup flag for doc $id")
+      assert(lowq === wantLq.contains(id), s"quality flag for doc $id")
+      assert(pred === wantPred.getOrElse(id, null), s"pred for doc $id")
+    }
+    // the corpus genuinely exercises the dup rule (planted near-dups)
+    assert(dupIds.nonEmpty, "fixture corpus should contain near-dup pairs")
+
+    // replay idempotency at the function level: re-folding batch 1 and
+    // re-emitting its manifest partition are both no-ops
+    val before = spark.read.parquet(manifestDir).count()
+    assert(graft.streaming.DocStreams.dedupFoldBatch(
+      b2.toSeq.toDF("doc_id", "text"), dedupDir, 1L).isEmpty)
+    assert(spark.read.parquet(manifestDir).count() === before)
+  }
+
   test("bigram-LM store: two-batch fold == one-shot train; streamed probe scores == batch perplexity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
