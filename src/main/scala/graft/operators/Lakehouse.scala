@@ -101,6 +101,23 @@ object Lakehouse {
     spark.read.parquet(p)
   }
 
+  /** Pinned read of an APPEND-partitioned subtable (`sub/batch=N`
+    * layout beside the version dirs — the indexIngest discipline):
+    * resolve `version` (default CURRENT), keep only the batches it
+    * covers (planning-time partition pruning), drop the partition
+    * column. The shared reader for the lexical, vector, and dedup
+    * stores' append tables. */
+  def readCurrentAppend(spark: SparkSession, tableDir: String,
+      sub: String, version: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ver = version.orElse(currentVersion(spark, tableDir)).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val maxBatch = versionKey(ver).map(_._1).getOrElse(
+      throw new IllegalStateException(s"unparseable version '$ver'"))
+    spark.read.parquet(s"$tableDir/$sub")
+      .filter(col("batch") <= maxBatch).drop("batch")
+  }
+
   /** Time-travel read: a subtable of one PINNED version (audits,
     * reproducing a run against the exact corpus it trained on, and the
     * inputs of [[diffVersions]]). The version must still be within

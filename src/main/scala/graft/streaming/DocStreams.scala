@@ -17,18 +17,35 @@ import graft.operators.{Components, Dedup, Fingerprint, Lakehouse, Multimodal}
   */
 object DocStreams {
 
-  /** Fold each micro-batch of `(doc_id, text)` documents into three
-    * copy-on-write tables under `tableDir` (versioned dirs + an atomic
-    * CURRENT pointer, the scd2Maintain discipline):
+  /** Fold each micro-batch of `(doc_id, text)` documents into the
+    * standing dedup store under `tableDir` — the APPEND-ONLY I/O
+    * discipline of [[indexIngest]]:
     *
-    *   - `bands/`    — the MinHash-LSH band index (doc_id, band,
-    *                   band_hash): the store new batches probe;
-    *   - `hashes/`   — per-doc distinct shingle hashes (doc_id, hs):
-    *                   the exact-Jaccard rescore side;
-    *   - `clusters/` — duplicate-cluster labels (id, component),
-    *                   maintained via [[Components.mergeIncremental]] —
-    *                   CC runs on the batch-sized contracted graph
-    *                   only, never on the accumulated pair history.
+    *   - `bands/batch=N`  — the MinHash-LSH band index (doc_id, band,
+    *                        band_hash) as append-only batch partitions:
+    *                        each fold WRITES ONLY ITS OWN partition
+    *                        (O(batch) I/O; the previous copy-on-write
+    *                        union rewrite was corpus-proportional —
+    *                        the difference between an ingest that
+    *                        stays O(batch) at 100 TB and one that
+    *                        does not);
+    *   - `hashes/batch=N` — per-doc distinct shingle hashes (doc_id,
+    *                        hs), the exact-Jaccard rescore side, same
+    *                        append layout;
+    *   - `v<N>/clusters`  — duplicate-cluster labels (id, component)
+    *                        under the atomic CURRENT pointer,
+    *                        maintained via
+    *                        [[Components.mergeIncremental]] — CC runs
+    *                        on the batch-sized contracted graph only.
+    *                        Labels of OLD vertices can change when a
+    *                        batch bridges clusters, so this table
+    *                        stays copy-on-write (it is the smallest of
+    *                        the three: 16 bytes per doc).
+    *
+    * Snapshot consistency across the split (the [[indexIngest]]
+    * contract): a reader pinned on `vN` filters the append tables to
+    * `batch <= N` (planning-time partition pruning), so a
+    * half-appended next batch is invisible until CURRENT swings.
     *
     * Per batch: new docs are banded (narrow codegen'd signature pass),
     * candidates are the union of batch-vs-store band-bucket collisions
@@ -42,9 +59,10 @@ object DocStreams {
     * one-shot `dedup_components` clustering of the full corpus
     * (equivalence-tested in ExtensionSpec).
     *
-    * Reads of the previous version and the write of the next touch
-    * different directories, so readers never see a half-written table
-    * and the merge reads consistent state. */
+    * Crash/replay: batch partitions land first, the version dir
+    * second, CURRENT swings last. A replay after any prefix of that
+    * sequence overwrites the same `batch=N` partitions with identical
+    * (deterministic) content; a replay after the swing is skipped. */
   def dedupIngest(docStream: DataFrame, tableDir: String,
       threshold: Double = 0.8,
       maxBucket: Int = Dedup.MaxBucket,
@@ -79,15 +97,20 @@ object DocStreams {
         // and the streaming commit re-delivers this batch id. CURRENT
         // already naming this batch's state (v$id, or a compacted
         // rewrite v${id}cN of it — Lakehouse.compactCurrent keeps the
-        // batch id) means the fold committed all three tables —
-        // re-running would lazily read the current version while
-        // overwriting the same directories (rejected or corrupting).
-        // Skip: the store already holds this batch's fold, bit-for-bit.
+        // batch id) means the fold committed; partitions written by a
+        // pre-swing crash are overwritten with identical content on
+        // the next delivery, so only the post-swing case skips.
         if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) None
         else {
 
-        def stored(t: String): Option[DataFrame] =
-          ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+        // pinned append reads: ONLY batches the previous version covers
+        // (the new batch=N partitions written below stay invisible)
+        val pinId: Option[Long] = ver.flatMap(Lakehouse.versionKey).map(_._1)
+        def appendPinned(t: String): Option[DataFrame] =
+          pinId.map(vid => spark.read.parquet(s"$tableDir/$t")
+            .filter(col("batch") <= vid).drop("batch"))
+        def storedClusters: Option[DataFrame] =
+          ver.map(v => spark.read.parquet(s"$tableDir/$v/clusters"))
 
         val hashed = Dedup.withShingleHashes(batch.select("doc_id", "text"), "text")
           .localCheckpoint(true) // feeds bands + rescore side
@@ -95,11 +118,20 @@ object DocStreams {
           .localCheckpoint(true) // probed twice (cross + within) and written
         val newHs = hashed
           .select(col("doc_id"), array_distinct(col("shingle_hashes")).as("hs"))
+          .localCheckpoint(true) // rescore side and written
+        // append-only fold I/O: this batch's partitions, nothing else
+        newBands.write.mode("overwrite").parquet(s"$tableDir/bands/batch=$id")
+        newHs.write.mode("overwrite").parquet(s"$tableDir/hashes/batch=$id")
+        if (compactEvery > 0) {
+          // small-file control while batch=N is invisible to readers
+          Lakehouse.compactDir(spark, s"$tableDir/bands/batch=$id")
+          Lakehouse.compactDir(spark, s"$tableDir/hashes/batch=$id")
+        }
         val newCapped = Dedup.dropHotBuckets(newBands, Seq("band", "band_hash"),
           maxBucket, s"dedupIngest_new_b$id")
 
         val within = Dedup.lshCandidatePairs(newCapped, "doc_id", maxBucket)
-        val cands = stored("bands") match {
+        val cands = appendPinned("bands") match {
           case None => within
           case Some(sb) =>
             val oldCapped = Dedup.dropHotBuckets(sb, Seq("band", "band_hash"),
@@ -107,13 +139,17 @@ object DocStreams {
             val cross = newCapped.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
               .join(oldCapped.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),
                 Seq("band", "band_hash"))
+              // a doc can't near-dup itself: guards an out-of-contract
+              // refold of an old batch against self-pairs (the pinned
+              // store then already contains the batch's own ids)
+              .filter(col("id_a") =!= col("id_b"))
               .select("id_a", "id_b").distinct()
             within.unionByName(cross)
         }
-        val allHs = stored("hashes").map(_.unionByName(newHs)).getOrElse(newHs)
+        val allHs = appendPinned("hashes").map(_.unionByName(newHs)).getOrElse(newHs)
         // checkpointed: evaluated ONCE, shared by the cluster fold and
         // the caller (a composed pipeline reads it after the swing,
-        // when lazy lineage over the pre-swing version would be stale)
+        // when lazy lineage over the pre-swing pin would be stale)
         val pairs = cands
           .join(allHs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
           .join(allHs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
@@ -121,15 +157,12 @@ object DocStreams {
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b")
           .localCheckpoint(true)
-        val clusters = stored("clusters") match {
+        val clusters = storedClusters match {
           case Some(st) => Components.mergeIncremental(st, pairs, "id_a", "id_b")
           case None => Components.connectedComponents(pairs, "id_a", "id_b", edgesDistinct = true)
         }
 
         val vdir = s"$tableDir/v$id"
-        stored("bands").map(_.unionByName(newBands)).getOrElse(newBands)
-          .write.mode("overwrite").parquet(s"$vdir/bands")
-        allHs.write.mode("overwrite").parquet(s"$vdir/hashes")
         clusters.write.mode("overwrite").parquet(s"$vdir/clusters")
         val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
         java.nio.file.Files.write(tmp.toPath,
@@ -186,9 +219,9 @@ object DocStreams {
               Dedup.withShingleHashes(batch, "text"), "doc_id"),
             Seq("band", "band_hash"), maxBucket, s"curation_probe_b$id")
           val storeBands = Dedup.dropHotBuckets(
-            Lakehouse.readCurrent(spark, dedupDir, "bands"),
+            Lakehouse.readCurrentAppend(spark, dedupDir, "bands"),
             Seq("band", "band_hash"), maxBucket, s"curation_store_b$id")
-          val storeHs = Lakehouse.readCurrent(spark, dedupDir, "hashes")
+          val storeHs = Lakehouse.readCurrentAppend(spark, dedupDir, "hashes")
           val partners = probeBands
             .select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
             .join(storeBands.select(col("doc_id").as("id_b"), col("band"), col("band_hash")),

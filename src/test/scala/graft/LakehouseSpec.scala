@@ -80,51 +80,83 @@ class LakehouseSpec extends AnyFunSuite {
     assert(stats.filesAfter == stats.filesBefore) // no-op, never a split
   }
 
-  test("copy-on-write compaction of a live dedup-ingest store: readers, replay, vacuum") {
+  test("compaction + vacuum of a live dedup-ingest store under the append layout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val tbl = java.nio.file.Files.createTempDirectory("graft_lake_ingest").toString
-    val docs = Seq(
+    val b0 = Seq(
       (1L, "aaa bbb ccc ddd eee fff ggg hhh"),
       (2L, "aaa bbb ccc ddd eee fff ggg hhh"),
       (3L, "zzz yyy xxx www vvv uuu ttt sss"))
+    val b1 = Seq((4L, "mmm nnn ooo ppp qqq rrr sss ttt"))
     val mem = MemoryStream[(Long, String)]
     val q = graft.streaming.DocStreams.dedupIngest(mem.toDF().toDF("doc_id", "text"), tbl)
-    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
     def current() = Lakehouse.currentVersion(spark, tbl).get
-    assert(current() == "v0")
-    def table(t: String) = spark.read.parquet(s"$tbl/${current()}/$t")
+    assert(current() == "v1")
+    // append layout: each fold wrote ONLY its own batch partition
+    def parts(t: String) = new java.io.File(s"$tbl/$t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts("bands") == Seq("batch=0", "batch=1"), parts("bands"))
+    assert(parts("hashes") == Seq("batch=0", "batch=1"), parts("hashes"))
+    val bandsBefore = Lakehouse.readCurrentAppend(spark, tbl, "bands")
       .collect().map(_.toSeq).toSet
-    val (bandsBefore, hashesBefore, clustersBefore) =
-      (table("bands"), table("hashes"), table("clusters"))
+    def clusters() = Lakehouse.readCurrent(spark, tbl, "clusters")
+      .collect().map(_.toSeq).toSet
+    val clustersBefore = clusters()
 
+    // compactCurrent compacts the version tables (clusters only now)
     val (next, stats) = Lakehouse.compactCurrent(spark, tbl, targetBytes = 1L << 30)
-    assert(next == "v0c1" && current() == "v0c1")
-    assert(stats.map(_.path).size == 3) // bands, hashes, clusters
-    assert(stats.forall(_.filesAfter <= 1))
-    assert(table("bands") === bandsBefore)
-    assert(table("hashes") === hashesBefore)
-    assert(table("clusters") === clustersBefore)
-    // the pre-compaction version is still on disk for pinned readers…
-    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1"))
-    // …until vacuum retires it
-    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
+    assert(next == "v1c1" && current() == "v1c1")
+    assert(stats.map(_.path).size == 1) // clusters — bands/hashes are append tables
+    assert(clusters() === clustersBefore)
+    // the pinned append read resolves the compacted CURRENT (same batches)
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "bands")
+      .collect().map(_.toSeq).toSet === bandsBefore)
+    // pre-compaction version retained for pinned readers, then vacuumed
+    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v1", "v1c1"))
+    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0", "v1"))
 
-    // pinned read path resolves the compacted CURRENT
-    assert(Lakehouse.readCurrent(spark, tbl, "clusters")
-      .collect().map(_.toSeq).toSet === clustersBefore)
-
-    // idempotent replay survives compaction: batch 0 re-delivered with
-    // CURRENT = v0c1 is still recognized as already-committed state
-    val mem2 = MemoryStream[(Long, String)]
-    val q2 = graft.streaming.DocStreams.dedupIngest(mem2.toDF().toDF("doc_id", "text"), tbl)
-    try { mem2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
-    assert(current() == "v0c1")
-    assert(table("clusters") === clustersBefore)
+    // idempotent replay survives compaction: the LAST batch id (the
+    // one a crash between swing and commit re-delivers) is recognized
+    // as already-committed state even though CURRENT is now v1c1
+    assert(graft.streaming.DocStreams.dedupFoldBatch(
+      b1.toDF("doc_id", "text"), tbl, 1L).isEmpty)
+    assert(current() == "v1c1")
+    assert(clusters() === clustersBefore)
+    assert(parts("bands") == Seq("batch=0", "batch=1"))
   }
 
-  test("deleteWhere: right-to-be-forgotten rewrite across a live store's subtables") {
+  test("compactCurrent semantics on a multi-subtable copy-on-write store") {
+    import spark.implicits._
+    // hand-built 3-subtable COW store (the shape dedup had before its
+    // append conversion; models still use it): compaction must rewrite
+    // every subtable content-preserving and land as v0c1
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_cow").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "a").repartition(4)
+      .write.parquet(s"$tbl/v0/ta")
+    Seq((1L, "x"), (3L, "y")).toDF("k", "b").repartition(4)
+      .write.parquet(s"$tbl/v0/tb")
+    Seq((9L, 1L)).toDF("k", "c").repartition(2).write.parquet(s"$tbl/v0/tc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tbl/CURRENT"), "v0")
+    def table(t: String) = Lakehouse.readCurrent(spark, tbl, t)
+      .collect().map(_.toSeq).toSet
+    val before = Seq("ta", "tb", "tc").map(t => t -> table(t)).toMap
+    val (next, stats) = Lakehouse.compactCurrent(spark, tbl, targetBytes = 1L << 30)
+    assert(next == "v0c1" && Lakehouse.currentVersion(spark, tbl).contains("v0c1"))
+    assert(stats.map(_.path).size == 3)
+    assert(stats.forall(_.filesAfter <= 1))
+    Seq("ta", "tb", "tc").foreach(t => assert(table(t) === before(t), t))
+    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1"))
+    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
+  }
+
+  test("right-to-be-forgotten across the dedup store: append tables + versioned clusters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -137,32 +169,31 @@ class LakehouseSpec extends AnyFunSuite {
     val q = graft.streaming.DocStreams.dedupIngest(mem.toDF().toDF("doc_id", "text"), tbl)
     try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
     // forget doc 2 (present in bands, hashes, and — as a duplicate of
-    // doc 1 — in clusters)
+    // doc 1 — in clusters): append tables rewrite ONLY the partitions
+    // holding doomed rows; the versioned clusters table goes through
+    // the copy-on-write deleteWhere
     val before = Lakehouse.readCurrent(spark, tbl, "clusters")
       .collect().map(r => r.getLong(0)).toSet
     assert(before.contains(2L))
-    val next = Lakehouse.deleteWhere(spark, tbl,
-      org.apache.spark.sql.functions.col("doc_id") === 2L)
+    assert(Lakehouse.deleteFromPartitions(spark, s"$tbl/bands",
+      col("doc_id") === 2L) === 1)
+    assert(Lakehouse.deleteFromPartitions(spark, s"$tbl/hashes",
+      col("doc_id") === 2L) === 1)
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "bands")
+      .filter(col("doc_id") === 2L).count() === 0)
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "hashes")
+      .filter(col("doc_id") === 2L).count() === 0)
+    val next = Lakehouse.deleteWhere(spark, tbl, col("id") === 2L)
     assert(next == "v0c1" && Lakehouse.currentVersion(spark, tbl).contains("v0c1"))
-    assert(Lakehouse.readCurrent(spark, tbl, "bands")
-      .filter(col("doc_id") === 2L).count() === 0)
-    assert(Lakehouse.readCurrent(spark, tbl, "hashes")
-      .filter(col("doc_id") === 2L).count() === 0)
-    // clusters table keys by `id`, not doc_id — the predicate's column
-    // is absent there, so it passes through by analysis (the caller
-    // issues a second delete on the right key)
-    assert(Lakehouse.readCurrent(spark, tbl, "clusters")
-      .collect().map(r => r.getLong(0)).toSet === before)
-    Lakehouse.deleteWhere(spark, tbl, col("id") === 2L)
     val after = Lakehouse.readCurrent(spark, tbl, "clusters")
       .collect().map(r => r.getLong(0)).toSet
     assert(after === (before - 2L))
     // surviving rows intact everywhere
-    assert(Lakehouse.readCurrent(spark, tbl, "hashes")
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "hashes")
       .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
-    // doomed rows live only in pre-rewrite versions until vacuum
-    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1", "v0c2"))
-    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0", "v0c1"))
+    // clusters' doomed rows live in the pre-rewrite version till vacuum
+    assert(Lakehouse.listVersions(spark, tbl) === Seq("v0", "v0c1"))
+    assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
   }
 
   test("diffVersions: change feed between pinned versions; compaction diffs empty") {
