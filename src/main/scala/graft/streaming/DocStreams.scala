@@ -405,8 +405,14 @@ object DocStreams {
         import spark.implicits._
         val ver = Lakehouse.currentVersion(spark, tableDir)
         if (!ver.exists(Lakehouse.sameBatch(_, id))) {
-          def stored(t: String): Option[DataFrame] =
-            ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+          // pinned append reads (the dedupFoldBatch discipline): only
+          // batches the previous version covers
+          val pinId: Option[Long] = ver.flatMap(Lakehouse.versionKey).map(_._1)
+          def appendPinned(t: String): Option[DataFrame] =
+            pinId.map(vid => spark.read.parquet(s"$tableDir/$t")
+              .filter(col("batch") <= vid).drop("batch"))
+          def storedClusters: Option[DataFrame] =
+            ver.map(v => spark.read.parquet(s"$tableDir/$v/clusters"))
           val media = batch
             .select(col("doc_id").cast("long"), col("payload").cast("binary"),
               col("mime").cast("string"))
@@ -415,19 +421,25 @@ object DocStreams {
             .bandsOf(hasher(spark, media).toDF("id", "h"), "id", "h",
               nBands = maxHamming + 1) // fixed per store: the on-disk band scheme
             .localCheckpoint(true) // probed twice (cross + within) and written
+          // append-only fold I/O: this batch's partition only
+          newBands.write.mode("overwrite").parquet(s"$tableDir/bands/batch=$id")
+          if (compactEvery > 0)
+            Lakehouse.compactDir(spark, s"$tableDir/bands/batch=$id")
           val newCapped = Dedup.dropHotBuckets(newBands, Seq("pos", "band"),
             maxBucket, s"mediaIngest_new_b$id")
           def side(df: DataFrame, suf: String) = df.select(
             col("pos"), col("band"), col("id").as(s"id_$suf"), col("h").as(s"h_$suf"))
           val within = side(newCapped, "a").join(side(newCapped, "b"), Seq("pos", "band"))
             .filter(col("id_a") < col("id_b"))
-          val cands = stored("bands") match {
+          val cands = appendPinned("bands") match {
             case None => within
             case Some(sb) =>
               val oldCapped = Dedup.dropHotBuckets(sb, Seq("pos", "band"),
                 maxBucket, s"mediaIngest_old_b$id")
               within.unionByName(
-                side(newCapped, "a").join(side(oldCapped, "b"), Seq("pos", "band")))
+                side(newCapped, "a").join(side(oldCapped, "b"), Seq("pos", "band"))
+                  // self-pair guard for out-of-contract refolds
+                  .filter(col("id_a") =!= col("id_b")))
           }
           val pairs = cands
             .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
@@ -436,14 +448,12 @@ object DocStreams {
             .filter(col("hamming") <= maxHamming)
             .select(least(col("id_a"), col("id_b")).as("id_a"),
               greatest(col("id_a"), col("id_b")).as("id_b"))
-          val clusters = stored("clusters") match {
+          val clusters = storedClusters match {
             case Some(st) => Components.mergeIncremental(st, pairs, "id_a", "id_b")
             case None => Components.connectedComponents(pairs, "id_a", "id_b",
               edgesDistinct = true)
           }
           val vdir = s"$tableDir/v$id"
-          stored("bands").map(_.unionByName(newBands)).getOrElse(newBands)
-            .write.mode("overwrite").parquet(s"$vdir/bands")
           clusters.write.mode("overwrite").parquet(s"$vdir/clusters")
           val f = new java.io.File(s"$tableDir/CURRENT.tmp")
           java.nio.file.Files.write(f.toPath,
