@@ -175,6 +175,70 @@ object DocStreams {
         }
       }
 
+  /** Right-to-be-forgotten for the dedup store that is EXACT on the
+    * cluster table: deleting a doc's band/hash rows is not enough —
+    * a doc can be the BRIDGE holding a cluster together (A~X, X~B,
+    * A!~B), and naive row deletion leaves A and B merged forever. This
+    * recomputes the affected components from the surviving evidence:
+    *
+    *   1. clusters containing a forgotten doc are marked affected;
+    *   2. their surviving members' pairs are re-derived from the
+    *      stored bands (member-scoped band join, capped) and
+    *      re-verified by exact Jaccard on the stored hashes;
+    *   3. affected labels are replaced by a fresh CC over those pairs
+    *      (members with no surviving pair leave the table, matching a
+    *      from-scratch clustering of the survivors — tested);
+    *   4. band/hash rows delete via [[Lakehouse.deleteFromPartitions]]
+    *      (partition-scoped rewrite) and the cluster table lands as a
+    *      new copy-on-write version.
+    *
+    * Cost follows the AFFECTED clusters (member-scoped joins), never
+    * the corpus. Returns the new version name. */
+  def forgetDocsDedup(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, ids: Seq[Long], threshold: Double = 0.8,
+      maxBucket: Int = Dedup.MaxBucket): String = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val idDf = ids.toDF("doc_id")
+    val clusters = Lakehouse.readCurrent(spark, tableDir, "clusters")
+    val affected = clusters
+      .join(broadcast(idDf.withColumnRenamed("doc_id", "id")), Seq("id"), "left_semi")
+      .select("component").distinct()
+    val members = clusters
+      .join(broadcast(affected), Seq("component"), "left_semi")
+      .join(broadcast(idDf.withColumnRenamed("doc_id", "id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    val mBands = Lakehouse.readCurrentAppend(spark, tableDir, "bands")
+      .join(members, Seq("doc_id"), "left_semi")
+    val mCapped = Dedup.dropHotBuckets(mBands, Seq("band", "band_hash"),
+      maxBucket, "forgetDedup")
+    val mHs = Lakehouse.readCurrentAppend(spark, tableDir, "hashes")
+      .join(members, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.lshCandidatePairs(mCapped, "doc_id", maxBucket)
+      .join(mHs.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(mHs.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccardCol.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val recomputed = Components.connectedComponents(pairs, "id_a", "id_b",
+      edgesDistinct = true)
+    val newClusters = clusters
+      .join(broadcast(affected), Seq("component"), "left_anti")
+      // the key-first join reordered columns; restore the store layout
+      .select(col("id"), col("component"))
+      .unionByName(recomputed)
+      // materialized BEFORE the physical deletes below: its lineage
+      // reads the very partitions deleteFromPartitions rewrites
+      .localCheckpoint(true)
+    Lakehouse.deleteFromPartitions(spark, s"$tableDir/bands",
+      col("doc_id").isin(ids: _*))
+    Lakehouse.deleteFromPartitions(spark, s"$tableDir/hashes",
+      col("doc_id").isin(ids: _*))
+    Lakehouse.bumpVersion(spark, tableDir) { vdir =>
+      newClusters.write.mode("overwrite").parquet(s"$vdir/clusters")
+    }
+  }
+
   /** CURATION-AT-INGEST: the complete crawl-day decision loop as one
     * streaming pipeline. Per micro-batch of `(doc_id, text)`:
     *

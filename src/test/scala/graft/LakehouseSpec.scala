@@ -196,6 +196,47 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
   }
 
+  test("forgetDocsDedup splits bridged clusters exactly — equals one-shot clustering of survivors") {
+    import spark.implicits._
+    // chain corpus: A ~ X and X ~ B (J >= 0.8 on token 3-shingles) but
+    // A !~ B (J ~ 0.71) — X is the BRIDGE; plus an unrelated exact-dup
+    // pair (C, D) whose cluster must survive untouched
+    val toks = (1 to 44).map(i => s"tok$i")
+    val a = toks.take(40).mkString(" ")
+    val x = toks.mkString(" ")
+    val b = toks.drop(8).mkString(" ")
+    val c = (1 to 10).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, x), (3L, b), (10L, c), (11L, c))
+    val tbl = java.nio.file.Files.createTempDirectory("graft_forget_dedup").toString
+    graft.streaming.DocStreams.dedupFoldBatch(docs.toDF("doc_id", "text"), tbl, 0L)
+    def clusters(t: String) = Lakehouse.readCurrent(spark, t, "clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = clusters(tbl)
+    // precondition: the bridge really merged A, X, B into one cluster
+    assert(before(1L) === before(2L) && before(2L) === before(3L), before)
+    assert(before(10L) === before(11L) && before(10L) != before(1L), before)
+
+    val next = graft.streaming.DocStreams.forgetDocsDedup(spark, tbl, Seq(2L))
+    assert(next == "v0c1" && Lakehouse.currentVersion(spark, tbl).contains("v0c1"))
+    // physical rows of the forgotten doc are gone
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "bands")
+      .filter(col("doc_id") === 2L).count() === 0)
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "hashes")
+      .filter(col("doc_id") === 2L).count() === 0)
+
+    // the exactness contract: post-forget clusters == a from-scratch
+    // clustering of the survivors
+    val tbl2 = java.nio.file.Files.createTempDirectory("graft_forget_oneshot").toString
+    graft.streaming.DocStreams.dedupFoldBatch(
+      docs.filter(_._1 != 2L).toDF("doc_id", "text"), tbl2, 0L)
+    assert(clusters(tbl) === clusters(tbl2))
+    // ...which means the bridged pair actually split (A and B carry no
+    // surviving pair, so they leave the table) and (C, D) survived
+    val after = clusters(tbl)
+    assert(!after.contains(1L) && !after.contains(3L), after)
+    assert(after(10L) === after(11L), after)
+  }
+
   test("diffVersions: change feed between pinned versions; compaction diffs empty") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_diff").toString
