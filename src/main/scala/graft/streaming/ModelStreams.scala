@@ -39,7 +39,7 @@ object ModelStreams {
     * streaming commit re-delivers the id). */
   def foldCountTables(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, id: Long, tables: Seq[CountTable],
-      unlearn: Boolean = false): Unit = {
+      unlearn: Boolean = false, vacuumKeep: Int = 0): Unit = {
     val ver = Lakehouse.currentVersion(spark, tableDir)
     if (ver.exists(Lakehouse.sameBatch(_, id))) return
     // reads (previous version) and writes (next) touch different
@@ -85,26 +85,33 @@ object ModelStreams {
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // retention: model tables are rewritten whole per fold (they are
+    // vocabulary-sized), so versions accumulate one per batch — a
+    // standing ingest needs the vacuum or the store grows per-batch
+    // forever. Runs AFTER the swing: a crash here loses retention
+    // only, never the fold. 0 disables (keep everything).
+    if (vacuumKeep > 0) Lakehouse.vacuum(spark, tableDir, vacuumKeep)
   }
 
   /** One NB micro-batch fold (exposed for replay tests). */
   def foldNbBatch(batch: DataFrame, tableDir: String, id: Long,
-      labelCol: String = "label"): Unit = {
+      labelCol: String = "label", vacuumKeep: Int = 0): Unit = {
     val bm = Classify.nbTrain(batch, "doc_id", "text", labelCol)
     foldCountTables(batch.sparkSession, tableDir, id, Seq(
       CountTable("cond", bm.condCounts, Seq("label", "term"), Seq("cnt")),
       CountTable("cstats", bm.classStats, Seq("label"),
-        Seq("total_c", "n_docs_c"))))
+        Seq("total_c", "n_docs_c"))), vacuumKeep = vacuumKeep)
   }
 
   /** Fold each micro-batch of `(doc_id, text, <labelCol>)` labelled
     * documents into the standing NB model store under `tableDir`. */
   def nbModelIngest(docStream: DataFrame, tableDir: String,
-      labelCol: String = "label"): org.apache.spark.sql.streaming.StreamingQuery =
+      labelCol: String = "label",
+      vacuumKeep: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        foldNbBatch(batch.toDF(), tableDir, id, labelCol)
+        foldNbBatch(batch.toDF(), tableDir, id, labelCol, vacuumKeep)
         ()
       }
       .start()
@@ -167,21 +174,23 @@ object ModelStreams {
   /** One LM micro-batch fold: bigram + unigram counts are additive
     * sufficient statistics exactly like NB's, so the same
     * [[foldCountTables]] discipline applies. */
-  def foldLmBatch(batch: DataFrame, tableDir: String, id: Long): Unit = {
+  def foldLmBatch(batch: DataFrame, tableDir: String, id: Long,
+      vacuumKeep: Int = 0): Unit = {
     val m = Classify.lmTrain(batch)
     foldCountTables(batch.sparkSession, tableDir, id, Seq(
       CountTable("bi", m.bigramCounts, Seq("w1", "w2"), Seq("cnt2")),
-      CountTable("uni", m.unigramCounts, Seq("w1"), Seq("cnt1"))))
+      CountTable("uni", m.unigramCounts, Seq("w1"), Seq("cnt1"))),
+      vacuumKeep = vacuumKeep)
   }
 
   /** Fold each micro-batch of `(doc_id, text)` documents into the
     * standing bigram-LM store under `tableDir`. */
-  def lmModelIngest(docStream: DataFrame,
-      tableDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def lmModelIngest(docStream: DataFrame, tableDir: String,
+      vacuumKeep: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        foldLmBatch(batch.toDF(), tableDir, id)
+        foldLmBatch(batch.toDF(), tableDir, id, vacuumKeep)
         ()
       }
       .start()

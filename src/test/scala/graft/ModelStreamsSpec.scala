@@ -125,6 +125,21 @@ class ModelStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("model-store retention: vacuumKeep retires old versions after each fold, CURRENT intact") {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_nbvac").toString
+    val docs = fixtureDocs()
+    ModelStreams.foldNbBatch(docs.filter(col("doc_id") % 3 === 0), tbl, 0L, vacuumKeep = 1)
+    ModelStreams.foldNbBatch(docs.filter(col("doc_id") % 3 === 1), tbl, 1L, vacuumKeep = 1)
+    ModelStreams.foldNbBatch(docs.filter(col("doc_id") % 3 === 2), tbl, 2L, vacuumKeep = 1)
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v2"))
+    assert(graft.operators.Lakehouse.listVersions(spark, tbl) === Seq("v2"))
+    // the retained model is the full 3-batch fold
+    val whole = Classify.nbTrain(docs)
+    val stored = ModelStreams.nbModelFromStore(spark, tbl)
+    assert(stored.condCounts.except(whole.condCounts).isEmpty &&
+      whole.condCounts.except(stored.condCounts).isEmpty)
+  }
+
   test("exact unlearning: negative fold == retrain on survivors; tripwire on never-trained rows") {
     val tbl = java.nio.file.Files.createTempDirectory("graft_nbunlearn").toString
     val docs = fixtureDocs()
