@@ -193,7 +193,13 @@ object DocStreams {
     *      new copy-on-write version.
     *
     * Cost follows the AFFECTED clusters (member-scoped joins), never
-    * the corpus. Returns the new version name. */
+    * the corpus. Crash contract: the new cluster labelling is
+    * materialized BEFORE the physical deletes, and the cluster swing
+    * is last — a crash in between leaves the store readable on the
+    * old version with band/hash rows already gone; re-running the same
+    * forget completes it (the affected set is derived from the cluster
+    * table, which still holds the forgotten ids until the swing).
+    * Returns the new version name. */
   def forgetDocsDedup(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, ids: Seq[Long], threshold: Double = 0.8,
       maxBucket: Int = Dedup.MaxBucket): String = {
@@ -307,6 +313,11 @@ object DocStreams {
           val pred = graft.streaming.ModelStreams
             .nbServeFromStore(batch, nbDir)
             .select(col("doc_id"), col("pred_label").as("pred_lang"))
+          // tmp + atomic rename: a crash mid-write must NOT leave a
+          // partial batch=N dir, because the replay guard above would
+          // then skip the re-emit (dot-prefixed dirs are invisible to
+          // Spark's partition discovery)
+          val tmpDir = new java.io.File(s"$manifestDir/.batch=$id.tmp")
           batch.select("doc_id")
             .join(dupFlags, Seq("doc_id"), "left")
             .join(lq, Seq("doc_id"), "left")
@@ -317,7 +328,9 @@ object DocStreams {
               coalesce(col("__lowq"), lit(false)).as("drop_quality"),
               col("pred_lang"))
             .withColumn("keep", !(col("drop_dup") || col("drop_quality")))
-            .write.mode("overwrite").parquet(mdir.getPath)
+            .write.mode("overwrite").parquet(tmpDir.getPath)
+          java.nio.file.Files.move(tmpDir.toPath, mdir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         ()
       }
