@@ -271,14 +271,16 @@ object DocStreams {
   def curationIngest(docStream: DataFrame, dedupDir: String,
       lmDir: String, nbDir: String, manifestDir: String,
       threshold: Double = 0.8, nllCut: Double = 3.5,
-      maxBucket: Int = Dedup.MaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucket: Int = Dedup.MaxBucket,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch0.sparkSession
         graft.functions.GraftFunctions.register(spark)
         val batch = batch0.toDF().select("doc_id", "text").localCheckpoint(true)
-        dedupFoldBatch(batch, dedupDir, id, threshold, maxBucket)
+        dedupFoldBatch(batch, dedupDir, id, threshold, maxBucket,
+          compactEvery, vacuumKeep)
         val mdir = new java.io.File(s"$manifestDir/batch=$id")
         if (!mdir.exists()) {
           // probe the post-fold store: the batch's own bands/hashes are
