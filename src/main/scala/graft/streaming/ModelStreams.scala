@@ -121,8 +121,14 @@ object ModelStreams {
     * for the reader's lifetime). */
   def nbModelFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String): Classify.NbModel = {
-    val cond = Lakehouse.readCurrent(spark, tableDir, "cond")
-    val cstats = Lakehouse.readCurrent(spark, tableDir, "cstats")
+    // resolve CURRENT ONCE and pin both subtables to that version —
+    // two readCurrent calls could straddle a concurrent fold's swing
+    // and pair cond counts with the other version's totals (a torn
+    // model whose smoothing denominators are inconsistent)
+    val ver = Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val cond = Lakehouse.readVersion(spark, tableDir, ver, "cond")
+    val cstats = Lakehouse.readVersion(spark, tableDir, ver, "cstats")
     Classify.NbModel(cond, cstats, cond.select("term").distinct())
   }
 
@@ -198,8 +204,11 @@ object ModelStreams {
   /** [[Classify.LmModel]] view of one PINNED store version. */
   def lmModelFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String): Classify.LmModel = {
-    val bi = Lakehouse.readCurrent(spark, tableDir, "bi")
-    val uni = Lakehouse.readCurrent(spark, tableDir, "uni")
+    // one CURRENT resolution for both subtables (see nbModelFromStore)
+    val ver = Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val bi = Lakehouse.readVersion(spark, tableDir, ver, "bi")
+    val uni = Lakehouse.readVersion(spark, tableDir, ver, "uni")
     Classify.LmModel(bi, uni, uni.select(col("w1").as("term")))
   }
 
