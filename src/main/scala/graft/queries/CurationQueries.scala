@@ -136,6 +136,30 @@ object CurationQueries {
               |  (lp8 * 100000000)::BIGINT AS lp8s
               |FROM model""".stripMargin)),
 
+    // ── The ONLINE serving path itself as a driver-visible row: the
+    //    same probe docs through Classify.nbServe (scaled-integer
+    //    grid join + single ArgmaxSumAgg aggregation — what a
+    //    streaming probe runs) must reproduce the batch argmax,
+    //    scores included, against the DuckDB replay. Pinning the
+    //    serve PLAN's arithmetic per round, not just its batch twin. ──
+    QueryDef(
+      "nb_serve_classify",
+      "NB online-serving path (integer-grid + argmax aggregate) on the holdout",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val hold = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        val m = Classify.nbTrain(train, "doc_id", "text", "lang")
+        val lp = Classify.nbLogProbs(m)
+        Classify.nbServe(hold, Classify.nbImpact(lp),
+            Classify.nbPriorMap(Classify.nbPriors(m)))
+          .select(col("doc_id"), col("pred_label").as("pred_lang"), col("score"))
+      },
+      Some(s"""WITH $dkNbCtes
+              |SELECT doc_id, lang AS pred_lang, round(sd::DOUBLE, 6) AS score
+              |FROM fin QUALIFY row_number() OVER (PARTITION BY doc_id
+              |  ORDER BY sd DESC, lang) = 1""".stripMargin)),
+
     // ── Classifier quality eval: the confusion matrix of the NB
     //    holdout predictions — the accuracy surface a curation
     //    pipeline monitors before trusting a filter model. K²-row

@@ -673,6 +673,53 @@ object TextDedupQueries {
               |    ORDER BY sd DESC, doc_id) AS INT) AS rnk
               |FROM scored QUALIFY rnk <= 5""".stripMargin)),
 
+    // ── The ONLINE BM25 serving path as a driver-visible row: the
+    //    same queries through Lexical.bm25Serve (impact-index join +
+    //    single ScoreTopKAgg heap — the streaming plan) must reproduce
+    //    the batch ranking, scores included, against the DuckDB
+    //    replay. Pins the serve plan's integer arithmetic per round. ──
+    QueryDef(
+      "txt_bm25_serve",
+      "BM25 online-serving path (impact index + heap aggregate) top-5 per query",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val post = graft.operators.Lexical.postings(docs)
+        val dl = graft.operators.Lexical.doclens(docs)
+        val idx = graft.operators.Lexical.impactIndex(post, dl,
+          graft.operators.Lexical.termstats(post),
+          graft.operators.Lexical.corpusStats(dl))
+        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+          (2L, "fast vector scan"), (3L, "customer query filter"))
+          .toDF("query_id", "qtext")
+        graft.operators.Lexical.bm25Serve(qs, idx, 5)
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
+              |    (1, 'stream window agg'), (2, 'fast vector scan'),
+              |    (3, 'customer query filter')) v(query_id, qtext)),
+              |qterms AS (SELECT query_id::BIGINT AS query_id,
+              |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
+              |toks AS (SELECT doc_id, unnest($dkTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |dlen AS (SELECT doc_id, len($dkTokens)::BIGINT AS dl FROM documents),
+              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
+              |contrib AS (SELECT query_id, t.doc_id,
+              |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+              |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+              |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+              |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+              |      8)::DECIMAL(18,8) AS c8
+              |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
+              |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
+              |scored AS (SELECT query_id, doc_id, sum(c8) AS sd
+              |  FROM contrib GROUP BY 1, 2)
+              |SELECT query_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sd DESC, doc_id) AS INT) AS rnk,
+              |  doc_id, round(sd::DOUBLE, 6) AS score
+              |FROM scored QUALIFY rnk <= 5""".stripMargin)),
+
     // ── The SERVING index itself as a driver-visible row: every
     //    posting's precomputed BM25 contribution as a lossless
     //    1e-8-scaled BIGINT — what Lexical.bm25Serve joins online.
