@@ -311,8 +311,13 @@ object Classify {
     * the 6-digit round. One presence aggregate + one vocab-sized
     * pass; no joins against the corpus. `classCol` must be a boolean
     * column on `docs`. */
-  def chi2Terms(docs: DataFrame, classCol: Column, idCol: String = "doc_id",
-      textCol: String = "text", minDf: Long = 5L): DataFrame = {
+  /** The χ² sufficient statistics: per-term document-frequency cells
+    * (term, a = docs in class with term, b = docs outside class with
+    * term) and the 1-row corpus totals (n, n_pos). Both are additive
+    * aggregates — they fold (and unlearn) under the same count-table
+    * discipline as the NB/LM models. */
+  def chi2Counts(docs: DataFrame, classCol: Column, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val pres = docs
       .select(col(idCol).as("doc_id"), classCol.as("__pos"), explode(
         expr(s"array_distinct(${toks(textCol)})")).as("term"))
@@ -322,6 +327,13 @@ object Classify {
     val grid = pres.groupBy("term").agg(
       coalesce(sum(when(col("__pos"), 1L).otherwise(0L)), lit(0L)).as("a"),
       coalesce(sum(when(col("__pos"), 0L).otherwise(1L)), lit(0L)).as("b"))
+    (grid, totals)
+  }
+
+  /** Finish χ² from prebuilt sufficient statistics (the store-served
+    * form of [[chi2Terms]]). */
+  def chi2FromCounts(grid: DataFrame, totals: DataFrame,
+      minDf: Long = 5L): DataFrame = {
     val d38 = "decimal(38,0)"
     grid.crossJoin(broadcast(totals))
       .filter(col("a") + col("b") >= minDf)
@@ -338,5 +350,11 @@ object Classify {
       .select(col("term"), col("a").as("df_pos"), col("b").as("df_neg"),
         round(col("__num").cast("double") / col("__den").cast("double"), 6)
           .as("chi2"))
+  }
+
+  def chi2Terms(docs: DataFrame, classCol: Column, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Long = 5L): DataFrame = {
+    val (grid, totals) = chi2Counts(docs, classCol, idCol, textCol)
+    chi2FromCounts(grid, totals, minDf)
   }
 }

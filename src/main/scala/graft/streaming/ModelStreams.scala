@@ -175,6 +175,33 @@ object ModelStreams {
         Seq("w1"), Seq("cnt1"))), unlearn = true)
   }
 
+  // ───────────── χ² feature-selection store ─────────────
+
+  /** One χ² micro-batch fold: the per-term (a, b) document-frequency
+    * grid and the KEYLESS 1-row (n, n_pos) totals are both additive,
+    * so feature selection maintains incrementally under the same
+    * [[foldCountTables]] discipline (an empty `keys` list folds as a
+    * global aggregate). `classCol` must name a boolean column on the
+    * batch. */
+  def foldChi2Batch(batch: DataFrame, tableDir: String, id: Long,
+      classCol: String = "is_pos", vacuumKeep: Int = 0): Unit = {
+    val (grid, totals) = Classify.chi2Counts(batch, col(classCol))
+    foldCountTables(batch.sparkSession, tableDir, id, Seq(
+      CountTable("grid", grid, Seq("term"), Seq("a", "b")),
+      CountTable("totals", totals, Seq.empty, Seq("n", "n_pos"))),
+      vacuumKeep = vacuumKeep)
+  }
+
+  /** χ² association scores served from one PINNED store version. */
+  def chi2FromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, minDf: Long = 5L): DataFrame = {
+    val ver = Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    Classify.chi2FromCounts(
+      Lakehouse.readVersion(spark, tableDir, ver, "grid"),
+      Lakehouse.readVersion(spark, tableDir, ver, "totals"), minDf)
+  }
+
   // ───────────── bigram-LM store (the perplexity filter) ─────────────
 
   /** One LM micro-batch fold: bigram + unigram counts are additive

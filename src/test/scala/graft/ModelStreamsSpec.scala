@@ -266,6 +266,36 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(manifestDir).count() === before)
   }
 
+  test("chi2 store: keyless totals fold; two-batch fold == one-shot; unlearn == survivors") {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_chi2store").toString
+    val docs = fixtureDocs()
+      .select(col("doc_id"), col("text"), (col("label") === "en").as("is_pos"))
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    ModelStreams.foldChi2Batch(b1, tbl, 0L)
+    ModelStreams.foldChi2Batch(b2, tbl, 1L)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = scores(Classify.chi2Terms(docs, col("is_pos")))
+    assert(scores(ModelStreams.chi2FromStore(spark, tbl)) === want)
+    assert(want.nonEmpty)
+
+    // exact unlearning extends to feature selection: negative-fold a
+    // cohort, the served scores equal a from-scratch pass on survivors
+    val forget = docs.filter(col("doc_id") % 10 === 3)
+    val m = Classify.chi2Counts(forget, col("is_pos"))
+    ModelStreams.foldCountTables(spark, tbl, 2L, Seq(
+      ModelStreams.CountTable("grid",
+        m._1.withColumn("a", -col("a")).withColumn("b", -col("b")),
+        Seq("term"), Seq("a", "b")),
+      ModelStreams.CountTable("totals",
+        m._2.withColumn("n", -col("n")).withColumn("n_pos", -col("n_pos")),
+        Seq.empty, Seq("n", "n_pos"))), unlearn = true)
+    val wantSurv = scores(Classify.chi2Terms(
+      docs.filter(col("doc_id") % 10 =!= 3), col("is_pos")))
+    assert(scores(ModelStreams.chi2FromStore(spark, tbl)) === wantSurv)
+  }
+
   test("bigram-LM store: two-batch fold == one-shot train; streamed probe scores == batch perplexity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
