@@ -202,6 +202,67 @@ object ModelStreams {
       Lakehouse.readVersion(spark, tableDir, ver, "totals"), minDf)
   }
 
+  // ───────────── DSIR importance-model store ─────────────
+
+  /** One DSIR micro-batch fold: the 1024-slot hashed-unigram count
+    * tables of the target and raw distributions are additive (and
+    * FIXED-width — the model never outgrows its `buckets` rows), so
+    * the importance model maintains incrementally too. `batch` rows
+    * are (doc_id, text, is_target); every doc folds into the raw
+    * distribution, `is_target` rows additionally into the target one
+    * (the [[graft.operators.Classify.dsirLogWeights]] convention:
+    * target ⊆ raw). Both tables land in the SAME version — a fold
+    * never leaves a version missing one distribution. */
+  def foldDsirBatch(batch: DataFrame, tableDir: String, id: Long,
+      buckets: Int = 1024, vacuumKeep: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    def slots(df: DataFrame): DataFrame = df
+      .select(explode(expr(graft.functions.TextFunctions.tokensSql("text"))).as("__tok"))
+      .select(expr(s"pmod(graft_poly(__tok), $buckets)").as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("cnt"))
+    foldCountTables(spark, tableDir, id, Seq(
+      CountTable("target", slots(batch.filter(col("is_target"))),
+        Seq("slot"), Seq("cnt")),
+      CountTable("raw", slots(batch), Seq("slot"), Seq("cnt"))),
+      vacuumKeep = vacuumKeep)
+  }
+
+  /** DSIR log importance weights of `score` docs served from one
+    * PINNED store version (mirrors
+    * [[graft.operators.Classify.dsirLogWeights]] arithmetic over the
+    * stored counts). */
+  def dsirWeightsFromStore(score: DataFrame, tableDir: String,
+      buckets: Int = 1024): DataFrame = {
+    val spark = score.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val ver = Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val tc = Lakehouse.readVersion(spark, tableDir, ver, "target")
+      .withColumnRenamed("cnt", "cnt_t")
+    val rc = Lakehouse.readVersion(spark, tableDir, ver, "raw")
+      .withColumnRenamed("cnt", "cnt_r")
+    val tot = tc.agg(coalesce(sum("cnt_t"), lit(0L)).as("tot_t"))
+      .crossJoin(rc.agg(coalesce(sum("cnt_r"), lit(0L)).as("tot_r"))) // 1 row
+    score
+      .select(col("doc_id"), explode(expr(
+        graft.functions.TextFunctions.tokensSql("text"))).as("__tok"))
+      .select(col("doc_id"), expr(s"pmod(graft_poly(__tok), $buckets)").as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("tf"))
+      .join(broadcast(tc), Seq("slot"), "left")
+      .join(broadcast(rc), Seq("slot"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        Classify.c8(col("tf").cast("double") *
+          (Classify.logq6((coalesce(col("cnt_t"), lit(0L)) + lit(1L)).cast("double") /
+             (col("tot_t") + lit(buckets.toLong)).cast("double")) -
+           Classify.logq6((coalesce(col("cnt_r"), lit(0L)) + lit(1L)).cast("double") /
+             (col("tot_r") + lit(buckets.toLong)).cast("double")))).as("__c8"))
+      .groupBy("doc_id")
+      .agg(sum("__c8").as("__lw_dec"), count(lit(1)).as("n_slots"))
+      .select(col("doc_id"), col("n_slots"), col("__lw_dec").as("logw_dec"))
+  }
+
   // ───────────── bigram-LM store (the perplexity filter) ─────────────
 
   /** One LM micro-batch fold: bigram + unigram counts are additive

@@ -296,6 +296,27 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(scores(ModelStreams.chi2FromStore(spark, tbl)) === wantSurv)
   }
 
+  test("DSIR store: two-batch fold serves weights == one-shot dsirLogWeights") {
+    graft.functions.GraftFunctions.register(spark)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_dsirstore").toString
+    val docs = fixtureDocs()
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"), (col("label") === "en").as("is_target"))
+    val b1 = train.filter(col("doc_id") % 2 === 0)
+    val b2 = train.filter(col("doc_id") % 2 =!= 0)
+    ModelStreams.foldDsirBatch(b1, tbl, 0L)
+    ModelStreams.foldDsirBatch(b2, tbl, 1L)
+    val hold = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_slots"), col("logw_dec").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = weights(graft.operators.Classify.dsirLogWeights(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("label") === "en"),
+      docs.filter(col("doc_id") % 5 =!= 0), hold))
+    assert(weights(ModelStreams.dsirWeightsFromStore(hold, tbl)) === want)
+    assert(want.nonEmpty)
+  }
+
   test("bigram-LM store: two-batch fold == one-shot train; streamed probe scores == batch perplexity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
