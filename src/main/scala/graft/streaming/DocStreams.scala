@@ -192,8 +192,12 @@ object DocStreams {
     *      (partition-scoped rewrite) and the cluster table lands as a
     *      new copy-on-write version.
     *
-    * Cost follows the AFFECTED clusters (member-scoped joins), never
-    * the corpus. Crash contract: the new cluster labelling is
+    * Cost: the band/hash tables are each scanned ONCE (the member
+    * semi-joins bound every downstream join and the CC input, but not
+    * the scans themselves — at a partitioned 100 TB store you would
+    * additionally bucket the band table by doc_id to prune them);
+    * everything after the scans follows the AFFECTED clusters only.
+    * Crash contract: the new cluster labelling is
     * materialized BEFORE the physical deletes, and the cluster swing
     * is last — a crash in between leaves the store readable on the
     * old version with band/hash rows already gone; re-running the same
