@@ -196,6 +196,33 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
   }
 
+  test("dedup fold: pre-swing crash leftovers are overwritten on redelivery") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_crash_fold").toString
+    val b0 = Seq((1L, "aaa bbb ccc ddd eee fff ggg hhh"),
+      (2L, "zzz yyy xxx www vvv uuu ttt sss"))
+    val b1 = Seq((3L, "aaa bbb ccc ddd eee fff ggg hhh"))
+    graft.streaming.DocStreams.dedupFoldBatch(b0.toDF("doc_id", "text"), tbl, 0L)
+    // simulate a crash that wrote a PARTIAL batch=1 partition (wrong
+    // content, right schema) but died before the CURRENT swing
+    Seq((999L, 7, 123456789L)).toDF("doc_id", "band", "band_hash")
+      .write.parquet(s"$tbl/bands/batch=1")
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v0"))
+    // redelivery of batch 1 must overwrite the leftovers and complete
+    assert(graft.streaming.DocStreams.dedupFoldBatch(
+      b1.toDF("doc_id", "text"), tbl, 1L).isDefined)
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v1"))
+    // the garbage row is gone and the store equals a clean two-batch run
+    assert(Lakehouse.readCurrentAppend(spark, tbl, "bands")
+      .filter(col("doc_id") === 999L).count() === 0)
+    val tbl2 = java.nio.file.Files.createTempDirectory("graft_crash_clean").toString
+    graft.streaming.DocStreams.dedupFoldBatch(b0.toDF("doc_id", "text"), tbl2, 0L)
+    graft.streaming.DocStreams.dedupFoldBatch(b1.toDF("doc_id", "text"), tbl2, 1L)
+    def clusters(t: String) = Lakehouse.readCurrent(spark, t, "clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters(tbl) === clusters(tbl2))
+  }
+
   test("forgetDocsDedup splits bridged clusters exactly — equals one-shot clustering of survivors") {
     import spark.implicits._
     // chain corpus: A ~ X and X ~ B (J >= 0.8 on token 3-shingles) but

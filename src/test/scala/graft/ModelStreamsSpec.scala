@@ -296,6 +296,26 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(scores(ModelStreams.chi2FromStore(spark, tbl)) === wantSurv)
   }
 
+  test("model fold: pre-swing crash leftovers in the version dir are overwritten on redelivery") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_crash_model").toString
+    val docs = fixtureDocs()
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    ModelStreams.foldNbBatch(b1, tbl, 0L)
+    // crash simulation: a partial v1/cond with wrong content, CURRENT
+    // still on v0
+    Seq(("zz", "never_a_term", 999L)).toDF("label", "term", "cnt")
+      .write.parquet(s"$tbl/v1/cond")
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v0"))
+    ModelStreams.foldNbBatch(b2, tbl, 1L)
+    assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v1"))
+    val whole = Classify.nbTrain(docs)
+    val stored = ModelStreams.nbModelFromStore(spark, tbl)
+    assert(stored.condCounts.except(whole.condCounts).isEmpty &&
+      whole.condCounts.except(stored.condCounts).isEmpty)
+  }
+
   test("DSIR store: two-batch fold serves weights == one-shot dsirLogWeights") {
     graft.functions.GraftFunctions.register(spark)
     val tbl = java.nio.file.Files.createTempDirectory("graft_dsirstore").toString
