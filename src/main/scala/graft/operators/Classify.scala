@@ -318,12 +318,18 @@ object Classify {
     * discipline as the NB/LM models. */
   def chi2Counts(docs: DataFrame, classCol: Column, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, DataFrame) = {
+    // NULL class ⇒ negative, explicitly: `when(__pos,…).otherwise(…)`
+    // would silently route NULLs to the otherwise-branch while a SQL
+    // `FILTER (WHERE NOT __pos)` oracle excludes them entirely — the
+    // b/d cells (and the ranking) would fork between engines on a
+    // nullable class column. coalesce pins one semantics both can say.
+    val cls = coalesce(classCol, lit(false))
     val pres = docs
-      .select(col(idCol).as("doc_id"), classCol.as("__pos"), explode(
+      .select(col(idCol).as("doc_id"), cls.as("__pos"), explode(
         expr(s"array_distinct(${toks(textCol)})")).as("term"))
     val totals = docs.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(when(classCol, 1L).otherwise(0L)), lit(0L)).as("n_pos")) // 1 row
+      coalesce(sum(when(cls, 1L).otherwise(0L)), lit(0L)).as("n_pos")) // 1 row
     val grid = pres.groupBy("term").agg(
       coalesce(sum(when(col("__pos"), 1L).otherwise(0L)), lit(0L)).as("a"),
       coalesce(sum(when(col("__pos"), 0L).otherwise(1L)), lit(0L)).as("b"))

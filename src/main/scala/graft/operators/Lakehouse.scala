@@ -65,7 +65,7 @@ object Lakehouse {
   def sameBatch(verName: String, batchId: Long): Boolean =
     versionKey(verName).exists(_._1 == batchId)
 
-  private def fs(spark: SparkSession, dir: String): FileSystem =
+  private[graft] def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
       // local runs: the checksummed view would reject CURRENT pointers
       // written by the streaming folds' java.nio fast path (no .crc
@@ -183,19 +183,72 @@ object Lakehouse {
       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, tableDir)
+    recoverPartitionSwaps(f, tableDir)
     val affected = spark.read.parquet(tableDir).filter(cond)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     affected.foreach { b =>
       val dir = new Path(s"$tableDir/batch=$b")
       val tmp = new Path(s"$tableDir/.batch=$b.delete.tmp")
+      val bak = new Path(s"$tableDir/.batch=$b.bak")
       spark.read.parquet(dir.toString).filter(!cond)
         .write.mode("overwrite").parquet(tmp.toString)
-      f.delete(dir, true)
+      // bak-swap, never delete-then-rename: at every instant either the
+      // old partition (live or recoverable .bak) or the rewritten one
+      // is on disk, and a crash anywhere is healed by
+      // recoverPartitionSwaps on the next call — the "re-running the
+      // same forget completes it" contract.
+      if (!f.rename(dir, bak))
+        throw new IllegalStateException(s"deleteFromPartitions: bak rename failed for $dir")
       if (!f.rename(tmp, dir))
-        throw new IllegalStateException(s"deleteFromPartitions: rename failed for $dir")
+        throw new IllegalStateException(s"deleteFromPartitions: swap rename failed for $dir")
+      f.delete(bak, true)
     }
     affected.length
+  }
+
+  /** Heal interrupted [[deleteFromPartitions]] swaps. The bak/tmp dirs
+    * are dot-prefixed (invisible to partition discovery), so a crash
+    * mid-swap hides the partition from readers AND from a naive re-run
+    * — the condemned rows no longer match `cond` because they are not
+    * scanned at all. This pass restores every partition to a readable
+    * state before the delete recomputes:
+    *  - live + bak → swap finished, bak cleanup missed: drop bak;
+    *  - bak + complete tmp (`_SUCCESS`) → crash between the two
+    *    renames: promote the finished survivor rewrite, drop bak;
+    *  - bak only (or torn tmp) → crash mid-rewrite: restore bak;
+    *  - stray tmp with live intact → drop tmp (it will be rewritten).
+    */
+  private def recoverPartitionSwaps(f: FileSystem, tableDir: String): Unit = {
+    val root = new Path(tableDir)
+    if (!f.exists(root)) return
+    val Bak = """\.batch=(\d+)\.bak""".r
+    val Tmp = """\.batch=(\d+)\.delete\.tmp""".r
+    val names = f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    names.foreach {
+      case Bak(b) =>
+        val live = new Path(s"$tableDir/batch=$b")
+        val bak = new Path(s"$tableDir/.batch=$b.bak")
+        val tmp = new Path(s"$tableDir/.batch=$b.delete.tmp")
+        if (f.exists(live)) f.delete(bak, true)
+        else if (f.exists(new Path(tmp, "_SUCCESS"))) {
+          if (!f.rename(tmp, live))
+            throw new IllegalStateException(s"recoverPartitionSwaps: promote failed for $live")
+          f.delete(bak, true)
+        } else {
+          f.delete(tmp, true)
+          if (!f.rename(bak, live))
+            throw new IllegalStateException(s"recoverPartitionSwaps: restore failed for $live")
+        }
+      case _ => ()
+    }
+    names.foreach {
+      case Tmp(b) =>
+        val tmp = new Path(s"$tableDir/.batch=$b.delete.tmp")
+        if (f.exists(new Path(s"$tableDir/batch=$b")) && f.exists(tmp))
+          f.delete(tmp, true)
+      case _ => ()
+    }
   }
 
   /** Open the next copy-on-write version (`v<id>c<gen+1>`): `write`

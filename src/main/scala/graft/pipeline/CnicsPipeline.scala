@@ -163,12 +163,13 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * so store∖source deletes are scoped to this cohort's subjects
     * (resources owned by other sites/cohorts are untouchable). */
   private def reconcile(resourceType: String, source: DataFrame,
-      subjects: Option[DataFrame] = None): Map[String, Long] = {
+      subjects: Option[DataFrame] = None,
+      identifierSystem: Option[String] = None): Map[String, Long] = {
     // persisted: the dup-key scan below and the merge both read it, and
     // for HTTP stores recomputing means re-fetching the whole snapshot
     val snapAll = subjects
       .map(s => store.snapshotForSubjects(spark, resourceType, s))
-      .getOrElse(store.snapshot(spark, resourceType))
+      .getOrElse(store.snapshot(spark, resourceType, identifierSystem))
       .filter(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -202,8 +203,16 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       .filter(historicalFilter && length(col(nameCol)) > 0 && expr(iniFilter))
       .join(cohortIds, Seq("PatientId"))
 
+  /** This site's site-patient-id identifier system — the Patient
+    * snapshot scope (cnics_to_fhir.py:322: one site's reconcile may
+    * only see, and therefore only delete, its OWN patients on a
+    * shared multi-site store). */
+  def sitePatientIdSystem: String =
+    s"https://cnics.cirg.washington.edu/site-patient-id/$siteLower"
+
   def runPatients(limit: Int = Int.MaxValue): Map[String, Long] =
-    reconcile("Patient", patientResources(limit))
+    reconcile("Patient", patientResources(limit),
+      identifierSystem = Some(sitePatientIdSystem))
 
   def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
     val ids = cohort(limit).select("PatientId", "site_pat_id")

@@ -66,6 +66,53 @@ object CnicsQueries {
              | (2, 'Observation', 'insert', 0), (2, 'Observation', 'update', 3), (2, 'Observation', 'delete', 0)
              |) t(run, resource_type, action, n)""".stripMargin)),
 
+    // ── Multi-site isolation on ONE shared store — the reference's
+    //    actual deployment shape (10 sites, one FHIR store,
+    //    settings.ini:20): the JobRunner loop runs site uw then site
+    //    sea against the SAME InMemoryFhirStore, then site uw runs its
+    //    Patient reconcile AGAIN. Because the Patient snapshot is
+    //    identifier-system-scoped (cnics_to_fhir.py:322-326:
+    //    `?identifier=<system>|`), neither site may ever classify the
+    //    other site's patients as deletable orphans: sea's run (into a
+    //    store already holding uw's 2 patients) must delete 0, and
+    //    uw's re-run (store holding sea-9) must delete 0 and update
+    //    its own 2. The final row counts the Patient survivors — all
+    //    3 sites' patients alive. An unscoped snapshot turns this row
+    //    red with cross-site deletes. ──
+    QueryDef(
+      "cnics_multisite_audit",
+      "two sites through JobRunner on one shared store + uw re-run: site-scoped reconcile deletes nothing cross-site",
+      (s, _) => {
+        import s.implicits._
+        val store = new InMemoryFhirStore
+        val cfg = """[JobList]
+                    |Job_1 = "uw,sea:cnics:"
+                    |""".stripMargin
+        val results = graft.pipeline.JobRunner.run(s, cfg,
+          (_, _) => CnicsFixtures.demo(s), (_, _) => store)
+        val rerun = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw")
+          .run(Set("patients"))
+        val rows =
+          results.flatMap(r => r.audit.toSeq.map { case ((rt, a), n) =>
+            (s"job:${r.site}", rt, a, n) }) ++
+          rerun.toSeq.map { case ((rt, a), n) => ("rerun:uw", rt, a, n) } :+
+          (("store", "Patient", "count",
+            store.data.keys.count(_._1 == "Patient").toLong))
+        rows.toDF("phase", "resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('job:uw', 'Patient', 'insert', CAST(2 AS BIGINT)), ('job:uw', 'Patient', 'update', 0), ('job:uw', 'Patient', 'delete', 0),
+             | ('job:uw', 'Condition', 'insert', 2), ('job:uw', 'Condition', 'update', 0), ('job:uw', 'Condition', 'delete', 0),
+             | ('job:uw', 'MedicationRequest', 'insert', 1), ('job:uw', 'MedicationRequest', 'update', 0), ('job:uw', 'MedicationRequest', 'delete', 0),
+             | ('job:uw', 'Observation', 'insert', 3), ('job:uw', 'Observation', 'update', 0), ('job:uw', 'Observation', 'delete', 0),
+             | ('job:sea', 'Patient', 'insert', 1), ('job:sea', 'Patient', 'update', 0), ('job:sea', 'Patient', 'delete', 0),
+             | ('job:sea', 'Condition', 'insert', 0), ('job:sea', 'Condition', 'update', 0), ('job:sea', 'Condition', 'delete', 0),
+             | ('job:sea', 'MedicationRequest', 'insert', 0), ('job:sea', 'MedicationRequest', 'update', 0), ('job:sea', 'MedicationRequest', 'delete', 0),
+             | ('job:sea', 'Observation', 'insert', 0), ('job:sea', 'Observation', 'update', 0), ('job:sea', 'Observation', 'delete', 0),
+             | ('rerun:uw', 'Patient', 'insert', 0), ('rerun:uw', 'Patient', 'update', 2), ('rerun:uw', 'Patient', 'delete', 0),
+             | ('store', 'Patient', 'count', 3)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden

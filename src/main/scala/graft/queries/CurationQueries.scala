@@ -254,8 +254,11 @@ object CurationQueries {
 
     // ── Per-class precision/recall/F1 off the confusion matrix — the
     //    classification counterpart of `eval_rank_metrics` (MRR/NDCG).
-    //    All counts integer-exact; ratios are correctly-rounded doubles
-    //    of exact integers, zero-denominator guarded (ANSI-safe). ──
+    //    All counts integer-exact; ratios are emitted as integer-scaled
+    //    parts-per-million (round-half-up of exact integer division) —
+    //    the registry-wide quantized-exact contract: no raw double
+    //    division in oracled output columns, so engines cannot disagree
+    //    on a ulp. Zero-denominator guarded (NULL, ANSI-safe). ──
     QueryDef(
       "eval_prf_nb",
       "NB holdout per-class precision/recall/F1",
@@ -282,15 +285,18 @@ object CurationQueries {
             coalesce(col("n_true"), lit(0L)).as("n_true"),
             coalesce(col("n_pred"), lit(0L)).as("n_pred"))
           .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+            // ppm = round-half-up(1e6 * tp / den) in pure bigint math:
+            // (2e6*tp + den) div (2*den). Counts are bounded by corpus
+            // rows, so 2e6*tp stays far from Long overflow.
             when(col("n_pred") > 0,
-              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
-              .as("precision"),
+              expr("(2000000 * tp + n_pred) div (2 * n_pred)"))
+              .as("precision_ppm"),
             when(col("n_true") > 0,
-              round(col("tp").cast("double") / col("n_true").cast("double"), 6))
-              .as("recall"),
+              expr("(2000000 * tp + n_true) div (2 * n_true)"))
+              .as("recall_ppm"),
             when(col("n_true") + col("n_pred") > 0,
-              round(lit(2.0) * col("tp").cast("double") /
-                (col("n_true") + col("n_pred")).cast("double"), 6)).as("f1"))
+              expr("(4000000 * tp + n_true + n_pred) div (2 * (n_true + n_pred))"))
+              .as("f1_ppm"))
       },
       Some(s"""WITH $dkNbCtes,
               |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
@@ -310,12 +316,12 @@ object CurationQueries {
               |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label))
               |SELECT label, tp, n_true, n_pred,
               |  CASE WHEN n_pred > 0
-              |    THEN round(tp::DOUBLE / n_pred::DOUBLE, 6) END AS precision,
+              |    THEN (2000000 * tp + n_pred) // (2 * n_pred) END AS precision_ppm,
               |  CASE WHEN n_true > 0
-              |    THEN round(tp::DOUBLE / n_true::DOUBLE, 6) END AS recall,
+              |    THEN (2000000 * tp + n_true) // (2 * n_true) END AS recall_ppm,
               |  CASE WHEN n_true + n_pred > 0
-              |    THEN round(2.0::DOUBLE * tp::DOUBLE
-              |      / (n_true + n_pred)::DOUBLE, 6) END AS f1
+              |    THEN (4000000 * tp + n_true + n_pred)
+              |      // (2 * (n_true + n_pred)) END AS f1_ppm
               |FROM j""".stripMargin)),
 
     // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
@@ -428,10 +434,11 @@ object CurationQueries {
       (s, d) =>
         Classify.chi2Terms(t(s, d, "documents"), col("lang") === "en")
           .orderBy(desc("chi2"), asc("term")).limit(20),
-      Some(s"""WITH pres AS (SELECT doc_id, lang = 'en' AS is_pos,
+      Some(s"""WITH pres AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_pos,
               |    unnest(list_distinct($dkToks)) AS term FROM documents),
               |tot AS (SELECT count(*) AS n,
-              |    count(*) FILTER (WHERE lang = 'en') AS n_pos FROM documents),
+              |    count(*) FILTER (WHERE coalesce(lang = 'en', false)) AS n_pos
+              |  FROM documents),
               |grid AS (SELECT term,
               |    count(*) FILTER (WHERE is_pos) AS a,
               |    count(*) FILTER (WHERE NOT is_pos) AS b

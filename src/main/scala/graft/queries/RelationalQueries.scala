@@ -413,16 +413,29 @@ object RelationalQueries {
              |WHERE (l_orderkey * 2654435761 + l_linenumber * 7919) % 1000003 < 50000
              |GROUP BY l_returnflag""".stripMargin)),
 
-    // Spark's seeded Bernoulli sampler uses an engine-internal RNG, so
-    // the row set is not reproducible in DuckDB — rows-only by design;
-    // determinism under a fixed seed is pinned by a unit test instead.
+    // Seeded reproducible sampling. Spark's `.sample(seed)` draws from
+    // an engine-internal RNG — deterministic within Spark but not
+    // replayable by any other engine (or even across Spark partition
+    // layouts), so it can never be oracled. The portable form of "a 5%
+    // sample under seed 42" is a seed-salted hash draw: mix the seed
+    // into the per-row hash, keep rows whose draw lands under the rate
+    // cutoff. Same statistical contract (fixed-rate Bernoulli keyed on
+    // the row id, different seed ⇒ disjoint-ish sample), but the row
+    // set is a pure function of (key, seed) — reproducible on every
+    // engine, every partition count, every scale. Key is reduced mod p
+    // BEFORE the multiply so the arithmetic never overflows Long even
+    // at 100 TB key ranges (DuckDB would silently promote to HUGEINT
+    // on overflow, which would fork the row sets).
     QueryDef(
       "g3_sample_seeded",
-      "seeded Bernoulli sample (engine-internal RNG; rows-only by design)",
+      "seeded reproducible 5% sample via a seed-salted hash draw",
       (s, d) =>
-        t(s, d, "orders").sample(withReplacement = false, 0.05, seed = 42)
+        t(s, d, "orders")
+          .filter(expr(
+            "pmod(pmod(o_orderkey, 1000003) * 2654435761 + 42 * 7919, 1000003) < 50000"))
           .select("o_orderkey", "o_custkey"),
-      None),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE ((o_orderkey % 1000003) * 2654435761 + 42 * 7919) % 1000003 < 50000""".stripMargin)),
 
     // ── Set ops (free from Spark; exercised for inventory completeness) ──
     QueryDef(

@@ -15,7 +15,15 @@ import org.apache.spark.sql.types._
   * deletes), `merge_action` in {insert, update, delete}.
   */
 trait FhirStore {
-  def snapshot(spark: SparkSession, resourceType: String): DataFrame
+  /** Store snapshot, optionally scoped to resources carrying an
+    * identifier under `identifierSystem` — the reference's site-scoped
+    * Patient GET (`?identifier=<system>|`, cnics_to_fhir.py:322-326).
+    * Scoping is a correctness requirement on a SHARED multi-site
+    * store: the reconcile's delete set is store∖source, and an
+    * unscoped snapshot would classify every other site's patients as
+    * deletable orphans. */
+  def snapshot(spark: SparkSession, resourceType: String,
+      identifierSystem: Option[String] = None): DataFrame
 
   /** Snapshot of a child resource type restricted to the given subject
     * resources — the distributed twin of the reference's per-patient
@@ -45,8 +53,17 @@ class InMemoryFhirStore extends FhirStore with Serializable {
   val data: scala.collection.mutable.Map[(String, String), (String, String)] =
     scala.collection.mutable.Map()
 
-  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
-    val rows = data.collect { case ((rt, key), (id, _)) if rt == resourceType =>
+  def snapshot(spark: SparkSession, resourceType: String,
+      identifierSystem: Option[String] = None): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def hasSystem(json: String, sys: String): Boolean = {
+      val ids = mapper.readTree(json).path("identifier")
+      var found = false
+      ids.forEach(n => if (n.path("system").asText("") == sys) found = true)
+      found
+    }
+    val rows = data.collect { case ((rt, key), (id, json)) if rt == resourceType &&
+        identifierSystem.forall(hasSystem(json, _)) =>
       Row(key, id)
     }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), FhirStore.snapshotSchema)
@@ -91,11 +108,25 @@ class InMemoryFhirStore extends FhirStore with Serializable {
 class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
   private def dir(rt: String) = s"$baseDir/$rt"
 
-  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+  def snapshot(spark: SparkSession, resourceType: String,
+      identifierSystem: Option[String] = None): DataFrame = {
     val d = new java.io.File(dir(resourceType))
     if (!d.exists())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
-    else spark.read.parquet(d.toString).select("key", "id")
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
+    val base = spark.read.parquet(d.toString)
+    identifierSystem match {
+      case None => base.select("key", "id")
+      case Some(sys) =>
+        // any identifier under the system qualifies (FHIR token search
+        // semantics of `identifier=<system>|`): parse just the
+        // identifier systems out of the stored JSON — a narrow
+        // projection, scanned distributed like the rest of the snapshot
+        base
+          .withColumn("__ids", expr(
+            "from_json(json, 'STRUCT<identifier: ARRAY<STRUCT<system: STRING>>>')"))
+          .filter(exists(col("__ids.identifier"), i => i("system") === lit(sys)))
+          .select("key", "id")
+    }
   }
 
   def snapshotForSubjects(spark: SparkSession, resourceType: String,
@@ -195,17 +226,23 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
     * the snapshot is best-effort under concurrent mutation — identical
     * to the reference's one-shot search (cnics_to_fhir.py:215-217),
     * which also reads a moving store without isolation. */
-  def snapshot(spark: SparkSession, resourceType: String): DataFrame = {
+  def snapshot(spark: SparkSession, resourceType: String,
+      identifierSystem: Option[String] = None): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val c = client()
+    // FHIR token search `identifier=<system>|` — any identifier under
+    // the system, any value (the reference's site scope, py:322). The
+    // server applies the filter, so pages carry only in-scope rows.
+    val idq = identifierSystem.map(s => "&identifier=" +
+      java.net.URLEncoder.encode(s + "|", "UTF-8")).getOrElse("")
     val total: Long =
       try {
         val r = send(c, HttpRequest.newBuilder(
-          URI.create(s"$baseUrl/$resourceType?_summary=count&_format=json")).GET().build())
+          URI.create(s"$baseUrl/$resourceType?_summary=count&_format=json$idq")).GET().build())
         val t = mapper.readTree(r.body()).path("total")
         if (t.isNumber) t.asLong() else -1L
       } catch { case _: Throwable => -1L }
-    if (total < 0L) return snapshotCursor(spark, resourceType)
+    if (total < 0L) return snapshotCursor(spark, resourceType, idq)
     if (total == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], FhirStore.snapshotSchema)
@@ -227,7 +264,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
           // parallel pager; servers that cannot sort should take the
           // sequential cursor fallback instead.
           val r = send(pc, HttpRequest.newBuilder(URI.create(
-            s"$url/$resourceType?_count=$ps&_offset=$off&_sort=_id&_format=json")).GET().build())
+            s"$url/$resourceType?_count=$ps&_offset=$off&_sort=_id&_format=json$idq")).GET().build())
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           pm.readTree(r.body()).path("entry").forEach { e =>
             val res = e.path("resource")
@@ -258,11 +295,14 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
     * partition exactly like the offset pager; only the O(n)·16-byte id
     * walk stays sequential. Reference behavior this replaces: the
     * driver-buffered one-shot search of `cnics_to_fhir.py:215-217`. */
-  private def snapshotCursor(spark: SparkSession, resourceType: String): DataFrame = {
+  private def snapshotCursor(spark: SparkSession, resourceType: String,
+      idq: String = ""): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val c = client()
     val ids = scala.collection.mutable.ArrayBuffer[String]()
-    var url = s"$baseUrl/$resourceType?_elements=id&_count=${math.max(1, pageSize)}&_format=json"
+    // the id walk carries the identifier-system scope; the `?_id=`
+    // shard fetches below need no re-scoping (their ids came from it)
+    var url = s"$baseUrl/$resourceType?_elements=id&_count=${math.max(1, pageSize)}&_format=json$idq"
     while (url != null) {
       val r = send(c, HttpRequest.newBuilder(URI.create(url)).GET().build())
       val root = mapper.readTree(r.body())
@@ -376,8 +416,14 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
             val (id, json, act) = (r.getString(1), r.getString(2), r.getString(3))
             if (!first) sb.append(',')
             first = false
+            // Patient deletes cascade to the patient's child resources
+            // (reference parity: cnics_to_fhir.py:333 appends
+            // `?_cascade=delete`) — without it, a HAPI store with
+            // referential integrity rejects the delete, and with it off
+            // the children silently orphan.
+            val cascade = if (resourceType == "Patient") "?_cascade=delete" else ""
             if (act == "delete")
-              sb.append(s"""{"request":{"method":"DELETE","url":"$resourceType/$id"}}""")
+              sb.append(s"""{"request":{"method":"DELETE","url":"$resourceType/$id$cascade"}}""")
             else
               sb.append(s"""{"resource":$json,"request":{"method":"PUT","url":"$resourceType/$id"}}""")
           }

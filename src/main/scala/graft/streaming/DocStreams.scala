@@ -297,10 +297,14 @@ object DocStreams {
         if (!mdir.exists()) {
           // probe the post-fold store: the batch's own bands/hashes are
           // in it, so one (band, band_hash)-keyed join against CURRENT
-          // finds every partner seen so far (self-pairs excluded)
+          // finds every partner seen so far (self-pairs excluded).
+          // The probe side READS the bands/batch=$id partition the fold
+          // just persisted (deterministic content, present even on a
+          // replay whose fold was skipped) instead of re-running the
+          // shingle+minhash pass — the most expensive narrow pass over
+          // the batch runs once per micro-batch, not twice.
           val probeBands = Dedup.dropHotBuckets(
-            Dedup.minhashBandsFromHashes(
-              Dedup.withShingleHashes(batch, "text"), "doc_id"),
+            spark.read.parquet(s"$dedupDir/bands/batch=$id"),
             Seq("band", "band_hash"), maxBucket, s"curation_probe_b$id")
           val storeBands = Dedup.dropHotBuckets(
             Lakehouse.readCurrentAppend(spark, dedupDir, "bands"),

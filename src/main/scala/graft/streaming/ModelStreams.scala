@@ -45,9 +45,17 @@ object ModelStreams {
     // reads (previous version) and writes (next) touch different
     // directories; ordering is tables → CURRENT swing, so a reader
     // never sees a half-written version and a crash before the swing
-    // leaves the store on the previous consistent version
+    // leaves the store on the previous consistent version. Subtables
+    // accumulate in a DOT-PREFIXED tmp dir that renames to v$id only
+    // once every table (and every unlearn tripwire) has passed: a
+    // crash or an aborted unlearn mid-write can never leave a torn
+    // v$id that listVersions/vacuum would count in retention or that
+    // time-travel readVersion could open.
     val vdir = s"$tableDir/v$id"
-    tables.foreach { tb =>
+    val vtmp = s"$tableDir/.v$id.tmp"
+    val fsys = Lakehouse.fs(spark, tableDir)
+    fsys.delete(new org.apache.hadoop.fs.Path(vtmp), true)
+    try tables.foreach { tb =>
       val merged = ver match {
         case None => tb.batch
         case Some(v) =>
@@ -76,8 +84,18 @@ object ModelStreams {
               "batch contains rows never folded into this store")
           m2
         }
-      cleaned.write.mode("overwrite").parquet(s"$vdir/${tb.name}")
+      cleaned.write.mode("overwrite").parquet(s"$vtmp/${tb.name}")
+    } catch {
+      case e: Throwable =>
+        fsys.delete(new org.apache.hadoop.fs.Path(vtmp), true)
+        throw e
     }
+    // a torn v$id from a pre-tmp-era crash (or a racing duplicate
+    // replay) is superseded wholesale by this complete rewrite
+    fsys.delete(new org.apache.hadoop.fs.Path(vdir), true)
+    if (!fsys.rename(new org.apache.hadoop.fs.Path(vtmp),
+        new org.apache.hadoop.fs.Path(vdir)))
+      throw new IllegalStateException(s"foldCountTables: rename $vtmp -> $vdir failed")
     val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
     val cur = new java.io.File(s"$tableDir/CURRENT")
     java.nio.file.Files.write(tmp.toPath,
