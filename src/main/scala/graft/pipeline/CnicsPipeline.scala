@@ -40,7 +40,16 @@ final case class CnicsInputs(
     observationsFilter: String,
     standardDiagnoses: Seq[String])
 
-class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site: String) {
+/** @param debugDir when set, every reconcile dumps its full action
+  *   frame — (key, id, merge_action, json) per resource — to
+  *   `<debugDir>/<resourceType>` parquet before the sink applies it.
+  *   This is the distributed form of the reference's per-resource
+  *   debug logging (`debug_logger.debug(...)`, cnics_to_fhir.py:527,
+  *   627, 710, 895): at scale a driver log line per row is the
+  *   bottleneck, a partitioned parquet audit trail is not, and it is
+  *   queryable afterwards (which the log never was). */
+class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site: String,
+    debugDir: Option[String] = None) {
 
   private val siteLower = site.toLowerCase
   private def emptyStrArr = array().cast("array<string>")
@@ -187,6 +196,12 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       val actions = Merge.classify(src, snap, Seq("key"))
         .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
         .withColumnRenamed(Merge.ActionCol, "merge_action")
+      // B-side debug channel (reference parity, see class doc): the
+      // exact frame handed to the sink, persisted for inspection
+      debugDir.foreach { dir =>
+        actions.select("key", "id", "merge_action", "json")
+          .write.mode("overwrite").parquet(s"$dir/$resourceType")
+      }
       val counts = store.applyActions(resourceType,
         actions.select("key", "id", "json", "merge_action"))
       if (nDup > 0) counts + ("error" -> nDup) else counts

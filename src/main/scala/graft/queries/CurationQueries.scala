@@ -158,7 +158,8 @@ object CurationQueries {
       Some(s"""WITH $dkNbCtes
               |SELECT doc_id, lang AS pred_lang, round(sd::DOUBLE, 6) AS score
               |FROM fin QUALIFY row_number() OVER (PARTITION BY doc_id
-              |  ORDER BY sd DESC, lang) = 1""".stripMargin)),
+              |  ORDER BY sd DESC, lang) = 1""".stripMargin),
+      bench = true),
 
     // ── Classifier quality eval: the confusion matrix of the NB
     //    holdout predictions — the accuracy surface a curation

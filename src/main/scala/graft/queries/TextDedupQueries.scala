@@ -718,7 +718,8 @@ object TextDedupQueries {
               |  CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sd DESC, doc_id) AS INT) AS rnk,
               |  doc_id, round(sd::DOUBLE, 6) AS score
-              |FROM scored QUALIFY rnk <= 5""".stripMargin)),
+              |FROM scored QUALIFY rnk <= 5""".stripMargin),
+      bench = true),
 
     // ── The SERVING index itself as a driver-visible row: every
     //    posting's precomputed BM25 contribution as a lossless
@@ -2057,6 +2058,47 @@ object TextDedupQueries {
               |    AND a.doc_id < b.doc_id)
               |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
               |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin),
+      bench = true),
+
+    // ── The index-SERVING lookup as a driver-visible row: a probe
+    //    batch (docs with doc_id % 10 == 0) searched against the
+    //    persisted-band-shaped index of the rest of the corpus — the
+    //    batch twin of VectorStreams.fingerprintServe, benched so
+    //    serving latency ratchets per round like the pair-join path.
+    //    Probe bands join the capped index on (pos, band) only: query
+    //    cost scales with bucket sizes, never index size. ──
+    QueryDef(
+      "fp_search_index",
+      "probe fingerprints vs persisted band index: hamming<=3 hits",
+      (s, d) => {
+        val sh = Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
+          .localCheckpoint(true) // one simhash pass feeds index + probes
+        val idx = graft.operators.Fingerprint.bandsOf(
+          sh.filter(col("doc_id") % 10 =!= 0), "doc_id", "simhash",
+          bits = 32, nBands = 4)
+        graft.operators.Fingerprint.searchIndex(idx,
+          sh.filter(col("doc_id") % 10 === 0), "doc_id", "simhash",
+          maxHamming = 3, bits = 32)
+      },
+      Some(s"""WITH th AS (SELECT doc_id,
+              |  list_transform(regexp_split_to_array(trim($dkClean), '\\s+'), t -> ${dkPoly("t")}) AS h
+              |  FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT, range(0, 32)), (acc, b) -> acc +
+              |    CASE WHEN list_reduce(list_prepend(0::BIGINT, h),
+              |      (s2, x) -> s2 + CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              |    THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              |FROM th),
+              |ib AS (SELECT doc_id, simhash, i AS pos, (simhash >> (8 * i)) & 255 AS band
+              |  FROM sh, range(0, 4) t(i) WHERE doc_id % 10 <> 0
+              |  QUALIFY count(*) OVER (PARTITION BY pos, band) <= ${Dedup.MaxBucket}),
+              |pb AS (SELECT doc_id, simhash, i AS pos, (simhash >> (8 * i)) & 255 AS band
+              |  FROM sh, range(0, 4) t(i) WHERE doc_id % 10 = 0),
+              |cand AS (SELECT DISTINCT p.doc_id AS probe_id, ib.doc_id AS id,
+              |    p.simhash AS hp, ib.simhash AS hi
+              |  FROM pb p JOIN ib ON p.pos = ib.pos AND p.band = ib.band)
+              |SELECT probe_id, id, bit_count(xor(hp, hi))::INT AS hamming
+              |FROM cand WHERE bit_count(xor(hp, hi)) <= 3""".stripMargin),
       bench = true),
 
     // ── Positional PHRASE search: exact multi-word occurrences via a

@@ -39,6 +39,70 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(plan.contains("SITE"), plan) // predicate reached the JDBC scan
   }
 
+  test("MySQL dialect compiles the reference's predicate shapes to pushable SQL") {
+    // The reference's native source is MySQL (cnics_to_fhir.py:106-156);
+    // Derby above proves pushdown END-TO-END, and this pins the
+    // TRANSLATION the MySQL dialect would ship for the same predicate
+    // shapes — no server needed, JdbcDialects.get + compileExpression
+    // is the exact path V2 pushdown runs at planning time. If a Spark
+    // upgrade stops compiling any of these, the filter silently falls
+    // back to post-scan evaluation (a full-table pull at the reference
+    // deployment) — this test makes that regression loud.
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions, GeneralScalarExpression, Literal}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://db-host:3306/cnics")
+    // literals carry CATALYST-internal values (UTF8String for strings),
+    // exactly what the planner's V2ExpressionBuilder would hand over
+    def lit0(v: Any, dt: DataType): Expression = new Literal[Any] {
+      override def value(): Any = v
+      override def dataType(): DataType = dt
+      override def toString: String = String.valueOf(v)
+    }
+    def s(v: String): Expression = lit0(UTF8String.fromString(v), StringType)
+    def f(n: String): Expression = Expressions.column(n)
+    def compile(p: Predicate): String = {
+      val out = dialect.compileExpression(p)
+      assert(out.isDefined, s"MySQL dialect refused to compile: $p")
+      out.get
+    }
+
+    // C1 — Historical <> 'Yes' OR Historical IS NULL (py:121/138/154)
+    val c1 = new Predicate("OR", Array[Expression](
+      new Predicate("<>", Array(f("Historical"), s("Yes"))),
+      new Predicate("IS_NULL", Array(f("Historical")))))
+    assert(compile(c1) === "(`Historical` <> 'Yes') OR (`Historical` IS NULL)")
+
+    // A2 — site scope (py:112)
+    assert(compile(new Predicate("=", Array(f("Site"), s("uw"))))
+      === "`Site` = 'uw'")
+
+    // C3 — config IN list (settings.ini conditions/medications filters)
+    val in = new Predicate("IN",
+      Array(f("DiagnosisName"), s("J44.1"), s("Hepatitis C")))
+    assert(compile(in) === "`DiagnosisName` IN ('J44.1', 'Hepatitis C')")
+
+    // C2 — non-empty-name guard: Spark ships length() as CHAR_LENGTH,
+    // which the MySQL dialect REFUSES to compile (MySQLSQLBuilder's
+    // supported-function list excludes it) — pinned here so the
+    // behavior is documented: unlike the reference, which inlines
+    // `length(x) > 0` into its SQL text (cnics_to_fhir.py:127), this
+    // one predicate evaluates in Spark post-scan. Semantics identical;
+    // only the row transfer differs (and only for rows failing the
+    // OTHER, pushed, predicates' filter).
+    val len = new Predicate(">", Array[Expression](
+      new GeneralScalarExpression("CHAR_LENGTH", Array[Expression](f("DiagnosisName"))),
+      lit0(0, IntegerType)))
+    assert(dialect.compileExpression(len).isEmpty,
+      "MySQL dialect unexpectedly started compiling CHAR_LENGTH — " +
+        "update the pushdown notes: the C2 guard can now ship remote")
+
+    // identifier quoting: MySQL backticks (a column named like a
+    // keyword — the crosswalk's `Order`-ish names — must round-trip)
+    assert(dialect.quoteIdentifier("Order") === "`Order`")
+  }
+
   test("JDBC partitioned scan splits into range-bounded parallel cursors") {
     val df = JdbcSource.partitionedTable(spark, url, "patient",
       "PatientId", lower = 1L, upper = 100L, numPartitions = 4)

@@ -156,6 +156,46 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.vacuum(spark, tbl, keep = 1) === Seq("v0"))
   }
 
+  test("deleteFromPartitions: interrupted swaps heal to a readable state (crash contract)") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_lake_heal").toString + "/t"
+    def writeBatch(b: Long, rows: Seq[Long], dir: String = ""): Unit =
+      rows.map(i => (i, b)).toDF("doc_id", "grp").write.mode("overwrite")
+        .parquet(if (dir.isEmpty) s"$tbl/batch=$b" else dir)
+    def mv(from: String, to: String): Unit =
+      assert(new java.io.File(s"$tbl/$from").renameTo(new java.io.File(s"$tbl/$to")))
+    (0L to 3L).foreach(b => writeBatch(b, Seq(b * 10, b * 10 + 1)))
+
+    // batch=0 — crash BETWEEN the two renames, survivor rewrite done:
+    // live gone, .bak holds old rows, tmp holds survivors + _SUCCESS
+    writeBatch(0L, Seq(1L), s"$tbl/.batch=0.delete.tmp")
+    mv("batch=0", ".batch=0.bak")
+    // batch=1 — crash MID-rewrite: live gone to .bak, tmp torn (no _SUCCESS)
+    mv("batch=1", ".batch=1.bak")
+    assert(new java.io.File(s"$tbl/.batch=1.delete.tmp").mkdirs())
+    // batch=2 — crash AFTER the swap, .bak cleanup missed
+    writeBatch(99L, Seq(99L), s"$tbl/.batch=2.bak")
+    // batch=3 — stray complete tmp next to an intact live partition
+    writeBatch(3L, Seq(31L), s"$tbl/.batch=3.delete.tmp")
+
+    // a no-match delete still heals everything first
+    assert(Lakehouse.deleteFromPartitions(spark, tbl, col("doc_id") === -1L) === 0)
+    val got = spark.read.parquet(tbl)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .groupBy(_.getLong(0)).map { case (b, rs) => b -> rs.map(_.getLong(1)).toSet }
+    assert(got === Map(
+      0L -> Set(1L),          // finished rewrite promoted
+      1L -> Set(10L, 11L),    // torn rewrite rolled back to the old rows
+      2L -> Set(20L, 21L),    // live untouched, stale .bak dropped
+      3L -> Set(30L, 31L)))   // live untouched, stray tmp dropped
+    val leftovers = new java.io.File(tbl).list().filter(_.startsWith("."))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // and the healed table deletes normally
+    assert(Lakehouse.deleteFromPartitions(spark, tbl, col("doc_id") === 10L) === 1)
+    assert(spark.read.parquet(tbl).filter(col("batch") === 1).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(11L))
+  }
+
   test("right-to-be-forgotten across the dedup store: append tables + versioned clusters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

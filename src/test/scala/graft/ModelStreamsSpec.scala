@@ -176,6 +176,12 @@ class ModelStreamsSpec extends AnyFunSuite {
     }
     // ... and the store is still on the pre-abort version
     assert(graft.operators.Lakehouse.currentVersion(spark, tbl) === Some("v2"))
+    // ... with NO torn v3 dir: subtables write into a dot-prefixed tmp
+    // that only renames to v3 after every tripwire passes, so retention
+    // counting (listVersions/vacuum) and time-travel readVersion can
+    // never see the aborted fold — and no stray tmp is orphaned either
+    assert(graft.operators.Lakehouse.listVersions(spark, tbl) === Seq("v0", "v1", "v2"))
+    assert(!new java.io.File(s"$tbl/v3").exists && !new java.io.File(s"$tbl/.v3.tmp").exists)
 
     // LM twin: fold-all then unlearn the same cohort == retrain
     val ltbl = java.nio.file.Files.createTempDirectory("graft_lmunlearn").toString
