@@ -163,4 +163,72 @@ object Knn {
       .filter(col("rnk") <= k)
       .select("query_id", "cand_id", "cosine", "rnk")
   }
+
+  // ───────────────────────── IVF (coarse quantizer) ─────────────────────────
+
+  /** Train `k` IVF coarse centroids with `iters` Lloyd rounds — the
+    * deterministic, exactly-replayable k-means the query layer has
+    * always used, generalized so standing stores can train once and
+    * pin the quantizer. Seed centroids are the rows with id < k;
+    * assignments tie-break on (rounded cosine desc, cell) and centroid
+    * means divide order-insensitive BIGINT sums of integer-quantized
+    * components (q = floor(v·2²⁰ + 0.5)), so the resulting doubles are
+    * bit-identical in any engine. Per round: one broadcast-crossjoin
+    * assignment (n×k, narrow) + one map-side-combined aggregate; only
+    * the k×dim centroid frame checkpoints between rounds — the
+    * standard distributed k-means shape at 100 TB. Returns
+    * (cell, cw: array<double>, cn: double). */
+  def ivfTrain(vecs: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = Dedup.spread(vecs)
+      .select(col(idCol).as("__vid"),
+        expr(s"transform($embCol, v -> CAST(v AS DOUBLE))").as("emb_d"),
+        expr(s"transform($embCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))")
+          .as("qemb"))
+      .withColumn("nrm", expr("sqrt(graft_dot_d(emb_d, emb_d))"))
+      .localCheckpoint(true) // reused by every training round
+    def assign(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("__vid").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("__vid"), col("qemb"), col("cell"))
+    def update(a: DataFrame): DataFrame =
+      a.select(col("cell"), posexplode(col("qemb")).as(Seq("i", "qv")))
+        .groupBy("cell", "i")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("n").cast("double")).as("w"))).as("ws"))
+        .select(col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
+        .withColumn("cn", expr("sqrt(graft_dot_d(cw, cw))"))
+    var cent = q.filter(col("__vid") < k)
+      .select(col("__vid").as("cell"), col("emb_d").as("cw"), col("nrm").as("cn"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cent = update(assign(cent)).localCheckpoint(true) // k×dim rows: metadata-sized
+    cent
+  }
+
+  /** Rank every vector against TRAINED centroids: (id, embCol, nrm,
+    * cell, rn) with rn = 1 the home cell and rn ≤ nprobe a query's
+    * probe set — ties (rounded cosine desc, cell), the one ordering
+    * every IVF surface shares. Per-vector cost is k broadcast rows;
+    * the window partitions by vector id, so ranking a BATCH costs
+    * O(batch·k), never the corpus. */
+  def ivfRank(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    Dedup.spread(vecs)
+      .select(col(idCol), col(embCol),
+        expr(s"transform($embCol, v -> CAST(v AS DOUBLE))").as("emb_d"))
+      .withColumn("nrm", VectorFunctions.norm(embCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("csim").desc, col("cell"))))
+      .drop("emb_d", "cw", "cn", "csim")
+  }
 }

@@ -82,36 +82,8 @@ object SimilarityStreamQueries {
     * the K×dim centroid frame ever checkpointed between rounds. */
   private def ivfCentroids(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#ivfcent"), {
-      graft.functions.GraftFunctions.register(s)
-      val q = graft.operators.Dedup.spread(t(s, d, "embeddings"))
-        .select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))")
-            .as("qemb"))
-        .withColumn("nrm", expr("sqrt(graft_dot_d(emb_d, emb_d))"))
-        .localCheckpoint(true) // reused by every training round
-      def assign(cent: DataFrame): DataFrame =
-        q.crossJoin(broadcast(cent))
-          .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("qemb"), col("cell"))
-      def update(a: DataFrame): DataFrame =
-        a.select(col("cell"), posexplode(col("qemb")).as(Seq("i", "qv")))
-          .groupBy("cell", "i")
-          .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-          .groupBy("cell")
-          .agg(collect_list(struct(col("i"),
-            (col("s").cast("double") / col("n").cast("double")).as("w"))).as("ws"))
-          .select(col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
-          .withColumn("cn", expr("sqrt(graft_dot_d(cw, cw))"))
-      var cent = q.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("cell"), col("emb_d").as("cw"), col("nrm").as("cn"))
-        .localCheckpoint(true)
-      for (_ <- 1 to IvfIters)
-        cent = update(assign(cent)).localCheckpoint(true) // K×dim rows: metadata-sized
-      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Knn.ivfTrain(t(s, d, "embeddings"), "vec_id", "embedding", IvfK, IvfIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** IVF index: every vector with its argmax-cosine cell (one row per
@@ -128,18 +100,8 @@ object SimilarityStreamQueries {
   /** All (vector, cell) similarities against the TRAINED centroids,
     * ranked per vector — rank 1 is the home cell, ranks ≤ nprobe are a
     * query's probe set. */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    graft.operators.Dedup.spread(t(s, d, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
-      .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
-      .crossJoin(broadcast(ivfCentroids(s, d)))
-      .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-      .drop("emb_d", "cw", "cn", "csim")
-  }
+  private def ivfRanked(s: SparkSession, d: String): DataFrame =
+    Knn.ivfRank(t(s, d, "embeddings"), ivfCentroids(s, d), "vec_id", "embedding")
 
   // Double-list dot fold (same index order as graft_dot_d).
   private def dkDotD(a: String, b: String) =
@@ -929,6 +891,47 @@ object SimilarityStreamQueries {
               |FROM brute b LEFT JOIN ann a
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
+
+    // ── The standing IVF store as a driver-visible row: the pinned
+    //    coarse quantizer (trained once on the corpus, written into
+    //    the store), a TWO-batch fold (even then odd vec_ids — the
+    //    standing corpus and the next crawl), and the pinned-version
+    //    serve (cell-sorted posts join + payload-distinct heap) must
+    //    reproduce the one-shot `sim_ivf_topk` search EXACTLY — fold
+    //    ≡ rebuild for the IVF family, pinned per round with the SAME
+    //    oracle CTE chain (per-vector cell assignment is independent
+    //    of every other vector, so batch-at-a-time assignment against
+    //    a fixed quantizer is the whole proof). ──
+    QueryDef(
+      "ivf_store_serve",
+      "standing IVF store: 2-batch fold + pinned-quantizer serve == one-shot IVF search",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+        val cent = ivfCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent,
+          nAssign = IvfAssign)
+        graft.streaming.VectorStreams.ivfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent,
+          nAssign = IvfAssign)
+        graft.streaming.VectorStreams.ivfServeFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
+              |posts AS (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign),
+              |pairs AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM probes p JOIN posts c ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |scored AS (SELECT pr.query_id, pr.cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
+              |  FROM pairs pr JOIN cells c ON c.vec_id = pr.cand_id
+              |  JOIN cells q ON q.vec_id = pr.query_id)
+              |SELECT query_id, cand_id, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored QUALIFY rnk <= 3""".stripMargin)),
 
     // ── Product quantization (third ANN family): trained codebooks,
     //    the compressed code index, ADC search over codes only, and an

@@ -205,6 +205,167 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  // ───────────────────── IVF standing store ─────────────────────
+
+  /** One IVF-store micro-batch fold (the [[ivfIndexIngest]] body,
+    * exposed for direct pipeline composition and replay tests).
+    *
+    * The store is the production IVF shape: a coarse quantizer trained
+    * ONCE ([[graft.operators.Knn.ivfTrain]], typically on the first
+    * corpus sample) and PINNED — `centroids/` is written by the first
+    * fold and never touched again. Retraining the quantizer is a
+    * rebuild event, not a fold; `profile_drift_cells` is the gate that
+    * says when. Layout per batch (append-only, O(batch) fold I/O):
+    *
+    *   - `posts/batch=N/` — (vec_id, cell) for the vector's top
+    *     `nAssign` cells (database-side multi-assignment, the recall
+    *     lever that keeps query-side nprobe fixed), repartitioned and
+    *     sorted by cell so parquet row-group stats prune unprobed
+    *     cells at serve time (a production deployment would
+    *     `partitionBy(cell)` for directory-level pruning);
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm) ONCE per
+    *     vector (the rescore side never pays the ×nAssign
+    *     replication);
+    *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
+    *
+    * Batch ranking costs O(batch·K) through a batch-local window —
+    * never the corpus. Replay of a committed id is a no-op; a
+    * pre-swing crash overwrites identical content on redelivery (the
+    * shared store crash contract). */
+  def ivfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      centroids: DataFrame, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    val ver: Option[String] =
+      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+      else None
+    if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) return
+    val cdir = new java.io.File(s"$tableDir/centroids")
+    if (!cdir.exists())
+      centroids.write.mode("overwrite").parquet(cdir.getPath)
+    val pinned = spark.read.parquet(cdir.getPath) // the store's quantizer, not the caller's frame
+    val ranked = graft.operators.Knn
+      .ivfRank(batch.select("vec_id", "embedding"), pinned, "vec_id", "embedding")
+      .filter(col("rn") <= nAssign)
+      .localCheckpoint(true) // feeds posts + vectors
+    ranked.select(col("vec_id"), col("cell"))
+      .repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+    ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    if (compactEvery > 0) {
+      graft.operators.Lakehouse.compactDir(spark, s"$tableDir/posts/batch=$id")
+      graft.operators.Lakehouse.compactDir(spark, s"$tableDir/vectors/batch=$id")
+    }
+    val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
+    val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
+      case None => batchStats
+      case Some(old) =>
+        old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
+          .select((col("__on") + col("n_vecs")).as("n_vecs"))
+    }
+    allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
+    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+      graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
+  }
+
+  /** IVF INDEX-at-ingest: fold each micro-batch of `(vec_id,
+    * embedding)` rows into the standing IVF store — see
+    * [[ivfFoldBatch]] for the layout and crash contract. */
+  def ivfIndexIngest(vecStream: DataFrame, tableDir: String,
+      centroids: DataFrame, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ivfFoldBatch(batch.toDF(), tableDir, id, centroids, nAssign,
+          compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** IVF top-k from a standing [[ivfIndexIngest]] store, pinned to
+    * `version` (default CURRENT). `probes` may be batch or streaming:
+    * probe cells come from one broadcast ranking against the store's
+    * PINNED quantizer (nq×K rows through a probe-local window), the
+    * pinned posts table joins on cell — parquet row-group pruning on
+    * the cell-sorted layout bounds the scan to ≈nprobe/K of the index
+    * — and candidates rescore exactly against the once-per-vector
+    * `vectors` table with the payload-distinct bounded heap (a
+    * candidate reached through several probed cells collapses in O(k)
+    * aggregation state — the [[annServe]] discipline). Ties (cosine
+    * desc, cand_id) match the batch `sim_ivf_topk` window row for row
+    * (oracle-pinned by `ivf_store_serve`).
+    *
+    * Output: (query_id, rnk, cand_id, cosine). */
+  def ivfServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
+      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
+    def pinned(t: String) =
+      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val probeCells = graft.operators.Knn
+      .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("cell"))
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val vecs = pinned("vectors")
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    probeCells.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_norm")), Seq("cand_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("cand_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e._2").as("cand_id"), col("e._1").as("cosine"))
+  }
+
+  /** Right-to-be-forgotten for the standing IVF store (the
+    * [[forgetVectors]] twin over the posts/vectors layout): survivor
+    * rewrite of only the batch partitions containing the doomed ids,
+    * then the count correction folds into a new stats version before
+    * CURRENT swings. The pinned quantizer is untouched — centroids
+    * are aggregates over MANY vectors, not per-vector state (the same
+    * reason a trained model unlearns by count subtraction, not
+    * centroid surgery). Returns the number of partitions rewritten. */
+  def ivfForgetVectors(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, vecIds: Seq[Long]): Int = {
+    val curName = graft.operators.Lakehouse.currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val cond = col("vec_id").isin(vecIds: _*)
+    val lost = spark.read.parquet(s"$tableDir/vectors").filter(cond)
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val rewritten =
+      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/posts", cond) +
+        graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/vectors", cond)
+    val newStats = graft.operators.Lakehouse
+      .readVersion(spark, tableDir, curName, "stats")
+      .crossJoin(lost)
+      .select((col("n_vecs") - col("__n")).as("n_vecs"))
+    graft.operators.Lakehouse.bumpVersion(spark, tableDir) { vdir =>
+      newStats.write.mode("overwrite").parquet(s"$vdir/stats")
+    }
+    rewritten
+  }
+
   /** Enrich a stream of `(id, h)` 64-bit perceptual fingerprints (the
     * "did we already crawl this image?" lookup) with their k nearest
     * index entries within hamming radius `maxHamming`, from a STATIC

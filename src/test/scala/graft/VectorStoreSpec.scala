@@ -114,4 +114,89 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
       === (rows.size - 2).toLong)
   }
+
+  test("two-batch ivfIndexIngest == one-shot IVF search; pinned, replayed, forgotten") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val (k, nprobe, nAssign) = (3, 4, 2)
+    // the pinned coarse quantizer — trained once on the corpus sample
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+
+    // one-shot IVF search over `candIds`-restricted posts (the
+    // sim_ivf_topk shape, parameterized for sub-corpus comparisons)
+    def oneShot(candPred: org.apache.spark.sql.Column) = {
+      val ranked = Knn.ivfRank(emb, cent, "vec_id", "embedding").localCheckpoint(true)
+      val probes = ranked.filter(col("vec_id") < 32 && col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val posts = ranked.filter(col("rn") <= nAssign && candPred)
+        .select(col("vec_id").as("cand_id"), col("cell"))
+      val cells = ranked.filter(col("rn") === 1)
+      val pairs = probes.join(posts, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      pairs
+        .join(cells.select(col("vec_id").as("cand_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))
+        .join(cells.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
+        .withColumn("cosine", round(
+          graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
+            (col("q_norm") * col("c_norm")), 8))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("cosine"))
+    }
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_ivfstore_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.ivfIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, cent, nAssign)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v0"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === rows.size.toLong)
+
+    val probes = emb.filter(col("vec_id") < 32)
+    def serve(ver: Option[String] = None, p: org.apache.spark.sql.DataFrame = probes) =
+      ranking(VectorStreams.ivfServeFromStore(spark, tbl, p, k, nprobe, ver)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine")))
+    val expected = ranking(oneShot(lit(true)))
+    assert(serve() === expected && expected.nonEmpty)
+
+    // pinned v0: batch 1's posts/vectors are on disk but pruned away —
+    // equals the one-shot search with candidates restricted to batch 0
+    assert(serve(Some("v0")) === ranking(oneShot(col("vec_id") % 2 === 0)))
+
+    // replaying a committed batch id is a no-op (CURRENT stays v1)
+    VectorStreams.ivfFoldBatch(b1.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")), tbl, 1L, cent, nAssign)
+    assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    assert(serve() === expected)
+
+    // right-to-be-forgotten: centroids untouched, survivors exact
+    val cands = expected.map(_._3).toSeq.distinct
+    val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
+    val rewritten = VectorStreams.ivfForgetVectors(spark, tbl, doomed)
+    assert(rewritten === 4) // one posts + one vectors partition per batch
+    assert(Lakehouse.currentVersion(spark, tbl).contains("v1c1"))
+    val after = serve(p = probes.filter(!col("vec_id").isin(doomed: _*)))
+    val expSurv = ranking(oneShot(!col("vec_id").isin(doomed: _*)))
+      .filterNot(r => doomed.contains(r._1))
+    assert(after === expSurv)
+    assert(!after.exists(r => doomed.contains(r._3)))
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === (rows.size - 2).toLong)
+  }
 }
