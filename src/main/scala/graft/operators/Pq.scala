@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization as reusable operators (SURVEY.md §7.5
+  * similarity search — the compressed-index family): subspace views,
+  * deterministic Lloyd codebook training, encoding, and the ADC
+  * lookup table. Generalized out of the query layer (which keeps its
+  * memoized corpus-specific wrappers) so standing stores can train
+  * codebooks once, PIN them, and encode every later batch against the
+  * pinned model — the fold ≡ rebuild property all the engine's stores
+  * share, exact here because encoding is per-vector.
+  *
+  * Determinism contract (what makes PQ exactly oracle-able):
+  * assignments tie-break on (rounded L2² asc, cell), centroid means
+  * divide order-insensitive BIGINT sums of integer-quantized
+  * components (q = floor(v·2²⁰ + 0.5)) rescaled by 2⁻²⁰ (L2 is not
+  * scale-invariant, unlike IVF's cosine), and ADC distances quantize
+  * to e6-scaled BIGINTs — no float summation order anywhere.
+  */
+object Pq {
+
+  /** Sequential-fold squared L2 of two double arrays (the codegen'd
+    * SquaredL2 expression — same accumulation order as the DuckDB
+    * list_reduce twin). */
+  private def d2Sql(a: String, b: String) = s"graft_l2sq($a, $b)"
+
+  /** Per-subspace views: (idCol, m, sub: array<double>, qsub:
+    * array<bigint>) — one row per (vector, subspace). */
+  def subviews(vecs: DataFrame, idCol: String, embCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    Dedup.spread(vecs)
+      .select(col(idCol), col(embCol))
+      .withColumn("m", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("subf", expr(s"slice($embCol, CAST(m * $subDim + 1 AS INT), $subDim)"))
+      .select(col(idCol), col("m"),
+        expr("transform(subf, v -> CAST(v AS DOUBLE))").as("sub"),
+        expr("transform(subf, v -> CAST(floor(" +
+          "CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))").as("qsub"))
+  }
+
+  /** Train per-subspace codebooks (m, cell, cw: array<double>) with
+    * `iters` Lloyd rounds from the first-`ks` seed (rows with
+    * id < ks), all subspaces in ONE frame. `subs` is a [[subviews]]
+    * output. Only the m×ks codebook checkpoints between rounds. */
+  def train(subs: DataFrame, idCol: String, ks: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(subs.sparkSession)
+    def assign(cent: DataFrame): DataFrame =
+      subs.join(broadcast(cent), Seq("m"))
+        .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(idCol, "m").orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("m"), col("qsub"), col("cell"))
+    def update(a: DataFrame): DataFrame =
+      a.select(col("m"), col("cell"), posexplode(col("qsub")).as(Seq("i", "qv")))
+        .groupBy("m", "cell", "i")
+        .agg(sum("qv").as("sv"), count(lit(1)).as("n"))
+        .groupBy("m", "cell")
+        .agg(collect_list(struct(col("i"),
+          ((col("sv").cast("double") / col("n").cast("double")) / 1048576.0d).as("w"))).as("ws"))
+        .select(col("m"), col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
+    var cent = subs.filter(col(idCol) < ks)
+      .select(col("m"), col(idCol).as("cell"), col("sub").as("cw"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cent = update(assign(cent)).localCheckpoint(true) // m×ks rows
+    cent
+  }
+
+  /** Encode each (vector, subspace) to its nearest codebook cell:
+    * (idCol, m, code) — the PQ index, all a code scan ever reads. */
+  def encode(subs: DataFrame, idCol: String, codebooks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(subs.sparkSession)
+    subs.join(broadcast(codebooks), Seq("m"))
+      .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol, "m").orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("m"), col("cell").as("code"))
+  }
+
+  /** ADC lookup table for a query batch: (idCol, m, code, dq_e6) —
+    * the exact e6-quantized subvector→cell distances a code scan sums
+    * per candidate. nq×m×ks rows; broadcast it. */
+  def adcLut(querySubs: DataFrame, idCol: String, codebooks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(querySubs.sparkSession)
+    querySubs.join(broadcast(codebooks), Seq("m"))
+      .select(col(idCol), col("m"), col("cell").as("code"),
+        expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
+  }
+}

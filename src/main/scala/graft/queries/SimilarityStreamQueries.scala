@@ -172,16 +172,7 @@ object SimilarityStreamQueries {
     * integer quantization feeding order-insensitive centroid means. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#pqsub"),
-      graft.operators.Dedup.spread(t(s, d, "embeddings"))
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-        // native slice (codegen'd) picks the contiguous subvector; the
-        // element order is identical to the per-index element_at form
-        .withColumn("subf", expr(s"slice(embedding, CAST(m * $PqSub + 1 AS INT), $PqSub)"))
-        .select(col("vec_id"), col("m"),
-          expr("transform(subf, v -> CAST(v AS DOUBLE))").as("sub"),
-          expr("transform(subf, v -> CAST(floor(" +
-            "CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))").as("qsub"))
+      graft.operators.Pq.subviews(t(s, d, "embeddings"), "vec_id", "embedding", PqM, PqSub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Trained per-subspace codebooks (m, cell, cw: array<double>):
@@ -193,50 +184,20 @@ object SimilarityStreamQueries {
   private def pqCentroids(s: SparkSession, d: String,
       trainMax: Option[Long] = None): DataFrame =
     memo.getOrElseUpdate((s, d + "#pqcent" + trainMax.getOrElse(-1L)), {
-      graft.functions.GraftFunctions.register(s)
       // trainMax bounds the TRAINING set only (stored-codebook /
       // incremental-encode story); the full corpus is still encodable
       // against the resulting codebooks
       val q = trainMax.foldLeft(pqSubs(s, d))((df, mx) => df.filter(col("vec_id") < mx))
-      def assign(cent: DataFrame): DataFrame =
-        q.join(broadcast(cent), Seq("m"))
-          .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("qsub"), col("cell"))
-      def update(a: DataFrame): DataFrame =
-        a.select(col("m"), col("cell"), posexplode(col("qsub")).as(Seq("i", "qv")))
-          .groupBy("m", "cell", "i")
-          .agg(sum("qv").as("sv"), count(lit(1)).as("n"))
-          .groupBy("m", "cell")
-          // mean in the quantized space, rescaled back by 2^-20 —
-          // unlike cosine (scale-invariant, IVF skips this), L2 needs
-          // centroids on the same scale as the raw subvectors
-          .agg(collect_list(struct(col("i"),
-            ((col("sv").cast("double") / col("n").cast("double")) / 1048576.0d).as("w"))).as("ws"))
-          .select(col("m"), col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
-      var cent = q.filter(col("vec_id") < PqKs)
-        .select(col("m"), col("vec_id").as("cell"), col("sub").as("cw"))
-        .localCheckpoint(true)
-      for (_ <- 1 to PqIters)
-        cent = update(assign(cent)).localCheckpoint(true) // PqM×PqKs rows
-      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Pq.train(q, "vec_id", PqKs, PqIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** The PQ index: (vec_id, m, code) — PqM small integers per vector.
     * This is ALL the search scan ever reads. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d + "#pqcode"), {
-      graft.functions.GraftFunctions.register(s)
-      pqSubs(s, d).join(broadcast(pqCentroids(s, d)), Seq("m"))
-        .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cell").as("code"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    memo.getOrElseUpdate((s, d + "#pqcode"),
+      graft.operators.Pq.encode(pqSubs(s, d), "vec_id", pqCentroids(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** ADC ranking over the code index for queries vec_id < 32 (rows up
     * to rnk ≤ `keep`). rnk ≤ 3 is the pure-ADC answer; rnk ≤ 20 is the
@@ -1036,6 +997,37 @@ object SimilarityStreamQueries {
               |$dkIvfAdcCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM ivfadc WHERE rnk <= 3""".stripMargin),
       bench = true),
+
+    // ── The standing IVF×PQ store as a driver-visible row: both
+    //    models (coarse quantizer + PQ codebooks) pinned in the store
+    //    by the first fold, a two-batch ingest (even/odd vec_ids),
+    //    and the pinned-version ADC serve must reproduce the one-shot
+    //    `pq_ivf_adc_topk` search EXACTLY — per-vector assignment AND
+    //    per-vector encoding make fold ≡ rebuild a theorem for the
+    //    production ANN shape, so the oracle is the same CTE chain. ──
+    QueryDef(
+      "ivfpq_store_serve",
+      "standing IVF-PQ store: 2-batch fold + pinned-model ADC serve == one-shot IVF-ADC",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfpqstore").toString
+        val cent = ivfCentroids(s, d)
+        val books = pqCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfPqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqServeFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe,
+            pqM = PqM, pqSub = PqSub)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM ivfadc WHERE rnk <= 3""".stripMargin)),
 
     QueryDef(
       "pq_ivf_recall",

@@ -338,6 +338,143 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  // ─────────────────── IVF×PQ standing store ───────────────────
+
+  /** One IVF×PQ-store micro-batch fold — the full production ANN
+    * shape as a standing store: the IVF coarse quantizer AND the PQ
+    * codebooks train once, land in the store (`centroids/`,
+    * `codebooks/`) on the first fold, and stay PINNED; every later
+    * batch is assigned and encoded against them, so fold ≡ rebuild is
+    * exact (both assignment and encoding are per-vector). Layout per
+    * batch (append-only, O(batch) fold I/O):
+    *
+    *   - `posts/batch=N/`   — (vec_id, cell): coarse postings
+    *     (`nAssign`-replicated), cell-sorted for row-group pruning;
+    *   - `codes/batch=N/`   — (vec_id, m, code): the PQ index —
+    *     m log₂(ks)-bit integers per vector, ALL a serve scan reads
+    *     beyond the LUT (the 64× compression that makes a 100 TB
+    *     corpus scannable);
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm) once per
+    *     vector: the exact-rerank side (read only for shortlists);
+    *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
+    *
+    * Same crash/replay contract as every store fold. */
+  def ivfPqFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      centroids: DataFrame, codebooks: DataFrame,
+      nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    val ver: Option[String] =
+      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+      else None
+    if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) return
+    val cdir = new java.io.File(s"$tableDir/centroids")
+    if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+    val bdir = new java.io.File(s"$tableDir/codebooks")
+    if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
+    val pinnedCent = spark.read.parquet(cdir.getPath)
+    val pinnedBooks = spark.read.parquet(bdir.getPath)
+    val ranked = graft.operators.Knn
+      .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
+      .filter(col("rn") <= nAssign)
+      .localCheckpoint(true)
+    ranked.select(col("vec_id"), col("cell"))
+      .repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+    ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    graft.operators.Pq.encode(
+        graft.operators.Pq.subviews(batch.select("vec_id", "embedding"),
+          "vec_id", "embedding", pqM, pqSub),
+        "vec_id", pinnedBooks)
+      .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
+    if (compactEvery > 0)
+      Seq("posts", "vectors", "codes").foreach(t =>
+        graft.operators.Lakehouse.compactDir(spark, s"$tableDir/$t/batch=$id"))
+    val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
+    val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
+      case None => batchStats
+      case Some(old) =>
+        old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
+          .select((col("__on") + col("n_vecs")).as("n_vecs"))
+    }
+    allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
+    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+      graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
+  }
+
+  /** IVF×PQ INDEX-at-ingest — see [[ivfPqFoldBatch]]. */
+  def ivfPqIngest(vecStream: DataFrame, tableDir: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ivfPqFoldBatch(batch.toDF(), tableDir, id, centroids, codebooks,
+          nAssign, pqM, pqSub, compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** IVF-ADC top-k from a standing [[ivfPqIngest]] store, pinned to
+    * `version` (default CURRENT): probe cells against the pinned
+    * quantizer, coarse-prune candidates through the pinned posts, and
+    * ADC-score ONLY those candidates' codes against the broadcast
+    * probe LUT — the scan touches ≈ nprobe·nAssign/K of the code
+    * index, which itself is the 64×-compressed view of the corpus.
+    * Ranking is the bounded heap by (adist_e6 asc, cand_id asc) —
+    * exactly the batch `pq_ivf_adc_topk` total order (oracle-pinned
+    * by `ivfpq_store_serve`).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk). */
+  def ivfPqServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      pqM: Int = 8, pqSub: Int = 8,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
+      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
+    def pinned(t: String) =
+      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val books = spark.read.parquet(s"$tableDir/codebooks")
+    val probeCells = graft.operators.Knn
+      .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probeCells
+      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val lut = graft.operators.Pq.adcLut(
+        graft.operators.Pq.subviews(probes.select("vec_id", "embedding"),
+          "vec_id", "embedding", pqM, pqSub),
+        "vec_id", books)
+      .withColumnRenamed("vec_id", "query_id")
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    pinned("codes").select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the LUT scan
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Right-to-be-forgotten for the standing IVF store (the
     * [[forgetVectors]] twin over the posts/vectors layout): survivor
     * rewrite of only the batch partitions containing the doomed ids,
@@ -345,17 +482,20 @@ object VectorStreams {
     * CURRENT swings. The pinned quantizer is untouched — centroids
     * are aggregates over MANY vectors, not per-vector state (the same
     * reason a trained model unlearns by count subtraction, not
-    * centroid surgery). Returns the number of partitions rewritten. */
+    * centroid surgery). Pass `tables = Seq("posts", "vectors",
+    * "codes")` for an [[ivfPqIngest]] store (the code index holds
+    * per-vector rows too). Returns the number of partitions
+    * rewritten. */
   def ivfForgetVectors(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, vecIds: Seq[Long]): Int = {
+      tableDir: String, vecIds: Seq[Long],
+      tables: Seq[String] = Seq("posts", "vectors")): Int = {
     val curName = graft.operators.Lakehouse.currentVersion(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
     val cond = col("vec_id").isin(vecIds: _*)
     val lost = spark.read.parquet(s"$tableDir/vectors").filter(cond)
       .agg(count(lit(1)).as("__n")).localCheckpoint(true)
-    val rewritten =
-      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/posts", cond) +
-        graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/vectors", cond)
+    val rewritten = tables.map(t =>
+      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/$t", cond)).sum
     val newStats = graft.operators.Lakehouse
       .readVersion(spark, tableDir, curName, "stats")
       .crossJoin(lost)

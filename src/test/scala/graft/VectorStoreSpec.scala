@@ -199,4 +199,77 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
       === (rows.size - 2).toLong)
   }
+
+  test("two-batch ivfPqIngest == one-shot IVF-ADC; pinned models; forget spans codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val (k, nprobe, nAssign, pqM, pqSub) = (3, 4, 2, 8, 8)
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val subs = graft.operators.Pq.subviews(emb, "vec_id", "embedding", pqM, pqSub)
+      .localCheckpoint(true)
+    val books = graft.operators.Pq.train(subs, "vec_id", 16, 2).localCheckpoint(true)
+
+    // one-shot IVF-ADC over `candPred`-restricted posts
+    def oneShot(candPred: org.apache.spark.sql.Column) = {
+      val ranked = Knn.ivfRank(emb, cent, "vec_id", "embedding").localCheckpoint(true)
+      val probes = ranked.filter(col("vec_id") < 32 && col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val posts = ranked.filter(col("rn") <= nAssign && candPred)
+        .select(col("vec_id").as("cand_id"), col("cell"))
+      val cand = probes.join(posts, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      val codes = graft.operators.Pq.encode(subs, "vec_id", books)
+        .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      val lut = graft.operators.Pq.adcLut(subs.filter(col("vec_id") < 32), "vec_id", books)
+        .withColumnRenamed("vec_id", "query_id")
+      codes.join(cand, Seq("cand_id")).join(lut, Seq("query_id", "m", "code"))
+        .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist_e6"), col("cand_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
+          col("adist_e6").cast("double"))
+    }
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.ivfPqIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, cent, books, nAssign, pqM, pqSub)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+
+    val probes = emb.filter(col("vec_id") < 32)
+    def serve(p: org.apache.spark.sql.DataFrame = probes) =
+      ranking(VectorStreams.ivfPqServeFromStore(spark, tbl, p, k, nprobe, pqM, pqSub)
+        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
+          col("adist_e6").cast("double")))
+    val expected = ranking(oneShot(lit(true)))
+    assert(serve() === expected && expected.nonEmpty)
+
+    // forget spans the code index too: no ghost ADC candidates
+    val cands = expected.map(_._3).toSeq.distinct
+    val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
+    val rewritten = VectorStreams.ivfForgetVectors(spark, tbl, doomed,
+      tables = Seq("posts", "vectors", "codes"))
+    assert(rewritten === 6) // posts + vectors + codes, one partition per batch
+    val after = serve(probes.filter(!col("vec_id").isin(doomed: _*)))
+    val expSurv = ranking(oneShot(!col("vec_id").isin(doomed: _*)))
+      .filterNot(r => doomed.contains(r._1))
+    assert(after === expSurv)
+    assert(!after.exists(r => doomed.contains(r._3)))
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === (rows.size - 2).toLong)
+  }
 }
