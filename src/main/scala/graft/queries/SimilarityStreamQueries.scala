@@ -904,6 +904,59 @@ object SimilarityStreamQueries {
       Some(s"""WITH ${dkPqCtes()}
               |SELECT vec_id, m, code FROM pcode""".stripMargin)),
 
+    // ── The PQ twin of `profile_drift_cells` — the "retrain the
+    //    CODEBOOKS?" gate: baseline vs batch (even/odd vec_id) code
+    //    histograms per (subspace, code), >20% share drift decided by
+    //    HUGEINT/DECIMAL(38,0) cross-multiplication (never a float
+    //    ratio), new/emptied-code flags from the full-outer join. Two
+    //    (m×ks)-row map-side aggregates off the existing code index —
+    //    K-row cost at any corpus size. A drifting crawl distribution
+    //    shows up here as codes going hot/cold per subspace before ADC
+    //    recall quietly degrades. ──
+    QueryDef(
+      "profile_drift_codes",
+      "baseline-vs-batch PQ code histograms: counts, >20% share drift, new/emptied flags",
+      (s, d) => {
+        val codes = pqCodes(s, d).select(col("vec_id"), col("m"), col("code"))
+        def prof(even: Boolean, n: String) = codes
+          .filter(pmod(col("vec_id"), lit(2)) === (if (even) 0 else 1))
+          .groupBy("m", "code").agg(count(lit(1)).as(n))
+        val base = prof(even = true, "n_base")
+        val batch = prof(even = false, "n_batch")
+        val totals = codes.agg(
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("t_base"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("t_batch"))
+        base.join(batch, Seq("m", "code"), "full")
+          .crossJoin(broadcast(totals))
+          .select(col("m"), col("code"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            col("n_base").isNull.cast("int").as("code_new"),
+            col("n_batch").isNull.cast("int").as("code_gone"),
+            (coalesce(col("n_base"), lit(0L)) > 0 &&
+              coalesce(col("n_batch"), lit(0L)) > 0 &&
+              abs(col("n_batch").cast("decimal(38,0)") * col("t_base") -
+                  col("n_base").cast("decimal(38,0)") * col("t_batch")) * 5 >
+                col("n_base").cast("decimal(38,0)") * col("t_batch"))
+              .cast("int").as("share_drift"))
+      },
+      Some(s"""WITH ${dkPqCtes()},
+              |a AS (SELECT m, code, count(*) AS n_base FROM pcode
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+              |b AS (SELECT m, code, count(*) AS n_batch FROM pcode
+              |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+              |ta AS (SELECT count(*) AS t_base FROM pcode WHERE vec_id % 2 = 0),
+              |tb AS (SELECT count(*) AS t_batch FROM pcode WHERE vec_id % 2 = 1)
+              |SELECT coalesce(a.m, b.m) AS m, coalesce(a.code, b.code) AS code,
+              |  coalesce(n_base, 0)::BIGINT AS n_base,
+              |  coalesce(n_batch, 0)::BIGINT AS n_batch,
+              |  (a.m IS NULL)::INT AS code_new,
+              |  (b.m IS NULL)::INT AS code_gone,
+              |  (coalesce(n_base, 0) > 0 AND coalesce(n_batch, 0) > 0 AND
+              |   abs(n_batch::HUGEINT * t_base - n_base::HUGEINT * t_batch) * 5 >
+              |     n_base::HUGEINT * t_batch)::INT AS share_drift
+              |FROM a FULL JOIN b ON a.m = b.m AND a.code = b.code, ta, tb""".stripMargin)),
+
     // ── Index maintenance for the PQ family (the LSH and IVF twins are
     //    `sim_incremental_index` / stored multi-table index): codebooks
     //    are a STORED artifact — a new ingest batch is encoded against
