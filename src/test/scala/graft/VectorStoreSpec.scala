@@ -198,6 +198,20 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(!after.exists(r => doomed.contains(r._3)))
     assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
       === (rows.size - 2).toLong)
+
+    // plan gate: the serve ranks through the distinct bounded heap
+    // (ObjectHashAggregate), never a per-query window sort, and plans
+    // no cartesian
+    val servePlan = VectorStreams.ivfServeFromStore(spark, tbl,
+      probes.filter(!col("vec_id").isin(doomed: _*)), k, nprobe)
+      .queryExecution.executedPlan.toString
+    assert(servePlan.contains("ObjectHashAggregate"), servePlan.take(800))
+    // the only window is the probe-side cell ranking (nq x K rows);
+    // candidate ranking must NOT be a window — the heap aggregate
+    // above is the ranking operator
+    assert(servePlan.contains("TopKDistinctAgg") ||
+      servePlan.contains("ObjectHashAggregate"))
+    assert(!servePlan.contains("CartesianProduct"))
   }
 
   test("two-batch ivfPqIngest == one-shot IVF-ADC; pinned models; forget spans codes") {
@@ -271,5 +285,17 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(!after.exists(r => doomed.contains(r._3)))
     assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
       === (rows.size - 2).toLong)
+
+    // plan gate for the ADC serve: heap aggregation (never a per-query
+    // window sort), no cartesian anywhere, candidate prune + LUT
+    // broadcast below the sum
+    val adcDf = VectorStreams.ivfPqServeFromStore(spark, tbl, probes, k, nprobe, pqM, pqSub)
+    val adcPlan = adcDf.queryExecution.executedPlan.toString
+    assert(adcPlan.contains("ObjectHashAggregate"), adcPlan.take(800))
+    // the only window is the probe-side cell ranking (nq x K rows);
+    // the candidate ranking is the bounded heap above, and both the
+    // candidate prune and the LUT enter as broadcast joins
+    assert(!adcPlan.contains("CartesianProduct"))
+    assert(adcPlan.contains("BroadcastHashJoin"), adcPlan.take(800))
   }
 }
