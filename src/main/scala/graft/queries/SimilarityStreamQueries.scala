@@ -1073,8 +1073,7 @@ object SimilarityStreamQueries {
           emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
           nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
         graft.streaming.VectorStreams.ivfPqServeFromStore(
-            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe,
-            pqM = PqM, pqSub = PqSub)
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
           .select("query_id", "cand_id", "adist_e6", "rnk")
       },
       Some(s"""WITH $dkIvfCtes,

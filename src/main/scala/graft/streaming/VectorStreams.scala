@@ -438,7 +438,6 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def ivfPqServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      pqM: Int = 8, pqSub: Int = 8,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
@@ -449,6 +448,13 @@ object VectorStreams {
       spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
+    // the PQ geometry is a property of the STORE, not a caller
+    // parameter: m and the subspace width come off the pinned codebook
+    // shape (one metadata-sized driver read), so a serve can never
+    // silently encode probes under a different layout than the index
+    val shape = books.agg(max(col("m")).as("mx"),
+      max(size(col("cw"))).as("sd")).head()
+    val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
     val probeCells = graft.operators.Knn
       .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
       .filter(col("rn") <= nprobe)

@@ -96,7 +96,7 @@ object IvfPqSoak {
     }
     val (served, serveSec) = timed {
       graft.streaming.VectorStreams.ivfPqServeFromStore(
-          spark, tbl, probes, k, nprobe, pqM, pqSub)
+          spark, tbl, probes, k, nprobe)
         .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("adist_e6"))
         .collect().map(_.toSeq).toSet
     }

@@ -266,7 +266,7 @@ class VectorStoreSpec extends AnyFunSuite {
 
     val probes = emb.filter(col("vec_id") < 32)
     def serve(p: org.apache.spark.sql.DataFrame = probes) =
-      ranking(VectorStreams.ivfPqServeFromStore(spark, tbl, p, k, nprobe, pqM, pqSub)
+      ranking(VectorStreams.ivfPqServeFromStore(spark, tbl, p, k, nprobe)
         .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
           col("adist_e6").cast("double")))
     val expected = ranking(oneShot(lit(true)))
@@ -289,7 +289,7 @@ class VectorStoreSpec extends AnyFunSuite {
     // plan gate for the ADC serve: heap aggregation (never a per-query
     // window sort), no cartesian anywhere, candidate prune + LUT
     // broadcast below the sum
-    val adcDf = VectorStreams.ivfPqServeFromStore(spark, tbl, probes, k, nprobe, pqM, pqSub)
+    val adcDf = VectorStreams.ivfPqServeFromStore(spark, tbl, probes, k, nprobe)
     val adcPlan = adcDf.queryExecution.executedPlan.toString
     assert(adcPlan.contains("ObjectHashAggregate"), adcPlan.take(800))
     // the only window is the probe-side cell ranking (nq x K rows);
