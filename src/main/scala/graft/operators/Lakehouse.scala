@@ -114,6 +114,13 @@ object Lakehouse {
       throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
     val maxBatch = versionKey(ver).map(_._1).getOrElse(
       throw new IllegalStateException(s"unparseable version '$ver'"))
+    // a crashed deleteFromPartitions swap leaves its partition hidden
+    // behind dot-prefixed bak/tmp dirs — INVISIBLE to partition
+    // discovery, so without this check a pinned read would silently
+    // serve the table minus one batch until some later delete healed
+    // it. Detection is one listStatus (metadata-cheap); healing only
+    // runs when a crash actually left debris.
+    healPartitionSwaps(spark, s"$tableDir/$sub")
     spark.read.parquet(s"$tableDir/$sub")
       .filter(col("batch") <= maxBatch).drop("batch")
   }
@@ -183,7 +190,7 @@ object Lakehouse {
       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, tableDir)
-    recoverPartitionSwaps(f, tableDir)
+    healPartitionSwaps(spark, tableDir)
     val affected = spark.read.parquet(tableDir).filter(cond)
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -196,8 +203,9 @@ object Lakehouse {
       // bak-swap, never delete-then-rename: at every instant either the
       // old partition (live or recoverable .bak) or the rewritten one
       // is on disk, and a crash anywhere is healed by
-      // recoverPartitionSwaps on the next call — the "re-running the
-      // same forget completes it" contract.
+      // healPartitionSwaps — run here AND by every pinned append read
+      // (readCurrentAppend), so "re-running the same forget completes
+      // it" and no reader ever serves a table minus a hidden batch.
       if (!f.rename(dir, bak))
         throw new IllegalStateException(s"deleteFromPartitions: bak rename failed for $dir")
       if (!f.rename(tmp, dir))
@@ -212,19 +220,28 @@ object Lakehouse {
     * mid-swap hides the partition from readers AND from a naive re-run
     * — the condemned rows no longer match `cond` because they are not
     * scanned at all. This pass restores every partition to a readable
-    * state before the delete recomputes:
+    * state; it runs at the top of [[deleteFromPartitions]] AND on
+    * every pinned append read ([[readCurrentAppend]] — one listStatus
+    * when the table is clean, which is the always case outside a
+    * crash window):
     *  - live + bak → swap finished, bak cleanup missed: drop bak;
     *  - bak + complete tmp (`_SUCCESS`) → crash between the two
     *    renames: promote the finished survivor rewrite, drop bak;
     *  - bak only (or torn tmp) → crash mid-rewrite: restore bak;
     *  - stray tmp with live intact → drop tmp (it will be rewritten).
-    */
-  private def recoverPartitionSwaps(f: FileSystem, tableDir: String): Unit = {
+    * Concurrent healers race benignly: a rename that fails because
+    * another healer already promoted/restored the partition is
+    * re-checked against the live dir before giving up. */
+  def healPartitionSwaps(spark: SparkSession, tableDir: String): Unit = {
+    val f = fs(spark, tableDir)
     val root = new Path(tableDir)
     if (!f.exists(root)) return
     val Bak = """\.batch=(\d+)\.bak""".r
     val Tmp = """\.batch=(\d+)\.delete\.tmp""".r
     val names = f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    def renameOrRaced(from: Path, to: Path, what: String): Unit =
+      if (!f.rename(from, to) && !f.exists(to))
+        throw new IllegalStateException(s"healPartitionSwaps: $what failed for $to")
     names.foreach {
       case Bak(b) =>
         val live = new Path(s"$tableDir/batch=$b")
@@ -232,13 +249,11 @@ object Lakehouse {
         val tmp = new Path(s"$tableDir/.batch=$b.delete.tmp")
         if (f.exists(live)) f.delete(bak, true)
         else if (f.exists(new Path(tmp, "_SUCCESS"))) {
-          if (!f.rename(tmp, live))
-            throw new IllegalStateException(s"recoverPartitionSwaps: promote failed for $live")
+          renameOrRaced(tmp, live, "promote")
           f.delete(bak, true)
         } else {
           f.delete(tmp, true)
-          if (!f.rename(bak, live))
-            throw new IllegalStateException(s"recoverPartitionSwaps: restore failed for $live")
+          renameOrRaced(bak, live, "restore")
         }
       case _ => ()
     }

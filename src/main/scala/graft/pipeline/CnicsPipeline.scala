@@ -193,14 +193,21 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
         if (nDup == 0) (snapAll, source)
         else (snapAll.join(broadcast(dupKeys), Seq("key"), "left_anti"),
           source.join(broadcast(dupKeys), Seq("key"), "left_anti"))
-      val actions = Merge.classify(src, snap, Seq("key"))
+      val classified = Merge.classify(src, snap, Seq("key"))
         .withColumn("id", coalesce(col(Merge.StoreIdCol), col("id")))
         .withColumnRenamed(Merge.ActionCol, "merge_action")
       // B-side debug channel (reference parity, see class doc): the
-      // exact frame handed to the sink, persisted for inspection
-      debugDir.foreach { dir =>
-        actions.select("key", "id", "merge_action", "json")
-          .write.mode("overwrite").parquet(s"$dir/$resourceType")
+      // exact frame handed to the sink, persisted for inspection.
+      // When the dump runs, the classify join is materialized ONCE
+      // (localCheckpoint) so the sink pass doesn't recompute the
+      // source scan + snapshot join a second time.
+      val actions = debugDir match {
+        case None => classified
+        case Some(dir) =>
+          val pinned = classified.localCheckpoint(true)
+          pinned.select("key", "id", "merge_action", "json")
+            .write.mode("overwrite").parquet(s"$dir/$resourceType")
+          pinned
       }
       val counts = store.applyActions(resourceType,
         actions.select("key", "id", "json", "merge_action"))

@@ -67,6 +67,54 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  /** The ONE store-fold commit discipline every vector store shares
+    * (LSH, IVF, IVF×PQ): replay guard on CURRENT (a committed batch id
+    * is a no-op), the fold's batch-partition writes, optional pre-swing
+    * small-file compaction, the accumulated 1-row `n_vecs` stats
+    * version, the atomic CURRENT swing, and post-commit vacuum. A
+    * crash anywhere before the swing leaves the store on the previous
+    * consistent version; redelivery overwrites identical partitions. */
+  private def commitVectorFold(batch: DataFrame, tableDir: String, id: Long,
+      compactEvery: Int, vacuumKeep: Int, compactTables: Seq[String])
+      (writeBatchTables: Option[String] => Unit): Unit = {
+    val spark = batch.sparkSession
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    val ver: Option[String] =
+      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+      else None
+    if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) return
+    writeBatchTables(ver)
+    if (compactEvery > 0)
+      compactTables.foreach(t =>
+        graft.operators.Lakehouse.compactDir(spark, s"$tableDir/$t/batch=$id"))
+    val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
+    val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
+      case None => batchStats
+      case Some(old) =>
+        old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
+          .select((col("__on") + col("n_vecs")).as("n_vecs"))
+    }
+    allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
+    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+      graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
+  }
+
+  /** Resolve the pin ONCE and read every append subtable against it —
+    * a serve must never pair subtables from different versions by
+    * racing a concurrent fold's swing. */
+  private def pinnedReader(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, version: Option[String]): String => DataFrame = {
+    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    t => graft.operators.Lakehouse.readCurrentAppend(spark, tableDir, t, Some(ver))
+  }
+
   /** Dense-vector INDEX-at-ingest: fold each micro-batch of
     * `(vec_id, embedding)` rows into a standing multi-table sign-LSH
     * store — the dense twin of [[DocStreams.indexIngest]] (lexical)
@@ -94,12 +142,8 @@ object VectorStreams {
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val cur = new java.io.File(s"$tableDir/CURRENT")
-        val ver: Option[String] =
-          if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
-          else None
-        if (!ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) {
+        commitVectorFold(batch.toDF(), tableDir, id, compactEvery, vacuumKeep,
+            Seq("buckets", "vectors")) { _ =>
           val tabled = graft.operators.Knn.withLshTables(
               batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
             .localCheckpoint(true)
@@ -108,48 +152,37 @@ object VectorStreams {
           tabled.filter(col("tbl") === 0)
             .select(col("vec_id"), col("embedding"), col("nrm"))
             .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
-          if (compactEvery > 0) {
-            graft.operators.Lakehouse.compactDir(spark, s"$tableDir/buckets/batch=$id")
-            graft.operators.Lakehouse.compactDir(spark, s"$tableDir/vectors/batch=$id")
-          }
-          val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
-          val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
-            case None => batchStats
-            case Some(old) =>
-              old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
-                .select((col("__on") + col("n_vecs")).as("n_vecs"))
-          }
-          allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
-          val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-          java.nio.file.Files.write(tmp.toPath,
-            s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          java.nio.file.Files.move(tmp.toPath, cur.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-            graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
         }
         ()
       }
       .start()
 
-  /** Right-to-be-forgotten for the standing vector store: remove
-    * `vecIds` from buckets and vectors (survivor rewrite of only the
-    * batch partitions that contain them —
-    * [[graft.operators.Lakehouse.deleteFromPartitions]], with its
-    * documented reader-retry caveat) and fold the count correction
-    * into a new stats version before CURRENT swings. Returns the
-    * number of partitions rewritten. */
+  /** Right-to-be-forgotten for ANY standing vector store (LSH, IVF,
+    * IVF×PQ): the per-vector append tables are DISCOVERED from the
+    * store layout — buckets/posts/codes/vectors, whichever exist — so
+    * a caller can never silently leave a forgotten vector's derived
+    * rows (its PQ codes, say) on disk by forgetting to name a table.
+    * Each is a survivor rewrite of only the batch partitions holding
+    * doomed ids ([[graft.operators.Lakehouse.deleteFromPartitions]],
+    * with its documented reader-retry caveat), then the count
+    * correction folds into a new stats version before CURRENT swings.
+    * Pinned models (centroids/codebooks) are untouched — they are
+    * aggregates over many vectors, not per-vector state (the same
+    * reason a trained model unlearns by count subtraction). Returns
+    * the number of partitions rewritten. */
   def forgetVectors(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, vecIds: Seq[Long]): Int = {
     val curName = graft.operators.Lakehouse.currentVersion(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
     val cond = col("vec_id").isin(vecIds: _*)
+    val tables = Seq("buckets", "posts", "codes", "vectors")
+      .filter(t => new java.io.File(s"$tableDir/$t").isDirectory)
+    require(tables.contains("vectors"),
+      s"$tableDir does not look like a vector store (no vectors/ table)")
     val lost = spark.read.parquet(s"$tableDir/vectors").filter(cond)
       .agg(count(lit(1)).as("__n")).localCheckpoint(true)
-    val rewritten =
-      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/buckets", cond) +
-        graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/vectors", cond)
+    val rewritten = tables.map(t =>
+      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/$t", cond)).sum
     val newStats = graft.operators.Lakehouse
       .readVersion(spark, tableDir, curName, "stats")
       .crossJoin(lost)
@@ -175,12 +208,7 @@ object VectorStreams {
       maxBucket: Int = Dedup.MaxBucket,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
-      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
-    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
-      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
-    def pinned(t: String) =
-      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val pinned = pinnedReader(spark, tableDir, version)
     val cand = Dedup.dropHotBuckets(pinned("buckets"),
         Seq("tbl", "bucket"), maxBucket, "searchVectorStore")
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
@@ -234,48 +262,25 @@ object VectorStreams {
     * shared store crash contract). */
   def ivfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, nAssign: Int = 1,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit = {
-    val spark = batch.sparkSession
-    val cur = new java.io.File(s"$tableDir/CURRENT")
-    val ver: Option[String] =
-      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
-      else None
-    if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) return
-    val cdir = new java.io.File(s"$tableDir/centroids")
-    if (!cdir.exists())
-      centroids.write.mode("overwrite").parquet(cdir.getPath)
-    val pinned = spark.read.parquet(cdir.getPath) // the store's quantizer, not the caller's frame
-    val ranked = graft.operators.Knn
-      .ivfRank(batch.select("vec_id", "embedding"), pinned, "vec_id", "embedding")
-      .filter(col("rn") <= nAssign)
-      .localCheckpoint(true) // feeds posts + vectors
-    ranked.select(col("vec_id"), col("cell"))
-      .repartition(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
-    ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-      .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
-    if (compactEvery > 0) {
-      graft.operators.Lakehouse.compactDir(spark, s"$tableDir/posts/batch=$id")
-      graft.operators.Lakehouse.compactDir(spark, s"$tableDir/vectors/batch=$id")
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("posts", "vectors")) { _ =>
+      val spark = batch.sparkSession
+      val cdir = new java.io.File(s"$tableDir/centroids")
+      if (!cdir.exists())
+        centroids.write.mode("overwrite").parquet(cdir.getPath)
+      val pinned = spark.read.parquet(cdir.getPath) // the store's quantizer, not the caller's frame
+      val ranked = graft.operators.Knn
+        .ivfRank(batch.select("vec_id", "embedding"), pinned, "vec_id", "embedding")
+        .filter(col("rn") <= nAssign)
+        .localCheckpoint(true) // feeds posts + vectors
+      ranked.select(col("vec_id"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
-    val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
-    val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
-      case None => batchStats
-      case Some(old) =>
-        old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
-          .select((col("__on") + col("n_vecs")).as("n_vecs"))
-    }
-    allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
-    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-      graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
-  }
 
   /** IVF INDEX-at-ingest: fold each micro-batch of `(vec_id,
     * embedding)` rows into the standing IVF store — see
@@ -310,12 +315,7 @@ object VectorStreams {
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
-      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
-    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
-      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
-    def pinned(t: String) =
-      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val probeCells = graft.operators.Knn
       .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
@@ -362,54 +362,41 @@ object VectorStreams {
   def ivfPqFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, codebooks: DataFrame,
       nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit = {
-    val spark = batch.sparkSession
-    val cur = new java.io.File(s"$tableDir/CURRENT")
-    val ver: Option[String] =
-      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
-      else None
-    if (ver.exists(graft.operators.Lakehouse.sameBatch(_, id))) return
-    val cdir = new java.io.File(s"$tableDir/centroids")
-    if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
-    val bdir = new java.io.File(s"$tableDir/codebooks")
-    if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
-    val pinnedCent = spark.read.parquet(cdir.getPath)
-    val pinnedBooks = spark.read.parquet(bdir.getPath)
-    val ranked = graft.operators.Knn
-      .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
-      .filter(col("rn") <= nAssign)
-      .localCheckpoint(true)
-    ranked.select(col("vec_id"), col("cell"))
-      .repartition(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
-    ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-      .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
-    graft.operators.Pq.encode(
-        graft.operators.Pq.subviews(batch.select("vec_id", "embedding"),
-          "vec_id", "embedding", pqM, pqSub),
-        "vec_id", pinnedBooks)
-      .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
-    if (compactEvery > 0)
-      Seq("posts", "vectors", "codes").foreach(t =>
-        graft.operators.Lakehouse.compactDir(spark, s"$tableDir/$t/batch=$id"))
-    val batchStats = batch.agg(count(lit(1)).as("n_vecs"))
-    val allStats = ver.map(v => spark.read.parquet(s"$tableDir/$v/stats")) match {
-      case None => batchStats
-      case Some(old) =>
-        old.select(col("n_vecs").as("__on")).crossJoin(batchStats)
-          .select((col("__on") + col("n_vecs")).as("n_vecs"))
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("posts", "vectors", "codes")) { _ =>
+      val spark = batch.sparkSession
+      val cdir = new java.io.File(s"$tableDir/centroids")
+      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      val bdir = new java.io.File(s"$tableDir/codebooks")
+      if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
+      val pinnedCent = spark.read.parquet(cdir.getPath)
+      val pinnedBooks = spark.read.parquet(bdir.getPath)
+      // the PQ geometry is a property of the STORE: once codebooks are
+      // pinned, every fold derives (m, subDim) from their shape — the
+      // caller's pqM/pqSub only ever shape the FIRST fold (where they
+      // must of course match the codebooks being written), so a later
+      // ingest can never silently encode a batch under a different
+      // layout than the index
+      val shape = pinnedBooks.agg(max(col("m")).as("mx"),
+        max(size(col("cw"))).as("sd")).head()
+      val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+      val ranked = graft.operators.Knn
+        .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
+        .filter(col("rn") <= nAssign)
+        .localCheckpoint(true)
+      ranked.select(col("vec_id"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+      graft.operators.Pq.encode(
+          graft.operators.Pq.subviews(batch.select("vec_id", "embedding"),
+            "vec_id", "embedding", m, subDim),
+          "vec_id", pinnedBooks)
+        .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
     }
-    allStats.write.mode("overwrite").parquet(s"$tableDir/v$id/stats")
-    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, cur.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-      graft.operators.Lakehouse.vacuum(spark, tableDir, vacuumKeep)
-  }
 
   /** IVF×PQ INDEX-at-ingest — see [[ivfPqFoldBatch]]. */
   def ivfPqIngest(vecStream: DataFrame, tableDir: String,
@@ -440,12 +427,7 @@ object VectorStreams {
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
-      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
-    val maxBatch = graft.operators.Lakehouse.versionKey(ver).map(_._1)
-      .getOrElse(throw new IllegalStateException(s"unparseable version '$ver'"))
-    def pinned(t: String) =
-      spark.read.parquet(s"$tableDir/$t").filter(col("batch") <= maxBatch).drop("batch")
+    val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
     // the PQ geometry is a property of the STORE, not a caller
@@ -469,8 +451,12 @@ object VectorStreams {
         "vec_id", books)
       .withColumnRenamed("vec_id", "query_id")
     val topk = udaf(graft.functions.TopKAgg.longs(k))
+    // coarse prune BEFORE the LUT scan. `cand` scales with corpus
+    // size (≈ nq·nAssign·n_vecs/K rows), so it is NOT force-broadcast:
+    // AQE broadcasts it when small and shuffle-joins on cand_id when
+    // not. Only the LUT (bounded at nq·m·ks rows) is always broadcast.
     pinned("codes").select(col("vec_id").as("cand_id"), col("m"), col("code"))
-      .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the LUT scan
+      .join(cand, Seq("cand_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
       .groupBy("query_id")
@@ -479,37 +465,6 @@ object VectorStreams {
       .select(col("query_id"), col("e._2").as("cand_id"),
         (-col("e._1")).cast("long").as("adist_e6"),
         (col("pos") + 1).cast("int").as("rnk"))
-  }
-
-  /** Right-to-be-forgotten for the standing IVF store (the
-    * [[forgetVectors]] twin over the posts/vectors layout): survivor
-    * rewrite of only the batch partitions containing the doomed ids,
-    * then the count correction folds into a new stats version before
-    * CURRENT swings. The pinned quantizer is untouched — centroids
-    * are aggregates over MANY vectors, not per-vector state (the same
-    * reason a trained model unlearns by count subtraction, not
-    * centroid surgery). Pass `tables = Seq("posts", "vectors",
-    * "codes")` for an [[ivfPqIngest]] store (the code index holds
-    * per-vector rows too). Returns the number of partitions
-    * rewritten. */
-  def ivfForgetVectors(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, vecIds: Seq[Long],
-      tables: Seq[String] = Seq("posts", "vectors")): Int = {
-    val curName = graft.operators.Lakehouse.currentVersion(spark, tableDir).getOrElse(
-      throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
-    val cond = col("vec_id").isin(vecIds: _*)
-    val lost = spark.read.parquet(s"$tableDir/vectors").filter(cond)
-      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
-    val rewritten = tables.map(t =>
-      graft.operators.Lakehouse.deleteFromPartitions(spark, s"$tableDir/$t", cond)).sum
-    val newStats = graft.operators.Lakehouse
-      .readVersion(spark, tableDir, curName, "stats")
-      .crossJoin(lost)
-      .select((col("n_vecs") - col("__n")).as("n_vecs"))
-    graft.operators.Lakehouse.bumpVersion(spark, tableDir) { vdir =>
-      newStats.write.mode("overwrite").parquet(s"$vdir/stats")
-    }
-    rewritten
   }
 
   /** Enrich a stream of `(id, h)` 64-bit perceptual fingerprints (the

@@ -188,7 +188,7 @@ class VectorStoreSpec extends AnyFunSuite {
     // right-to-be-forgotten: centroids untouched, survivors exact
     val cands = expected.map(_._3).toSeq.distinct
     val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
-    val rewritten = VectorStreams.ivfForgetVectors(spark, tbl, doomed)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
     assert(rewritten === 4) // one posts + one vectors partition per batch
     assert(Lakehouse.currentVersion(spark, tbl).contains("v1c1"))
     val after = serve(p = probes.filter(!col("vec_id").isin(doomed: _*)))
@@ -275,8 +275,9 @@ class VectorStoreSpec extends AnyFunSuite {
     // forget spans the code index too: no ghost ADC candidates
     val cands = expected.map(_._3).toSeq.distinct
     val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
-    val rewritten = VectorStreams.ivfForgetVectors(spark, tbl, doomed,
-      tables = Seq("posts", "vectors", "codes"))
+    // forgetVectors discovers posts/codes/vectors from the layout —
+    // the code index is swept automatically, never by caller memory
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
     assert(rewritten === 6) // posts + vectors + codes, one partition per batch
     val after = serve(probes.filter(!col("vec_id").isin(doomed: _*)))
     val expSurv = ranking(oneShot(!col("vec_id").isin(doomed: _*)))
