@@ -259,7 +259,13 @@ object CurationQueries {
     //    parts-per-million (round-half-up of exact integer division) —
     //    the registry-wide quantized-exact contract: no raw double
     //    division in oracled output columns, so engines cannot disagree
-    //    on a ulp. Zero-denominator guarded (NULL, ANSI-safe). ──
+    //    on a ulp. Zero-denominator guarded with the sentinel -1 (NOT
+    //    NULL): a NULL in a numeric oracle column survives DuckDB's
+    //    pandas conversion only by widening the column to float64
+    //    (NaN), which the driver's canonicalizer then hashes
+    //    differently from Spark's int64 NULL — the round-9 red row.
+    //    Every sum/div on the DuckDB side is also CAST to BIGINT so
+    //    the oracle column stays int64, never HUGEINT. ──
     QueryDef(
       "eval_prf_nb",
       "NB holdout per-class precision/recall/F1",
@@ -291,13 +297,13 @@ object CurationQueries {
             // rows, so 2e6*tp stays far from Long overflow.
             when(col("n_pred") > 0,
               expr("(2000000 * tp + n_pred) div (2 * n_pred)"))
-              .as("precision_ppm"),
+              .otherwise(lit(-1L)).as("precision_ppm"),
             when(col("n_true") > 0,
               expr("(2000000 * tp + n_true) div (2 * n_true)"))
-              .as("recall_ppm"),
+              .otherwise(lit(-1L)).as("recall_ppm"),
             when(col("n_true") + col("n_pred") > 0,
               expr("(4000000 * tp + n_true + n_pred) div (2 * (n_true + n_pred))"))
-              .as("f1_ppm"))
+              .otherwise(lit(-1L)).as("f1_ppm"))
       },
       Some(s"""WITH $dkNbCtes,
               |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
@@ -310,19 +316,22 @@ object CurationQueries {
               |dg AS (SELECT true_lang AS label, n AS tp FROM cm
               |  WHERE true_lang = pred_lang),
               |j AS (SELECT coalesce(bt.label, bp.label) AS label,
-              |    coalesce(dg.tp, 0) AS tp,
-              |    coalesce(bt.n_true, 0) AS n_true,
-              |    coalesce(bp.n_pred, 0) AS n_pred
+              |    coalesce(dg.tp, 0)::BIGINT AS tp,
+              |    coalesce(bt.n_true, 0)::BIGINT AS n_true,
+              |    coalesce(bp.n_pred, 0)::BIGINT AS n_pred
               |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label
               |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label))
               |SELECT label, tp, n_true, n_pred,
-              |  CASE WHEN n_pred > 0
-              |    THEN (2000000 * tp + n_pred) // (2 * n_pred) END AS precision_ppm,
-              |  CASE WHEN n_true > 0
-              |    THEN (2000000 * tp + n_true) // (2 * n_true) END AS recall_ppm,
-              |  CASE WHEN n_true + n_pred > 0
+              |  (CASE WHEN n_pred > 0
+              |    THEN (2000000 * tp + n_pred) // (2 * n_pred)
+              |    ELSE -1 END)::BIGINT AS precision_ppm,
+              |  (CASE WHEN n_true > 0
+              |    THEN (2000000 * tp + n_true) // (2 * n_true)
+              |    ELSE -1 END)::BIGINT AS recall_ppm,
+              |  (CASE WHEN n_true + n_pred > 0
               |    THEN (4000000 * tp + n_true + n_pred)
-              |      // (2 * (n_true + n_pred)) END AS f1_ppm
+              |      // (2 * (n_true + n_pred))
+              |    ELSE -1 END)::BIGINT AS f1_ppm
               |FROM j""".stripMargin)),
 
     // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
