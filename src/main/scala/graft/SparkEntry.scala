@@ -19,7 +19,8 @@ object SparkEntry {
     TextDedupQueries.defs,
     SimilarityStreamQueries.defs,
     CurationQueries.defs,
-    CnicsQueries.defs
+    CnicsQueries.defs,
+    SourceSinkQueries.defs
   ))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,147 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Deterministic in-JVM FHIR-subset server — the HTTP twin of
+  * [[InMemoryFhirStore]], so the production [[HttpFhirStore]] path can
+  * run inside a driver-visible CORRECTNESS row (`cnics_http_e2e_audit`)
+  * instead of only inside ScalaTests. Implements exactly the surface
+  * the sink speaks (reference wire behavior, cnics_to_fhir.py:215-217,
+  * 246-247, 322-337):
+  *
+  *  - `POST /` transaction Bundles: PUT-with-id upserts and DELETEs
+  *    (a Patient DELETE carrying `?_cascade=delete` also removes the
+  *    patient's child resources by `subject.reference` — HAPI's
+  *    cascade semantics, which the reference relies on);
+  *  - `GET /<Type>` search: `_summary=count` sizing, `_count`/
+  *    `_offset` paging over an `_sort=_id` total order,
+  *    `identifier=<system>|` token-system scoping (the multi-site
+  *    isolation filter) and `subject=` reference scoping;
+  *  - optional `failFirstPost`: the FIRST bundle POST is rejected with
+  *    a 500 exactly once, so the sink's bounded-retry wrapper (F14)
+  *    is exercised — and counted — on the driver's gate.
+  *
+  * State is a ConcurrentHashMap keyed `/<Type>/<id>`; everything is
+  * deterministic given the same request set, which is what lets the
+  * e2e audit row pin its counters as a literal oracle.
+  */
+final class FhirFixtureServer(failFirstPost: Boolean = false) {
+
+  val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val rejectedPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val firstRejected = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", new Handler)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  def count(resourceType: String): Long =
+    data.keySet.stream.filter(_.startsWith(s"/$resourceType/")).count()
+
+  private final class Handler extends HttpHandler {
+    private val mapper = new ObjectMapper()
+
+    def handle(ex: HttpExchange): Unit = try {
+      ex.getRequestMethod match {
+        case "POST" => handlePost(ex)
+        case "GET"  => handleGet(ex)
+        case _      => reply(ex, 405, "{}")
+      }
+    } catch { case _: Throwable => reply(ex, 500, "{}") }
+
+    private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    private def handlePost(ex: HttpExchange): Unit = {
+      posts.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (failFirstPost && firstRejected.compareAndSet(false, true)) {
+        rejectedPosts.incrementAndGet()
+        reply(ex, 500, """{"resourceType":"OperationOutcome"}""")
+        return
+      }
+      val bundle = mapper.readTree(body)
+      bundle.path("entry").forEach { e =>
+        val req = e.path("request")
+        val rawUrl = req.path("url").asText()
+        val target = "/" + rawUrl.split("\\?")(0)
+        req.path("method").asText() match {
+          case "PUT" => data.put(target, e.path("resource").toString); ()
+          case "DELETE" =>
+            data.remove(target)
+            // ?_cascade=delete on a Patient: drop the children whose
+            // subject references the deleted patient
+            if (rawUrl.contains("_cascade=delete")) {
+              val subjRef = rawUrl.split("\\?")(0) // "Patient/<id>"
+              val doomed = new java.util.ArrayList[String]()
+              data.forEach { (p, b) =>
+                if (mapper.readTree(b).path("subject").path("reference")
+                    .asText("") == subjRef) { doomed.add(p); () }
+              }
+              doomed.forEach(p => { data.remove(p); () })
+            }
+          case _ => ()
+        }
+      }
+      reply(ex, 200, """{"resourceType":"Bundle","type":"transaction-response"}""")
+    }
+
+    private def handleGet(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath // "/Patient"
+      val params = Option(ex.getRequestURI.getRawQuery).toSeq
+        .flatMap(_.split("&")).map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, "UTF-8") }
+        .toMap
+      // system part of a `identifier=<system>|[value]` token search
+      val idSystem = params.get("identifier").map(_.split("\\|")(0))
+      val subject = params.get("subject")
+      val prefix = path + "/"
+      val matches = scala.collection.mutable.ArrayBuffer[(String, ObjectNode)]()
+      data.forEach { (p, b) =>
+        if (p.startsWith(prefix)) {
+          val node = mapper.readTree(b).asInstanceOf[ObjectNode]
+          val sysOk = idSystem.forall { sys =>
+            var found = false
+            node.path("identifier").forEach(i =>
+              if (i.path("system").asText("") == sys) found = true)
+            found
+          }
+          val subjOk = subject.forall(
+            _ == node.path("subject").path("reference").asText(""))
+          if (sysOk && subjOk) {
+            val id = p.substring(prefix.length)
+            node.put("id", id)
+            matches += ((id, node))
+          }
+        }
+      }
+      val sorted = matches.sortBy(_._1) // the `_sort=_id` total order
+      if (params.get("_summary").contains("count"))
+        reply(ex, 200, s"""{"resourceType":"Bundle","total":${sorted.size}}""")
+      else {
+        val off = params.get("_offset").map(_.toInt).getOrElse(0)
+        val cnt = params.get("_count").map(_.toInt).getOrElse(1000)
+        val entries = sorted.slice(off, off + cnt)
+          .map { case (_, n) => "{\"resource\":" + n.toString + "}" }
+          .mkString(",")
+        reply(ex, 200,
+          s"""{"resourceType":"Bundle","total":${sorted.size},"entry":[$entries],"link":[]}""")
+      }
+    }
+  }
+}

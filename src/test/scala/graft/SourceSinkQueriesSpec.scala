@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The driver-visible source/sink rows (SourceSinkQueries) and the
+  * FhirFixtureServer behaviors the registry row does not reach
+  * (cascade delete, identifier-system search isolation). */
+class SourceSinkQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+
+  test("cnics_http_e2e_audit: live-HTTP pipeline inserts then updates, one rejected POST") {
+    val rows = run("cnics_http_e2e_audit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(rows(("run1", "Patient", "insert")) === 2L)
+    assert(rows(("run2", "Patient", "update")) === 2L)
+    assert(rows(("run2", "Observation", "insert")) === 0L)
+    assert(rows(("http", "Bundle", "rejected_once")) === 1L)
+    assert(rows(("store", "Patient", "count")) === 2L)
+  }
+
+  test("a9_idlist_roundtrip keeps quote escaping and the colon-truncation quirk") {
+    val back = run("a9_idlist_roundtrip").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("uw", "p-1"), ("uw", "o'brien"), ("sea", "a")))
+  }
+
+  test("fixture server: Patient DELETE with _cascade=delete removes subject children") {
+    val srv = new graft.sinks.FhirFixtureServer()
+    val port = srv.start()
+    try {
+      import spark.implicits._
+      val store = new graft.sinks.HttpFhirStore(s"http://localhost:$port", maxRetries = 2)
+      val seed = Seq(
+        ("p1", "pat-1", """{"identifier":[{"system":"s-uw","value":"p1"}]}""", "insert"),
+        ("p2", "pat-2", """{"identifier":[{"system":"s-sea","value":"p2"}]}""", "insert")
+      ).toDF("key", "id", "json", "merge_action")
+      store.applyActions("Patient", seed)
+      val kids = Seq(
+        ("c1", "cond-1", """{"identifier":[{"value":"c1"}],"subject":{"reference":"Patient/pat-1"}}""", "insert"),
+        ("c2", "cond-2", """{"identifier":[{"value":"c2"}],"subject":{"reference":"Patient/pat-2"}}""", "insert")
+      ).toDF("key", "id", "json", "merge_action")
+      store.applyActions("Condition", kids)
+      assert(srv.count("Condition") === 2L)
+
+      // identifier-system scoping: each site's snapshot sees only its own
+      val uw = store.snapshot(spark, "Patient", Some("s-uw")).collect()
+      assert(uw.map(_.getString(0)).toSet === Set("p1"))
+
+      // cascade: deleting pat-1 takes cond-1 with it, pat-2's child stays
+      val del = Seq(("p1", "pat-1", null: String, "delete"))
+        .toDF("key", "id", "json", "merge_action")
+      store.applyActions("Patient", del)
+      assert(srv.count("Patient") === 1L)
+      assert(srv.count("Condition") === 1L)
+      assert(srv.data.containsKey("/Condition/cond-2"))
+    } finally srv.stop()
+  }
+}
