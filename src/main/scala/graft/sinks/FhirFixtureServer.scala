@@ -34,6 +34,32 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
   val rejectedPosts = new java.util.concurrent.atomic.AtomicInteger(0)
   private val firstRejected = new java.util.concurrent.atomic.AtomicBoolean(false)
   private var server: HttpServer = _
+  // subject.reference -> stored paths, maintained on every PUT/DELETE so
+  // a cascade delete touches only the deleted patient's children (a full
+  // store re-parse per DELETE turns a 12.5k-delete delta into minutes —
+  // HttpStoreSoak evidence)
+  private val bySubject =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private val subjectOf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexPut(path: String, subjRef: String): Unit = {
+    unindex(path)
+    if (subjRef.nonEmpty) {
+      subjectOf.put(path, subjRef)
+      bySubject.computeIfAbsent(subjRef,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).add(path)
+      ()
+    }
+  }
+
+  private def unindex(path: String): Unit = {
+    val old = subjectOf.remove(path)
+    if (old != null) {
+      val s = bySubject.get(old)
+      if (s != null) { s.remove(path); () }
+    }
+  }
 
   def start(): Int = {
     server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
@@ -80,19 +106,22 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
         val rawUrl = req.path("url").asText()
         val target = "/" + rawUrl.split("\\?")(0)
         req.path("method").asText() match {
-          case "PUT" => data.put(target, e.path("resource").toString); ()
+          case "PUT" =>
+            val res = e.path("resource")
+            data.put(target, res.toString)
+            indexPut(target, res.path("subject").path("reference").asText(""))
           case "DELETE" =>
             data.remove(target)
+            unindex(target)
             // ?_cascade=delete on a Patient: drop the children whose
-            // subject references the deleted patient
+            // subject references the deleted patient (index lookup, not
+            // a store scan)
             if (rawUrl.contains("_cascade=delete")) {
               val subjRef = rawUrl.split("\\?")(0) // "Patient/<id>"
-              val doomed = new java.util.ArrayList[String]()
-              data.forEach { (p, b) =>
-                if (mapper.readTree(b).path("subject").path("reference")
-                    .asText("") == subjRef) { doomed.add(p); () }
+              val kids = bySubject.remove(subjRef)
+              if (kids != null) kids.forEach { p =>
+                data.remove(p); subjectOf.remove(p); ()
               }
-              doomed.forEach(p => { data.remove(p); () })
             }
           case _ => ()
         }
