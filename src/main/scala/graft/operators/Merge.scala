@@ -58,4 +58,38 @@ object Merge {
   def auditSummary(actions: DataFrame, resourceType: Column): DataFrame =
     actions.groupBy(resourceType.as("resource_type"), col(ActionCol))
       .agg(count(lit(1)).as("n"))
+
+  /** Incremental-sync planner (extension — the reference re-PUTs its
+    * whole cohort every run, cnics_to_fhir.py:548-584): diff the
+    * freshly assembled source against the previous run's
+    * `(key, content-hash)` manifest, so a re-sync touches the store
+    * wire only for keys whose content actually changed.
+    *
+    * Returns `(dirty, manifest)`:
+    *  - `dirty` — one `key` column: keys new in `cur`, keys whose hash
+    *    changed, and keys present only in `prev` (they left the source
+    *    and must DELETE). Unchanged keys are absent, which is the
+    *    whole point: downstream scopes both the source and the store
+    *    snapshot to `dirty`, and O(changed) rows — not O(cohort) —
+    *    reach the store.
+    *  - `manifest` — the next run's `(key, __h)` frame (write it only
+    *    AFTER the store apply succeeds: a crash before the swing
+    *    leaves the old manifest, and the next run re-finds the same
+    *    dirty keys — PUT/DELETE are idempotent, so replay is safe).
+    *
+    * One hash join on `key`; the manifest is 16 bytes/row, so at a
+    * 10⁸-patient site this is a dimension-sized shuffle, not a data
+    * one. */
+  def manifestDiff(cur: DataFrame, keyCol: String, contentCol: String,
+      prev: DataFrame): (DataFrame, DataFrame) = {
+    val manifest = cur.select(col(keyCol).as("key"),
+      xxhash64(col(contentCol)).as("__h"))
+    val dirty = manifest.withColumnRenamed("__h", "__h_cur")
+      .join(prev.select(col("key"), col("__h").as("__h_prev")),
+        Seq("key"), "full_outer")
+      .filter(col("__h_cur").isNull || col("__h_prev").isNull ||
+        col("__h_cur") =!= col("__h_prev"))
+      .select("key")
+    (dirty, manifest)
+  }
 }

@@ -171,14 +171,25 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * per-subject snapshot (A7) — never a full-store driver pager — and
     * so store∖source deletes are scoped to this cohort's subjects
     * (resources owned by other sites/cohorts are untouchable). */
-  private def reconcile(resourceType: String, source: DataFrame,
+  private def reconcile(resourceType: String, source0: DataFrame,
       subjects: Option[DataFrame] = None,
-      identifierSystem: Option[String] = None): Map[String, Long] = {
+      identifierSystem: Option[String] = None,
+      keyScope: Option[DataFrame] = None): Map[String, Long] = {
+    // Incremental mode: both sides of the merge are key-scoped to the
+    // dirty set, so unchanged keys are invisible to the classify —
+    // neither writable nor deletable. Semi joins keep the scope frame
+    // un-duplicated; Catalyst broadcasts it when dimension-sized.
+    val source = keyScope
+      .map(ks => source0.join(ks, Seq("key"), "left_semi"))
+      .getOrElse(source0)
     // persisted: the dup-key scan below and the merge both read it, and
     // for HTTP stores recomputing means re-fetching the whole snapshot
-    val snapAll = subjects
+    val snapUnscoped = subjects
       .map(s => store.snapshotForSubjects(spark, resourceType, s))
       .getOrElse(store.snapshot(spark, resourceType, identifierSystem))
+    val snapAll = keyScope
+      .map(ks => snapUnscoped.join(ks, Seq("key"), "left_semi"))
+      .getOrElse(snapUnscoped)
       .filter(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -235,6 +246,67 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
   def runPatients(limit: Int = Int.MaxValue): Map[String, Long] =
     reconcile("Patient", patientResources(limit),
       identifierSystem = Some(sitePatientIdSystem))
+
+  /** Incremental Patient run (extension; see [[Merge.manifestDiff]]).
+    *
+    * The source is still assembled in full — one declarative scan, the
+    * cheap part — but only keys whose assembled JSON differs from the
+    * previous run's `(key, hash)` manifest reach the merge and the
+    * store wire: unchanged patients cost zero HTTP round-trips AND
+    * zero store-snapshot scope (the scoped HTTP snapshot fetches only
+    * the dirty keys' pages). A key that left the cohort is remembered
+    * by the manifest and still DELETEs. This deliberately diverges
+    * from the reference's PUT-always steady state (every run re-PUTs
+    * every patient, cnics_to_fhir.py:548-584) — at a 10⁸-patient site
+    * the steady-state delta is ~0, and re-PUTting the world every
+    * night IS the bottleneck.
+    *
+    * Crash contract: the manifest swings (tmp dir + atomic rename)
+    * only after the store apply returns, so a crash mid-apply leaves
+    * the previous manifest and the next run re-finds the same dirty
+    * keys; PUT-with-id upserts and DELETEs replay idempotently. */
+  def runPatientsIncremental(manifestDir: String,
+      limit: Int = Int.MaxValue): Map[String, Long] = {
+    val cur = patientResources(limit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val live = s"$manifestDir/manifest"
+      val fsys = new org.apache.hadoop.fs.Path(live)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // heal a swap crashed between its two renames (live gone, bak
+      // holds the previous manifest): restore bak rather than letting
+      // an empty prev force a full re-sync
+      val bak0 = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.bak")
+      if (!fsys.exists(new org.apache.hadoop.fs.Path(live)) && fsys.exists(bak0)) {
+        fsys.rename(bak0, new org.apache.hadoop.fs.Path(live)); ()
+      }
+      val prev =
+        if (fsys.exists(new org.apache.hadoop.fs.Path(live)))
+          spark.read.parquet(live)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__h",
+              org.apache.spark.sql.types.LongType))))
+      val (dirty, manifest) = Merge.manifestDiff(cur, "key", "json", prev)
+      val counts = reconcile("Patient", cur,
+        identifierSystem = Some(sitePatientIdSystem),
+        keyScope = Some(dirty))
+      // apply succeeded -> swing the manifest (write fully, then swap)
+      val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.tmp")
+      val bak = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.bak")
+      manifest.write.mode("overwrite").parquet(tmp.toString)
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      if (fsys.exists(livePath) && !fsys.rename(livePath, bak))
+        throw new IllegalStateException(s"manifest bak rename failed: $live")
+      if (!fsys.rename(tmp, livePath))
+        throw new IllegalStateException(s"manifest swap failed: $live")
+      fsys.delete(bak, true)
+      counts
+    } finally { cur.unpersist(); () }
+  }
 
   def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
     val ids = cohort(limit).select("PatientId", "site_pat_id")

@@ -113,6 +113,58 @@ object CnicsQueries {
              | ('store', 'Patient', 'count', 3)
              |) t(phase, resource_type, action, n)""".stripMargin)),
 
+    // ── Incremental sync (extension; Merge.manifestDiff +
+    //    CnicsPipeline.runPatientsIncremental): where the reference —
+    //    and this pipeline's own PUT-always mode — re-writes every
+    //    patient every run, the incremental run diffs the assembled
+    //    JSON against the previous run's (key, hash) manifest and
+    //    touches the store only for dirty keys. Three runs against one
+    //    store: (1) cold manifest → both patients insert; (2) unchanged
+    //    inputs → ZERO actions (the steady-state win; the PUT-always
+    //    twin `cnics_e2e_audit_parquet` run 2 re-updates everything);
+    //    (3) uw-001's demographics edited + uw-002 dropped from the
+    //    cohort → exactly 1 update + 1 delete, and the store + manifest
+    //    both end at 1 surviving patient. ──
+    QueryDef(
+      "cnics_incremental_audit",
+      "manifest-diff incremental Patient sync: insert run, zero-action steady state, then 1 update + 1 delete",
+      (s, _) => {
+        import s.implicits._
+        val store = new InMemoryFhirStore
+        val mdir = java.nio.file.Files
+          .createTempDirectory("graft_incmanifest").toString
+        val base = CnicsFixtures.demo(s)
+        val r1 = new CnicsPipeline(s, base, store, "uw")
+          .runPatientsIncremental(mdir)
+        val r2 = new CnicsPipeline(s, base, store, "uw")
+          .runPatientsIncremental(mdir)
+        val changed = base.copy(
+          patient = base.patient.filter(col("PatientId") =!= 2L),
+          demographic = Seq(
+            (10L, 1L, Some("Male"), Some("Asian"), Some("Yes")),
+            (11L, 1L, Some("Male"), Some("White"), Some("No")),
+            (13L, 3L, Some("Male"), Some("Black"), Some("No"))
+          ).toDF("DemographicId", "PatientId", "Sex", "Race", "Hispanic"))
+        val r3 = new CnicsPipeline(s, changed, store, "uw")
+          .runPatientsIncremental(mdir)
+        def rows(phase: String, m: Map[String, Long]) =
+          Seq("insert", "update", "delete")
+            .map(a => (phase, a, m.getOrElse(a, 0L)))
+        val out = rows("inc1", r1) ++ rows("inc2", r2) ++ rows("inc3", r3) ++
+          Seq(("store", "patient_count",
+              store.data.keys.count(_._1 == "Patient").toLong),
+            ("manifest", "rows",
+              s.read.parquet(s"$mdir/manifest").count()))
+        out.toDF("phase", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('inc1', 'insert', CAST(2 AS BIGINT)), ('inc1', 'update', 0), ('inc1', 'delete', 0),
+             | ('inc2', 'insert', 0), ('inc2', 'update', 0), ('inc2', 'delete', 0),
+             | ('inc3', 'insert', 0), ('inc3', 'update', 1), ('inc3', 'delete', 1),
+             | ('store', 'patient_count', 1),
+             | ('manifest', 'rows', 1)
+             |) t(phase, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden

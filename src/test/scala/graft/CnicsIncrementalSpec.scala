@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.CnicsFixtures
+import graft.pipeline.CnicsPipeline
+import graft.sinks.InMemoryFhirStore
+
+/** Contracts of the incremental Patient sync that the registry row
+  * (`cnics_incremental_audit`) cannot see: end-state equivalence with a
+  * from-scratch full run, byte-level zero-touch in the steady state,
+  * and the manifest swap's crash heal. */
+class CnicsIncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def mdir() =
+    java.nio.file.Files.createTempDirectory("graft_inc").toString
+
+  private def changedInputs = {
+    import spark.implicits._
+    val base = CnicsFixtures.demo(spark)
+    base.copy(
+      patient = base.patient.filter(col("PatientId") =!= 2L),
+      demographic = Seq(
+        (10L, 1L, Some("Male"), Some("Asian"), Some("Yes")),
+        (11L, 1L, Some("Male"), Some("White"), Some("No")),
+        (13L, 3L, Some("Male"), Some("Black"), Some("No"))
+      ).toDF("DemographicId", "PatientId", "Sex", "Race", "Hispanic"))
+  }
+
+  test("incremental end state equals a from-scratch full run, bodies included") {
+    val dir = mdir()
+    val incStore = new InMemoryFhirStore
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), incStore, "uw")
+      .runPatientsIncremental(dir)
+    new CnicsPipeline(spark, changedInputs, incStore, "uw")
+      .runPatientsIncremental(dir)
+
+    val fullStore = new InMemoryFhirStore
+    new CnicsPipeline(spark, changedInputs, fullStore, "uw").runPatients()
+
+    val incPatients = incStore.data.filter(_._1._1 == "Patient")
+    val fullPatients = fullStore.data.filter(_._1._1 == "Patient")
+    assert(incPatients == fullPatients) // same keys AND same JSON bodies
+  }
+
+  test("steady state: second incremental run writes nothing at all") {
+    val dir = mdir()
+    val store = new InMemoryFhirStore
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), store, "uw")
+      .runPatientsIncremental(dir)
+    val before = store.data.toMap
+    val r2 = new CnicsPipeline(spark, CnicsFixtures.demo(spark), store, "uw")
+      .runPatientsIncremental(dir)
+    assert(r2.values.sum === 0L)
+    assert(store.data.toMap === before) // not even a no-op re-PUT
+  }
+
+  test("a swap crashed between renames heals from the bak manifest") {
+    val dir = mdir()
+    val store = new InMemoryFhirStore
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), store, "uw")
+      .runPatientsIncremental(dir)
+    // simulate the crash window: live renamed to bak, new tmp never landed
+    val live = new java.io.File(s"$dir/manifest")
+    val bak = new java.io.File(s"$dir/.manifest.bak")
+    assert(live.renameTo(bak))
+    val r = new CnicsPipeline(spark, CnicsFixtures.demo(spark), store, "uw")
+      .runPatientsIncremental(dir)
+    // healed prev manifest -> still a zero-action steady state, not a
+    // full re-sync of every key
+    assert(r.values.sum === 0L)
+    assert(live.exists() && !bak.exists())
+  }
+}
