@@ -247,6 +247,36 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     reconcile("Patient", patientResources(limit),
       identifierSystem = Some(sitePatientIdSystem))
 
+  /** Targeted Patient sync for an explicit dirty-key set — the
+    * CDC-driven sibling of [[runPatientsIncremental]] (which derives
+    * its own dirty set by hashing the full assembly). Here the CALLER
+    * knows which site-patient ids changed (a Debezium-style CDC feed,
+    * or [[graft.streaming.CnicsStreams.patientSync]] micro-batches),
+    * so the ASSEMBLY itself is scoped: the patient table semi-joins
+    * the keys before the demographic/session/crosswalk/PRO fan-out,
+    * and a 10-key delta assembles 10 patients — not the site. Wire
+    * cost and assembly cost are both O(batch). A scoped key whose
+    * cohort row vanished still DELETEs (the key-scoped reconcile sees
+    * it store-side only). `keys`: one column of site-patient ids. */
+  def runPatientsForKeys(keys: DataFrame): Map[String, Long] = {
+    val ks = keys.select(col(keys.columns.head).cast("string").as("site_pat_id"))
+      .distinct()
+    val pat = in.patient.join(ks.withColumnRenamed("site_pat_id", "__k"),
+      col("SitePatientId").cast("string") === col("__k"), "left_semi")
+    val ids = pat.select("PatientId").distinct()
+    val scoped = new CnicsPipeline(spark, in.copy(
+        patient = pat,
+        demographic = in.demographic.join(ids, Seq("PatientId"), "left_semi"),
+        pro = in.pro.join(ids, Seq("PatientId"), "left_semi"),
+        crosswalk = in.crosswalk.join(
+          ks.withColumnRenamed("site_pat_id", "SitePatientId"),
+          Seq("SitePatientId"), "left_semi")),
+      store, site, debugDir)
+    scoped.reconcile("Patient", scoped.patientResources(),
+      identifierSystem = Some(sitePatientIdSystem),
+      keyScope = Some(ks.select(col("site_pat_id").as("key"))))
+  }
+
   /** Incremental Patient run (extension; see [[Merge.manifestDiff]]).
     *
     * The source is still assembled in full — one declarative scan, the

@@ -165,6 +165,56 @@ object CnicsQueries {
              | ('manifest', 'rows', 1)
              |) t(phase, action, n)""".stripMargin)),
 
+    // ── The streaming twin of the targeted sync (CnicsStreams
+    //    .patientSync + runPatientsForKeys): a MemoryStream of dirty
+    //    site-patient keys drives a standing micro-batch sync whose
+    //    per-batch assembly AND store wire are O(batch). Batch 1
+    //    streams uw-001 (insert); batch 2 streams both keys after
+    //    uw-001's demographics changed (uw-001 update + uw-002
+    //    insert); batch 3 streams uw-002 after its cohort row vanished
+    //    (delete via the key-scoped reconcile). Final store: 1 row. ──
+    QueryDef(
+      "cnics_stream_audit",
+      "CDC-key streaming Patient sync: per-batch insert/update/delete audits over three micro-batches",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val store = new InMemoryFhirStore
+        var inputs = CnicsFixtures.demo(s)
+        val audits = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Long]]()
+        val mem = MemoryStream[String]
+        val q = graft.streaming.CnicsStreams.patientSync(
+          mem.toDF().toDF("site_pat_id"), inputs, store, "uw",
+          (id, a) => { audits.put(id, a); () })
+        try {
+          mem.addData("uw-001"); q.processAllAvailable()
+          inputs = inputs.copy(demographic = Seq(
+            (10L, 1L, Some("Male"), Some("Asian"), Some("Yes")),
+            (11L, 1L, Some("Male"), Some("White"), Some("No")),
+            (12L, 2L, None: Option[String], None: Option[String], None: Option[String]),
+            (13L, 3L, Some("Male"), Some("Black"), Some("No"))
+          ).toDF("DemographicId", "PatientId", "Sex", "Race", "Hispanic"))
+          mem.addData("uw-001", "uw-002"); q.processAllAvailable()
+          inputs = inputs.copy(
+            patient = inputs.patient.filter(col("PatientId") =!= 2L))
+          mem.addData("uw-002"); q.processAllAvailable()
+        } finally q.stop()
+        val rows = (0L to 2L).flatMap { id =>
+          val a = audits.getOrDefault(id, Map.empty)
+          Seq("insert", "update", "delete").map(act =>
+            (s"batch$id", act, a.getOrElse(act, 0L)))
+        } :+ (("store", "patient_count",
+          store.data.keys.count(_._1 == "Patient").toLong))
+        rows.toDF("phase", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('batch0', 'insert', CAST(1 AS BIGINT)), ('batch0', 'update', 0), ('batch0', 'delete', 0),
+             | ('batch1', 'insert', 1), ('batch1', 'update', 1), ('batch1', 'delete', 0),
+             | ('batch2', 'insert', 0), ('batch2', 'update', 0), ('batch2', 'delete', 1),
+             | ('store', 'patient_count', 1)
+             |) t(phase, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.pipeline.{CnicsInputs, CnicsPipeline}
+import graft.sinks.FhirStore
+
+/** Structured Streaming surface for the CNICS pipeline itself
+  * (SURVEY §7.5 / H — the reference is pure nightly batch): a
+  * CDC-driven standing sync. The stream carries DIRTY SITE-PATIENT
+  * KEYS (what a Debezium-style feed on the source tables emits); the
+  * source tables themselves are read fresh per micro-batch for just
+  * those keys, so each batch costs O(batch) assembly and O(batch)
+  * store wire — the streaming twin of
+  * [[CnicsPipeline.runPatientsForKeys]], with the same delete
+  * semantics (a streamed key whose cohort row vanished deletes).
+  */
+object CnicsStreams {
+
+  /** Standing Patient sync over a dirty-key stream. `inputs` is
+    * BY-NAME: each micro-batch re-reads the current source state (the
+    * CDC feed says WHICH patients changed; the source of record says
+    * WHAT they look like now). `onBatch` observes each micro-batch's
+    * audit counters (test/ops hook; the store itself is the output). */
+  def patientSync(keyStream: DataFrame, inputs: => CnicsInputs,
+      store: FhirStore, site: String,
+      onBatch: (Long, Map[String, Long]) => Unit = (_, _) => ()): StreamingQuery =
+    keyStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val keys = batch.toDF()
+        if (!keys.isEmpty) {
+          val audit = new CnicsPipeline(keys.sparkSession, inputs, store, site)
+            .runPatientsForKeys(keys)
+          onBatch(id, audit)
+        }
+      }
+      .start()
+}

@@ -56,6 +56,25 @@ class CnicsIncrementalSpec extends AnyFunSuite {
     assert(store.data.toMap === before) // not even a no-op re-PUT
   }
 
+  test("streaming key-sync end state equals the batch full run, bodies included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new InMemoryFhirStore
+    val mem = MemoryStream[String]
+    val q = graft.streaming.CnicsStreams.patientSync(
+      mem.toDF().toDF("site_pat_id"), CnicsFixtures.demo(spark), store, "uw")
+    try {
+      mem.addData("uw-001"); q.processAllAvailable()
+      mem.addData("uw-002", "no-such-key"); q.processAllAvailable()
+    } finally q.stop()
+
+    val full = new InMemoryFhirStore
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), full, "uw").runPatients()
+    assert(store.data.filter(_._1._1 == "Patient")
+      === full.data.filter(_._1._1 == "Patient"))
+  }
+
   test("a swap crashed between renames heals from the bak manifest") {
     val dir = mdir()
     val store = new InMemoryFhirStore
