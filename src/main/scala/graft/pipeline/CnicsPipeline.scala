@@ -259,12 +259,60 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * cohort row vanished still DELETEs (the key-scoped reconcile sees
     * it store-side only). `keys`: one column of site-patient ids. */
   def runPatientsForKeys(keys: DataFrame): Map[String, Long] = {
-    val ks = keys.select(col(keys.columns.head).cast("string").as("site_pat_id"))
+    val ks = dirtyKeys(keys)
+    scopedTo(ks).reconcile("Patient", scopedTo(ks).patientResources(),
+      identifierSystem = Some(sitePatientIdSystem),
+      keyScope = Some(ks.select(col("site_pat_id").as("key"))))
+  }
+
+  /** The full targeted job for a dirty-key set — every resource type,
+    * not just Patient. Children ride the scoped pipeline's OWN
+    * subject-scoped reconcile ([[reconcile]] `subjects`): the child
+    * snapshot fetches only the scoped cohort's subjects, so child
+    * deletes are bounded to the dirty patients exactly like the full
+    * run bounds them to the cohort. Children of a patient that LEFT
+    * the cohort are not reachable through the child pass (no cohort
+    * row → no subject) — they are removed by the Patient DELETE's
+    * `?_cascade=delete` (reference parity, cnics_to_fhir.py:333). */
+  def runForKeys(keys: DataFrame,
+      resourceList: Set[String] =
+        Set("patients", "conditions", "medicationrequests", "observations"))
+      : Map[(String, String), Long] = {
+    val ks = dirtyKeys(keys)
+    val scoped = scopedTo(ks)
+    var audit = Map[(String, String), Long]()
+    def add(rt: String, counts: Map[String, Long]): Unit = {
+      Seq("insert", "update", "delete").foreach { a =>
+        audit += (rt, a) -> counts.getOrElse(a, 0L)
+      }
+      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+    }
+    if (resourceList("patients"))
+      add("Patient", scoped.reconcile("Patient", scoped.patientResources(),
+        identifierSystem = Some(sitePatientIdSystem),
+        keyScope = Some(ks.select(col("site_pat_id").as("key")))))
+    if (resourceList("conditions")) add("Condition", scoped.runConditions())
+    if (resourceList("medicationrequests"))
+      add("MedicationRequest", scoped.runMedications())
+    if (resourceList("observations")) add("Observation", scoped.runObservations())
+    audit
+  }
+
+  private def dirtyKeys(keys: DataFrame): DataFrame =
+    keys.select(col(keys.columns.head).cast("string").as("site_pat_id"))
       .distinct()
+
+  /** A pipeline whose INPUTS are semi-join-scoped to the dirty keys —
+    * the patient table first, then every per-patient table by the
+    * scoped PatientIds — so assembly cost is O(batch). The detail
+    * tables (diagnosis/medication/lab) are left as-is: their child
+    * pipelines already start from the scoped cohort join
+    * ([[childSource]]), which prunes them to the scoped patients. */
+  private def scopedTo(ks: DataFrame): CnicsPipeline = {
     val pat = in.patient.join(ks.withColumnRenamed("site_pat_id", "__k"),
       col("SitePatientId").cast("string") === col("__k"), "left_semi")
     val ids = pat.select("PatientId").distinct()
-    val scoped = new CnicsPipeline(spark, in.copy(
+    new CnicsPipeline(spark, in.copy(
         patient = pat,
         demographic = in.demographic.join(ids, Seq("PatientId"), "left_semi"),
         pro = in.pro.join(ids, Seq("PatientId"), "left_semi"),
@@ -272,9 +320,6 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           ks.withColumnRenamed("site_pat_id", "SitePatientId"),
           Seq("SitePatientId"), "left_semi")),
       store, site, debugDir)
-    scoped.reconcile("Patient", scoped.patientResources(),
-      identifierSystem = Some(sitePatientIdSystem),
-      keyScope = Some(ks.select(col("site_pat_id").as("key"))))
   }
 
   /** Incremental Patient run (extension; see [[Merge.manifestDiff]]).

@@ -215,6 +215,67 @@ object CnicsQueries {
              | ('store', 'patient_count', 1)
              |) t(phase, action, n)""".stripMargin)),
 
+    // ── The FULL-JOB streaming sync (CnicsStreams.sync +
+    //    runForKeys): every resource type per micro-batch — patients
+    //    key-scoped, children through the scoped cohort's
+    //    subject-scoped reconcile, and a departed patient's children
+    //    removed by the Patient DELETE's cascade (HAPI parity, honored
+    //    by all three store implementations). Batch 0 syncs uw-001
+    //    (patient + its 1 condition, 1 medication, 2 observations);
+    //    batch 1 syncs both keys (uw-002's resources insert, uw-001's
+    //    re-PUT as updates); batch 2 streams uw-002 after its cohort
+    //    row vanished — ONE patient delete, zero child actions, and
+    //    the final counts prove the cascade took dx-3 and lab-3. ──
+    QueryDef(
+      "cnics_stream_full_audit",
+      "full-job streaming sync over 3 micro-batches: per-type audits + cascaded end-state counts",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val store = new InMemoryFhirStore
+        var inputs = CnicsFixtures.demo(s)
+        val audits =
+          new java.util.concurrent.ConcurrentHashMap[Long, Map[(String, String), Long]]()
+        val mem = MemoryStream[String]
+        val q = graft.streaming.CnicsStreams.sync(
+          mem.toDF().toDF("site_pat_id"), inputs, store, "uw",
+          onBatch = (id, a) => { audits.put(id, a); () })
+        try {
+          mem.addData("uw-001"); q.processAllAvailable()
+          mem.addData("uw-001", "uw-002"); q.processAllAvailable()
+          inputs = inputs.copy(
+            patient = inputs.patient.filter(col("PatientId") =!= 2L))
+          mem.addData("uw-002"); q.processAllAvailable()
+        } finally q.stop()
+        val rows = (0L to 2L).flatMap { id =>
+          val a = audits.getOrDefault(id, Map.empty)
+          a.toSeq.sortBy { case ((rt, act), _) => (rt, act) }
+            .map { case ((rt, act), n) => (s"batch$id", rt, act, n) }
+        } ++ Seq("Patient", "Condition", "MedicationRequest", "Observation")
+          .map(rt => ("store", rt, "count",
+            store.data.keys.count(_._1 == rt).toLong))
+        rows.toDF("phase", "resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('batch0', 'Patient', 'insert', CAST(1 AS BIGINT)), ('batch0', 'Patient', 'update', 0), ('batch0', 'Patient', 'delete', 0),
+             | ('batch0', 'Condition', 'insert', 1), ('batch0', 'Condition', 'update', 0), ('batch0', 'Condition', 'delete', 0),
+             | ('batch0', 'MedicationRequest', 'insert', 1), ('batch0', 'MedicationRequest', 'update', 0), ('batch0', 'MedicationRequest', 'delete', 0),
+             | ('batch0', 'Observation', 'insert', 2), ('batch0', 'Observation', 'update', 0), ('batch0', 'Observation', 'delete', 0),
+             | ('batch1', 'Patient', 'insert', 1), ('batch1', 'Patient', 'update', 1), ('batch1', 'Patient', 'delete', 0),
+             | ('batch1', 'Condition', 'insert', 1), ('batch1', 'Condition', 'update', 1), ('batch1', 'Condition', 'delete', 0),
+             | ('batch1', 'MedicationRequest', 'insert', 0), ('batch1', 'MedicationRequest', 'update', 1), ('batch1', 'MedicationRequest', 'delete', 0),
+             | ('batch1', 'Observation', 'insert', 1), ('batch1', 'Observation', 'update', 2), ('batch1', 'Observation', 'delete', 0),
+             | ('batch2', 'Patient', 'insert', 0), ('batch2', 'Patient', 'update', 0), ('batch2', 'Patient', 'delete', 1),
+             | ('batch2', 'Condition', 'insert', 0), ('batch2', 'Condition', 'update', 0), ('batch2', 'Condition', 'delete', 0),
+             | ('batch2', 'MedicationRequest', 'insert', 0), ('batch2', 'MedicationRequest', 'update', 0), ('batch2', 'MedicationRequest', 'delete', 0),
+             | ('batch2', 'Observation', 'insert', 0), ('batch2', 'Observation', 'update', 0), ('batch2', 'Observation', 'delete', 0),
+             | ('store', 'Patient', 'count', 1),
+             | ('store', 'Condition', 'count', 1),
+             | ('store', 'MedicationRequest', 'count', 1),
+             | ('store', 'Observation', 'count', 2)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden

@@ -85,10 +85,23 @@ class InMemoryFhirStore extends FhirStore with Serializable {
 
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
     val rows = actions.select("key", "id", "json", "merge_action").collect()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     rows.foreach { r =>
       val (key, id, json, act) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       act match {
-        case "delete" => data.remove((resourceType, key))
+        case "delete" =>
+          data.remove((resourceType, key))
+          // HAPI cascade parity: the HTTP sink sends `?_cascade=delete`
+          // on Patient deletes (cnics_to_fhir.py:333), so the double
+          // removes the patient's children too — all three store
+          // implementations agree on the end state.
+          if (resourceType == "Patient") {
+            val ref = s"Patient/$id"
+            val doomed = data.collect { case (k, (_, j))
+                if mapper.readTree(j).path("subject").path("reference")
+                  .asText("") == ref => k }.toSeq
+            doomed.foreach(data.remove)
+          }
         case _ => data((resourceType, key)) = (id, json)
       }
     }
@@ -161,17 +174,47 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
     val upserts = acts.filter(col("merge_action") =!= "delete")
       .select("key", "id", "json")
     val next = survivors.unionByName(upserts)
+    swapIn(resourceType, next)
+    // HAPI cascade parity with the HTTP sink's `?_cascade=delete`
+    // (cnics_to_fhir.py:333): Patient deletes take their children in
+    // every sibling resource dir with them — one anti-join rewrite per
+    // child type against the broadcast-sized deleted-subject set.
+    if (resourceType == "Patient") {
+      val deletedRefs = acts.filter(col("merge_action") === "delete")
+        .select(concat(lit("Patient/"), col("id")).as("__subj"))
+      if (!deletedRefs.isEmpty) {
+        val root = new java.io.File(baseDir)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName != "Patient" &&
+            !f.getName.contains(".v") && !f.getName.endsWith(".bak"))
+          .foreach { child =>
+            val cur = spark.read.parquet(child.toString).select("key", "id", "json")
+            val kept = cur
+              .withColumn("__subj", get_json_object(col("json"), "$.subject.reference"))
+              .join(broadcast(deletedRefs), Seq("__subj"), "left_anti")
+              .select("key", "id", "json")
+            swapIn(child.getName, kept)
+          }
+      }
+    }
+    acts.unpersist(blocking = false)
+    counts
+  }
+
+  /** Copy-on-write swap: write `next` to a versioned tmp dir, then
+    * bak-swap it into place (atomic-enough for a local filesystem;
+    * object stores would commit a manifest instead). */
+  private def swapIn(resourceType: String, next: DataFrame): Unit = {
     val tmp = dir(resourceType) + ".v" + System.nanoTime()
     next.write.mode("overwrite").parquet(tmp)
-    acts.unpersist(blocking = false)
-    // atomic-enough swap for a local filesystem; object stores would
-    // commit a manifest instead
     val old = dir(resourceType)
     val bak = old + ".bak"
-    if (d.exists()) { new java.io.File(old).renameTo(new java.io.File(bak)) }
+    if (new java.io.File(old).exists()) {
+      new java.io.File(old).renameTo(new java.io.File(bak)); ()
+    }
     new java.io.File(tmp).renameTo(new java.io.File(old))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bak))
-    counts
+    ()
   }
 }
 

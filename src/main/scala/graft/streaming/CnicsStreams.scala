@@ -36,4 +36,26 @@ object CnicsStreams {
         }
       }
       .start()
+
+  /** The full-job standing sync: every resource type per micro-batch
+    * (the streaming twin of [[CnicsPipeline.runForKeys]] — patients
+    * key-scoped, children subject-scoped, departed patients' children
+    * cascade through the Patient DELETE). */
+  def sync(keyStream: DataFrame, inputs: => CnicsInputs,
+      store: FhirStore, site: String,
+      resourceList: Set[String] =
+        Set("patients", "conditions", "medicationrequests", "observations"),
+      onBatch: (Long, Map[(String, String), Long]) => Unit = (_, _) => ())
+      : StreamingQuery =
+    keyStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val keys = batch.toDF()
+        if (!keys.isEmpty) {
+          val audit = new CnicsPipeline(keys.sparkSession, inputs, store, site)
+            .runForKeys(keys, resourceList)
+          onBatch(id, audit)
+        }
+      }
+      .start()
 }

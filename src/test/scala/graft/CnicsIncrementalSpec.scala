@@ -75,6 +75,32 @@ class CnicsIncrementalSpec extends AnyFunSuite {
       === full.data.filter(_._1._1 == "Patient"))
   }
 
+  test("parquet store cascades Patient deletes to children, matching the in-memory double") {
+    import spark.implicits._
+    val pq = new graft.sinks.ParquetFhirStore(
+      java.nio.file.Files.createTempDirectory("graft_pqcascade").toString)
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), pq, "uw").run()
+    assert(pq.snapshot(spark, "Condition").count() === 2L)
+    assert(pq.snapshot(spark, "Observation").count() === 3L)
+
+    // uw-002 leaves the cohort; the targeted run deletes the patient and
+    // the cascade must take dx-3 and lab-3 with it
+    val dropped = CnicsFixtures.demo(spark)
+    val changed = dropped.copy(
+      patient = dropped.patient.filter(col("PatientId") =!= 2L))
+    val audit = new CnicsPipeline(spark, changed, pq, "uw")
+      .runForKeys(Seq("uw-002").toDF("site_pat_id"))
+    assert(audit(("Patient", "delete")) === 1L)
+
+    assert(pq.snapshot(spark, "Patient").count() === 1L)
+    val condKeys = pq.snapshot(spark, "Condition")
+      .collect().map(_.getString(0)).toSet
+    assert(condKeys === Set("dx-1"))
+    val obsKeys = pq.snapshot(spark, "Observation")
+      .collect().map(_.getString(0)).toSet
+    assert(obsKeys === Set("lab-1", "lab-2"))
+  }
+
   test("a swap crashed between renames heals from the bak manifest") {
     val dir = mdir()
     val store = new InMemoryFhirStore
