@@ -183,14 +183,19 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       .map(ks => source0.join(ks, Seq("key"), "left_semi"))
       .getOrElse(source0)
     // persisted: the dup-key scan below and the merge both read it, and
-    // for HTTP stores recomputing means re-fetching the whole snapshot
-    val snapUnscoped = subjects
-      .map(s => store.snapshotForSubjects(spark, resourceType, s))
-      .getOrElse(store.snapshot(spark, resourceType, identifierSystem))
-    val snapAll = keyScope
-      .map(ks => snapUnscoped.join(ks, Seq("key"), "left_semi"))
-      .getOrElse(snapUnscoped)
-      .filter(col("key").isNotNull)
+    // for HTTP stores recomputing means re-fetching the whole snapshot.
+    // With a keyScope (and no subject scope) the store read itself is
+    // key-targeted — snapshotForKeys costs O(dirty) on an HTTP wire
+    // instead of a full scoped page walk.
+    val snapAll = ((subjects, keyScope) match {
+      case (Some(s), None) => store.snapshotForSubjects(spark, resourceType, s)
+      case (None, Some(ks)) =>
+        store.snapshotForKeys(spark, resourceType, ks, identifierSystem)
+      case (Some(s), Some(ks)) =>
+        store.snapshotForSubjects(spark, resourceType, s)
+          .join(ks, Seq("key"), "left_semi")
+      case (None, None) => store.snapshot(spark, resourceType, identifierSystem)
+    }).filter(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // E5 — multiple store resources sharing one business key: the
@@ -341,9 +346,61 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * the previous manifest and the next run re-finds the same dirty
     * keys; PUT-with-id upserts and DELETEs replay idempotently. */
   def runPatientsIncremental(manifestDir: String,
-      limit: Int = Int.MaxValue): Map[String, Long] = {
-    val cur = patientResources(limit)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      limit: Int = Int.MaxValue): Map[String, Long] =
+    incrementalPass("Patient", patientResources(limit),
+      Some(sitePatientIdSystem), manifestDir)
+
+  /** The full incremental job: every resource type through its own
+    * (key, hash) manifest under `manifestDir/<Type>`. The child
+    * passes differ structurally from the full run: instead of the
+    * subject-scoped snapshot (O(cohort) reads) they use the
+    * KEY-TARGETED snapshot with their site-scoped identifier system
+    * (`.../{diagnosis,medication,lab}/site-record-id/<site>`), so a
+    * K-row delta costs O(K) store reads AND writes. A child row that
+    * vanished from the source — including because its patient left
+    * the cohort — is remembered by the manifest and deletes
+    * explicitly, which converges to the same end state as the Patient
+    * cascade (the two paths are idempotent against each other). */
+  def runIncremental(manifestDir: String,
+      resourceList: Set[String] =
+        Set("patients", "conditions", "medicationrequests", "observations"),
+      limit: Int = Int.MaxValue): Map[(String, String), Long] = {
+    var audit = Map[(String, String), Long]()
+    def add(rt: String, counts: Map[String, Long]): Unit = {
+      Seq("insert", "update", "delete").foreach { a =>
+        audit += (rt, a) -> counts.getOrElse(a, 0L)
+      }
+      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+    }
+    lazy val ids = cohort(limit).select("PatientId", "site_pat_id")
+    def childSystem(kind: String) =
+      s"https://cnics.cirg.washington.edu/$kind/site-record-id/$siteLower"
+    if (resourceList("patients"))
+      add("Patient", incrementalPass("Patient", patientResources(limit),
+        Some(sitePatientIdSystem), s"$manifestDir/Patient"))
+    if (resourceList("conditions"))
+      add("Condition", incrementalPass("Condition", conditionResources(ids),
+        Some(childSystem("diagnosis")), s"$manifestDir/Condition"))
+    if (resourceList("medicationrequests"))
+      add("MedicationRequest", incrementalPass("MedicationRequest",
+        medicationResources(ids), Some(childSystem("medication")),
+        s"$manifestDir/MedicationRequest"))
+    if (resourceList("observations"))
+      add("Observation", incrementalPass("Observation",
+        observationResources(ids), Some(childSystem("lab")),
+        s"$manifestDir/Observation"))
+    audit
+  }
+
+  /** One manifest-diffed reconcile: diff `cur` against the previous
+    * manifest, key-scope the merge and the store read to the dirty
+    * set, and swing the manifest (tmp write + bak swap) only after the
+    * store apply succeeds — a crash mid-apply leaves the previous
+    * manifest and the next run re-finds the same dirty keys
+    * (PUT/DELETE replay idempotently). */
+  private def incrementalPass(resourceType: String, cur0: DataFrame,
+      identifierSystem: Option[String], manifestDir: String): Map[String, Long] = {
+    val cur = cur0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val live = s"$manifestDir/manifest"
       val fsys = new org.apache.hadoop.fs.Path(live)
@@ -351,13 +408,13 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       // heal a swap crashed between its two renames (live gone, bak
       // holds the previous manifest): restore bak rather than letting
       // an empty prev force a full re-sync
-      val bak0 = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.bak")
-      if (!fsys.exists(new org.apache.hadoop.fs.Path(live)) && fsys.exists(bak0)) {
-        fsys.rename(bak0, new org.apache.hadoop.fs.Path(live)); ()
+      val bak = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.bak")
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      if (!fsys.exists(livePath) && fsys.exists(bak)) {
+        fsys.rename(bak, livePath); ()
       }
       val prev =
-        if (fsys.exists(new org.apache.hadoop.fs.Path(live)))
-          spark.read.parquet(live)
+        if (fsys.exists(livePath)) spark.read.parquet(live)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
@@ -366,14 +423,11 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
             org.apache.spark.sql.types.StructField("__h",
               org.apache.spark.sql.types.LongType))))
       val (dirty, manifest) = Merge.manifestDiff(cur, "key", "json", prev)
-      val counts = reconcile("Patient", cur,
-        identifierSystem = Some(sitePatientIdSystem),
-        keyScope = Some(dirty))
+      val counts = reconcile(resourceType, cur,
+        identifierSystem = identifierSystem, keyScope = Some(dirty))
       // apply succeeded -> swing the manifest (write fully, then swap)
       val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.tmp")
-      val bak = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.bak")
       manifest.write.mode("overwrite").parquet(tmp.toString)
-      val livePath = new org.apache.hadoop.fs.Path(live)
       if (fsys.exists(livePath) && !fsys.rename(livePath, bak))
         throw new IllegalStateException(s"manifest bak rename failed: $live")
       if (!fsys.rename(tmp, livePath))
@@ -383,9 +437,8 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     } finally { cur.unpersist(); () }
   }
 
-  def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
-    val src = childSource(in.diagnosis, "DiagnosisName", in.conditionsFilter, ids)
+  private def conditionResources(ids: DataFrame): DataFrame =
+    childSource(in.diagnosis, "DiagnosisName", in.conditionsFilter, ids)
       .withColumn("key", col("DiagnosisId").cast("string"))
       .select(col("key"),
         concat(lit(s"cnics-dx-$siteLower-"), col("key")).as("id"),
@@ -395,12 +448,14 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           col("DiagnosisId").cast("string"), col("DiagnosisDate"),
           col("DiagnosisSource"), col("DiagnosisName"),
           col("DiagnosisName").isin(in.standardDiagnoses: _*))).as("json"))
-    reconcile("Condition", src, Some(cohortSubjects(ids)))
+
+  def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    reconcile("Condition", conditionResources(ids), Some(cohortSubjects(ids)))
   }
 
-  def runMedications(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
-    val src = childSource(in.medication, "MedicationName", in.medicationsFilter, ids)
+  private def medicationResources(ids: DataFrame): DataFrame =
+    childSource(in.medication, "MedicationName", in.medicationsFilter, ids)
       .withColumn("key", col("MedicationId").cast("string"))
       .select(col("key"),
         concat(lit(s"cnics-med-$siteLower-"), col("key")).as("id"),
@@ -409,12 +464,14 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
           col("MedicationId").cast("string"), col("MedicationName"),
           col("StartDate"), col("EndDate"), col("EndType"))).as("json"))
-    reconcile("MedicationRequest", src, Some(cohortSubjects(ids)))
+
+  def runMedications(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    reconcile("MedicationRequest", medicationResources(ids), Some(cohortSubjects(ids)))
   }
 
-  def runObservations(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
-    val src = childSource(in.lab, "TestName", in.observationsFilter, ids)
+  private def observationResources(ids: DataFrame): DataFrame =
+    childSource(in.lab, "TestName", in.observationsFilter, ids)
       .withColumn("key", col("LabId")) // LabId is already a string (§1.4)
       .select(col("key"),
         concat(lit(s"cnics-lab-$siteLower-"), col("key")).as("id"),
@@ -423,7 +480,10 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           concat(lit(s"cnics-$siteLower-"), col("site_pat_id")),
           col("LabId"), col("TestName"), col("TestDate"),
           col("Result"), col("Units"), col("ReferenceLow"), col("ReferenceHigh"))).as("json"))
-    reconcile("Observation", src, Some(cohortSubjects(ids)))
+
+  def runObservations(limit: Int = Int.MaxValue): Map[String, Long] = {
+    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    reconcile("Observation", observationResources(ids), Some(cohortSubjects(ids)))
   }
 
   /** Full job for one site: returns the reference's 12-counter audit

@@ -215,6 +215,75 @@ object CnicsQueries {
              | ('store', 'patient_count', 1)
              |) t(phase, action, n)""".stripMargin)),
 
+    // ── The FULL incremental job (runIncremental): every resource
+    //    type through its own (key, hash) manifest. Phase 1 cold-syncs
+    //    everything; phase 2 re-runs unchanged inputs — ZERO actions
+    //    across all four types (the wire is completely idle in steady
+    //    state); phase 3 drops patient uw-002 from the cohort, removes
+    //    diagnosis dx-1 from the source, and edits lab-1's result:
+    //    exactly 1 patient delete (whose cascade takes dx-3 + lab-3),
+    //    1 explicit child delete (dx-1 — the key-targeted manifest
+    //    path, its patient still alive), and 1 observation update.
+    //    Child reads go through snapshotForKeys with the site-scoped
+    //    child identifier systems, so a K-row delta costs O(K) store
+    //    reads and writes. ──
+    QueryDef(
+      "cnics_incremental_full_audit",
+      "all-type manifest-diff incremental job: cold sync, idle steady state, then targeted 3-way delta",
+      (s, _) => {
+        import s.implicits._
+        val store = new InMemoryFhirStore
+        val mdir = java.nio.file.Files
+          .createTempDirectory("graft_incfull").toString
+        val base = CnicsFixtures.demo(s)
+        val pipe1 = new CnicsPipeline(s, base, store, "uw")
+        val r1 = pipe1.runIncremental(mdir)
+        val r2 = new CnicsPipeline(s, base, store, "uw").runIncremental(mdir)
+        val changed = base.copy(
+          patient = base.patient.filter(col("PatientId") =!= 2L),
+          diagnosis = base.diagnosis
+            .filter(col("DiagnosisId").cast("string") =!= "dx-1"),
+          lab = Seq(
+            (1L, "lab-1", "Hemoglobin A1C", "6.1", None: Option[String],
+              Some(java.sql.Date.valueOf("2020-02-03")), Some("4"), Some("6"),
+              None: Option[String]),
+            (1L, "lab-2", "CD4", "<7.0", Some("cells/uL"),
+              Some(java.sql.Date.valueOf("2020-03-04")), Some("junk"), None,
+              None: Option[String]),
+            (2L, "lab-3", "Rapid HIV", "positive", None: Option[String],
+              None: Option[java.sql.Date], None: Option[String],
+              None: Option[String], None: Option[String])
+          ).toDF("PatientId", "LabId", "TestName", "Result", "Units",
+            "TestDate", "ReferenceLow", "ReferenceHigh", "Historical"))
+        val r3 = new CnicsPipeline(s, changed, store, "uw").runIncremental(mdir)
+        def rows(phase: String, m: Map[(String, String), Long]) =
+          m.toSeq.sortBy { case ((rt, a), _) => (rt, a) }
+            .map { case ((rt, a), n) => (phase, rt, a, n) }
+        val out = rows("inc1", r1) ++ rows("inc2", r2) ++ rows("inc3", r3) ++
+          Seq("Patient", "Condition", "MedicationRequest", "Observation")
+            .map(rt => ("store", rt, "count",
+              store.data.keys.count(_._1 == rt).toLong))
+        out.toDF("phase", "resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('inc1', 'Patient', 'insert', CAST(2 AS BIGINT)), ('inc1', 'Patient', 'update', 0), ('inc1', 'Patient', 'delete', 0),
+             | ('inc1', 'Condition', 'insert', 2), ('inc1', 'Condition', 'update', 0), ('inc1', 'Condition', 'delete', 0),
+             | ('inc1', 'MedicationRequest', 'insert', 1), ('inc1', 'MedicationRequest', 'update', 0), ('inc1', 'MedicationRequest', 'delete', 0),
+             | ('inc1', 'Observation', 'insert', 3), ('inc1', 'Observation', 'update', 0), ('inc1', 'Observation', 'delete', 0),
+             | ('inc2', 'Patient', 'insert', 0), ('inc2', 'Patient', 'update', 0), ('inc2', 'Patient', 'delete', 0),
+             | ('inc2', 'Condition', 'insert', 0), ('inc2', 'Condition', 'update', 0), ('inc2', 'Condition', 'delete', 0),
+             | ('inc2', 'MedicationRequest', 'insert', 0), ('inc2', 'MedicationRequest', 'update', 0), ('inc2', 'MedicationRequest', 'delete', 0),
+             | ('inc2', 'Observation', 'insert', 0), ('inc2', 'Observation', 'update', 0), ('inc2', 'Observation', 'delete', 0),
+             | ('inc3', 'Patient', 'insert', 0), ('inc3', 'Patient', 'update', 0), ('inc3', 'Patient', 'delete', 1),
+             | ('inc3', 'Condition', 'insert', 0), ('inc3', 'Condition', 'update', 0), ('inc3', 'Condition', 'delete', 1),
+             | ('inc3', 'MedicationRequest', 'insert', 0), ('inc3', 'MedicationRequest', 'update', 0), ('inc3', 'MedicationRequest', 'delete', 0),
+             | ('inc3', 'Observation', 'insert', 0), ('inc3', 'Observation', 'update', 1), ('inc3', 'Observation', 'delete', 0),
+             | ('store', 'Patient', 'count', 1),
+             | ('store', 'Condition', 'count', 0),
+             | ('store', 'MedicationRequest', 'count', 1),
+             | ('store', 'Observation', 'count', 2)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── The FULL-JOB streaming sync (CnicsStreams.sync +
     //    runForKeys): every resource type per micro-batch — patients
     //    key-scoped, children through the scoped cohort's

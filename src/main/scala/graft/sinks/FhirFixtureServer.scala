@@ -136,18 +136,31 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
         .collect { case Array(k, v) =>
           k -> java.net.URLDecoder.decode(v, "UTF-8") }
         .toMap
-      // system part of a `identifier=<system>|[value]` token search
-      val idSystem = params.get("identifier").map(_.split("\\|")(0))
+      // FHIR token search on `identifier`: comma-separated OR of
+      // tokens, each `system|value` (exact), `system|` (any value
+      // under the system), or `value` (any system). A resource
+      // matches if ANY token matches ANY of its identifiers.
+      val idTokens: Option[Seq[(Option[String], Option[String])]] =
+        params.get("identifier").map(_.split(",").toSeq.map { tok =>
+          if (tok.contains("|")) {
+            val Array(sys, v @ _*) = tok.split("\\|", 2): @unchecked
+            (Some(sys), v.headOption.filter(_.nonEmpty))
+          } else (None, Some(tok))
+        })
       val subject = params.get("subject")
       val prefix = path + "/"
       val matches = scala.collection.mutable.ArrayBuffer[(String, ObjectNode)]()
       data.forEach { (p, b) =>
         if (p.startsWith(prefix)) {
           val node = mapper.readTree(b).asInstanceOf[ObjectNode]
-          val sysOk = idSystem.forall { sys =>
+          val sysOk = idTokens.forall { toks =>
             var found = false
-            node.path("identifier").forEach(i =>
-              if (i.path("system").asText("") == sys) found = true)
+            node.path("identifier").forEach { i =>
+              val isys = i.path("system").asText("")
+              val ival = i.path("value").asText("")
+              if (toks.exists { case (ts, tv) =>
+                ts.forall(_ == isys) && tv.forall(_ == ival) }) found = true
+            }
             found
           }
           val subjOk = subject.forall(

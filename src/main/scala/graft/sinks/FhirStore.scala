@@ -36,6 +36,21 @@ trait FhirStore {
   def snapshotForSubjects(spark: SparkSession, resourceType: String,
       subjectIds: DataFrame): DataFrame
 
+  /** Key-targeted snapshot: only the given business keys are looked
+    * up — the read half of an incremental sync, where a dirty set of
+    * K keys must cost O(K) on the wire, not O(store). `keys` is a
+    * one-column frame of identifier values; `identifierSystem`
+    * qualifies them (FHIR token `system|value`), which a shared
+    * multi-site store REQUIRES — raw values collide across sites.
+    * Default: the scoped full snapshot semi-joined to the keys (right
+    * for scan-based stores, where the scan IS the fan-out); the HTTP
+    * store overrides with batched token-OR searches. */
+  def snapshotForKeys(spark: SparkSession, resourceType: String,
+      keys: DataFrame, identifierSystem: Option[String] = None): DataFrame =
+    snapshot(spark, resourceType, identifierSystem)
+      .join(keys.select(col(keys.columns.head).cast("string").as("key")),
+        Seq("key"), "left_semi")
+
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long]
 }
 
@@ -416,6 +431,50 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
         sids.flatMap { sid =>
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           var u = s"$url/$resourceType?subject=Patient/$sid&_count=1000&_format=json"
+          while (u != null) {
+            val r = send(c, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val root = mapper.readTree(r.body())
+            root.path("entry").forEach { e =>
+              val res = e.path("resource")
+              val key = res.path("identifier").path(0).path("value").asText(null)
+              val id = res.path("id").asText(null)
+              if (key != null && id != null) out += ((key, id))
+            }
+            u = null
+            root.path("link").forEach { l =>
+              if (l.path("relation").asText() == "next") u = l.path("url").asText()
+            }
+          }
+          out
+        }
+      }.toDF("key", "id")
+  }
+
+  /** Key-targeted snapshot over the wire: the dirty keys fan out
+    * across executors and each partition looks its shard up with
+    * system-qualified token-OR searches
+    * (`?identifier=sys|a,sys|b,...`, `idBatch` tokens per request,
+    * link-next paging per request) — the incremental-sync read path,
+    * O(dirty) HTTP cost instead of a full scoped-store page walk.
+    * System qualification is mandatory on shared stores: raw values
+    * collide across sites (two sites both have a patient "001"). */
+  override def snapshotForKeys(spark: SparkSession, resourceType: String,
+      keys: DataFrame, identifierSystem: Option[String] = None): DataFrame = {
+    val url = baseUrl
+    val batchN = math.max(1, idBatch)
+    val sysPrefix = identifierSystem.map(_ + "|").getOrElse("")
+    import spark.implicits._
+    val keyCol = keys.columns.head
+    keys.select(col(keyCol).cast("string")).distinct().as[String]
+      .mapPartitions { ks =>
+        val c = HttpClient.newHttpClient()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        ks.grouped(batchN).flatMap { batch =>
+          val tokens = batch
+            .map(v => java.net.URLEncoder.encode(sysPrefix + v, "UTF-8"))
+            .mkString(",")
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          var u = s"$url/$resourceType?identifier=$tokens&_count=1000&_format=json"
           while (u != null) {
             val r = send(c, HttpRequest.newBuilder(URI.create(u)).GET().build())
             val root = mapper.readTree(r.body())

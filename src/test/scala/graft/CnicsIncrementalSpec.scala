@@ -56,6 +56,19 @@ class CnicsIncrementalSpec extends AnyFunSuite {
     assert(store.data.toMap === before) // not even a no-op re-PUT
   }
 
+  test("all-type incremental end state equals a from-scratch full run, bodies included") {
+    val dir = mdir()
+    val incStore = new InMemoryFhirStore
+    new CnicsPipeline(spark, CnicsFixtures.demo(spark), incStore, "uw")
+      .runIncremental(dir)
+    new CnicsPipeline(spark, changedInputs, incStore, "uw")
+      .runIncremental(dir)
+
+    val fullStore = new InMemoryFhirStore
+    new CnicsPipeline(spark, changedInputs, fullStore, "uw").run()
+    assert(incStore.data.toMap === fullStore.data.toMap) // every type, every body
+  }
+
   test("streaming key-sync end state equals the batch full run, bodies included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -29,6 +29,32 @@ class SourceSinkQueriesSpec extends AnyFunSuite {
     assert(back === Set(("uw", "p-1"), ("uw", "o'brien"), ("sea", "a")))
   }
 
+  test("snapshotForKeys over HTTP: system-qualified token-OR fetches exactly the asked keys") {
+    val srv = new graft.sinks.FhirFixtureServer()
+    val port = srv.start()
+    try {
+      import spark.implicits._
+      val store = new graft.sinks.HttpFhirStore(
+        s"http://localhost:$port", maxRetries = 2, idBatch = 2)
+      // two sites sharing VALUE "p1" — the system qualifier must keep
+      // them apart
+      val seed = Seq(
+        ("p1", "uw-1", """{"identifier":[{"system":"s-uw","value":"p1"}]}""", "insert"),
+        ("p2", "uw-2", """{"identifier":[{"system":"s-uw","value":"p2"}]}""", "insert"),
+        ("p3", "uw-3", """{"identifier":[{"system":"s-uw","value":"p3"}]}""", "insert"),
+        ("p1", "sea-1", """{"identifier":[{"system":"s-sea","value":"p1"}]}""", "insert")
+      ).toDF("key", "id", "json", "merge_action")
+      // all four under Patient: keys collide across sites, ids do not
+      store.applyActions("Patient", seed)
+
+      val got = store.snapshotForKeys(spark, "Patient",
+          Seq("p1", "p3", "absent").toDF("key"), Some("s-uw"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // p1 resolves to the uw resource (not sea's), absent key is absent
+      assert(got === Map("p1" -> "uw-1", "p3" -> "uw-3"))
+    } finally srv.stop()
+  }
+
   test("fixture server: Patient DELETE with _cascade=delete removes subject children") {
     val srv = new graft.sinks.FhirFixtureServer()
     val port = srv.start()
