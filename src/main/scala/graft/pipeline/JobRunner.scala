@@ -48,4 +48,26 @@ object JobRunner {
       val resources = if (job.resources.isEmpty) DefaultResources else job.resources
       JobResult(site, job.dbName, pipeline.run(resources, limit))
     }
+
+  /** Incremental twin of [[run]]: each (job, site) syncs through
+    * [[CnicsPipeline.runIncremental]], so a nightly re-run whose
+    * sources barely changed touches the store for just the delta —
+    * per-type (key, hash) manifests live under
+    * `manifestDirFor(site, dbName)`, one root per (site, db) exactly
+    * like the stores and sources are wired. */
+  def runIncremental(spark: SparkSession, jobConfigText: String,
+      inputsFor: (String, String) => CnicsInputs,
+      storeFor: (String, String) => FhirStore,
+      manifestDirFor: (String, String) => String,
+      limit: Int = Int.MaxValue): Seq[JobResult] =
+    for {
+      job <- jobs(jobConfigText)
+      site <- job.sites
+    } yield {
+      val pipeline = new CnicsPipeline(spark, inputsFor(site, job.dbName),
+        storeFor(site, job.dbName), site)
+      val resources = if (job.resources.isEmpty) DefaultResources else job.resources
+      JobResult(site, job.dbName,
+        pipeline.runIncremental(manifestDirFor(site, job.dbName), resources, limit))
+    }
 }

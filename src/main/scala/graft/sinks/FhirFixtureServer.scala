@@ -31,6 +31,7 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
 
   val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val gets = new java.util.concurrent.atomic.AtomicInteger(0)
   val rejectedPosts = new java.util.concurrent.atomic.AtomicInteger(0)
   private val firstRejected = new java.util.concurrent.atomic.AtomicBoolean(false)
   private var server: HttpServer = _
@@ -130,6 +131,7 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
     }
 
     private def handleGet(ex: HttpExchange): Unit = {
+      gets.incrementAndGet()
       val path = ex.getRequestURI.getPath // "/Patient"
       val params = Option(ex.getRequestURI.getRawQuery).toSeq
         .flatMap(_.split("&")).map(_.split("=", 2))

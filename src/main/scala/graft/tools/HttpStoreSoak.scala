@@ -89,10 +89,26 @@ object HttpStoreSoak {
       val resnap = store.snapshot(spark, "Patient").count()
       require(resnap == survivors, s"re-snapshot: $resnap vs $survivors")
 
+      // incremental read path: 500 targeted keys out of 37,500 survivors
+      // through snapshotForKeys — the wire cost must be the token-OR
+      // batch count (ceil(500/100) = 5 searches), not a store walk.
+      // one partition so the batch count has a closed form (in prod the
+      // partitions ARE the fan-out; per-partition batching still holds)
+      val dirty = spark.range(0, 500)
+        .select(concat(lit("p"), col("id") * 100 + 1).as("key"))
+        .coalesce(1)
+      val gets0 = srv.gets.get()
+      val (targeted, tKeys) = timed(
+        store.snapshotForKeys(spark, "Patient", dirty, Some("s-sea")).count())
+      val keyGets = srv.gets.get() - gets0
+      require(targeted == 500, s"targeted snapshot: $targeted")
+      require(keyGets == 5, s"expected 5 token-OR searches, got $keyGets")
+
       def f(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       println(s"""{"soak":"http_store","patients":$n,"seed_posts":$postsSeed,""" +
         s""""seed_s":${f(tSeed)},"snapshot_s":${f(tSnap)},""" +
         s""""scoped_snapshot_s":${f(tScoped)},"delete_delta_s":${f(tDelta)},""" +
+        s""""keyed_snapshot_s":${f(tKeys)},"keyed_searches":$keyGets,""" +
         s""""snapshot_partitions":${snap._1},"survivors":$survivors}""")
     } finally {
       srv.stop()

@@ -114,6 +114,24 @@ class CnicsIncrementalSpec extends AnyFunSuite {
     assert(obsKeys === Set("lab-1", "lab-2"))
   }
 
+  test("JobRunner.runIncremental: two-site shared store, second pass is all-zero") {
+    val store = new InMemoryFhirStore
+    val roots = scala.collection.mutable.Map[String, String]()
+    def manifestFor(site: String, db: String) =
+      roots.getOrElseUpdate(s"$site/$db", mdir())
+    val cfg = "[JobList]\nJob_1 = \"uw,sea:cnics:\"\n"
+    def once() = graft.pipeline.JobRunner.runIncremental(spark, cfg,
+      (_, _) => CnicsFixtures.demo(spark), (_, _) => store, manifestFor)
+    val first = once()
+    assert(first.map(_.site) === Seq("uw", "sea"))
+    assert(first.find(_.site == "uw").get.audit(("Patient", "insert")) === 2L)
+    assert(first.find(_.site == "sea").get.audit(("Patient", "insert")) === 1L)
+    // neither site deleted the other's patients (site-scoped snapshots)
+    assert(store.data.keys.count(_._1 == "Patient") === 3)
+    val second = once()
+    assert(second.flatMap(_.audit.values).sum === 0L)
+  }
+
   test("a swap crashed between renames heals from the bak manifest") {
     val dir = mdir()
     val store = new InMemoryFhirStore
