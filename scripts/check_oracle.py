@@ -30,6 +30,12 @@ import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
 
+KNOWN_FLAGS = {"--strict-types"}
+flags = [a for a in sys.argv[1:] if a.startswith("--")]
+unknown = [f for f in flags if f not in KNOWN_FLAGS]
+if unknown:
+    # a typo'd flag must not silently degrade the gate to non-strict
+    sys.exit(f"unknown flag(s): {', '.join(unknown)} (known: {', '.join(sorted(KNOWN_FLAGS))})")
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 strict = "--strict-types" in sys.argv
 sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"

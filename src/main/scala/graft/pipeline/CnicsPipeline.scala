@@ -135,13 +135,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * row, umrn only by rows whose umrn is present — so a later
     * duplicate with a NULL umrn keeps the earlier umrn. One map-side
     * combinable aggregation (max_by ignores null ordering keys). */
-  def crosswalkLastWins: DataFrame =
-    in.crosswalk
-      .groupBy(col("SitePatientId").as("site_pat_id"))
-      .agg(
-        max_by(col("hmrn"), col("__order")).as("hmrn"),
-        max_by(col("umrn"), when(col("umrn").isNotNull, col("__order"))).as("umrn"))
-      .withColumn("in_crosswalk", lit(true))
+  def crosswalkLastWins: DataFrame = CnicsPipeline.crosswalkLastWins(in.crosswalk)
 
   /** Assembled patient resources: (PatientId, key, id, json). */
   def patientResources(limit: Int = Int.MaxValue): DataFrame = {
@@ -174,7 +168,16 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
   private def reconcile(resourceType: String, source0: DataFrame,
       subjects: Option[DataFrame] = None,
       identifierSystem: Option[String] = None,
-      keyScope: Option[DataFrame] = None): Map[String, Long] = {
+      keyScope: Option[DataFrame] = None): Map[String, Long] =
+    reconcileDetail(resourceType, source0, subjects, identifierSystem, keyScope)._1
+
+  /** [[reconcile]] plus the E5 dup-key values (error-channel-sized;
+    * the incremental pass must keep those keys OUT of its manifest or
+    * the error would be masked forever — see incrementalPass). */
+  private def reconcileDetail(resourceType: String, source0: DataFrame,
+      subjects: Option[DataFrame] = None,
+      identifierSystem: Option[String] = None,
+      keyScope: Option[DataFrame] = None): (Map[String, Long], Seq[String]) = {
     // Incremental mode: both sides of the merge are key-scoped to the
     // dirty set, so unchanged keys are invisible to the classify —
     // neither writable nor deletable. Semi joins keep the scope frame
@@ -187,14 +190,13 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     // With a keyScope (and no subject scope) the store read itself is
     // key-targeted — snapshotForKeys costs O(dirty) on an HTTP wire
     // instead of a full scoped page walk.
-    val snapAll = ((subjects, keyScope) match {
-      case (Some(s), None) => store.snapshotForSubjects(spark, resourceType, s)
-      case (None, Some(ks)) =>
-        store.snapshotForKeys(spark, resourceType, ks, identifierSystem)
-      case (Some(s), Some(ks)) =>
-        store.snapshotForSubjects(spark, resourceType, s)
-          .join(ks, Seq("key"), "left_semi")
-      case (None, None) => store.snapshot(spark, resourceType, identifierSystem)
+    val snapAll = (subjects match {
+      case Some(subj) =>
+        val snap = store.snapshotForSubjects(spark, resourceType, subj)
+        keyScope.map(ks => snap.join(ks, Seq("key"), "left_semi")).getOrElse(snap)
+      case None => keyScope
+        .map(ks => store.snapshotForKeys(spark, resourceType, ks, identifierSystem))
+        .getOrElse(store.snapshot(spark, resourceType, identifierSystem))
     }).filter(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -204,7 +206,11 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       // entirely (no write, no delete) and surface an `error` counter.
       val dupKeys = snapAll.groupBy("key").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).select("key")
-      val nDup = dupKeys.count()
+      // error-channel-sized by construction (only keys the store holds
+      // twice); collected once so the incremental manifest can exclude
+      // them and callers can count them without a second job
+      val dupKeyValues = dupKeys.collect().map(_.getString(0)).toSeq
+      val nDup = dupKeyValues.size.toLong
       val (snap, src) =
         if (nDup == 0) (snapAll, source)
         else (snapAll.join(broadcast(dupKeys), Seq("key"), "left_anti"),
@@ -227,7 +233,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       }
       val counts = store.applyActions(resourceType,
         actions.select("key", "id", "json", "merge_action"))
-      if (nDup > 0) counts + ("error" -> nDup) else counts
+      (if (nDup > 0) counts + ("error" -> nDup) else counts, dupKeyValues)
     } finally { snapAll.unpersist(); () }
   }
 
@@ -270,6 +276,17 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       keyScope = Some(ks.select(col("site_pat_id").as("key"))))
   }
 
+  /** Zero-filled audit accumulation shared by run/runForKeys/
+    * runIncremental (insert/update/delete always present; the E5
+    * error channel only when duplicates were routed out). */
+  private def addCounts(audit: Map[(String, String), Long], rt: String,
+      counts: Map[String, Long]): Map[(String, String), Long] = {
+    val base = Seq("insert", "update", "delete").foldLeft(audit) { (m, a) =>
+      m + ((rt, a) -> counts.getOrElse(a, 0L))
+    }
+    counts.get("error").fold(base)(n => base + ((rt, "error") -> n))
+  }
+
   /** The full targeted job for a dirty-key set — every resource type,
     * not just Patient. Children ride the scoped pipeline's OWN
     * subject-scoped reconcile ([[reconcile]] `subjects`): the child
@@ -287,10 +304,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     val scoped = scopedTo(ks)
     var audit = Map[(String, String), Long]()
     def add(rt: String, counts: Map[String, Long]): Unit = {
-      Seq("insert", "update", "delete").foreach { a =>
-        audit += (rt, a) -> counts.getOrElse(a, 0L)
-      }
-      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+      audit = addCounts(audit, rt, counts)
     }
     if (resourceList("patients"))
       add("Patient", scoped.reconcile("Patient", scoped.patientResources(),
@@ -360,17 +374,20 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * vanished from the source — including because its patient left
     * the cohort — is remembered by the manifest and deletes
     * explicitly, which converges to the same end state as the Patient
-    * cascade (the two paths are idempotent against each other). */
+    * cascade (the two paths are idempotent against each other).
+    *
+    * Blind spot by design: clean keys are never read, so store-side
+    * corruption of an UNCHANGED key (another writer, a restored
+    * backup) stays invisible until that key next changes. Run the
+    * full job periodically as an integrity sweep — the incremental
+    * mode replaces the nightly re-PUT, not the audit. */
   def runIncremental(manifestDir: String,
       resourceList: Set[String] =
         Set("patients", "conditions", "medicationrequests", "observations"),
       limit: Int = Int.MaxValue): Map[(String, String), Long] = {
     var audit = Map[(String, String), Long]()
     def add(rt: String, counts: Map[String, Long]): Unit = {
-      Seq("insert", "update", "delete").foreach { a =>
-        audit += (rt, a) -> counts.getOrElse(a, 0L)
-      }
-      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+      audit = addCounts(audit, rt, counts)
     }
     lazy val ids = cohort(limit).select("PatientId", "site_pat_id")
     def childSystem(kind: String) =
@@ -422,9 +439,17 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("__h",
               org.apache.spark.sql.types.LongType))))
-      val (dirty, manifest) = Merge.manifestDiff(cur, "key", "json", prev)
-      val counts = reconcile(resourceType, cur,
+      val (dirty, manifest0) = Merge.manifestDiff(cur, "key", "json", prev)
+      val (counts, dupKeys) = reconcileDetail(resourceType, cur,
         identifierSystem = identifierSystem, keyScope = Some(dirty))
+      // E5 dup keys were routed OUT of the merge unapplied: advancing
+      // their manifest hash would mask the error forever (the key would
+      // read clean next run while the store keeps the duplicate data).
+      // Keep them out of the manifest so they stay dirty and the error
+      // re-surfaces every run until fixed — same steady-state behavior
+      // as the full PUT-always run.
+      val manifest = if (dupKeys.isEmpty) manifest0
+        else manifest0.filter(!col("key").isin(dupKeys: _*))
       // apply succeeded -> swing the manifest (write fully, then swap)
       val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir/.manifest.tmp")
       manifest.write.mode("overwrite").parquet(tmp.toString)
@@ -493,11 +518,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
       limit: Int = Int.MaxValue): Map[(String, String), Long] = {
     var audit = Map[(String, String), Long]()
     def add(rt: String, counts: Map[String, Long]): Unit = {
-      Seq("insert", "update", "delete").foreach { a =>
-        audit += (rt, a) -> counts.getOrElse(a, 0L)
-      }
-      // E5 abort channel — only present when duplicates were routed out
-      counts.get("error").foreach(n => audit += (rt, "error") -> n)
+      audit = addCounts(audit, rt, counts)
     }
     if (resourceList("patients")) add("Patient", runPatients(limit))
     if (resourceList("conditions")) add("Condition", runConditions(limit))
@@ -505,4 +526,21 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     if (resourceList("observations")) add("Observation", runObservations(limit))
     audit
   }
+}
+
+object CnicsPipeline {
+  /** A6 — the per-field last-wins crosswalk merge on SitePatientId
+    * (cnics_to_fhir.py:296-304): hmrn is overwritten by every
+    * duplicate row, umrn only by rows whose umrn is present — so a
+    * later duplicate with a NULL umrn keeps the earlier umrn. One
+    * map-side combinable aggregation (max_by ignores null ordering
+    * keys). Static so the driver-visible `a6_crosswalk_lastwins` row
+    * gates THIS code, not a copy. */
+  def crosswalkLastWins(crosswalk: DataFrame): DataFrame =
+    crosswalk
+      .groupBy(col("SitePatientId").as("site_pat_id"))
+      .agg(
+        max_by(col("hmrn"), col("__order")).as("hmrn"),
+        max_by(col("umrn"), when(col("umrn").isNotNull, col("__order"))).as("umrn"))
+      .withColumn("in_crosswalk", lit(true))
 }

@@ -98,12 +98,8 @@ object SourceSinkQueries {
         val f = tmp.resolve("xwalk.csv")
         java.nio.file.Files.writeString(f,
           "hmrn,umrn,SitePatientId\nH1,U1,p1\nNULL,U2,p2\nH3,NULL,p1\nH9,U9,NULL\n")
-        CnicsCsv.loadCrosswalk(s, f.toString)
-          .groupBy(col("SitePatientId").as("site_pat_id"))
-          .agg(
-            max_by(col("hmrn"), col("__order")).as("hmrn"),
-            max_by(col("umrn"), when(col("umrn").isNotNull, col("__order")))
-              .as("umrn"))
+        CnicsPipeline.crosswalkLastWins(CnicsCsv.loadCrosswalk(s, f.toString))
+          .select("site_pat_id", "hmrn", "umrn") // the production merge itself
       },
       // p1: hmrn last-wins -> H3; the later NULL umrn keeps U1.
       // p2: literal-'NULL' hmrn emitted verbatim. The SitePatientId

@@ -100,24 +100,28 @@ class InMemoryFhirStore extends FhirStore with Serializable {
 
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long] = {
     val rows = actions.select("key", "id", "json", "merge_action").collect()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     rows.foreach { r =>
       val (key, id, json, act) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       act match {
-        case "delete" =>
-          data.remove((resourceType, key))
-          // HAPI cascade parity: the HTTP sink sends `?_cascade=delete`
-          // on Patient deletes (cnics_to_fhir.py:333), so the double
-          // removes the patient's children too — all three store
-          // implementations agree on the end state.
-          if (resourceType == "Patient") {
-            val ref = s"Patient/$id"
-            val doomed = data.collect { case (k, (_, j))
-                if mapper.readTree(j).path("subject").path("reference")
-                  .asText("") == ref => k }.toSeq
-            doomed.foreach(data.remove)
-          }
+        case "delete" => data.remove((resourceType, key)); ()
         case _ => data((resourceType, key)) = (id, json)
+      }
+    }
+    // HAPI cascade parity: the HTTP sink sends `?_cascade=delete` on
+    // Patient deletes (cnics_to_fhir.py:333), so the double removes the
+    // deleted patients' children too — all three store implementations
+    // agree on the end state. One scan for the whole delete batch, not
+    // one per deleted row.
+    if (resourceType == "Patient") {
+      val deletedRefs = rows.collect {
+        case r if r.getString(3) == "delete" => s"Patient/${r.getString(1)}"
+      }.toSet
+      if (deletedRefs.nonEmpty) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val doomed = data.collect { case (k, (_, j))
+            if deletedRefs.contains(mapper.readTree(j).path("subject")
+              .path("reference").asText("")) => k }.toSeq
+        doomed.foreach(data.remove)
       }
     }
     rows.groupBy(_.getString(3)).map { case (k, v) => k -> v.length.toLong }

@@ -24,8 +24,9 @@ object CnicsStreams {
     * audit counters (test/ops hook; the store itself is the output). */
   def patientSync(keyStream: DataFrame, inputs: => CnicsInputs,
       store: FhirStore, site: String,
-      onBatch: (Long, Map[String, Long]) => Unit = (_, _) => ()): StreamingQuery =
-    keyStream.writeStream
+      onBatch: (Long, Map[String, Long]) => Unit = (_, _) => (),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = keyStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val keys = batch.toDF()
@@ -35,7 +36,12 @@ object CnicsStreams {
           onBatch(id, audit)
         }
       }
-      .start()
+    // a STANDING sync must survive a driver restart without replaying
+    // or skipping CDC offsets — production callers pass a durable
+    // checkpoint dir; tests with MemoryStream may omit it
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 
   /** The full-job standing sync: every resource type per micro-batch
     * (the streaming twin of [[CnicsPipeline.runForKeys]] — patients
@@ -45,9 +51,9 @@ object CnicsStreams {
       store: FhirStore, site: String,
       resourceList: Set[String] =
         Set("patients", "conditions", "medicationrequests", "observations"),
-      onBatch: (Long, Map[(String, String), Long]) => Unit = (_, _) => ())
-      : StreamingQuery =
-    keyStream.writeStream
+      onBatch: (Long, Map[(String, String), Long]) => Unit = (_, _) => (),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = keyStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val keys = batch.toDF()
@@ -57,5 +63,7 @@ object CnicsStreams {
           onBatch(id, audit)
         }
       }
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

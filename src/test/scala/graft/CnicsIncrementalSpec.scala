@@ -114,6 +114,46 @@ class CnicsIncrementalSpec extends AnyFunSuite {
     assert(obsKeys === Set("lab-1", "lab-2"))
   }
 
+  test("E5 dup keys stay dirty: the manifest must not advance an errored key") {
+    // a store whose Patient snapshot duplicates uw-001 (the E5 shape:
+    // two store resources sharing one business key)
+    val store = new InMemoryFhirStore {
+      override def snapshot(spark: org.apache.spark.sql.SparkSession,
+          resourceType: String,
+          identifierSystem: Option[String] = None): org.apache.spark.sql.DataFrame = {
+        val s = super.snapshot(spark, resourceType, identifierSystem)
+        if (resourceType == "Patient")
+          s.union(s.filter(col("key") === "uw-001"))
+        else s
+      }
+    }
+    val dir = mdir()
+    val base = CnicsFixtures.demo(spark)
+    val r1 = new CnicsPipeline(spark, base, store, "uw")
+      .runPatientsIncremental(dir) // empty store: clean insert run
+    assert(r1.get("error").isEmpty && r1("insert") === 2L)
+
+    // uw-001's content changes -> dirty -> the dup'd snapshot aborts it
+    import spark.implicits._
+    val changed = base.copy(demographic = Seq(
+      (10L, 1L, Some("Male"), Some("Asian"), Some("Yes")),
+      (11L, 1L, Some("Male"), Some("White"), Some("No")),
+      (12L, 2L, None: Option[String], None: Option[String], None: Option[String]),
+      (13L, 3L, Some("Male"), Some("Black"), Some("No"))
+    ).toDF("DemographicId", "PatientId", "Sex", "Race", "Hispanic"))
+    val r2 = new CnicsPipeline(spark, changed, store, "uw")
+      .runPatientsIncremental(dir)
+    assert(r2("error") === 1L && r2.getOrElse("update", 0L) === 0L)
+
+    // SAME inputs again: the errored key must still be dirty — a
+    // manifest that advanced its hash would report 0 and mask the
+    // store corruption forever
+    val r3 = new CnicsPipeline(spark, changed, store, "uw")
+      .runPatientsIncremental(dir)
+    assert(r3.get("error").contains(1L),
+      s"errored key was masked by the manifest: $r3")
+  }
+
   test("JobRunner.runIncremental: two-site shared store, second pass is all-zero") {
     val store = new InMemoryFhirStore
     val roots = scala.collection.mutable.Map[String, String]()
