@@ -27,6 +27,20 @@ object Checkpoints {
     if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Lineage cut for a frame whose caller runs a convergence probe
+    * (count / checksum) on it IMMEDIATELY: a LAZY local checkpoint
+    * lets that probe's scan materialize the blocks, merging the
+    * per-round "materialize checkpoint" job and the probe job into
+    * ONE — the iterative loops' 2-jobs-per-round → 1. Local mode
+    * only: a lazy RELIABLE checkpoint would recompute the plan a
+    * second time when the checkpoint file is written (the classic
+    * rdd.checkpoint-without-persist double-compute), so reliable mode
+    * stays eager and keeps the probe separate. Callers MUST run an
+    * action on the result before building the next round on it. */
+  def truncateForProbe(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) df.checkpoint(true)
+    else df.localCheckpoint(false)
+
   /** `.truncated` — drop-in for the eager `.localCheckpoint(true)`
     * idiom at every iterative round boundary. */
   implicit class TruncateOps(private val df: DataFrame) extends AnyVal {

@@ -100,11 +100,12 @@ object Components {
       // pointer jumping: also take the label OF the label, so reach
       // doubles per round (O(log diameter) rounds on a path instead of
       // O(diameter) — the hash-to-min style shortcut)
-      val next = hop
+      // lazy cut + probe: labelSum's scan materializes the checkpoint
+      // blocks, so each round is ONE job instead of checkpoint+probe
+      val next = Checkpoints.truncateForProbe(hop
         .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), col("jump")).as("comp"))
-        .truncated // truncate lineage: see scaladoc
+        .select(col("id"), least(col("comp"), col("jump")).as("comp")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == checksum
@@ -431,7 +432,8 @@ object Components {
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
-      val next = kCoreRound(both, k).truncated
+      // lazy cut + probe: ONE job per peel round (see truncateForProbe)
+      val next = Checkpoints.truncateForProbe(kCoreRound(both, k))
       val n = next.count()
       converged = n == nEdges
       both = next
