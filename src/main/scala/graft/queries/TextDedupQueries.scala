@@ -1538,6 +1538,54 @@ object TextDedupQueries {
               |  JOIN sp b ON b.doc_id = sel.id_b
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Leakage-free split PRODUCER — the fix that the contamination
+    //    matrix above motivates: whole near-dup clusters assigned
+    //    ATOMICALLY to train/val/test by running the seeded hash draw
+    //    on the cluster REPRESENTATIVE (the component min-label;
+    //    singletons draw on their own id, so the un-clustered corpus
+    //    keeps split_train_val_test's exact assignment). Cross-split
+    //    near-dup pairs are impossible by construction — both pair
+    //    sides share a representative, hence a draw, hence a split
+    //    (property-tested in TextDedupSplitSpec). Scale shape: CC over
+    //    the index-bounded pair list (never the corpus), one left join
+    //    of the corpus against the cluster map (which is pair-sized,
+    //    broadcastable in practice), and the same overflow-safe
+    //    mod-before-multiply hash as split_train_val_test. ──
+    QueryDef(
+      "split_by_cluster",
+      "leakage-free 80/10/10 split: whole near-dup clusters share one hash draw via their representative",
+      (s, d) => {
+        val comp = graft.operators.Components
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
+          .select(col("id").as("doc_id"), col("component"))
+        t(s, d, "documents").select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"))
+          .withColumn("__h",
+            (((col("rep") % 2147483647L + 2147483647L) % 2147483647L)
+              * 2654435761L + 97L) % 100L)
+          .select(col("doc_id"), col("rep"),
+            when(col("__h") < 80, "train")
+              .when(col("__h") < 90, "val").otherwise("test").as("split"))
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst),
+              |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+              |SELECT doc_id, rep,
+              |  CASE WHEN (((rep % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 80 THEN 'train'
+              |       WHEN (((rep % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM rep""".stripMargin)),
+
     // ── Near-dup benchmark decontamination: the fuzzy twin of
     //    `decontam_keep` (which removes exact matches). Every VERIFIED
     //    near-dup pair (shared memoized band index, exact-Jaccard

@@ -1205,4 +1205,34 @@ class ExtensionSpec extends AnyFunSuite {
       assert(nSliding === 2 * nTumbling)
     } finally q.stop()
   }
+
+  test("split_by_cluster: zero cross-split near-dup pairs; singletons keep the doc-level split") {
+    val d = "/root/testdata/sf0.001"
+    val split = graft.SparkEntry.queries("split_by_cluster")(spark, d)
+      .localCheckpoint(true)
+    // the leakage-free property: both sides of every verified near-dup
+    // pair land in the same split (impossible for the doc-level draw —
+    // split_leakage_check exists because it leaks)
+    val pairs = graft.SparkEntry.queries("dedup_neardup_pipeline")(spark, d)
+      .select("id_a", "id_b")
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked === 0L)
+    assert(pairs.count() > 0L) // the property is non-vacuous at sf0.001
+    // clustered docs exist AND some singleton would have drawn a
+    // DIFFERENT split under its own id — proof the rep-draw is load-bearing
+    val moved = split.filter(col("rep") =!= col("doc_id")).count()
+    assert(moved > 0L)
+    // singletons (rep == doc_id) must match split_train_val_test exactly
+    val docLevel = graft.SparkEntry.queries("split_train_val_test")(spark, d)
+    val mismatch = split.filter(col("rep") === col("doc_id"))
+      .join(docLevel.withColumnRenamed("split", "doc_split"), "doc_id")
+      .filter(col("split") =!= col("doc_split")).count()
+    assert(mismatch === 0L)
+    // full corpus covered, one row per doc
+    val docs = graft.sources.Tables(spark, d, "documents").select("doc_id")
+    assert(split.count() === docs.count())
+  }
 }
