@@ -1336,6 +1336,58 @@ object TextDedupQueries {
               |  round(round(q::DOUBLE / qtot::DOUBLE, 8) / share, 6) AS epochs
               |FROM sh, qt""".stripMargin)),
 
+    // ── Token-budget execution plan: the mixture weights turned into
+    //    the concrete recipe a data loader executes. For a 1e9-token
+    //    budget, language l owes target_l = weight_ppm_l · 1000 tokens;
+    //    against avail_l tokens on hand that is `full_epochs` complete
+    //    passes plus a remainder pass at `rem_rate_ppm` (round-half-up
+    //    ppm of the leftover fraction — upsampling scarce languages is
+    //    exactly full_epochs ≥ 1). Arithmetic is BIGINT end-to-end with
+    //    ONE DECIMAL(38,0)/HUGEINT widening at the remainder cross-
+    //    multiply, where 2e6·r would overflow signed 64-bit once a
+    //    source holds > ~4.6e12 tokens — the chi2 discipline. Weights
+    //    re-derive exactly as mix_temperature_weights (dyadic α, decimal
+    //    mass sums), so the two rows can never disagree. K-row frame. ──
+    QueryDef(
+      "mix_epoch_plan",
+      "per-language loader plan for a 1e9-token budget: full epochs + remainder ppm rate",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .withColumn("__toks", expr(TextFunctions.tokensSql("text")))
+          .groupBy("lang")
+          .agg(sum(TextFunctions.tokenCount("__toks").cast("long")).as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("__tot"))
+        val sh = per.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("__tot").cast("double"))
+          .withColumn("q", expr("CAST(sqrt(sqrt(share)) AS DECIMAL(20,16))"))
+        val qtot = sh.agg(sum("q").as("__qtot"))
+        sh.crossJoin(broadcast(qtot))
+          .withColumn("weight_ppm", expr(
+            "CAST(round(round(CAST(q AS DOUBLE) / CAST(__qtot AS DOUBLE), 8) * 1000000) AS BIGINT)"))
+          .withColumn("target_tokens", col("weight_ppm") * lit(1000L))
+          .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+          .withColumn("rem_rate_ppm", expr(
+            "CAST((2000000 * CAST(target_tokens % n_tokens AS DECIMAL(38,0)) + n_tokens) div (2 * n_tokens) AS BIGINT)"))
+          .select("lang", "n_tokens", "weight_ppm", "target_tokens",
+            "full_epochs", "rem_rate_ppm")
+      },
+      Some(s"""WITH per AS (SELECT lang, sum(len($dkTokens))::BIGINT AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per),
+              |sh AS (SELECT lang, n_tokens,
+              |    (sqrt(sqrt(n_tokens::DOUBLE / t::DOUBLE)))::DECIMAL(20,16) AS q
+              |  FROM per, tot),
+              |qt AS (SELECT sum(q) AS qtot FROM sh),
+              |p AS (SELECT lang, n_tokens,
+              |    CAST(round(round(q::DOUBLE / qtot::DOUBLE, 8) * 1000000) AS BIGINT) AS weight_ppm
+              |  FROM sh, qt)
+              |SELECT lang, n_tokens, weight_ppm,
+              |  weight_ppm * 1000 AS target_tokens,
+              |  (weight_ppm * 1000) // n_tokens AS full_epochs,
+              |  ((2000000 * ((weight_ppm * 1000) % n_tokens)::HUGEINT + n_tokens)
+              |    // (2 * n_tokens))::BIGINT AS rem_rate_ppm
+              |FROM p""".stripMargin)),
+
     // ── Deterministic global shuffle into training shards: order by a
     //    seeded hash (reproducible epoch-0 data order), shard by hash
     //    mod N. Shard assignment needs no global sort at all — it is a
