@@ -518,6 +518,84 @@ object SimilarityStreamQueries {
               |  round(pos3 - t.cosine, 8) AS margin, t.rnk
               |FROM top t JOIN pos USING (query_id) WHERE t.rnk >= 4""".stripMargin)),
 
+    // ── Embedding-space class analytics: the per-label centroid, the
+    //    input to semantic clustering diagnostics, nearest-class-mean
+    //    classification, and drift baselines. Each float is quantized
+    //    to a 1e-6-scaled BIGINT once (a single identical IEEE
+    //    round in both engines), then every sum is DECIMAL(38,0)/
+    //    HUGEINT-exact and order-free; the mean is a signed
+    //    round-half-away integer division (both engines' integer
+    //    division truncates toward zero, so the shared (2a ± b) div 2b
+    //    form is engine-identical for negative sums too). Scale shape:
+    //    one N×D-row narrow explode feeding a map-side-combinable
+    //    aggregate onto K×D output rows — no joins, no windows. ──
+    QueryDef(
+      "emb_centroid_by_label",
+      "exact per-(label, dim) embedding centroid as 1e-6-scaled integers",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("v_e6",
+            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy(col("label"), col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("__s1"))
+          .select(col("label"), col("dim"), col("n_vecs"),
+            expr("""CAST((2 * __s1 + CASE WHEN __s1 >= 0 THEN CAST(n_vecs AS DECIMAL(38,0))
+                    ELSE -CAST(n_vecs AS DECIMAL(38,0)) END)
+                    div (2 * CAST(n_vecs AS DECIMAL(38,0))) AS BIGINT)""").as("centroid_e6")),
+      Some(s"""WITH x AS (SELECT label::BIGINT AS label, dim,
+              |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
+              |  FROM (SELECT label, embedding, unnest(range(0, $Dim)) AS dim FROM embeddings))
+              |SELECT label, dim, count(*)::BIGINT AS n_vecs,
+              |  ((2 * sum(v_e6::HUGEINT) + CASE WHEN sum(v_e6::HUGEINT) >= 0
+              |      THEN count(*)::HUGEINT ELSE -(count(*)::HUGEINT) END)
+              |    // (2 * count(*)::HUGEINT))::BIGINT AS centroid_e6
+              |FROM x GROUP BY 1, 2""".stripMargin)),
+
+    // ── Per-label dispersion (mean squared distance to the centroid)
+    //    in ONE pass via E‖x−μ‖² = E‖x‖² − ‖μ‖²: per-dim exact sums
+    //    s1 = Σv, s2 = Σv², then msd = (n·Σ_d s2_d − Σ_d s1_d²)/n² —
+    //    no centroid join-back, no second scan. The Cauchy–Schwarz
+    //    numerator is non-negative, so the ppm-style division needs no
+    //    sign handling. The tight-vs-diffuse class signal that gates
+    //    "is this label coherent enough to train on" and the scalar a
+    //    drift monitor tracks per snapshot. ──
+    QueryDef(
+      "emb_dispersion_by_label",
+      "per-label mean squared distance to centroid (1e-6-scaled, one pass)",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("v_e6",
+            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("s1"),
+            sum(expr("CAST(v_e6 AS DECIMAL(38,0)) * v_e6")).as("s2"))
+          .groupBy("label")
+          .agg(max("n_vecs").as("n_vecs"),
+            sum("s2").as("__S2"), sum(expr("s1 * s1")).as("__SS1"))
+          .select(col("label"), col("n_vecs"),
+            expr("""CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * __S2 - __SS1)
+                    + CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000)
+                    div (2 * CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000) AS BIGINT)""")
+              .as("msd_e6")),
+      Some(s"""WITH x AS (SELECT label::BIGINT AS label, dim,
+              |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
+              |  FROM (SELECT label, embedding, unnest(range(0, $Dim)) AS dim FROM embeddings)),
+              |pd AS (SELECT label, dim, count(*)::BIGINT AS n_vecs,
+              |    sum(v_e6::HUGEINT) AS s1, sum(v_e6::HUGEINT * v_e6) AS s2
+              |  FROM x GROUP BY 1, 2),
+              |agg AS (SELECT label, max(n_vecs) AS n_vecs,
+              |    sum(s2) AS s2t, sum(s1 * s1) AS ss1 FROM pd GROUP BY 1)
+              |SELECT label, n_vecs,
+              |  ((2 * (n_vecs::HUGEINT * s2t - ss1) + n_vecs::HUGEINT * n_vecs * 1000000)
+              |    // (2 * n_vecs::HUGEINT * n_vecs * 1000000))::BIGINT AS msd_e6
+              |FROM agg""".stripMargin)),
+
     // ── LSH bucket assignment (the scale path for ANN) ──
     QueryDef(
       "sim_lsh_bucket",
