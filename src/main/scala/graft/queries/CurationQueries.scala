@@ -334,6 +334,85 @@ object CurationQueries {
               |    ELSE -1 END)::BIGINT AS f1_ppm
               |FROM j""".stripMargin)),
 
+    // ── Cohen's kappa: chance-corrected agreement between the NB
+    //    prediction and the true label — the one-scalar eval that a
+    //    skewed class mix can't inflate (accuracy can be 0.9 by always
+    //    answering the majority class; kappa then collapses to ~0).
+    //    κ = (N·A − C)/(N² − C) with A = Σ diagonal and
+    //    C = Σ_k n_true_k·n_pred_k, all from the same confusion matrix
+    //    as eval_prf_nb. Arithmetic is DECIMAL(38,0)/HUGEINT end-to-end
+    //    (N² overflows BIGINT past ~3e9 rows) and the κ division uses
+    //    the signed round-half-away form since κ ∈ [−1, 1] can be
+    //    negative; a single-class holdout (N² = C) reports the −2e6
+    //    sentinel rather than NULL (canonicalizer float-widening rule).
+    //    Observed/expected agreement emitted as ppm alongside. ──
+    QueryDef(
+      "eval_kappa_nb",
+      "Cohen's kappa of the NB holdout predictions (chance-corrected agreement, ppm)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val hold = docs.filter(col("doc_id") % 5 === 0)
+        val m = Classify.nbTrain(train, "doc_id", "text", "lang")
+        val cm = Classify.nbPredict(
+            Classify.nbScores(Classify.nbLogProbs(m), Classify.nbPriors(m), hold))
+          .join(hold.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+          .groupBy(col("true_lang"), col("pred_label").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val byTrue = cm.groupBy(col("true_lang").as("label")).agg(sum("n").as("n_true"))
+        val byPred = cm.groupBy(col("pred_lang").as("label")).agg(sum("n").as("n_pred"))
+        val diag = cm.filter(col("true_lang") === col("pred_lang"))
+          .select(col("true_lang").as("label"), col("n").as("__tp"))
+        byTrue.join(byPred, Seq("label"), "full_outer")
+          .join(diag, Seq("label"), "left")
+          .agg(sum(coalesce(col("n_true"), lit(0L))).as("n_docs"),
+            sum(coalesce(col("__tp"), lit(0L))).as("n_agree"),
+            sum(expr("CAST(coalesce(n_true, 0) AS DECIMAL(38,0)) * coalesce(n_pred, 0)"))
+              .as("__c"))
+          .select(col("n_docs"), col("n_agree"),
+            // po = A/N, pe = C/N² — both non-negative round-half-up ppm
+            expr("""CAST((2000000 * CAST(n_agree AS DECIMAL(38,0)) + n_docs)
+                    div (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""").as("po_ppm"),
+            expr("""CAST((2000000 * __c + CAST(n_docs AS DECIMAL(38,0)) * n_docs)
+                    div (2 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""").as("pe_ppm"),
+            expr("""CAST(CASE
+                    WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs = __c THEN -2000000
+                    ELSE (2 * (1000000 * (CAST(n_docs AS DECIMAL(38,0)) * n_agree - __c))
+                      + CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_agree >= __c
+                        THEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c
+                        ELSE __c - CAST(n_docs AS DECIMAL(38,0)) * n_docs END)
+                      div (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c))
+                    END AS BIGINT)""").as("kappa_ppm"))
+      },
+      Some(s"""WITH $dkNbCtes,
+              |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY sd DESC, lang) = 1),
+              |cm AS (SELECT true_lang, pred_lang, count(*) AS n
+              |  FROM pred GROUP BY 1, 2),
+              |bt AS (SELECT true_lang AS label, sum(n) AS n_true FROM cm GROUP BY 1),
+              |bp AS (SELECT pred_lang AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+              |dg AS (SELECT true_lang AS label, n AS tp FROM cm
+              |  WHERE true_lang = pred_lang),
+              |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+              |    coalesce(dg.tp, 0)::HUGEINT AS tp,
+              |    coalesce(bt.n_true, 0)::HUGEINT AS n_true,
+              |    coalesce(bp.n_pred, 0)::HUGEINT AS n_pred
+              |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label
+              |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label)),
+              |agg AS (SELECT sum(n_true) AS n_docs, sum(tp) AS a,
+              |    sum(n_true * n_pred) AS c FROM j)
+              |SELECT n_docs::BIGINT AS n_docs, a::BIGINT AS n_agree,
+              |  ((2000000 * a + n_docs) // (2 * n_docs))::BIGINT AS po_ppm,
+              |  ((2000000 * c + n_docs * n_docs) // (2 * n_docs * n_docs))::BIGINT AS pe_ppm,
+              |  (CASE WHEN n_docs * n_docs = c THEN -2000000
+              |    ELSE (2 * (1000000 * (n_docs * a - c))
+              |      + CASE WHEN n_docs * a >= c THEN n_docs * n_docs - c
+              |        ELSE c - n_docs * n_docs END)
+              |      // (2 * (n_docs * n_docs - c))
+              |    END)::BIGINT AS kappa_ppm
+              |FROM agg""".stripMargin)),
+
     // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
     //    a corpus doc sharing ANY 13-token shingle with a benchmark
     //    doc (doc_id % 17 == 0) is flagged, with its shared-shingle
