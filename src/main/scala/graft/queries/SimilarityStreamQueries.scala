@@ -1212,6 +1212,39 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkEmbPairCtes
               |SELECT id_a, id_b, cosine FROM sp""".stripMargin)),
 
+    // ── SEMANTIC benchmark decontamination — the embedding-space
+    //    member of the family (decontam_keep = exact text,
+    //    decontam_ngram_overlap = shingle collision, decontam_neardup =
+    //    lexical Jaccard): training vectors whose embedding sits at
+    //    cosine ≥ 0.45 of a benchmark vector (vec_id % 17 == 0, the
+    //    registry's benchmark convention) — the paraphrase leak the
+    //    lexical detectors can't see (τ = 0.45 sits in this synthetic
+    //    corpus's near-dup tail — p99 of the candidate cosines — the
+    //    way 0.8 Jaccard sits in the lexical tail). Rides the memoized
+    //    multi-table
+    //    LSH pair list, so recall is the measured sim_lsh_recall bound
+    //    and the corpus never self-joins outside the capped buckets;
+    //    both engines compute the identical candidate set, so the
+    //    oracle is exact, not rows-only. ──
+    QueryDef(
+      "decontam_semantic",
+      "training vectors embedding-near (cosine >= 0.45) a benchmark vector",
+      (s, d) => {
+        val hi = embNeardupPairs(s, d).filter(col("cosine") >= 0.45)
+        hi.select(col("id_a").as("vec_id"), col("id_b").as("other"), col("cosine"))
+          .union(hi.select(col("id_b").as("vec_id"), col("id_a").as("other"), col("cosine")))
+          .filter(col("vec_id") % 17 =!= 0 && col("other") % 17 === 0)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_benchmark_sims"), max("cosine").as("max_cosine"))
+      },
+      Some(s"""WITH $dkEmbPairCtes,
+              |hi AS (SELECT id_a, id_b, cosine FROM sp WHERE cosine >= 0.45),
+              |sides AS (SELECT id_a AS vec_id, id_b AS other, cosine FROM hi
+              |  UNION ALL SELECT id_b, id_a, cosine FROM hi)
+              |SELECT vec_id, count(*) AS n_benchmark_sims, max(cosine) AS max_cosine
+              |FROM sides WHERE vec_id % 17 <> 0 AND other % 17 = 0
+              |GROUP BY 1""".stripMargin)),
+
     // ── Incremental embedding-index ingest: the vector twin of
     //    dedup_incremental — a NEW batch (vec_id ≥ 400) joins the STORED
     //    multi-table LSH index (vec_id < 400) plus itself, instead of
