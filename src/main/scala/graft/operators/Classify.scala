@@ -135,6 +135,43 @@ object Classify {
         round(col("__w.__sd").cast("double"), 6).as("score"),
         col("__w.n_terms").as("n_terms"))
 
+  /** Chance-corrected agreement (Cohen's κ) from a confusion matrix
+    * frame (trueCol, predCol, nCol): one row with the marginals-exact
+    * κ = (N·A − C)/(N² − C), A = Σ diagonal, C = Σ_k n_true_k·n_pred_k.
+    * Arithmetic is DECIMAL(38,0) end-to-end (N² overflows BIGINT past
+    * ~3e9 rows); κ ∈ [−1, 1] can be negative, so its ppm division uses
+    * the signed round-half-away form (both engines' integer division
+    * truncates toward zero); a single-class degenerate matrix
+    * (N² = C) reports the −2e6 sentinel, never NULL (the canonicalizer
+    * float-widening rule). K²-row input → K-row marginals → one row:
+    * metadata-sized at any corpus scale. */
+  def agreementStats(cm: DataFrame, trueCol: String = "true_lang",
+      predCol: String = "pred_lang", nCol: String = "n"): DataFrame = {
+    val byTrue = cm.groupBy(col(trueCol).as("label")).agg(sum(nCol).as("n_true"))
+    val byPred = cm.groupBy(col(predCol).as("label")).agg(sum(nCol).as("n_pred"))
+    val diag = cm.filter(col(trueCol) === col(predCol))
+      .select(col(trueCol).as("label"), col(nCol).as("__tp"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .agg(sum(coalesce(col("n_true"), lit(0L))).as("n_docs"),
+        sum(coalesce(col("__tp"), lit(0L))).as("n_agree"),
+        sum(expr("CAST(coalesce(n_true, 0) AS DECIMAL(38,0)) * coalesce(n_pred, 0)"))
+          .as("__c"))
+      .select(col("n_docs"), col("n_agree"),
+        expr("""CAST((2000000 * CAST(n_agree AS DECIMAL(38,0)) + n_docs)
+                div (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""").as("po_ppm"),
+        expr("""CAST((2000000 * __c + CAST(n_docs AS DECIMAL(38,0)) * n_docs)
+                div (2 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""").as("pe_ppm"),
+        expr("""CAST(CASE
+                WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs = __c THEN -2000000
+                ELSE (2 * (1000000 * (CAST(n_docs AS DECIMAL(38,0)) * n_agree - __c))
+                  + CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_agree >= __c
+                    THEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c
+                    ELSE __c - CAST(n_docs AS DECIMAL(38,0)) * n_docs END)
+                  div (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c))
+                END AS BIGINT)""").as("kappa_ppm"))
+  }
+
   /** Serving form of the model: (term, label, lp8s) with the exact
     * DECIMAL(18,8) cell as a LOSSLESS 1e-8-scaled BIGINT (the
     * [[Lexical.impactIndex]] trick) — integer sums in the online

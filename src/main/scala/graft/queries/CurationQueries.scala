@@ -359,30 +359,7 @@ object CurationQueries {
           .join(hold.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
           .groupBy(col("true_lang"), col("pred_label").as("pred_lang"))
           .agg(count(lit(1)).as("n"))
-        val byTrue = cm.groupBy(col("true_lang").as("label")).agg(sum("n").as("n_true"))
-        val byPred = cm.groupBy(col("pred_lang").as("label")).agg(sum("n").as("n_pred"))
-        val diag = cm.filter(col("true_lang") === col("pred_lang"))
-          .select(col("true_lang").as("label"), col("n").as("__tp"))
-        byTrue.join(byPred, Seq("label"), "full_outer")
-          .join(diag, Seq("label"), "left")
-          .agg(sum(coalesce(col("n_true"), lit(0L))).as("n_docs"),
-            sum(coalesce(col("__tp"), lit(0L))).as("n_agree"),
-            sum(expr("CAST(coalesce(n_true, 0) AS DECIMAL(38,0)) * coalesce(n_pred, 0)"))
-              .as("__c"))
-          .select(col("n_docs"), col("n_agree"),
-            // po = A/N, pe = C/N² — both non-negative round-half-up ppm
-            expr("""CAST((2000000 * CAST(n_agree AS DECIMAL(38,0)) + n_docs)
-                    div (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""").as("po_ppm"),
-            expr("""CAST((2000000 * __c + CAST(n_docs AS DECIMAL(38,0)) * n_docs)
-                    div (2 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""").as("pe_ppm"),
-            expr("""CAST(CASE
-                    WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs = __c THEN -2000000
-                    ELSE (2 * (1000000 * (CAST(n_docs AS DECIMAL(38,0)) * n_agree - __c))
-                      + CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_agree >= __c
-                        THEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c
-                        ELSE __c - CAST(n_docs AS DECIMAL(38,0)) * n_docs END)
-                      div (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - __c))
-                    END AS BIGINT)""").as("kappa_ppm"))
+        Classify.agreementStats(cm)
       },
       Some(s"""WITH $dkNbCtes,
               |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin

@@ -137,4 +137,33 @@ class ClassifySpec extends AnyFunSuite {
     assert(foldedStats.except(whole.classStats).isEmpty &&
       whole.classStats.except(foldedStats).isEmpty)
   }
+
+  // ── Cohen's kappa: textbook values land exactly ──
+
+  private def kappaRow(cells: Seq[(String, String, Long)]) =
+    Classify.agreementStats(cells.toDF("true_lang", "pred_lang", "n"))
+      .select("n_docs", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+
+  test("agreementStats: textbook 2x2 kappa = 0.4 exactly") {
+    // N=50, A=35, po=0.7; marginals 25/25 vs 30/20 -> pe=0.5; k=0.4
+    val got = kappaRow(Seq(("a", "a", 20L), ("a", "b", 5L),
+      ("b", "a", 10L), ("b", "b", 15L)))
+    assert(got === ((50L, 35L, 700000L, 500000L, 400000L)))
+  }
+
+  test("agreementStats: perfect agreement is kappa = 1, independence is 0, inversion is negative") {
+    assert(kappaRow(Seq(("a", "a", 7L), ("b", "b", 3L)))._5 === 1000000L)
+    // exact independence: cm = outer product of the marginals
+    // marginals 1/2,1/2 both sides; po = pe = 1/2 -> k = 0
+    assert(kappaRow(Seq(("a", "a", 5L), ("a", "b", 5L),
+      ("b", "a", 5L), ("b", "b", 5L)))._5 === 0L)
+    // total inversion of the 50/50 matrix: po=0, pe=1/2 -> k=-1
+    assert(kappaRow(Seq(("a", "b", 5L), ("b", "a", 5L)))._5 === -1000000L)
+  }
+
+  test("agreementStats: single-class matrix reports the -2e6 sentinel, never NULL") {
+    val got = kappaRow(Seq(("a", "a", 9L)))
+    assert(got._5 === -2000000L && got._3 === 1000000L && got._4 === 1000000L)
+  }
 }
