@@ -1590,6 +1590,50 @@ object TextDedupQueries {
               |  JOIN sp b ON b.doc_id = sel.id_b
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Cross-source duplication matrix: verified near-dup pairs
+    //    bucketed by the (source, source) pair, normalized against the
+    //    smaller side's corpus — "how much of source B is already in
+    //    source A", the number that decides whether licensing /
+    //    crawling a new source adds anything. Ordered so (a,b)==(b,a)
+    //    lands in one cell. Pair list is index-bounded; the only joins
+    //    are two id→source lookups against a pair-sized frame and a
+    //    broadcast of the K-row per-source counts. ──
+    QueryDef(
+      "dedup_cross_source_matrix",
+      "near-dup pair counts per ordered source pair + ppm of the smaller source",
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val cnt = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        neardupPairs(s, d).select("id_a", "id_b")
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .join(broadcast(cnt.select(col("source").as("source_a"), col("n_docs").as("__na"))),
+            Seq("source_a"))
+          .join(broadcast(cnt.select(col("source").as("source_b"), col("n_docs").as("__nb"))),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_pairs"),
+            expr("""CAST((2000000 * n_pairs + least(__na, __nb))
+                    div (2 * least(__na, __nb)) AS BIGINT)""").as("overlap_ppm"))
+      },
+      Some(s"""WITH $dkNeardupCtes,
+              |sel AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |src AS (SELECT doc_id, source FROM documents),
+              |cnt AS (SELECT source, count(*)::BIGINT AS n_docs FROM src GROUP BY 1),
+              |cells AS (SELECT least(a.source, b.source) AS source_a,
+              |    greatest(a.source, b.source) AS source_b, count(*)::BIGINT AS n_pairs
+              |  FROM sel JOIN src a ON a.doc_id = sel.id_a
+              |  JOIN src b ON b.doc_id = sel.id_b
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, n_pairs,
+              |  ((2000000 * n_pairs + least(na.n_docs, nb.n_docs))
+              |    // (2 * least(na.n_docs, nb.n_docs)))::BIGINT AS overlap_ppm
+              |FROM cells JOIN cnt na ON na.source = source_a
+              |  JOIN cnt nb ON nb.source = source_b""".stripMargin)),
+
     // ── Leakage-free split PRODUCER — the fix that the contamination
     //    matrix above motivates: whole near-dup clusters assigned
     //    ATOMICALLY to train/val/test by running the seeded hash draw
