@@ -1235,4 +1235,22 @@ class ExtensionSpec extends AnyFunSuite {
     val docs = graft.sources.Tables(spark, d, "documents").select("doc_id")
     assert(split.count() === docs.count())
   }
+
+  test("mix_epoch_plan invariants: weights sum to ~1e6, plan reconstructs the target") {
+    val rows = graft.SparkEntry.queries("mix_epoch_plan")(spark, "/root/testdata/sf0.001")
+      .select("n_tokens", "weight_ppm", "target_tokens", "full_epochs", "rem_rate_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per-language ppm weights sum to 1e6 up to one rounding ulp per language
+    val wsum = rows.map(_._2).sum
+    assert(math.abs(wsum - 1000000L) <= rows.length)
+    rows.foreach { case (avail, wppm, target, epochs, rem) =>
+      assert(target === wppm * 1000L) // 1e9-token budget in ppm units
+      assert(epochs === target / avail)
+      assert(rem >= 0L && rem < 1000000L) // remainder is a proper fraction
+      // epochs*avail + rem*avail/1e6 reconstructs target within rounding
+      val approx = epochs * avail + (rem * avail) / 1000000L
+      assert(math.abs(approx - target) <= avail / 1000000L + 1)
+    }
+  }
 }
