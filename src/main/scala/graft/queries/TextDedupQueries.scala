@@ -1590,6 +1590,86 @@ object TextDedupQueries {
               |  JOIN sp b ON b.doc_id = sel.id_b
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Vocabulary richness per source: type-token ratio (distinct
+    //    terms / total terms, ppm) plus the raw counts — the cheap
+    //    "is this source templated boilerplate or real language"
+    //    screen (TTR collapses on machine-generated text). One
+    //    tokenize pass; per-(source, term) pre-aggregation makes the
+    //    distinct count a map-side-combinable second aggregate, never
+    //    a count(distinct) shuffle of raw tokens. ──
+    QueryDef(
+      "txt_ttr_by_source",
+      "per-source type-token ratio (ppm) with term/type counts",
+      (s, d) =>
+        Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("source"), explode(col("__toks")).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            expr("""CAST((2000000 * CAST(n_types AS DECIMAL(38,0)) + n_tokens)
+                    div (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)""")
+              .as("ttr_ppm")),
+      Some(s"""WITH tk AS (SELECT source, unnest($dkTokens) AS term FROM documents),
+              |pt AS (SELECT source, term, count(*) AS cnt FROM tk GROUP BY 1, 2)
+              |SELECT source, count(*)::BIGINT AS n_types, sum(cnt)::BIGINT AS n_tokens,
+              |  ((2000000 * count(*)::HUGEINT + sum(cnt))
+              |    // (2 * sum(cnt)::HUGEINT))::BIGINT AS ttr_ppm
+              |FROM pt GROUP BY 1""".stripMargin)),
+
+    // ── Heaps'-law vocabulary growth curve in ONE pass: 3-token-
+    //    shingle vocabulary size after each 10%-of-corpus checkpoint,
+    //    computed not by K rescans but from each shingle's FIRST
+    //    document — vocab(c) = #shingles whose min(doc_id) falls in
+    //    the first c docs. Sub-linear growth is the healthy-corpus
+    //    signature; a straight line says the corpus keeps minting
+    //    novel junk (OCR noise, random ids), a hard flatline says
+    //    boilerplate. Shingles, not unigrams: the unigram vocabulary
+    //    saturates instantly on any corpus with a bounded wordlist,
+    //    while the shingle space is what the dedup/decontam machinery
+    //    actually keys on. Tokenize once, one (shingle → min doc)
+    //    aggregate, one K-bucket count. ──
+    QueryDef(
+      "corpus_vocab_growth",
+      "Heaps-law curve: 3-shingle vocabulary size at each doc-decile checkpoint",
+      (s, d) => {
+        val firsts = Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .select(col("doc_id"),
+            explode(expr(TextFunctions.tokenShinglesSql("__toks", 3))).as("term"))
+          .groupBy("term").agg(min("doc_id").as("__first"))
+        val n = t(s, d, "documents").agg(max("doc_id").as("__maxid"))
+        firsts.crossJoin(broadcast(n))
+          // decile of the FIRST document that minted the term:
+          // ceil(10·(first+1)/(max+1)) clamped to 10 (ids are dense
+          // 0..max in the fixtures, but the bucketing is rank-free
+          // so sparse ids only skew bucket widths, not correctness)
+          .select(least(lit(10L),
+            expr("CAST(ceil(10.0D * (CAST(__first AS DOUBLE) + 1.0D) / (CAST(__maxid AS DOUBLE) + 1.0D)) AS BIGINT)"))
+            .as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_new_terms"))
+          .select(col("decile"), col("n_new_terms"),
+            sum("n_new_terms").over(org.apache.spark.sql.expressions.Window
+              .orderBy("decile").rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow))
+              .as("vocab_size"))
+      },
+      Some(s"""WITH tk0 AS (SELECT doc_id, $dkTokens AS tk FROM documents),
+              |tk AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              |    range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))) AS term
+              |  FROM tk0 WHERE len(tk) >= 3),
+              |fs AS (SELECT term, min(doc_id) AS f FROM tk GROUP BY 1),
+              |mx AS (SELECT max(doc_id) AS m FROM documents),
+              |dc AS (SELECT least(10, ceil(10.0 * (f::DOUBLE + 1.0) / (m::DOUBLE + 1.0))::BIGINT) AS decile
+              |  FROM fs, mx),
+              |g AS (SELECT decile, count(*)::BIGINT AS n_new_terms FROM dc GROUP BY 1)
+              |SELECT decile, n_new_terms,
+              |  sum(n_new_terms) OVER (ORDER BY decile
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_size
+              |FROM g""".stripMargin)),
+
     // ── Cross-source duplication matrix: verified near-dup pairs
     //    bucketed by the (source, source) pair, normalized against the
     //    smaller side's corpus — "how much of source B is already in
