@@ -249,6 +249,33 @@ object DocStreams {
     }
   }
 
+  /** Leakage-free split assignment SERVED OFF THE STANDING STORE: the
+    * incremental twin of the batch `split_by_cluster` query. The split
+    * is a pure function of (current cluster table, doc ids) — a doc
+    * draws on its cluster's CC representative when clustered, on its
+    * own id otherwise — so no new state is maintained: one pinned read
+    * of the CURRENT cluster table, one left join, one integer hash.
+    * The consistency contract falls out of `mergeIncremental`'s
+    * fold ≡ rebuild guarantee: after any number of folds, assignments
+    * equal the batch query on the corpus-so-far, INCLUDING the splits
+    * that flipped when a bridging doc merged two clusters (the flip is
+    * the correctness: both halves must land in one split from then
+    * on). Exercised in ExtensionSpec against the 3-batch ingest. */
+  def splitFromStore(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val clusters = Lakehouse.readCurrent(spark, tableDir, "clusters")
+      .select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("rep"))
+      .withColumn("__h",
+        (((col("rep") % 2147483647L + 2147483647L) % 2147483647L)
+          * 2654435761L + 97L) % 100L)
+      .select(col(idCol), col("rep"),
+        when(col("__h") < 80, "train")
+          .when(col("__h") < 90, "val").otherwise("test").as("split"))
+  }
+
   /** CURATION-AT-INGEST: the complete crawl-day decision loop as one
     * streaming pipeline. Per micro-batch of `(doc_id, text)`:
     *

@@ -506,6 +506,13 @@ class ExtensionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+    // the split served off the standing store == the batch
+    // split_by_cluster query, including flips from cross-batch merges
+    val servedSplit = graft.streaming.DocStreams.splitFromStore(spark, tbl, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchSplit = graft.SparkEntry.queries("split_by_cluster")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(servedSplit === batchSplit)
   }
 
   test("dedup ingest: replay of an already-committed batch is a no-op, store intact") {
