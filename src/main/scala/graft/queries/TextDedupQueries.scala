@@ -1590,6 +1590,78 @@ object TextDedupQueries {
               |  JOIN sp b ON b.doc_id = sel.id_b
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Duplicate-cluster size histogram: how much of the duplicated
+    //    mass sits in big clusters — the report that decides whether
+    //    near-dup removal is a trim (all size-2 pairs) or a purge (a
+    //    few mega-clusters of boilerplate). Two K-row aggregates over
+    //    the CC labels; the corpus itself is never re-touched. ──
+    QueryDef(
+      "dedup_cluster_sizes",
+      "duplicate-cluster size histogram: clusters and doc mass per size",
+      (s, d) =>
+        graft.operators.Components
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            (count(lit(1)) * col("cluster_size")).as("n_docs"))
+          .select("cluster_size", "n_clusters", "n_docs"),
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst),
+              |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |sz AS (SELECT component, count(*)::BIGINT AS cluster_size
+              |  FROM comp GROUP BY 1)
+              |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+              |  (count(*) * cluster_size)::BIGINT AS n_docs
+              |FROM sz GROUP BY 1""".stripMargin)),
+
+    // ── Per-source dedup toll: what the keep-one-per-cluster policy
+    //    costs each source — n_dropped and the ppm drop rate. The
+    //    sourcing-quality complement of dedup_cross_source_matrix
+    //    ("which source is mostly copies of things we already have").
+    //    Drop list is cluster-map-sized; one broadcast-able join to
+    //    label it with sources, K-row output. ──
+    QueryDef(
+      "dedup_rate_by_source",
+      "per-source docs dropped by cluster dedup (keep min id) with ppm rate",
+      (s, d) => {
+        val comp = graft.operators.Components
+          .connectedComponents(neardupPairs(s, d), "id_a", "id_b", edgesDistinct = true)
+        val drop = comp.filter(col("component") < col("id"))
+          .select(col("id").as("doc_id"), lit(1L).as("__dropped"))
+        t(s, d, "documents").select(col("doc_id"), col("source"))
+          .join(drop, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__dropped"), lit(0L))).as("n_dropped"))
+          .select(col("source"), col("n_docs"), col("n_dropped"),
+            expr("""CAST((2000000 * CAST(n_dropped AS DECIMAL(38,0)) + n_docs)
+                    div (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""")
+              .as("drop_ppm"))
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst),
+              |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |drp AS (SELECT id AS doc_id FROM comp WHERE component < id)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  count(drp.doc_id)::BIGINT AS n_dropped,
+              |  ((2000000 * count(drp.doc_id)::HUGEINT + count(*))
+              |    // (2 * count(*)::HUGEINT))::BIGINT AS drop_ppm
+              |FROM documents LEFT JOIN drp USING (doc_id)
+              |GROUP BY 1""".stripMargin)),
+
     // ── Vocabulary richness per source: type-token ratio (distinct
     //    terms / total terms, ppm) plus the raw counts — the cheap
     //    "is this source templated boilerplate or real language"
