@@ -162,6 +162,51 @@ object ModelStreams {
       Classify.nbPriorMap(Classify.nbPriors(m)))
   }
 
+  /** CONTINUOUS EVALUATION fold: score one labelled micro-batch
+    * against the PINNED NB model store and fold the resulting
+    * confusion cells into a standing `cm` count table under `evalDir`
+    * — the [[foldCountTables]] discipline, so the accumulated matrix
+    * after N batches equals the one-shot matrix over the union
+    * (additivity), replay is a no-op, and a crash never tears a
+    * version. Cells count SCORED docs (the [[Classify.nbServe]]
+    * contract: a doc with zero in-vocabulary terms yields no
+    * prediction and no cell). The cm table is K²-rows — metadata-sized
+    * at any stream volume. */
+  def foldEvalBatch(batch: DataFrame, nbDir: String, evalDir: String,
+      id: Long, labelCol: String = "label", vacuumKeep: Int = 0): Unit = {
+    val cm = nbServeFromStore(batch.select("doc_id", "text"), nbDir)
+      .join(batch.select(col("doc_id"), col(labelCol).as("true_label")), Seq("doc_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    foldCountTables(batch.sparkSession, evalDir, id, Seq(
+      CountTable("cm", cm, Seq("true_label", "pred_label"), Seq("n"))),
+      vacuumKeep = vacuumKeep)
+  }
+
+  /** Fold each labelled micro-batch of `(doc_id, text, <labelCol>)`
+    * into the standing confusion-matrix store — the monitoring loop
+    * that watches a deployed classifier drift, one K²-row fold per
+    * batch. */
+  def evalIngest(docStream: DataFrame, nbDir: String, evalDir: String,
+      labelCol: String = "label",
+      vacuumKeep: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        foldEvalBatch(batch.toDF(), nbDir, evalDir, id, labelCol, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** The monitoring scalars served off the standing matrix: one pinned
+    * read of `cm`, then [[Classify.agreementStats]] (n, agreements,
+    * observed/expected agreement ppm, Cohen's κ ppm). */
+  def agreementFromStore(spark: org.apache.spark.sql.SparkSession,
+      evalDir: String): DataFrame =
+    Classify.agreementStats(
+      Lakehouse.readCurrent(spark, evalDir, "cm"),
+      "true_label", "pred_label", "n")
+
   /** EXACT machine unlearning (right-to-be-forgotten for the trained
     * model — the [[graft.operators.Lexical]].forgetDocs twin): because
     * the model is additive sufficient statistics, forgetting documents

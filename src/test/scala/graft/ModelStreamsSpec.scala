@@ -101,6 +101,49 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(streamed === want)
   }
 
+  test("continuous eval: folded confusion store == one-shot matrix; kappa served off CURRENT") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nbDir = java.nio.file.Files.createTempDirectory("graft_nb_eval_m").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("graft_nb_eval_cm").toString
+
+    // train on the 4/5 split, monitor the holdout in two micro-batches
+    val train = fixtureDocs().filter(col("doc_id") % 5 =!= 0)
+    val hold = fixtureDocs().filter(col("doc_id") % 5 === 0)
+    ModelStreams.foldNbBatch(train, nbDir, 0L)
+    val rows = hold.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = ModelStreams.evalIngest(
+      mem.toDF().toDF("doc_id", "text", "label"), nbDir, evalDir)
+    try {
+      mem.addData(h1: _*); q.processAllAvailable()
+      mem.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // accumulated matrix == one-shot serve over the whole holdout
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = cells(ModelStreams.nbServeFromStore(hold.select("doc_id", "text"), nbDir)
+      .join(hold.select(col("doc_id"), col("label").as("true_label")), Seq("doc_id"))
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+      .select("true_label", "pred_label", "n"))
+    val stored = graft.operators.Lakehouse.readCurrent(spark, evalDir, "cm")
+      .select("true_label", "pred_label", "n")
+    assert(cells(stored) === want)
+    assert(want.nonEmpty)
+
+    // the served scalars == agreementStats over the one-shot matrix,
+    // and replaying a committed batch id leaves them untouched
+    def scalars(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_docs", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
+        .as[(Long, Long, Long, Long, Long)].head()
+    val served = scalars(ModelStreams.agreementFromStore(spark, evalDir))
+    ModelStreams.foldEvalBatch(h2.toDF("doc_id", "text", "label"), nbDir, evalDir, 1L)
+    assert(scalars(ModelStreams.agreementFromStore(spark, evalDir)) === served)
+    assert(served._1 === rows.size.toLong) // every holdout doc scored on these fixtures
+  }
+
   test("ArgmaxSumAgg merge laws: any partitioning of the input stream yields the same argmax") {
     // the map-side-combine guarantee: reduce/merge must commute and
     // associate so the K-entry label-sum state gives one answer under
