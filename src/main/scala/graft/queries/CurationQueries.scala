@@ -31,6 +31,40 @@ object CurationQueries {
   /** CTE prefix replaying NB training + holdout scoring end-to-end
     * (terminal CTE `fin`: one scored (doc, label) row each). Shared by
     * the prediction and confusion-matrix oracles. */
+  /** Cohen's-κ oracle over the NB holdout — shared VERBATIM by
+    * `eval_kappa_nb` (batch path) and `eval_kappa_serve` (standing
+    * stores): fold ≡ one-shot and serve ≡ batch make both engines'
+    * rows identical by contract. */
+  private def dkKappaSql =
+    s"""WITH $dkNbCtes,
+       |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY sd DESC, lang) = 1),
+       |cm AS (SELECT true_lang, pred_lang, count(*) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |bt AS (SELECT true_lang AS label, sum(n) AS n_true FROM cm GROUP BY 1),
+       |bp AS (SELECT pred_lang AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+       |dg AS (SELECT true_lang AS label, n AS tp FROM cm
+       |  WHERE true_lang = pred_lang),
+       |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+       |    coalesce(dg.tp, 0)::HUGEINT AS tp,
+       |    coalesce(bt.n_true, 0)::HUGEINT AS n_true,
+       |    coalesce(bp.n_pred, 0)::HUGEINT AS n_pred
+       |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label
+       |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label)),
+       |agg AS (SELECT sum(n_true) AS n_docs, sum(tp) AS a,
+       |    sum(n_true * n_pred) AS c FROM j)
+       |SELECT n_docs::BIGINT AS n_docs, a::BIGINT AS n_agree,
+       |  ((2000000 * a + n_docs) // (2 * n_docs))::BIGINT AS po_ppm,
+       |  ((2000000 * c + n_docs * n_docs) // (2 * n_docs * n_docs))::BIGINT AS pe_ppm,
+       |  (CASE WHEN n_docs * n_docs = c THEN -2000000
+       |    ELSE (2 * (1000000 * (n_docs * a - c))
+       |      + CASE WHEN n_docs * a >= c THEN n_docs * n_docs - c
+       |        ELSE c - n_docs * n_docs END)
+       |      // (2 * (n_docs * n_docs - c))
+       |    END)::BIGINT AS kappa_ppm
+       |FROM agg""".stripMargin
+
   private def dkNbCtes =
     s"""train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
        |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -361,34 +395,33 @@ object CurationQueries {
           .agg(count(lit(1)).as("n"))
         Classify.agreementStats(cm)
       },
-      Some(s"""WITH $dkNbCtes,
-              |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin
-              |  QUALIFY row_number() OVER (PARTITION BY doc_id
-              |    ORDER BY sd DESC, lang) = 1),
-              |cm AS (SELECT true_lang, pred_lang, count(*) AS n
-              |  FROM pred GROUP BY 1, 2),
-              |bt AS (SELECT true_lang AS label, sum(n) AS n_true FROM cm GROUP BY 1),
-              |bp AS (SELECT pred_lang AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
-              |dg AS (SELECT true_lang AS label, n AS tp FROM cm
-              |  WHERE true_lang = pred_lang),
-              |j AS (SELECT coalesce(bt.label, bp.label) AS label,
-              |    coalesce(dg.tp, 0)::HUGEINT AS tp,
-              |    coalesce(bt.n_true, 0)::HUGEINT AS n_true,
-              |    coalesce(bp.n_pred, 0)::HUGEINT AS n_pred
-              |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label
-              |  LEFT JOIN dg ON dg.label = coalesce(bt.label, bp.label)),
-              |agg AS (SELECT sum(n_true) AS n_docs, sum(tp) AS a,
-              |    sum(n_true * n_pred) AS c FROM j)
-              |SELECT n_docs::BIGINT AS n_docs, a::BIGINT AS n_agree,
-              |  ((2000000 * a + n_docs) // (2 * n_docs))::BIGINT AS po_ppm,
-              |  ((2000000 * c + n_docs * n_docs) // (2 * n_docs * n_docs))::BIGINT AS pe_ppm,
-              |  (CASE WHEN n_docs * n_docs = c THEN -2000000
-              |    ELSE (2 * (1000000 * (n_docs * a - c))
-              |      + CASE WHEN n_docs * a >= c THEN n_docs * n_docs - c
-              |        ELSE c - n_docs * n_docs END)
-              |      // (2 * (n_docs * n_docs - c))
-              |    END)::BIGINT AS kappa_ppm
-              |FROM agg""".stripMargin)),
+      Some(dkKappaSql)),
+
+    // ── The SAME scalars served off the standing stores: NB model
+    //    folded once, the holdout folded through the continuous-eval
+    //    confusion store in two micro-batches, κ read from CURRENT.
+    //    The oracle is eval_kappa_nb's SQL VERBATIM — fold ≡ one-shot
+    //    (additivity) and serve ≡ batch scoring (the nb_serve_classify
+    //    contract) make the store path reproduce the batch row, and
+    //    this pins that claim per round, not just in a unit test. ──
+    QueryDef(
+      "eval_kappa_serve",
+      "2-batch continuous-eval fold + served agreement == one-shot eval_kappa_nb",
+      (s, d) => {
+        val nbDir = java.nio.file.Files.createTempDirectory("graft_kappa_nb").toString
+        val evalDir = java.nio.file.Files.createTempDirectory("graft_kappa_cm").toString
+        val docs = t(s, d, "documents")
+        graft.streaming.ModelStreams.foldNbBatch(
+          docs.filter(col("doc_id") % 5 =!= 0), nbDir, 0L, labelCol = "lang")
+        val hold = docs.filter(col("doc_id") % 5 === 0)
+          .select("doc_id", "text", "lang")
+        graft.streaming.ModelStreams.foldEvalBatch(
+          hold.filter(col("doc_id") % 2 === 0), nbDir, evalDir, 0L, labelCol = "lang")
+        graft.streaming.ModelStreams.foldEvalBatch(
+          hold.filter(col("doc_id") % 2 =!= 0), nbDir, evalDir, 1L, labelCol = "lang")
+        graft.streaming.ModelStreams.agreementFromStore(s, evalDir)
+      },
+      Some(dkKappaSql)),
 
     // ── Exact n-gram-overlap decontamination (the GPT-3/PaLM method):
     //    a corpus doc sharing ANY 13-token shingle with a benchmark
