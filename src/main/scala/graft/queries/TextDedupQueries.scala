@@ -1305,11 +1305,17 @@ object TextDedupQueries {
       "mix_temperature_weights",
       "per-language temperature-smoothed sampling weights (alpha = 1/4)",
       (s, d) => {
+        // K-row checkpoint: the scalar-total and normalization branches
+        // below would each re-derive this aggregate (4 corpus scans in
+        // the static plan — Catalyst does not dedupe identical
+        // DataFrame subtrees); cutting here makes every branch read the
+        // K cached rows, so the corpus is tokenized exactly ONCE.
         val per = t(s, d, "documents")
           .withColumn("__toks", expr(TextFunctions.tokensSql("text")))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(TextFunctions.tokenCount("__toks").cast("long")).as("n_tokens"))
+          .localCheckpoint(true)
         val tot = per.agg(sum("n_tokens").as("__tot"))
         val sh = per.crossJoin(broadcast(tot))
           .withColumn("share", col("n_tokens").cast("double") / col("__tot").cast("double"))
@@ -1352,10 +1358,13 @@ object TextDedupQueries {
       "mix_epoch_plan",
       "per-language loader plan for a 1e9-token budget: full epochs + remainder ppm rate",
       (s, d) => {
+        // K-row checkpoint — one corpus tokenize for all scalar
+        // branches (see mix_temperature_weights)
         val per = t(s, d, "documents")
           .withColumn("__toks", expr(TextFunctions.tokensSql("text")))
           .groupBy("lang")
           .agg(sum(TextFunctions.tokenCount("__toks").cast("long")).as("n_tokens"))
+          .localCheckpoint(true)
         val tot = per.agg(sum("n_tokens").as("__tot"))
         val sh = per.crossJoin(broadcast(tot))
           .withColumn("share", col("n_tokens").cast("double") / col("__tot").cast("double"))
