@@ -1671,6 +1671,75 @@ object TextDedupQueries {
               |FROM documents LEFT JOIN drp USING (doc_id)
               |GROUP BY 1""".stripMargin)),
 
+    // ── The corpus DATACARD: the one-frame summary a dataset release
+    //    ships with — size, composition, duplication, and benchmark-
+    //    contamination scalars as a tall (metric, value) table. One
+    //    corpus pass for the size/composition facts (a single
+    //    multi-aggregate, stacked tall), plus the shared band index for
+    //    the dup/contamination facts; every value is an exact BIGINT
+    //    count, so the card is engine-identical by construction. ──
+    QueryDef(
+      "corpus_datacard",
+      "dataset release card: size, composition, duplication, contamination (tall exact counts)",
+      (s, d) => {
+        val base = Dedup.stageThenSpread(t(s, d, "documents"),
+            "__toks" -> expr(TextFunctions.tokensSql("text")))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("doc_id") % 17 === 0, 1L).otherwise(0L)).as("n_benchmark_docs"),
+            sum(TextFunctions.tokenCount("__toks").cast("long")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+          .selectExpr("""stack(6,
+            'n_docs', n_docs, 'n_sources', n_sources, 'n_langs', n_langs,
+            'n_benchmark_docs', n_benchmark_docs, 'n_tokens', n_tokens,
+            'n_chars', n_chars) AS (metric, value)""")
+        val pairs = neardupPairs(s, d).select("id_a", "id_b").localCheckpoint(true)
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b", edgesDistinct = true)
+          .localCheckpoint(true)
+        val dup = pairs.agg(count(lit(1)).as("p"))
+          .crossJoin(comp.agg(countDistinct(col("component")).as("c"),
+            count(lit(1)).as("m"),
+            sum(when(col("component") < col("id"), 1L).otherwise(0L)).as("x")))
+          .selectExpr("""stack(4,
+            'n_neardup_pairs', p, 'n_dup_clusters', c,
+            'n_docs_in_dup_clusters', m, 'n_docs_dropped_keep_one', x)
+            AS (metric, value)""")
+        val contam = pairs
+          .select(col("id_a").as("doc_id"), col("id_b").as("other"))
+          .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+          .filter(col("doc_id") % 17 =!= 0 && col("other") % 17 === 0)
+          .agg(countDistinct(col("doc_id")).as("k"))
+          .selectExpr("stack(1, 'n_benchmark_contaminated', k) AS (metric, value)")
+        base.unionByName(dup).unionByName(contam)
+      },
+      Some(s"""WITH RECURSIVE $dkNeardupCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |uedges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM uedges
+              |  UNION
+              |  SELECT e.src AS id, reach.r FROM uedges e JOIN reach ON reach.id = e.dst),
+              |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |sides AS (SELECT id_a AS doc_id, id_b AS other FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs)
+              |SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
+              |UNION ALL SELECT 'n_sources', count(DISTINCT source)::BIGINT FROM documents
+              |UNION ALL SELECT 'n_langs', count(DISTINCT lang)::BIGINT FROM documents
+              |UNION ALL SELECT 'n_benchmark_docs',
+              |  sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT FROM documents
+              |UNION ALL SELECT 'n_tokens', sum(len($dkTokens))::BIGINT FROM documents
+              |UNION ALL SELECT 'n_chars', sum(n_chars)::BIGINT FROM documents
+              |UNION ALL SELECT 'n_neardup_pairs', count(*)::BIGINT FROM pairs
+              |UNION ALL SELECT 'n_dup_clusters', count(DISTINCT component)::BIGINT FROM comp
+              |UNION ALL SELECT 'n_docs_in_dup_clusters', count(*)::BIGINT FROM comp
+              |UNION ALL SELECT 'n_docs_dropped_keep_one',
+              |  sum(CASE WHEN component < id THEN 1 ELSE 0 END)::BIGINT FROM comp
+              |UNION ALL SELECT 'n_benchmark_contaminated', count(DISTINCT doc_id)::BIGINT
+              |  FROM sides WHERE doc_id % 17 <> 0 AND other % 17 = 0""".stripMargin)),
+
     // ── Vocabulary richness per source: type-token ratio (distinct
     //    terms / total terms, ppm) plus the raw counts — the cheap
     //    "is this source templated boilerplate or real language"

@@ -207,6 +207,25 @@ object ModelStreams {
       Lakehouse.readCurrent(spark, evalDir, "cm"),
       "true_label", "pred_label", "n")
 
+  /** The monitoring TIME SERIES: agreement scalars for every retained
+    * version of the eval store, ordered oldest→newest — κ drifting
+    * down across versions is the "retrain or investigate" alarm. One
+    * K²-row read per retained version (retention is the vacuum knob),
+    * each a cumulative snapshot since folds are additive. Version ids
+    * are listed driver-side (metadata-sized, like lakehouse retention
+    * itself); the math stays in [[Classify.agreementStats]]. */
+  def agreementHistory(spark: org.apache.spark.sql.SparkSession,
+      evalDir: String): DataFrame =
+    Lakehouse.listVersions(spark, evalDir)
+      .map { v =>
+        Classify.agreementStats(
+          Lakehouse.readVersion(spark, evalDir, v, "cm"),
+          "true_label", "pred_label", "n")
+          .withColumn("version", lit(v))
+      }
+      .reduce(_.unionByName(_))
+      .select("version", "n_docs", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
+
   /** EXACT machine unlearning (right-to-be-forgotten for the trained
     * model — the [[graft.operators.Lexical]].forgetDocs twin): because
     * the model is additive sufficient statistics, forgetting documents

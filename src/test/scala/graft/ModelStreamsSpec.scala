@@ -142,6 +142,15 @@ class ModelStreamsSpec extends AnyFunSuite {
     ModelStreams.foldEvalBatch(h2.toDF("doc_id", "text", "label"), nbDir, evalDir, 1L)
     assert(scalars(ModelStreams.agreementFromStore(spark, evalDir)) === served)
     assert(served._1 === rows.size.toLong) // every holdout doc scored on these fixtures
+
+    // the time series: one cumulative snapshot per retained version,
+    // newest row == the CURRENT scalars, doc counts strictly growing
+    val hist = ModelStreams.agreementHistory(spark, evalDir)
+      .orderBy("version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    assert(hist.map(_._1).toSeq === Seq("v0", "v1"))
+    assert(hist.last._2 === served._1 && hist.last._3 === served._5)
+    assert(hist.head._2 < hist.last._2)
   }
 
   test("ArgmaxSumAgg merge laws: any partitioning of the input stream yields the same argmax") {
