@@ -535,6 +535,39 @@ class PlanGateSpec extends AnyFunSuite {
     // the 1-row basket total may arrive via one broadcast loop join only
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p)
   }
+
+  test("embedding centroid/dispersion: explode combines map-side, no joins, no windows") {
+    Seq("emb_centroid_by_label", "emb_dispersion_by_label").foreach { n =>
+      val p = plan(n)
+      // partial HashAggregate BELOW the (label[, dim]) exchange: the
+      // N×D explode must never shuffle raw rows
+      assert(p.contains("HashAggregate"), p)
+      assert(!p.contains("Join"), s"$n plans a join:\n$p")
+      assert(!p.contains("Window"), p)
+      assert(p.contains("ReadSchema: struct<embedding"), p)
+    }
+  }
+
+  test("mixture queries tokenize the corpus exactly once (K-row checkpoint cut)") {
+    Seq("mix_temperature_weights", "mix_epoch_plan").foreach { n =>
+      val p = plan(n)
+      // every normalization branch reads the checkpointed K-row RDD;
+      // zero parquet scans of documents survive in the plan
+      assert(!p.contains("Scan parquet"), s"$n re-scans the corpus:\n$p")
+      assert(p.contains("Scan ExistingRDD"), p)
+    }
+  }
+
+  test("datacard: one corpus scan for the stacked size/composition facts") {
+    val p = plan("corpus_datacard")
+    // the base multi-aggregate is one scan; the dup facts ride the
+    // persisted pair/cluster checkpoints (ExistingRDD), so at most the
+    // single documents scan appears (the band-index memo may add its
+    // InMemoryTableScan, which is the point of the memo)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"datacard scans parquet $scans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
 
 /** SparkSessionExtensions surface: the injected BroadcastDimsRule must
@@ -605,4 +638,5 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead"), p)
     assert(p.contains("coalesced"), p)
   }
+
 }
