@@ -533,18 +533,7 @@ object SimilarityStreamQueries {
       "emb_centroid_by_label",
       "exact per-(label, dim) embedding centroid as 1e-6-scaled integers",
       (s, d) =>
-        t(s, d, "embeddings")
-          .select(col("label").cast("long").as("label"),
-            posexplode(col("embedding")).as(Seq("dim", "v")))
-          .withColumn("v_e6",
-            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-          .groupBy(col("label"), col("dim").cast("long").as("dim"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("__s1"))
-          .select(col("label"), col("dim"), col("n_vecs"),
-            expr("""CAST((2 * __s1 + CASE WHEN __s1 >= 0 THEN CAST(n_vecs AS DECIMAL(38,0))
-                    ELSE -CAST(n_vecs AS DECIMAL(38,0)) END)
-                    div (2 * CAST(n_vecs AS DECIMAL(38,0))) AS BIGINT)""").as("centroid_e6")),
+        graft.operators.EmbStats.centroidByLabel(t(s, d, "embeddings")),
       Some(s"""WITH x AS (SELECT label::BIGINT AS label, dim,
               |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
               |  FROM (SELECT label, embedding, unnest(range(0, $Dim)) AS dim FROM embeddings))
@@ -566,23 +555,7 @@ object SimilarityStreamQueries {
       "emb_dispersion_by_label",
       "per-label mean squared distance to centroid (1e-6-scaled, one pass)",
       (s, d) =>
-        t(s, d, "embeddings")
-          .select(col("label").cast("long").as("label"),
-            posexplode(col("embedding")).as(Seq("dim", "v")))
-          .withColumn("v_e6",
-            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-          .groupBy("label", "dim")
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("s1"),
-            sum(expr("CAST(v_e6 AS DECIMAL(38,0)) * v_e6")).as("s2"))
-          .groupBy("label")
-          .agg(max("n_vecs").as("n_vecs"),
-            sum("s2").as("__S2"), sum(expr("s1 * s1")).as("__SS1"))
-          .select(col("label"), col("n_vecs"),
-            expr("""CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * __S2 - __SS1)
-                    + CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000)
-                    div (2 * CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000) AS BIGINT)""")
-              .as("msd_e6")),
+        graft.operators.EmbStats.dispersionByLabel(t(s, d, "embeddings")),
       Some(s"""WITH x AS (SELECT label::BIGINT AS label, dim,
               |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
               |  FROM (SELECT label, embedding, unnest(range(0, $Dim)) AS dim FROM embeddings)),
