@@ -20,6 +20,38 @@ import org.apache.spark.sql.functions._
   * computation at 2M vectors, exact to the last integer. */
 object EmbStats {
 
+  /** The ADDITIVE sufficient statistics behind both outputs:
+    * per-(label, dim) n, Σv, Σv² as exact decimals — the foldable/
+    * unlearnable form (see [[graft.streaming.VectorStreams]]
+    * embStats store). */
+  def sufficientStats(df: DataFrame, labelCol: String = "label",
+      embCol: String = "embedding"): DataFrame =
+    quantized(df, labelCol, embCol)
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(v_e6 AS DECIMAL(38,0)) * v_e6")).as("s2"))
+
+  /** [[centroidByLabel]] from a (label, dim, n_vecs, s1, s2) stats
+    * frame — shared by the direct path and the store serve. */
+  def centroidFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("label"), col("dim"), col("n_vecs"),
+      expr("""CAST((2 * s1 + CASE WHEN s1 >= 0 THEN CAST(n_vecs AS DECIMAL(38,0))
+              ELSE -CAST(n_vecs AS DECIMAL(38,0)) END)
+              div (2 * CAST(n_vecs AS DECIMAL(38,0))) AS BIGINT)""").as("centroid_e6"))
+
+  /** [[dispersionByLabel]] from a stats frame. */
+  def dispersionFromStats(stats: DataFrame): DataFrame =
+    stats
+      .groupBy("label")
+      .agg(max("n_vecs").as("n_vecs"),
+        sum("s2").as("__S2"), sum(expr("s1 * s1")).as("__SS1"))
+      .select(col("label"), col("n_vecs"),
+        expr("""CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * __S2 - __SS1)
+                + CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000)
+                div (2 * CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000) AS BIGINT)""")
+          .as("msd_e6"))
+
   /** (label, dim, v_e6): the quantized exploded view. */
   private def quantized(df: DataFrame, labelCol: String, embCol: String): DataFrame =
     df.select(col(labelCol).cast("long").as("label"),
@@ -31,14 +63,7 @@ object EmbStats {
     * class count — signed round-half-away division of the exact sum. */
   def centroidByLabel(df: DataFrame, labelCol: String = "label",
       embCol: String = "embedding"): DataFrame =
-    quantized(df, labelCol, embCol)
-      .groupBy("label", "dim")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("__s1"))
-      .select(col("label"), col("dim"), col("n_vecs"),
-        expr("""CAST((2 * __s1 + CASE WHEN __s1 >= 0 THEN CAST(n_vecs AS DECIMAL(38,0))
-                ELSE -CAST(n_vecs AS DECIMAL(38,0)) END)
-                div (2 * CAST(n_vecs AS DECIMAL(38,0))) AS BIGINT)""").as("centroid_e6"))
+    centroidFromStats(sufficientStats(df, labelCol, embCol))
 
   /** Per-label mean squared distance to the centroid in ONE pass via
     * E‖x−μ‖² = E‖x‖² − ‖μ‖²: per-dim sums s1 = Σv, s2 = Σv², then
@@ -47,17 +72,5 @@ object EmbStats {
     * handling. No centroid join-back, no second scan. */
   def dispersionByLabel(df: DataFrame, labelCol: String = "label",
       embCol: String = "embedding"): DataFrame =
-    quantized(df, labelCol, embCol)
-      .groupBy("label", "dim")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(expr("CAST(v_e6 AS DECIMAL(38,0))")).as("s1"),
-        sum(expr("CAST(v_e6 AS DECIMAL(38,0)) * v_e6")).as("s2"))
-      .groupBy("label")
-      .agg(max("n_vecs").as("n_vecs"),
-        sum("s2").as("__S2"), sum(expr("s1 * s1")).as("__SS1"))
-      .select(col("label"), col("n_vecs"),
-        expr("""CAST((2 * (CAST(n_vecs AS DECIMAL(38,0)) * __S2 - __SS1)
-                + CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000)
-                div (2 * CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000) AS BIGINT)""")
-          .as("msd_e6"))
+    dispersionFromStats(sufficientStats(df, labelCol, embCol))
 }

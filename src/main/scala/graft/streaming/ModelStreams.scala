@@ -27,8 +27,12 @@ object ModelStreams {
   /** One table of an additive-count model: `batch` holds this batch's
     * counts, `keys` the grouping identity, `sums` the count columns to
     * merge by summation. */
+  /** `signedSums` names sum columns that are legitimately negative on
+    * survivor rows (e.g. an embedding-component Σv): the unlearn
+    * tripwire skips them — a negative there is data, not corruption —
+    * while the all-zero vanish rule still requires EVERY sum zero. */
   final case class CountTable(name: String, batch: DataFrame,
-      keys: Seq[String], sums: Seq[String])
+      keys: Seq[String], sums: Seq[String], signedSums: Seq[String] = Nil)
 
   /** Generic micro-batch fold for a model made of ADDITIVE count
     * tables (sufficient statistics): sum each table into its stored
@@ -76,7 +80,8 @@ object ModelStreams {
         if (!unlearn) merged
         else {
           val allZero = tb.sums.map(c => col(c) === 0L).reduce(_ && _)
-          val anyNeg = tb.sums.map(c => col(c) < 0L).reduce(_ || _)
+          val anyNeg = tb.sums.filterNot(tb.signedSums.contains)
+            .map(c => col(c) < 0L).reduceOption(_ || _).getOrElse(lit(false))
           val m2 = merged.filter(!allZero).localCheckpoint(true)
           val neg = m2.filter(anyNeg).limit(1).count()
           require(neg == 0L,

@@ -508,4 +508,65 @@ object VectorStreams {
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("e._2").as("cand_id"), (-col("e._1")).cast("int").as("hamming"))
   }
+
+  // ───────────── standing embedding-statistics store ─────────────
+
+  /** Fold one batch of labelled vectors into the standing per-class
+    * statistics store: the (label, dim) → (n, Σv, Σv²) table is
+    * ADDITIVE sufficient statistics, so it rides the shared
+    * torn-version-proof count-table fold — fold ≡ recompute is a
+    * theorem, replay is a no-op, and unlearning is the negated fold
+    * ([[unlearnEmbStatsBatch]]). K×D rows per version regardless of
+    * stream volume. */
+  def embStatsFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      labelCol: String = "label", embCol: String = "embedding",
+      unlearn: Boolean = false, vacuumKeep: Int = 0): Unit =
+    graft.streaming.ModelStreams.foldCountTables(
+      batch.sparkSession, tableDir, id, Seq(
+        graft.streaming.ModelStreams.CountTable("dims", {
+          val st = graft.operators.EmbStats.sufficientStats(batch, labelCol, embCol)
+          if (!unlearn) st
+          else st.select(col("label"), col("dim"),
+            (-col("n_vecs")).as("n_vecs"), (-col("s1")).as("s1"),
+            (-col("s2")).as("s2"))
+        }, Seq("label", "dim"), Seq("n_vecs", "s1", "s2"),
+          signedSums = Seq("s1"))),
+      unlearn = unlearn, vacuumKeep = vacuumKeep)
+
+  /** Per micro-batch fold of `(label, embedding)` rows into the
+    * standing statistics store — the embedding-space monitoring loop
+    * (centroid drift, class dispersion over time). */
+  def embStatsIngest(vecStream: DataFrame, tableDir: String,
+      labelCol: String = "label", embCol: String = "embedding",
+      vacuumKeep: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        embStatsFoldBatch(batch.toDF(), tableDir, id, labelCol, embCol,
+          vacuumKeep = vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** EXACT unlearning: negate the forgotten vectors' (n, s1, s2) and
+    * fold — post-unlearn store ≡ recompute on survivors bit-for-bit.
+    * s1 is a true signed quantity (embedding components are negative),
+    * so it is declared `signedSums` and exempt from the tripwire; a
+    * negative n_vecs or s2 still aborts the swing (rows never folded
+    * in), which is the corruption signal that matters. */
+  def unlearnEmbStatsBatch(vecs: DataFrame, tableDir: String, id: Long,
+      labelCol: String = "label", embCol: String = "embedding"): Unit =
+    embStatsFoldBatch(vecs, tableDir, id, labelCol, embCol, unlearn = true)
+
+  /** Exact centroids served off one pinned store version. */
+  def centroidFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    graft.operators.EmbStats.centroidFromStats(
+      graft.operators.Lakehouse.readCurrent(spark, tableDir, "dims"))
+
+  /** Exact per-class dispersion served off one pinned store version. */
+  def dispersionFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    graft.operators.EmbStats.dispersionFromStats(
+      graft.operators.Lakehouse.readCurrent(spark, tableDir, "dims"))
 }

@@ -299,4 +299,46 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(!adcPlan.contains("CartesianProduct"))
     assert(adcPlan.contains("BroadcastHashJoin"), adcPlan.take(800))
   }
+
+  test("embedding-stats store: 2-batch fold == one-shot; unlearn == survivors; signed s1 passes tripwire") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("graft_embstats").toString
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "label", "embedding")
+
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def dispersions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // two folds == one-shot EmbStats on the union (fold ≡ recompute)
+    VectorStreams.embStatsFoldBatch(emb.filter(col("vec_id") % 2 === 0), tbl, 0L)
+    VectorStreams.embStatsFoldBatch(emb.filter(col("vec_id") % 2 =!= 0), tbl, 1L)
+    assert(centroids(VectorStreams.centroidFromStore(spark, tbl)) ===
+      centroids(graft.operators.EmbStats.centroidByLabel(emb)))
+    assert(dispersions(VectorStreams.dispersionFromStore(spark, tbl)) ===
+      dispersions(graft.operators.EmbStats.dispersionByLabel(emb)))
+
+    // replay of a committed id is a no-op
+    VectorStreams.embStatsFoldBatch(emb.filter(col("vec_id") % 2 =!= 0), tbl, 1L)
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v1"))
+
+    // exact unlearning: forget the odd vectors (their s1 contributions
+    // are signed — the tripwire must not confuse negative survivor
+    // sums with corruption) == recompute on the even survivors
+    VectorStreams.unlearnEmbStatsBatch(emb.filter(col("vec_id") % 2 =!= 0), tbl, 2L)
+    val survivors = emb.filter(col("vec_id") % 2 === 0)
+    assert(centroids(VectorStreams.centroidFromStore(spark, tbl)) ===
+      centroids(graft.operators.EmbStats.centroidByLabel(survivors)))
+    assert(dispersions(VectorStreams.dispersionFromStore(spark, tbl)) ===
+      dispersions(graft.operators.EmbStats.dispersionByLabel(survivors)))
+
+    // unlearning rows never folded must abort before the swing
+    val bogus = emb.filter(col("vec_id") % 2 =!= 0) // already forgotten
+    intercept[IllegalArgumentException] {
+      VectorStreams.unlearnEmbStatsBatch(bogus, tbl, 3L)
+    }
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v2"))
+  }
 }
