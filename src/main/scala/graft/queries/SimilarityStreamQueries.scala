@@ -569,6 +569,37 @@ object SimilarityStreamQueries {
               |    // (2 * n_vecs::HUGEINT * n_vecs * 1000000))::BIGINT AS msd_e6
               |FROM agg""".stripMargin)),
 
+    // ── The dispersion SERVED OFF THE STANDING STORE, pinned per
+    //    round: two statistics folds (even/odd vectors) then a pinned
+    //    CURRENT read — the oracle is emb_dispersion_by_label's SQL
+    //    verbatim, so the additive-fold and serve algebra must
+    //    reproduce the batch row under the driver's hash every round
+    //    (the eval_kappa_serve discipline). ──
+    QueryDef(
+      "emb_stats_serve",
+      "2-batch embedding-stats fold + served dispersion == one-shot emb_dispersion_by_label",
+      (s, d) => {
+        val tbl = java.nio.file.Files.createTempDirectory("graft_embstats_q").toString
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.embStatsFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), tbl, 0L)
+        graft.streaming.VectorStreams.embStatsFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), tbl, 1L)
+        graft.streaming.VectorStreams.dispersionFromStore(s, tbl)
+      },
+      Some(s"""WITH x AS (SELECT label::BIGINT AS label, dim,
+              |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
+              |  FROM (SELECT label, embedding, unnest(range(0, $Dim)) AS dim FROM embeddings)),
+              |pd AS (SELECT label, dim, count(*)::BIGINT AS n_vecs,
+              |    sum(v_e6::HUGEINT) AS s1, sum(v_e6::HUGEINT * v_e6) AS s2
+              |  FROM x GROUP BY 1, 2),
+              |agg AS (SELECT label, max(n_vecs) AS n_vecs,
+              |    sum(s2) AS s2t, sum(s1 * s1) AS ss1 FROM pd GROUP BY 1)
+              |SELECT label, n_vecs,
+              |  ((2 * (n_vecs::HUGEINT * s2t - ss1) + n_vecs::HUGEINT * n_vecs * 1000000)
+              |    // (2 * n_vecs::HUGEINT * n_vecs * 1000000))::BIGINT AS msd_e6
+              |FROM agg""".stripMargin)),
+
     // ── LSH bucket assignment (the scale path for ANN) ──
     QueryDef(
       "sim_lsh_bucket",
