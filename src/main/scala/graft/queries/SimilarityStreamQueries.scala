@@ -600,6 +600,59 @@ object SimilarityStreamQueries {
               |    // (2 * n_vecs::HUGEINT * n_vecs * 1000000))::BIGINT AS msd_e6
               |FROM agg""".stripMargin)),
 
+    // ── Nearest-class-mean classification — the classical strong
+    //    baseline over the exact centroids: train on 4/5 of the
+    //    vectors, classify the holdout by smallest exact squared-L2
+    //    to a class centroid (integer algebra end-to-end: quantized
+    //    components vs quantized centroids, DECIMAL(38,0) distance
+    //    sums, (dist², label) argmin), reported as the confusion
+    //    matrix. Scale shape: K×D centroids broadcast; the probe side
+    //    is one N×D explode joined per-dim to the K centroids (the
+    //    N·D·K flops NCM costs by definition), combined map-side into
+    //    (vec, label) distances, then a K-way argmin per vector. ──
+    QueryDef(
+      "emb_ncm_confusion",
+      "nearest-class-mean holdout confusion matrix over exact centroids",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cent = graft.operators.EmbStats
+          .centroidByLabel(emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+          .select(col("label").as("c_label"), col("dim"), col("centroid_e6"))
+        val probe = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select(col("vec_id"), col("label").cast("long").as("true_label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("true_label"), col("dim").cast("long").as("dim"),
+            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("v_e6"))
+        probe.join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "true_label", "c_label")
+          .agg(sum(expr(
+            "CAST(v_e6 - centroid_e6 AS DECIMAL(38,0)) * (v_e6 - centroid_e6)"))
+            .as("__d2"))
+          .groupBy("vec_id", "true_label")
+          .agg(min(struct(col("__d2"), col("c_label"))).as("__w"))
+          .groupBy(col("true_label"), col("__w.c_label").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, label::BIGINT AS lbl, dim,
+              |    CAST(round(embedding[(dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS v_e6
+              |  FROM (SELECT vec_id, label, embedding, unnest(range(0, $Dim)) AS dim
+              |        FROM embeddings)),
+              |tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+              |cent AS (SELECT lbl AS c_label, dim,
+              |    ((2 * sum(v_e6::HUGEINT) + CASE WHEN sum(v_e6::HUGEINT) >= 0
+              |        THEN count(*)::HUGEINT ELSE -(count(*)::HUGEINT) END)
+              |      // (2 * count(*)::HUGEINT))::BIGINT AS c_e6
+              |  FROM tr GROUP BY 1, 2),
+              |dist AS (SELECT q.vec_id, q.lbl AS true_label, c.c_label,
+              |    sum((q.v_e6 - c.c_e6)::HUGEINT * (q.v_e6 - c.c_e6)) AS d2
+              |  FROM q JOIN cent c USING (dim) WHERE q.vec_id % 5 = 0
+              |  GROUP BY 1, 2, 3),
+              |pred AS (SELECT vec_id, true_label, c_label AS pred_label FROM dist
+              |  QUALIFY row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, c_label) = 1)
+              |SELECT true_label, pred_label, count(*) AS n
+              |FROM pred GROUP BY 1, 2""".stripMargin)),
+
     // ── LSH bucket assignment (the scale path for ANN) ──
     QueryDef(
       "sim_lsh_bucket",
