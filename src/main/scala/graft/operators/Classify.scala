@@ -145,8 +145,14 @@ object Classify {
     * (N² = C) reports the −2e6 sentinel, never NULL (the canonicalizer
     * float-widening rule). K²-row input → K-row marginals → one row:
     * metadata-sized at any corpus scale. */
-  def agreementStats(cm: DataFrame, trueCol: String = "true_lang",
+  def agreementStats(cm0: DataFrame, trueCol: String = "true_lang",
       predCol: String = "pred_lang", nCol: String = "n"): DataFrame = {
+    // K²-row cut: the matrix is referenced three times below (both
+    // marginals + the diagonal) and Catalyst does not dedupe identical
+    // subtrees — without it a caller passing a full train+score
+    // pipeline as `cm0` (eval_kappa_nb) would replay it three times
+    // (the mix_* queries' four-scan lesson)
+    val cm = cm0.localCheckpoint(true)
     val byTrue = cm.groupBy(col(trueCol).as("label")).agg(sum(nCol).as("n_true"))
     val byPred = cm.groupBy(col(predCol).as("label")).agg(sum(nCol).as("n_pred"))
     val diag = cm.filter(col(trueCol) === col(predCol))

@@ -17,16 +17,22 @@ import graft.operators.Checkpoints.TruncateOps
   * adjacency join) plus a label-of-label pointer-jumping join that
   * doubles propagation reach per round, so convergence takes
   * O(log diameter) rounds — near-dup clusters are shallow, so 2–4
-  * rounds is typical. Each round's labels are eagerly truncated via
-  * [[Checkpoints.truncate]] (localCheckpoint by default; reliable
-  * `checkpoint` under `spark.graft.reliableCheckpoint` for cluster
-  * deployments that must survive executor churn mid-iteration): the
-  * labels frame is referenced three times per round (adjacency join,
-  * closed-neighborhood union, pointer-jump lookup), so carrying the
-  * logical plan forward would grow the analysis tree exponentially with
-  * the round count. Convergence is detected by the monotone label sum
-  * (strictly decreases until the fixpoint), one scalar agg per round —
-  * no driver-side collect of vertex data. For graphs with huge diameter
+  * rounds is typical. Each round's labels are truncated via
+  * [[Checkpoints.truncateForProbe]] — a LAZY localCheckpoint whose
+  * blocks are materialized by the convergence probe's own full scan,
+  * merging the old materialize-checkpoint job and the probe job into
+  * ONE per round (reliable `checkpoint` under
+  * `spark.graft.reliableCheckpoint` stays eager for cluster
+  * deployments that must survive executor churn mid-iteration; a lazy
+  * reliable checkpoint would recompute the plan at file-write time).
+  * The truncation is load-bearing: the labels frame is referenced
+  * three times per round (adjacency join, closed-neighborhood union,
+  * pointer-jump lookup), so carrying the logical plan forward would
+  * grow the analysis tree exponentially with the round count — and
+  * the probe action MUST run before the next round builds on the
+  * frame (the truncateForProbe contract). Convergence is detected by
+  * the monotone label sum (strictly decreases until the fixpoint),
+  * one scalar agg per round — no driver-side collect of vertex data. For graphs with huge diameter
   * (not duplicate clusters), the alternating star variant (Kiveris et
   * al., "Connected Components in MapReduce and Beyond") drops the round
   * count to O(log^2 n); the pair-cluster workload never needs it.

@@ -28,9 +28,6 @@ object CurationQueries {
   private def dkC8(e: String) =
     s"round(($e)::DECIMAL(18,12), 8)::DECIMAL(18,8)"
 
-  /** CTE prefix replaying NB training + holdout scoring end-to-end
-    * (terminal CTE `fin`: one scored (doc, label) row each). Shared by
-    * the prediction and confusion-matrix oracles. */
   /** Cohen's-κ oracle over the NB holdout — shared VERBATIM by
     * `eval_kappa_nb` (batch path) and `eval_kappa_serve` (standing
     * stores): fold ≡ one-shot and serve ≡ batch make both engines'
@@ -65,6 +62,9 @@ object CurationQueries {
        |    END)::BIGINT AS kappa_ppm
        |FROM agg""".stripMargin
 
+  /** CTE prefix replaying NB training + holdout scoring end-to-end
+    * (terminal CTE `fin`: one scored (doc, label) row each). Shared by
+    * the prediction and confusion-matrix oracles. */
   private def dkNbCtes =
     s"""train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
        |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

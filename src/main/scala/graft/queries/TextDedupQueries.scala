@@ -1701,7 +1701,12 @@ object TextDedupQueries {
         val dup = pairs.agg(count(lit(1)).as("p"))
           .crossJoin(comp.agg(countDistinct(col("component")).as("c"),
             count(lit(1)).as("m"),
-            sum(when(col("component") < col("id"), 1L).otherwise(0L)).as("x")))
+            // coalesce: an ungrouped sum over an EMPTY cluster frame is
+            // NULL, and a NULL numeric oracle column is the round-9
+            // float-widening hash hazard — a dedup-free corpus must
+            // say 0, not NULL
+            coalesce(sum(when(col("component") < col("id"), 1L)
+              .otherwise(0L)), lit(0L)).as("x")))
           .selectExpr("""stack(4,
             'n_neardup_pairs', p, 'n_dup_clusters', c,
             'n_docs_in_dup_clusters', m, 'n_docs_dropped_keep_one', x)
@@ -1736,7 +1741,7 @@ object TextDedupQueries {
               |UNION ALL SELECT 'n_dup_clusters', count(DISTINCT component)::BIGINT FROM comp
               |UNION ALL SELECT 'n_docs_in_dup_clusters', count(*)::BIGINT FROM comp
               |UNION ALL SELECT 'n_docs_dropped_keep_one',
-              |  sum(CASE WHEN component < id THEN 1 ELSE 0 END)::BIGINT FROM comp
+              |  coalesce(sum(CASE WHEN component < id THEN 1 ELSE 0 END), 0)::BIGINT FROM comp
               |UNION ALL SELECT 'n_benchmark_contaminated', count(DISTINCT doc_id)::BIGINT
               |  FROM sides WHERE doc_id % 17 <> 0 AND other % 17 = 0""".stripMargin)),
 
@@ -1846,8 +1851,9 @@ object TextDedupQueries {
           .join(broadcast(cnt.select(col("source").as("source_b"), col("n_docs").as("__nb"))),
             Seq("source_b"))
           .select(col("source_a"), col("source_b"), col("n_pairs"),
-            expr("""CAST((2000000 * n_pairs + least(__na, __nb))
-                    div (2 * least(__na, __nb)) AS BIGINT)""").as("overlap_ppm"))
+            expr("""CAST((2000000 * CAST(n_pairs AS DECIMAL(38,0)) + least(__na, __nb))
+                    div (2 * CAST(least(__na, __nb) AS DECIMAL(38,0))) AS BIGINT)""")
+              .as("overlap_ppm"))
       },
       Some(s"""WITH $dkNeardupCtes,
               |sel AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
@@ -1859,8 +1865,8 @@ object TextDedupQueries {
               |  JOIN src b ON b.doc_id = sel.id_b
               |  GROUP BY 1, 2)
               |SELECT source_a, source_b, n_pairs,
-              |  ((2000000 * n_pairs + least(na.n_docs, nb.n_docs))
-              |    // (2 * least(na.n_docs, nb.n_docs)))::BIGINT AS overlap_ppm
+              |  ((2000000 * n_pairs::HUGEINT + least(na.n_docs, nb.n_docs))
+              |    // (2 * least(na.n_docs, nb.n_docs)::HUGEINT))::BIGINT AS overlap_ppm
               |FROM cells JOIN cnt na ON na.source = source_a
               |  JOIN cnt nb ON nb.source = source_b""".stripMargin)),
 

@@ -26,13 +26,21 @@ object ModelStreams {
 
   /** One table of an additive-count model: `batch` holds this batch's
     * counts, `keys` the grouping identity, `sums` the count columns to
-    * merge by summation. */
-  /** `signedSums` names sum columns that are legitimately negative on
+    * merge by summation.
+    *
+    * `signedSums` names sum columns that are legitimately negative on
     * survivor rows (e.g. an embedding-component Σv): the unlearn
     * tripwire skips them — a negative there is data, not corruption —
-    * while the all-zero vanish rule still requires EVERY sum zero. */
+    * while the all-zero vanish rule still requires EVERY sum zero.
+    *
+    * `countCol` names the column that counts contributing ROWS (when
+    * one exists): a survivor with that count at zero but any other sum
+    * nonzero is corrupt by construction (mass with no contributors —
+    * the signed-sum cancellation a plain negativity check can't see),
+    * and aborts the unlearn before the swing. */
   final case class CountTable(name: String, batch: DataFrame,
-      keys: Seq[String], sums: Seq[String], signedSums: Seq[String] = Nil)
+      keys: Seq[String], sums: Seq[String], signedSums: Seq[String] = Nil,
+      countCol: Option[String] = None)
 
   /** Generic micro-batch fold for a model made of ADDITIVE count
     * tables (sufficient statistics): sum each table into its stored
@@ -82,11 +90,20 @@ object ModelStreams {
           val allZero = tb.sums.map(c => col(c) === 0L).reduce(_ && _)
           val anyNeg = tb.sums.filterNot(tb.signedSums.contains)
             .map(c => col(c) < 0L).reduceOption(_ || _).getOrElse(lit(false))
+          // countCol == 0 with residual mass: a signed sum cancelled to
+          // a zero contributor count — rows never folded in, invisible
+          // to the negativity check (e.g. unlearning a drifted twin of
+          // a stored vector)
+          val zeroCountResidue = tb.countCol.map { cc =>
+            col(cc) === 0L &&
+              tb.sums.filterNot(_ == cc).map(col(_) =!= 0L).reduce(_ || _)
+          }.getOrElse(lit(false))
           val m2 = merged.filter(!allZero).localCheckpoint(true)
-          val neg = m2.filter(anyNeg).limit(1).count()
+          val neg = m2.filter(anyNeg || zeroCountResidue).limit(1).count()
           require(neg == 0L,
-            s"unlearn fold drove ${tb.name} counts negative: " +
-              "batch contains rows never folded into this store")
+            s"unlearn fold corrupted ${tb.name}: negative counts or " +
+              "zero-contributor residue — batch contains rows never " +
+              "folded into this store")
           m2
         }
       cleaned.write.mode("overwrite").parquet(s"$vtmp/${tb.name}")
@@ -220,8 +237,11 @@ object ModelStreams {
     * are listed driver-side (metadata-sized, like lakehouse retention
     * itself); the math stays in [[Classify.agreementStats]]. */
   def agreementHistory(spark: org.apache.spark.sql.SparkSession,
-      evalDir: String): DataFrame =
-    Lakehouse.listVersions(spark, evalDir)
+      evalDir: String): DataFrame = {
+    val versions = Lakehouse.listVersions(spark, evalDir)
+    require(versions.nonEmpty,
+      s"agreementHistory: no versions under $evalDir — fold a batch first")
+    versions
       .map { v =>
         Classify.agreementStats(
           Lakehouse.readVersion(spark, evalDir, v, "cm"),
@@ -230,6 +250,7 @@ object ModelStreams {
       }
       .reduce(_.unionByName(_))
       .select("version", "n_docs", "n_agree", "po_ppm", "pe_ppm", "kappa_ppm")
+  }
 
   /** EXACT machine unlearning (right-to-be-forgotten for the trained
     * model — the [[graft.operators.Lexical]].forgetDocs twin): because

@@ -530,7 +530,7 @@ object VectorStreams {
             (-col("n_vecs")).as("n_vecs"), (-col("s1")).as("s1"),
             (-col("s2")).as("s2"))
         }, Seq("label", "dim"), Seq("n_vecs", "s1", "s2"),
-          signedSums = Seq("s1"))),
+          signedSums = Seq("s1"), countCol = Some("n_vecs"))),
       unlearn = unlearn, vacuumKeep = vacuumKeep)
 
   /** Per micro-batch fold of `(label, embedding)` rows into the

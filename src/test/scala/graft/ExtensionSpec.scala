@@ -1254,7 +1254,9 @@ class ExtensionSpec extends AnyFunSuite {
     rows.foreach { case (avail, wppm, target, epochs, rem) =>
       assert(target === wppm * 1000L) // 1e9-token budget in ppm units
       assert(epochs === target / avail)
-      assert(rem >= 0L && rem < 1000000L) // remainder is a proper fraction
+      // remainder rate rounds within [0, 1e6]: a source above 2e6
+      // tokens with remainder avail-1 legitimately rounds UP to 1e6
+      assert(rem >= 0L && rem <= 1000000L)
       // epochs*avail + rem*avail/1e6 reconstructs target within rounding
       val approx = epochs * avail + (rem * avail) / 1000000L
       assert(math.abs(approx - target) <= avail / 1000000L + 1)

@@ -340,5 +340,18 @@ class VectorStoreSpec extends AnyFunSuite {
       VectorStreams.unlearnEmbStatsBatch(bogus, tbl, 3L)
     }
     assert(Lakehouse.currentVersion(spark, tbl) === Some("v2"))
+
+    // the cancellation hole: unlearning a DRIFTED twin of a stored
+    // vector cancels n_vecs to 0 while s1/s2 residue survives — the
+    // countCol tripwire must catch what the negativity check cannot
+    import spark.implicits._
+    val tbl2 = java.nio.file.Files.createTempDirectory("graft_embstats2").toString
+    val one = Seq((1L, 0L, Array(0.25f, -0.5f))).toDF("vec_id", "label", "embedding")
+    val twin = Seq((1L, 0L, Array(0.75f, -0.5f))).toDF("vec_id", "label", "embedding")
+    VectorStreams.embStatsFoldBatch(one, tbl2, 0L)
+    intercept[IllegalArgumentException] {
+      VectorStreams.unlearnEmbStatsBatch(twin, tbl2, 1L)
+    }
+    assert(Lakehouse.currentVersion(spark, tbl2) === Some("v0"))
   }
 }
