@@ -567,7 +567,8 @@ object SimilarityStreamQueries {
               |SELECT label, n_vecs,
               |  ((2 * (n_vecs::HUGEINT * s2t - ss1) + n_vecs::HUGEINT * n_vecs * 1000000)
               |    // (2 * n_vecs::HUGEINT * n_vecs * 1000000))::BIGINT AS msd_e6
-              |FROM agg""".stripMargin)),
+              |FROM agg""".stripMargin),
+      bench = true),
 
     // ── The dispersion SERVED OFF THE STANDING STORE, pinned per
     //    round: two statistics folds (even/odd vectors) then a pinned

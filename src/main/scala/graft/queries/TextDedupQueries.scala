@@ -1743,7 +1743,8 @@ object TextDedupQueries {
               |UNION ALL SELECT 'n_docs_dropped_keep_one',
               |  coalesce(sum(CASE WHEN component < id THEN 1 ELSE 0 END), 0)::BIGINT FROM comp
               |UNION ALL SELECT 'n_benchmark_contaminated', count(DISTINCT doc_id)::BIGINT
-              |  FROM sides WHERE doc_id % 17 <> 0 AND other % 17 = 0""".stripMargin)),
+              |  FROM sides WHERE doc_id % 17 <> 0 AND other % 17 = 0""".stripMargin),
+      bench = true),
 
     // ── Vocabulary richness per source: type-token ratio (distinct
     //    terms / total terms, ppm) plus the raw counts — the cheap
@@ -1916,7 +1917,8 @@ object TextDedupQueries {
               |  CASE WHEN (((rep % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 80 THEN 'train'
               |       WHEN (((rep % 2147483647 + 2147483647) % 2147483647) * 2654435761 + 97) % 100 < 90 THEN 'val'
               |       ELSE 'test' END AS split
-              |FROM rep""".stripMargin)),
+              |FROM rep""".stripMargin),
+      bench = true),
 
     // ── Near-dup benchmark decontamination: the fuzzy twin of
     //    `decontam_keep` (which removes exact matches). Every VERIFIED
