@@ -135,6 +135,38 @@ object Classify {
         round(col("__w.__sd").cast("double"), 6).as("score"),
         col("__w.n_terms").as("n_terms"))
 
+  /** Per-class precision/recall/F1 from a confusion matrix frame
+    * (trueCol, predCol, nCol): integer-exact counts, ratios emitted as
+    * round-half-up parts-per-million BIGINTs (the registry-wide
+    * quantized-exact contract — no raw double division), and the −1
+    * sentinel (never NULL) for zero denominators. K²-row input →
+    * K-row output; 2e6·tp stays inside signed 64-bit to ~4.6e12 rows
+    * per class. Shares [[agreementStats]]'s K²-row checkpoint cut. */
+  def prfStats(cm0: DataFrame, trueCol: String = "true_lang",
+      predCol: String = "pred_lang", nCol: String = "n"): DataFrame = {
+    val cm = cm0.localCheckpoint(true)
+    val byTrue = cm.groupBy(col(trueCol).as("label")).agg(sum(nCol).as("n_true"))
+    val byPred = cm.groupBy(col(predCol).as("label")).agg(sum(nCol).as("n_pred"))
+    val diag = cm.filter(col(trueCol) === col(predCol))
+      .select(col(trueCol).as("label"), col(nCol).as("__tp"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+        when(col("n_pred") > 0,
+          expr("(2000000 * tp + n_pred) div (2 * n_pred)"))
+          .otherwise(lit(-1L)).as("precision_ppm"),
+        when(col("n_true") > 0,
+          expr("(2000000 * tp + n_true) div (2 * n_true)"))
+          .otherwise(lit(-1L)).as("recall_ppm"),
+        when(col("n_true") + col("n_pred") > 0,
+          expr("(4000000 * tp + n_true + n_pred) div (2 * (n_true + n_pred))"))
+          .otherwise(lit(-1L)).as("f1_ppm"))
+  }
+
   /** Chance-corrected agreement (Cohen's κ) from a confusion matrix
     * frame (trueCol, predCol, nCol): one row with the marginals-exact
     * κ = (N·A − C)/(N² − C), A = Σ diagonal, C = Σ_k n_true_k·n_pred_k.

@@ -313,31 +313,7 @@ object CurationQueries {
           .join(hold.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
           .groupBy(col("true_lang"), col("pred_label").as("pred_lang"))
           .agg(count(lit(1)).as("n"))
-        val byTrue = cm.groupBy(col("true_lang").as("label"))
-          .agg(sum("n").as("n_true"))
-        val byPred = cm.groupBy(col("pred_lang").as("label"))
-          .agg(sum("n").as("n_pred"))
-        val diag = cm.filter(col("true_lang") === col("pred_lang"))
-          .select(col("true_lang").as("label"), col("n").as("__tp"))
-        byTrue.join(byPred, Seq("label"), "full_outer")
-          .join(diag, Seq("label"), "left")
-          .select(col("label"),
-            coalesce(col("__tp"), lit(0L)).as("tp"),
-            coalesce(col("n_true"), lit(0L)).as("n_true"),
-            coalesce(col("n_pred"), lit(0L)).as("n_pred"))
-          .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
-            // ppm = round-half-up(1e6 * tp / den) in pure bigint math:
-            // (2e6*tp + den) div (2*den). Counts are bounded by corpus
-            // rows, so 2e6*tp stays far from Long overflow.
-            when(col("n_pred") > 0,
-              expr("(2000000 * tp + n_pred) div (2 * n_pred)"))
-              .otherwise(lit(-1L)).as("precision_ppm"),
-            when(col("n_true") > 0,
-              expr("(2000000 * tp + n_true) div (2 * n_true)"))
-              .otherwise(lit(-1L)).as("recall_ppm"),
-            when(col("n_true") + col("n_pred") > 0,
-              expr("(4000000 * tp + n_true + n_pred) div (2 * (n_true + n_pred))"))
-              .otherwise(lit(-1L)).as("f1_ppm"))
+        Classify.prfStats(cm)
       },
       Some(s"""WITH $dkNbCtes,
               |pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM fin

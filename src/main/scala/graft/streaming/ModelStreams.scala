@@ -229,6 +229,14 @@ object ModelStreams {
       Lakehouse.readCurrent(spark, evalDir, "cm"),
       "true_label", "pred_label", "n")
 
+  /** Per-class precision/recall/F1 served off the standing confusion
+    * store — the eval_prf_nb arithmetic over one pinned version. */
+  def prfFromStore(spark: org.apache.spark.sql.SparkSession,
+      evalDir: String): DataFrame =
+    Classify.prfStats(
+      Lakehouse.readCurrent(spark, evalDir, "cm"),
+      "true_label", "pred_label", "n")
+
   /** The monitoring TIME SERIES: agreement scalars for every retained
     * version of the eval store, ordered oldest→newest — κ drifting
     * down across versions is the "retrain or investigate" alarm. One

@@ -166,4 +166,21 @@ class ClassifySpec extends AnyFunSuite {
     val got = kappaRow(Seq(("a", "a", 9L)))
     assert(got._5 === -2000000L && got._3 === 1000000L && got._4 === 1000000L)
   }
+
+  test("prfStats: textbook per-class values land exactly; never-predicted class gets the sentinel") {
+    // cm [[20,5],[10,15]]: class a P=20/30, R=20/25, F1=40/55
+    val rows = Classify.prfStats(Seq(("a", "a", 20L), ("a", "b", 5L),
+        ("b", "a", 10L), ("b", "b", 15L)).toDF("true_lang", "pred_lang", "n"))
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows(0) === (("a", 666667L, 800000L, 727273L)))
+    assert(rows(1) === (("b", 750000L, 600000L, 666667L)))
+    // class never predicted: precision sentinel, recall 0, f1 defined
+    val c = Classify.prfStats(Seq(("c", "a", 4L), ("a", "a", 6L))
+        .toDF("true_lang", "pred_lang", "n"))
+      .filter(col("label") === "c")
+      .select("precision_ppm", "recall_ppm", "f1_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(c === ((-1L, 0L, 0L)))
+  }
 }

@@ -143,6 +143,18 @@ class ModelStreamsSpec extends AnyFunSuite {
     assert(scalars(ModelStreams.agreementFromStore(spark, evalDir)) === served)
     assert(served._1 === rows.size.toLong) // every holdout doc scored on these fixtures
 
+    // per-class P/R/F1 served off the same store == prfStats over the
+    // one-shot matrix
+    def prf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    val wantPrf = prf(Classify.prfStats(
+      ModelStreams.nbServeFromStore(hold.select("doc_id", "text"), nbDir)
+        .join(hold.select(col("doc_id"), col("label").as("true_label")), Seq("doc_id"))
+        .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n")),
+      "true_label", "pred_label", "n"))
+    assert(prf(ModelStreams.prfFromStore(spark, evalDir)) === wantPrf)
+
     // the time series: one cumulative snapshot per retained version,
     // newest row == the CURRENT scalars, doc counts strictly growing
     val hist = ModelStreams.agreementHistory(spark, evalDir)
