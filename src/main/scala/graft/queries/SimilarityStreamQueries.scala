@@ -16,6 +16,15 @@ object SimilarityStreamQueries {
 
   val Dim = 64
   val NPlanes = 16
+
+  // Scratch root for the multimodal fingerprint split: the decode half
+  // of mm_image/audio_neardup is not SQL-expressible, so the engine
+  // persists executor-decoded fingerprints here and the DuckDB oracle
+  // replays the hamming join over the SAME parquet (read_parquet with
+  // this literal path — the Spark write and the oracle replay run on
+  // one host in the driver's gate). Fixed path by design: it is
+  // interpolated into the oracle SQL string at registry-build time.
+  val MmScratchBase = "/tmp/graft_scratch"
   // Multi-table ANN: L tables of k planes each. The (k, L) pair is the
   // recall/cost dial: per-plane collision p = 1 - θ/π, per-table p^k,
   // union 1-(1-p^k)^L, bucket-scan fraction ≈ L/2^k of the corpus.
@@ -1626,10 +1635,16 @@ object SimilarityStreamQueries {
     //    on executors (four doc_ids share each noise seed — planted
     //    exact-duplicate images), decoded through the REAL imageio
     //    dHash (9×8 bilinear grayscale gradient → 64-bit), and paired
-    //    by the pigeonhole-complete 8-band hamming join. No SQL oracle
-    //    (an image decoder is not SQL-expressible) → rows-only check;
-    //    FingerprintSpec proves the join == brute force and the hash
-    //    invariances. ──
+    //    by the pigeonhole-complete 7-band hamming join. The decode
+    //    half is not SQL-expressible, so the query is SPLIT at the
+    //    fingerprint boundary: executor-decoded (doc_id, dhash) rows
+    //    are persisted to a scratch parquet, the engine's hamming join
+    //    runs over that persisted table, and the DuckDB oracle replays
+    //    the SAME banding + equi-join + bit_count rescore over the SAME
+    //    scratch parquet (the dedup_simhash_hamming shape, 64-bit,
+    //    radius 6 → 7 bands of widths 10,9,9,9,9,9,9). The decode half
+    //    stays pinned by FingerprintSpec's invariance + brute-force
+    //    exactness proofs. ──
     QueryDef(
       "mm_image_neardup",
       "synthesized PNGs -> real imageio dHash -> exact hamming near-dup pairs",
@@ -1654,18 +1669,36 @@ object SimilarityStreamQueries {
             javax.imageio.ImageIO.write(img, "png", bos)
             graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "image/png")
           }
+        val scratch = s"$MmScratchBase/mm_image_fp"
+        graft.operators.Fingerprint.dHash64(s, media)
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
         graft.operators.Fingerprint.hammingNearDupPairs(
-          graft.operators.Fingerprint.dHash64(s, media), "doc_id", "dhash", 6)
+          s.read.parquet(scratch), "doc_id", "dhash", 6)
       },
-      None),
+      Some(s"""WITH fp AS (SELECT doc_id, dhash
+              |  FROM read_parquet('$MmScratchBase/mm_image_fp/*.parquet')),
+              |bands AS (SELECT doc_id, dhash, pos, (dhash >> off) & mask AS band
+              |  FROM fp, (VALUES (0,0,1023),(1,10,511),(2,19,511),(3,28,511),
+              |    (4,37,511),(5,46,511),(6,55,511)) b(pos, off, mask)),
+              |ok AS (SELECT * FROM bands
+              |  QUALIFY count(*) OVER (PARTITION BY pos, band) <= ${graft.operators.Dedup.MaxBucket}),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.dhash AS ha, b.dhash AS hb
+              |  FROM ok a JOIN ok b ON a.pos = b.pos AND a.band = b.band
+              |    AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+              |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin)),
 
     // ── Audio twin: deterministic 16-bit PCM WAVs synthesized on
     //    executors (four doc_ids share each per-frame amplitude
     //    envelope — planted duplicate clips), decoded through the REAL
     //    javax.sound pipeline into the gain-invariant energy-contour
-    //    fingerprint, paired by the exact hamming join. Rows-only like
-    //    mm_image_neardup (no SQL audio decoder); FingerprintSpec
-    //    carries the invariance and exactness proofs. ──
+    //    fingerprint, paired by the exact hamming join. Split at the
+    //    fingerprint boundary like mm_image_neardup: the scratch
+    //    parquet carries (doc_id, ahash), the oracle replays the
+    //    radius-4 5-band scheme (widths 13,13,13,13,12) over it;
+    //    FingerprintSpec carries the invariance and exactness proofs
+    //    for the decode half. ──
     QueryDef(
       "mm_audio_neardup",
       "synthesized WAVs -> real javax.sound energy fingerprint -> exact hamming pairs",
@@ -1702,11 +1735,25 @@ object SimilarityStreamQueries {
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "audio/wav")
           }
+        val scratch = s"$MmScratchBase/mm_audio_fp"
+        graft.operators.Fingerprint.audioFingerprint64(s, media)
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
         graft.operators.Fingerprint.hammingNearDupPairs(
-          graft.operators.Fingerprint.audioFingerprint64(s, media),
-          "doc_id", "ahash", 4)
+          s.read.parquet(scratch), "doc_id", "ahash", 4)
       },
-      None),
+      Some(s"""WITH fp AS (SELECT doc_id, ahash
+              |  FROM read_parquet('$MmScratchBase/mm_audio_fp/*.parquet')),
+              |bands AS (SELECT doc_id, ahash, pos, (ahash >> off) & mask AS band
+              |  FROM fp, (VALUES (0,0,8191),(1,13,8191),(2,26,8191),
+              |    (3,39,8191),(4,52,4095)) b(pos, off, mask)),
+              |ok AS (SELECT * FROM bands
+              |  QUALIFY count(*) OVER (PARTITION BY pos, band) <= ${graft.operators.Dedup.MaxBucket}),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.ahash AS ha, b.ahash AS hb
+              |  FROM ok a JOIN ok b ON a.pos = b.pos AND a.band = b.band
+              |    AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+              |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin)),
 
     // ── Tumbling-window aggregation over the event stream ──
     QueryDef(
