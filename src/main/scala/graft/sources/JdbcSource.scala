@@ -21,22 +21,26 @@ object JdbcSource {
 
   /** Unpartitioned read (dimension-sized tables). */
   def table(spark: SparkSession, url: String, table: String,
-      props: Map[String, String] = Map.empty): DataFrame =
+      props: Map[String, String] = Map.empty): DataFrame = {
+    org.apache.spark.sql.jdbc.GraftMySQLDialect.ensureRegistered()
     spark.read
       .option("pushDownPredicate", "true")
       .option("pushDownLimit", "true")
       .jdbc(url, table, toProps(props))
+  }
 
   /** Range-partitioned read for large tables: `numPartitions` parallel
     * cursors over `[lower, upper]` strides of the numeric/temporal
     * `partitionColumn` (stride predicates are added server-side). */
   def partitionedTable(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lower: Long, upper: Long, numPartitions: Int,
-      props: Map[String, String] = Map.empty): DataFrame =
+      props: Map[String, String] = Map.empty): DataFrame = {
+    org.apache.spark.sql.jdbc.GraftMySQLDialect.ensureRegistered()
     spark.read
       .option("pushDownPredicate", "true")
       .option("pushDownLimit", "true")
       .jdbc(url, table, partitionColumn, lower, upper, numPartitions, toProps(props))
+  }
 
   private def toProps(m: Map[String, String]): Properties = {
     val p = new Properties()
