@@ -345,6 +345,47 @@ object CnicsQueries {
              | ('store', 'Observation', 'count', 2)
              |) t(phase, resource_type, action, n)""".stripMargin)),
 
+    // ── The e2e job with A1 in JDBC MODE: the reference's actual
+    //    source is a live database (cnics_to_fhir.py:259-266), and
+    //    until this row every e2e oracle read parquet fixtures. The
+    //    five clinical tables load into an embedded Derby instance and
+    //    the SAME pipeline (cohort → assembly → merge → audit) runs
+    //    over JdbcSource reads with V2 pushdown on. Besides the
+    //    12-counter audit, the row pins PLAN EVIDENCE as data: the
+    //    cohort's site predicate and the condition pass's C3 IN filter
+    //    must appear in the JDBC scan's PushedFilters (starred =
+    //    fully handled at the source) — if a Spark upgrade silently
+    //    stops pushing either, the row turns red, not just slow. ──
+    QueryDef(
+      "cnics_jdbc_e2e_audit",
+      "full pipeline with A1 in JDBC mode (embedded Derby fixture DB): audit + pushdown evidence",
+      (s, _) => {
+        import s.implicits._
+        val in = graft.sources.CnicsDerbyFixture.inputs(s)
+        val store = new InMemoryFhirStore
+        val pipe = new CnicsPipeline(s, in, store, "uw")
+        val audit = pipe.run()
+        def pushed(df: org.apache.spark.sql.DataFrame, token: String): Long = {
+          val plan = df.queryExecution.executedPlan.toString
+          if (plan.contains("PushedFilters:") && plan.contains(token)) 1L else 0L
+        }
+        val rows = audit.toSeq.map { case ((rt, a), n) => (rt, a, n) } ++ Seq(
+          ("plan", "site_eq_pushed",
+            pushed(pipe.cohort(), "*EqualTo(Site,uw)")),
+          ("plan", "dx_in_pushed",
+            pushed(in.diagnosis.filter(
+              expr(in.conditionsFilter)), "*In(DiagnosisName")))
+        rows.toDF("resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('Patient', 'insert', CAST(2 AS BIGINT)), ('Patient', 'update', CAST(0 AS BIGINT)), ('Patient', 'delete', CAST(0 AS BIGINT)),
+             | ('Condition', 'insert', CAST(2 AS BIGINT)), ('Condition', 'update', CAST(0 AS BIGINT)), ('Condition', 'delete', CAST(0 AS BIGINT)),
+             | ('MedicationRequest', 'insert', CAST(1 AS BIGINT)), ('MedicationRequest', 'update', CAST(0 AS BIGINT)), ('MedicationRequest', 'delete', CAST(0 AS BIGINT)),
+             | ('Observation', 'insert', CAST(3 AS BIGINT)), ('Observation', 'update', CAST(0 AS BIGINT)), ('Observation', 'delete', CAST(0 AS BIGINT)),
+             | ('plan', 'site_eq_pushed', CAST(1 AS BIGINT)),
+             | ('plan', 'dx_in_pushed', CAST(1 AS BIGINT))
+             |) t(resource_type, action, n)""".stripMargin)),
+
     // ── The emitted FHIR JSON itself, pinned by content hash: each
     //    resource is canonicalized (sorted keys, no whitespace —
     //    JsonCanon) and SHA-256'd; the oracle is the committed golden
