@@ -284,6 +284,101 @@ object CnicsQueries {
              | ('store', 'Observation', 'count', 2)
              |) t(phase, resource_type, action, n)""".stripMargin)),
 
+    // ── Multi-site INCREMENTAL sync on one shared store (round-10
+    //    verdict #5 — composing the multisite isolation proof with the
+    //    manifest diff): JobRunner.runIncremental drives sites uw and
+    //    sea against the SAME InMemoryFhirStore with per-(site, db)
+    //    manifest roots. sea gets its own child resources (dx-9,
+    //    lab-9) so cross-site interference would be visible in bytes,
+    //    not just counts. Run 1 cold-syncs both sites; run 2 re-runs
+    //    unchanged — ZERO actions for BOTH sites (per-site manifests
+    //    and identifier-scoped snapshots never alias each other on the
+    //    shared store); run 3 drops uw-002 from uw's cohort — exactly
+    //    one uw Patient delete whose cascade takes dx-3 + lab-3, zero
+    //    uw child actions (the cascade beat the child passes to the
+    //    store), zero sea actions, and sea's stored bytes are
+    //    IDENTICAL before and after (the bytes_unchanged row). ──
+    QueryDef(
+      "cnics_multisite_incremental_audit",
+      "two-site incremental sync, shared store, per-site manifests: idle steady state + cascade isolation",
+      (s, _) => {
+        import s.implicits._
+        def d(x: String) = java.sql.Date.valueOf(x)
+        def b(x: String) = x.getBytes("UTF-8")
+        val store = new InMemoryFhirStore
+        val mroot = java.nio.file.Files
+          .createTempDirectory("graft_incmulti").toString
+        val demo = CnicsFixtures.demo(s)
+        val base = demo.copy(
+          diagnosis = demo.diagnosis.union(Seq(
+            (3L, b("dx-9"), Some(d("2022-05-06")),
+              "Verified clinical diagnosis", "J44.1", None: Option[String])
+          ).toDF("PatientId", "DiagnosisId", "DiagnosisDate",
+            "DiagnosisSource", "DiagnosisName", "Historical")),
+          lab = demo.lab.union(Seq(
+            (3L, "lab-9", "CD4", "350", Some("cells/uL"),
+              Some(d("2022-05-06")), Some("200"), Some("1500"),
+              None: Option[String])
+          ).toDF("PatientId", "LabId", "TestName", "Result", "Units",
+            "TestDate", "ReferenceLow", "ReferenceHigh", "Historical")))
+        val cfg = """[JobList]
+                    |Job_1 = "uw,sea:cnics:"
+                    |""".stripMargin
+        def sync(in: graft.pipeline.CnicsInputs) =
+          graft.pipeline.JobRunner.runIncremental(s, cfg,
+            (_, _) => in, (_, _) => store,
+            (site, db) => s"$mroot/$site/$db")
+        val r1 = sync(base)
+        val r2 = sync(base)
+        def seaBytes: Map[(String, String), (String, String)] =
+          store.data.filter { case (_, (id, _)) => id.contains("-sea-") }.toMap
+        val before = seaBytes
+        val r3 = sync(base.copy(
+          patient = base.patient.filter(col("PatientId") =!= 2L)))
+        val untouched = if (seaBytes == before) 1L else 0L
+        def rows(phase: String, rs: Seq[graft.pipeline.JobRunner.JobResult]) =
+          rs.flatMap(r => r.audit.toSeq
+            .sortBy { case ((rt, a), _) => (rt, a) }
+            .map { case ((rt, a), n) => (s"$phase:${r.site}", rt, a, n) })
+        val out = rows("run1", r1) ++ rows("run2", r2) ++ rows("run3", r3) ++
+          Seq("Patient", "Condition", "MedicationRequest", "Observation")
+            .map(rt => ("store", rt, "count",
+              store.data.keys.count(_._1 == rt).toLong)) :+
+          (("final", "sea", "bytes_unchanged", untouched))
+        out.toDF("phase", "resource_type", "action", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('run1:uw', 'Patient', 'insert', CAST(2 AS BIGINT)), ('run1:uw', 'Patient', 'update', 0), ('run1:uw', 'Patient', 'delete', 0),
+             | ('run1:uw', 'Condition', 'insert', 2), ('run1:uw', 'Condition', 'update', 0), ('run1:uw', 'Condition', 'delete', 0),
+             | ('run1:uw', 'MedicationRequest', 'insert', 1), ('run1:uw', 'MedicationRequest', 'update', 0), ('run1:uw', 'MedicationRequest', 'delete', 0),
+             | ('run1:uw', 'Observation', 'insert', 3), ('run1:uw', 'Observation', 'update', 0), ('run1:uw', 'Observation', 'delete', 0),
+             | ('run1:sea', 'Patient', 'insert', 1), ('run1:sea', 'Patient', 'update', 0), ('run1:sea', 'Patient', 'delete', 0),
+             | ('run1:sea', 'Condition', 'insert', 1), ('run1:sea', 'Condition', 'update', 0), ('run1:sea', 'Condition', 'delete', 0),
+             | ('run1:sea', 'MedicationRequest', 'insert', 0), ('run1:sea', 'MedicationRequest', 'update', 0), ('run1:sea', 'MedicationRequest', 'delete', 0),
+             | ('run1:sea', 'Observation', 'insert', 1), ('run1:sea', 'Observation', 'update', 0), ('run1:sea', 'Observation', 'delete', 0),
+             | ('run2:uw', 'Patient', 'insert', 0), ('run2:uw', 'Patient', 'update', 0), ('run2:uw', 'Patient', 'delete', 0),
+             | ('run2:uw', 'Condition', 'insert', 0), ('run2:uw', 'Condition', 'update', 0), ('run2:uw', 'Condition', 'delete', 0),
+             | ('run2:uw', 'MedicationRequest', 'insert', 0), ('run2:uw', 'MedicationRequest', 'update', 0), ('run2:uw', 'MedicationRequest', 'delete', 0),
+             | ('run2:uw', 'Observation', 'insert', 0), ('run2:uw', 'Observation', 'update', 0), ('run2:uw', 'Observation', 'delete', 0),
+             | ('run2:sea', 'Patient', 'insert', 0), ('run2:sea', 'Patient', 'update', 0), ('run2:sea', 'Patient', 'delete', 0),
+             | ('run2:sea', 'Condition', 'insert', 0), ('run2:sea', 'Condition', 'update', 0), ('run2:sea', 'Condition', 'delete', 0),
+             | ('run2:sea', 'MedicationRequest', 'insert', 0), ('run2:sea', 'MedicationRequest', 'update', 0), ('run2:sea', 'MedicationRequest', 'delete', 0),
+             | ('run2:sea', 'Observation', 'insert', 0), ('run2:sea', 'Observation', 'update', 0), ('run2:sea', 'Observation', 'delete', 0),
+             | ('run3:uw', 'Patient', 'insert', 0), ('run3:uw', 'Patient', 'update', 0), ('run3:uw', 'Patient', 'delete', 1),
+             | ('run3:uw', 'Condition', 'insert', 0), ('run3:uw', 'Condition', 'update', 0), ('run3:uw', 'Condition', 'delete', 0),
+             | ('run3:uw', 'MedicationRequest', 'insert', 0), ('run3:uw', 'MedicationRequest', 'update', 0), ('run3:uw', 'MedicationRequest', 'delete', 0),
+             | ('run3:uw', 'Observation', 'insert', 0), ('run3:uw', 'Observation', 'update', 0), ('run3:uw', 'Observation', 'delete', 0),
+             | ('run3:sea', 'Patient', 'insert', 0), ('run3:sea', 'Patient', 'update', 0), ('run3:sea', 'Patient', 'delete', 0),
+             | ('run3:sea', 'Condition', 'insert', 0), ('run3:sea', 'Condition', 'update', 0), ('run3:sea', 'Condition', 'delete', 0),
+             | ('run3:sea', 'MedicationRequest', 'insert', 0), ('run3:sea', 'MedicationRequest', 'update', 0), ('run3:sea', 'MedicationRequest', 'delete', 0),
+             | ('run3:sea', 'Observation', 'insert', 0), ('run3:sea', 'Observation', 'update', 0), ('run3:sea', 'Observation', 'delete', 0),
+             | ('store', 'Patient', 'count', 2),
+             | ('store', 'Condition', 'count', 2),
+             | ('store', 'MedicationRequest', 'count', 1),
+             | ('store', 'Observation', 'count', 3),
+             | ('final', 'sea', 'bytes_unchanged', 1)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── The FULL-JOB streaming sync (CnicsStreams.sync +
     //    runForKeys): every resource type per micro-batch — patients
     //    key-scoped, children through the scoped cohort's
