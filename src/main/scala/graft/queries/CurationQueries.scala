@@ -65,19 +65,25 @@ object CurationQueries {
   /** CTE prefix replaying NB training + holdout scoring end-to-end
     * (terminal CTE `fin`: one scored (doc, label) row each). Shared by
     * the prediction and confusion-matrix oracles. */
-  private def dkNbCtes =
+  private def dkNbCtes: String =
+    dkNbCtesFor("(SELECT * FROM documents WHERE doc_id % 5 = 0)")
+
+  /** [[dkNbCtes]] with an arbitrary scored relation (must expose
+    * doc_id, text, lang) — the curation-at-ingest oracle scores the
+    * WHOLE corpus, not just the holdout. */
+  private def dkNbCtesFor(scoreRel: String) =
     s"""train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-       |hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |hold AS (SELECT * FROM $scoreRel),
        |ttk AS (SELECT lang, unnest($dkToks) AS term FROM train),
        |cond AS (SELECT lang, term, count(*) AS cnt FROM ttk GROUP BY 1, 2),
        |cst AS (SELECT lang, count(*) AS total_c FROM ttk GROUP BY 1),
        |cdoc AS (SELECT lang, count(*) AS ndc FROM train GROUP BY 1),
        |nd AS (SELECT count(*) AS n FROM train),
        |vocab AS (SELECT DISTINCT term FROM ttk),
-       |vs AS (SELECT count(*) AS v FROM vocab),
+       |nbvs AS (SELECT count(*) AS v FROM vocab),
        |model AS (SELECT cs.lang, vb.term,
-       |    ${dkC8(dkLogq6("(coalesce(cc.cnt, 0) + 1)::DOUBLE / (cs.total_c + vs.v)::DOUBLE"))} AS lp8
-       |  FROM vocab vb CROSS JOIN cst cs CROSS JOIN vs
+       |    ${dkC8(dkLogq6("(coalesce(cc.cnt, 0) + 1)::DOUBLE / (cs.total_c + nbvs.v)::DOUBLE"))} AS lp8
+       |  FROM vocab vb CROSS JOIN cst cs CROSS JOIN nbvs
        |  LEFT JOIN cond cc ON cc.term = vb.term AND cc.lang = cs.lang),
        |pri AS (SELECT lang,
        |    ${dkC8(dkLogq6("ndc::DOUBLE / n::DOUBLE"))} AS lprior8
@@ -497,6 +503,75 @@ object CurationQueries {
               |LEFT JOIN pf ON pf.doc_id = d.doc_id
               |LEFT JOIN lq ON lq.doc_id = d.doc_id""".stripMargin),
       bench = true),
+
+    // ── CURATION-AT-INGEST as a driver row (round-10 verdict #7): the
+    //    full streaming decision loop — per micro-batch dedup-store
+    //    fold, post-fold dup probe, LM-quality score and NB language
+    //    prediction off the STANDING stores, append-only decision
+    //    manifest — run over a 2-batch id-ordered feed of the corpus.
+    //    With an id-ordered feed the accumulated manifest provably
+    //    equals the batch rules over the same corpus (the
+    //    ModelStreamsSpec equivalence), so the oracle replays the
+    //    BATCH dup/quality/NB rules in SQL — the cnics_incremental
+    //    pattern applied to the LLM side: stream-fold the state, pin
+    //    the result against a from-scratch batch replay. ──
+    QueryDef(
+      "curation_ingest_audit",
+      "2-batch curation-at-ingest fold: accumulated decision manifest == batch rules",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        val (dedupDir, lmDir, nbDir, manifestDir) =
+          (tmp("graft_ci_dedup"), tmp("graft_ci_lm"), tmp("graft_ci_nb"),
+            tmp("graft_ci_m"))
+        graft.streaming.ModelStreams.foldLmBatch(
+          train.select("doc_id", "text"), lmDir, 0L)
+        graft.streaming.ModelStreams.foldNbBatch(train, nbDir, 0L,
+          labelCol = "lang")
+        // id-ordered test feed (fixture-sized driver collect — the
+        // MemoryStream harness, not a data-plane collect)
+        val all = docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val (b1, b2) = all.splitAt(all.length / 2)
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.DocStreams.curationIngest(
+          mem.toDF().toDF("doc_id", "text"), dedupDir, lmDir, nbDir,
+          manifestDir)
+        try {
+          mem.addData(b1.toSeq: _*); q.processAllAvailable()
+          mem.addData(b2.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(manifestDir)
+          .select("doc_id", "drop_dup", "drop_quality", "pred_lang", "keep")
+      },
+      Some(s"""WITH $dkNdCtes,
+              |selp AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+              |sides AS (SELECT id_a AS doc_id, id_b AS other FROM selp
+              |  UNION ALL SELECT id_b, id_a FROM selp),
+              |pf AS (SELECT doc_id, bool_or(other < doc_id) AS dup
+              |  FROM sides GROUP BY 1),
+              |${dkLmCtes("documents")},
+              |lq AS (SELECT doc_id,
+              |    round(nd::DOUBLE / n_bigrams::DOUBLE, 6) >= 3.5 AS lowq
+              |  FROM lmagg),
+              |${dkNbCtesFor("documents")},
+              |pred AS (SELECT doc_id, lang AS pred_lang FROM fin
+              |  QUALIFY row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY sd DESC, lang) = 1)
+              |SELECT d.doc_id,
+              |  coalesce(pf.dup, false) AS drop_dup,
+              |  coalesce(lq.lowq, false) AS drop_quality,
+              |  pred.pred_lang,
+              |  NOT (coalesce(pf.dup, false) OR coalesce(lq.lowq, false)) AS keep
+              |FROM documents d
+              |LEFT JOIN pf ON pf.doc_id = d.doc_id
+              |LEFT JOIN lq ON lq.doc_id = d.doc_id
+              |LEFT JOIN pred ON pred.doc_id = d.doc_id""".stripMargin)),
 
     // ── χ² token–class association (feature selection) ──
     //    Document-frequency 2×2 tables vs the lang='en' class; exact
