@@ -144,7 +144,10 @@ object Classify {
     * per class. Shares [[agreementStats]]'s K²-row checkpoint cut. */
   def prfStats(cm0: DataFrame, trueCol: String = "true_lang",
       predCol: String = "pred_lang", nCol: String = "n"): DataFrame = {
-    val cm = cm0.localCheckpoint(true)
+    // enforce the one-row-per-cell contract (K²-row cheap): a cm input
+    // with duplicate (true, pred) rows would otherwise duplicate
+    // marginal rows through the diagonal join and silently inflate tp
+    val cm = cmCells(cm0, trueCol, predCol, nCol)
     val byTrue = cm.groupBy(col(trueCol).as("label")).agg(sum(nCol).as("n_true"))
     val byPred = cm.groupBy(col(predCol).as("label")).agg(sum(nCol).as("n_pred"))
     val diag = cm.filter(col(trueCol) === col(predCol))
@@ -167,6 +170,17 @@ object Classify {
           .otherwise(lit(-1L)).as("f1_ppm"))
   }
 
+  /** Shared cm-frame normalizer for [[prfStats]]/[[agreementStats]]:
+    * re-aggregate to one row per (true, pred) cell — making the
+    * one-row-per-cell contract ENFORCED rather than assumed — and cut
+    * the lineage once (K²-row checkpoint; the matrix is read three
+    * times downstream and Catalyst does not dedupe identical
+    * subtrees). */
+  private def cmCells(cm0: DataFrame, trueCol: String, predCol: String,
+      nCol: String): DataFrame =
+    cm0.groupBy(col(trueCol), col(predCol)).agg(sum(nCol).as(nCol))
+      .localCheckpoint(true)
+
   /** Chance-corrected agreement (Cohen's κ) from a confusion matrix
     * frame (trueCol, predCol, nCol): one row with the marginals-exact
     * κ = (N·A − C)/(N² − C), A = Σ diagonal, C = Σ_k n_true_k·n_pred_k.
@@ -183,8 +197,9 @@ object Classify {
     // marginals + the diagonal) and Catalyst does not dedupe identical
     // subtrees — without it a caller passing a full train+score
     // pipeline as `cm0` (eval_kappa_nb) would replay it three times
-    // (the mix_* queries' four-scan lesson)
-    val cm = cm0.localCheckpoint(true)
+    // (the mix_* queries' four-scan lesson); cmCells also enforces the
+    // one-row-per-cell contract
+    val cm = cmCells(cm0, trueCol, predCol, nCol)
     val byTrue = cm.groupBy(col(trueCol).as("label")).agg(sum(nCol).as("n_true"))
     val byPred = cm.groupBy(col(predCol).as("label")).agg(sum(nCol).as("n_pred"))
     val diag = cm.filter(col(trueCol) === col(predCol))

@@ -52,12 +52,24 @@ object EmbStats {
                 div (2 * CAST(n_vecs AS DECIMAL(38,0)) * n_vecs * 1000000) AS BIGINT)""")
           .as("msd_e6"))
 
-  /** (label, dim, v_e6): the quantized exploded view. */
-  private def quantized(df: DataFrame, labelCol: String, embCol: String): DataFrame =
+  /** (label, dim, v_e6): the quantized exploded view. The label column
+    * must already be integral: a silent cast would turn non-numeric
+    * labels (e.g. language strings) into NULL and collapse every class
+    * into one group — garbage stats with no error. Map string labels
+    * to ids before calling. */
+  private def quantized(df: DataFrame, labelCol: String, embCol: String): DataFrame = {
+    val lt = df.schema(df.schema.fieldIndex(labelCol)).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(lt),
+      s"EmbStats label column '$labelCol' must be an integral type, got $lt " +
+        "(a lossy cast would NULL-collapse classes silently)")
     df.select(col(labelCol).cast("long").as("label"),
         posexplode(col(embCol)).as(Seq("dim", "v")))
       .select(col("label"), col("dim").cast("long").as("dim"),
         expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("v_e6"))
+  }
 
   /** Per-(label, dim) exact mean as a 1e-6-scaled BIGINT, plus the
     * class count — signed round-half-away division of the exact sum. */

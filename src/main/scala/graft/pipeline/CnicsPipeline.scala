@@ -208,8 +208,17 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
         .filter(col("__n") > 1).select("key")
       // error-channel-sized by construction (only keys the store holds
       // twice); collected once so the incremental manifest can exclude
-      // them and callers can count them without a second job
-      val dupKeyValues = dupKeys.collect().map(_.getString(0)).toSeq
+      // them and callers can count them without a second job. CAPPED:
+      // a misconfigured store that duplicates a large fraction of its
+      // keys would otherwise turn this into an unbounded driver
+      // collect feeding a huge isin() literal tree — past the cap the
+      // run fails loudly (the store needs repair, not a bigger merge).
+      val dupKeyRows = dupKeys.limit(CnicsPipeline.MaxDupKeys + 1).collect()
+      require(dupKeyRows.length <= CnicsPipeline.MaxDupKeys,
+        s"$resourceType store holds > ${CnicsPipeline.MaxDupKeys} duplicated business keys — " +
+          "this is store corruption at scale, not an error channel; repair " +
+          "the store before syncing")
+      val dupKeyValues = dupKeyRows.map(_.getString(0)).toSeq
       val nDup = dupKeyValues.size.toLong
       val (snap, src) =
         if (nDup == 0) (snapAll, source)
@@ -529,6 +538,10 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
 }
 
 object CnicsPipeline {
+  /** E5 dup-key error-channel bound: above this the duplicate set is
+    * store corruption, not an error channel (see reconcileDetail). */
+  val MaxDupKeys: Int = 10000
+
   /** A6 — the per-field last-wins crosswalk merge on SitePatientId
     * (cnics_to_fhir.py:296-304): hmrn is overwritten by every
     * duplicate row, umrn only by rows whose umrn is present — so a

@@ -193,11 +193,17 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
     val upserts = acts.filter(col("merge_action") =!= "delete")
       .select("key", "id", "json")
     val next = survivors.unionByName(upserts)
-    swapIn(resourceType, next)
     // HAPI cascade parity with the HTTP sink's `?_cascade=delete`
     // (cnics_to_fhir.py:333): Patient deletes take their children in
     // every sibling resource dir with them — one anti-join rewrite per
     // child type against the broadcast-sized deleted-subject set.
+    // Children rewrite BEFORE the Patient dir swaps: a crash between
+    // the two then leaves the deleted patients still in the store, so
+    // the next run re-classifies the delete and re-fires the cascade
+    // (idempotent no-op on the already-rewritten children). The
+    // reverse order would orphan children permanently — the departed
+    // patient has no cohort subject, so no later child reconcile can
+    // reach them and the Patient delete never re-fires.
     if (resourceType == "Patient") {
       val deletedRefs = acts.filter(col("merge_action") === "delete")
         .select(concat(lit("Patient/"), col("id")).as("__subj"))
@@ -216,6 +222,7 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
           }
       }
     }
+    swapIn(resourceType, next)
     acts.unpersist(blocking = false)
     counts
   }

@@ -95,8 +95,12 @@ object ModelStreams {
           // to the negativity check (e.g. unlearning a drifted twin of
           // a stored vector)
           val zeroCountResidue = tb.countCol.map { cc =>
+            // reduceOption: a table whose ONLY sum column is its
+            // countCol has no residue columns to check (empty.reduce
+            // would throw during unlearn)
             col(cc) === 0L &&
-              tb.sums.filterNot(_ == cc).map(col(_) =!= 0L).reduce(_ || _)
+              tb.sums.filterNot(_ == cc).map(col(_) =!= 0L)
+                .reduceOption(_ || _).getOrElse(lit(false))
           }.getOrElse(lit(false))
           val m2 = merged.filter(!allZero).localCheckpoint(true)
           val neg = m2.filter(anyNeg || zeroCountResidue).limit(1).count()

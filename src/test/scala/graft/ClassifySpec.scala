@@ -183,4 +183,20 @@ class ClassifySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(c === ((-1L, 0L, 0L)))
   }
+
+  test("prfStats/agreementStats: duplicate (true, pred) cells are re-aggregated, not inflated") {
+    // the same textbook matrix delivered as duplicate per-cell rows:
+    // the internal cell re-aggregation must make it identical to the
+    // one-row-per-cell form (previously the un-aggregated diagonal
+    // join silently duplicated marginal rows and inflated tp/n_docs)
+    val clean = Seq(("a", "a", 20L), ("a", "b", 5L),
+      ("b", "a", 10L), ("b", "b", 15L)).toDF("true_lang", "pred_lang", "n")
+    val dup = Seq(("a", "a", 12L), ("a", "a", 8L), ("a", "b", 5L),
+      ("b", "a", 10L), ("b", "b", 7L), ("b", "b", 8L))
+      .toDF("true_lang", "pred_lang", "n")
+    assert(Classify.prfStats(dup).orderBy("label").collect().toSeq ===
+      Classify.prfStats(clean).orderBy("label").collect().toSeq)
+    assert(Classify.agreementStats(dup).collect().toSeq ===
+      Classify.agreementStats(clean).collect().toSeq)
+  }
 }
