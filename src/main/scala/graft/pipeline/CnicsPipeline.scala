@@ -398,7 +398,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     def add(rt: String, counts: Map[String, Long]): Unit = {
       audit = addCounts(audit, rt, counts)
     }
-    lazy val ids = cohort(limit).select("PatientId", "site_pat_id")
+    lazy val ids = cohortIds(limit)
     def childSystem(kind: String) =
       s"https://cnics.cirg.washington.edu/$kind/site-record-id/$siteLower"
     if (resourceList("patients"))
@@ -483,8 +483,24 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           col("DiagnosisSource"), col("DiagnosisName"),
           col("DiagnosisName").isin(in.standardDiagnoses: _*))).as("json"))
 
+  /** The cohort-id frame every child pass joins against, materialized
+    * ONCE (localCheckpoint): it feeds both the fan-out join and the
+    * subject scope, so the cut halves the cohort assembly work — and,
+    * critically for skew, it puts a REAL shuffle boundary under the
+    * fan-out join. Without it the cohort side arrives pre-partitioned
+    * by PatientId from its own upstream join, the whole right side
+    * fuses into the join stage, and AQE's OptimizeSkewedJoin (which
+    * requires BOTH join children to be ENSURE_REQUIREMENTS shuffle
+    * stages) can never split a hot patient's partition — the
+    * one-patient-many-labs skew would serialize on one task at scale
+    * (CnicsSkewSoak pins both the fused-plan refusal and the
+    * checkpointed plan's skew=true split). Cohort-sized storage, the
+    * N+1-removal frame — bounded and small next to the detail side. */
+  private def cohortIds(limit: Int): DataFrame =
+    cohort(limit).select("PatientId", "site_pat_id").localCheckpoint(true)
+
   def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val ids = cohortIds(limit)
     reconcile("Condition", conditionResources(ids), Some(cohortSubjects(ids)))
   }
 
@@ -500,7 +516,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           col("StartDate"), col("EndDate"), col("EndType"))).as("json"))
 
   def runMedications(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val ids = cohortIds(limit)
     reconcile("MedicationRequest", medicationResources(ids), Some(cohortSubjects(ids)))
   }
 
@@ -516,7 +532,7 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
           col("Result"), col("Units"), col("ReferenceLow"), col("ReferenceHigh"))).as("json"))
 
   def runObservations(limit: Int = Int.MaxValue): Map[String, Long] = {
-    val ids = cohort(limit).select("PatientId", "site_pat_id")
+    val ids = cohortIds(limit)
     reconcile("Observation", observationResources(ids), Some(cohortSubjects(ids)))
   }
 
