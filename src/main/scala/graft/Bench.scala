@@ -98,11 +98,22 @@ object Bench {
     val benchSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "core")
     val setNames = benchSet match {
       case "all" | "extended" => SparkEntry.benchNames
-      case _ =>
+      case "core" =>
         val core = SparkEntry.benchCoreNames.toSet
         SparkEntry.benchNames.filter(core)
+      case other =>
+        // fail LOUDLY: a typo ("full", "ALL") silently benching only
+        // the core set would let extended bench_best entries stop
+        // ratcheting while looking like a successful round-close run
+        sys.error(s"unknown SPARK_GRAFT_BENCH_SET '$other' (core|all|extended)")
     }
-    val names = setNames.filter(n => only.forall(_.contains(n)))
+    // an explicit name list is already a subset selection — it bypasses
+    // the core/extended default so any registered bench query can be
+    // timed directly regardless of set membership
+    val names = only match {
+      case Some(sel) => SparkEntry.benchNames.filter(sel)
+      case None => setNames
+    }
 
     def coldPass(): Seq[(String, Timing)] = {
       graft.queries.TextDedupQueries.clearMemo(spark)

@@ -53,18 +53,16 @@ object EmbStats {
           .as("msd_e6"))
 
   /** (label, dim, v_e6): the quantized exploded view. The label column
-    * must already be integral: a silent cast would turn non-numeric
-    * labels (e.g. language strings) into NULL and collapse every class
-    * into one group — garbage stats with no error. Map string labels
-    * to ids before calling. */
+    * must be numeric: casting a non-numeric label (e.g. a language
+    * string) to long yields NULL and collapses every class into one
+    * group — garbage stats with no error. Map string labels to ids
+    * before calling. Numeric non-integral labels keep working (their
+    * cast truncates, never NULLs — whole-number double ids are exact). */
   private def quantized(df: DataFrame, labelCol: String, embCol: String): DataFrame = {
     val lt = df.schema(df.schema.fieldIndex(labelCol)).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(lt),
-      s"EmbStats label column '$labelCol' must be an integral type, got $lt " +
-        "(a lossy cast would NULL-collapse classes silently)")
+    require(lt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"EmbStats label column '$labelCol' must be numeric, got $lt " +
+        "(a non-numeric cast would NULL-collapse classes silently)")
     df.select(col(labelCol).cast("long").as("label"),
         posexplode(col(embCol)).as(Seq("dim", "v")))
       .select(col("label"), col("dim").cast("long").as("dim"),

@@ -495,9 +495,15 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     * one-patient-many-labs skew would serialize on one task at scale
     * (CnicsSkewSoak pins both the fused-plan refusal and the
     * checkpointed plan's skew=true split). Cohort-sized storage, the
-    * N+1-removal frame — bounded and small next to the detail side. */
+    * N+1-removal frame — bounded and small next to the detail side.
+    * Memoized per limit so a full run()'s three child passes share ONE
+    * materialization (inputs are immutable per pipeline instance);
+    * blocks are reclaimed by the ContextCleaner with the instance. */
+  private val cohortIdsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
   private def cohortIds(limit: Int): DataFrame =
-    cohort(limit).select("PatientId", "site_pat_id").localCheckpoint(true)
+    cohortIdsCache.getOrElseUpdate(limit,
+      cohort(limit).select("PatientId", "site_pat_id").localCheckpoint(true))
 
   def runConditions(limit: Int = Int.MaxValue): Map[String, Long] = {
     val ids = cohortIds(limit)

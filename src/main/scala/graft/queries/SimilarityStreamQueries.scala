@@ -23,8 +23,26 @@ object SimilarityStreamQueries {
   // replays the hamming join over the SAME parquet (read_parquet with
   // this literal path — the Spark write and the oracle replay run on
   // one host in the driver's gate). Fixed path by design: it is
-  // interpolated into the oracle SQL string at registry-build time.
+  // interpolated into the oracle SQL string at registry-build time,
+  // which also means the synthesized media MUST stay sf-independent
+  // (it is: doc_id < 160/120 with fixed seeds at every scale), so
+  // interleaved sf0.01/sf0.1 cycles write identical bytes.
   val MmScratchBase = "/tmp/graft_scratch"
+
+  /** Write `df` to `$MmScratchBase/$name` via tmp dir + atomic rename,
+    * so a DuckDB replay overlapping a later Verify can never observe a
+    * half-written glob (mode=overwrite deletes in place), and return
+    * the re-read frame the engine-side join runs over. */
+  private def writeMmScratch(s: SparkSession, name: String,
+      df: DataFrame): DataFrame = {
+    val dest = new java.io.File(s"$MmScratchBase/$name")
+    val tmp = new java.io.File(s"$MmScratchBase/.$name.tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    java.nio.file.Files.move(tmp.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    s.read.parquet(dest.getPath)
+  }
   // Multi-table ANN: L tables of k planes each. The (k, L) pair is the
   // recall/cost dial: per-plane collision p = 1 - θ/π, per-table p^k,
   // union 1-(1-p^k)^L, bucket-scan fraction ≈ L/2^k of the corpus.
@@ -1669,11 +1687,10 @@ object SimilarityStreamQueries {
             javax.imageio.ImageIO.write(img, "png", bos)
             graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "image/png")
           }
-        val scratch = s"$MmScratchBase/mm_image_fp"
-        graft.operators.Fingerprint.dHash64(s, media)
-          .coalesce(1).write.mode("overwrite").parquet(scratch)
         graft.operators.Fingerprint.hammingNearDupPairs(
-          s.read.parquet(scratch), "doc_id", "dhash", 6)
+          writeMmScratch(s, "mm_image_fp",
+            graft.operators.Fingerprint.dHash64(s, media)),
+          "doc_id", "dhash", 6)
       },
       Some(s"""WITH fp AS (SELECT doc_id, dhash
               |  FROM read_parquet('$MmScratchBase/mm_image_fp/*.parquet')),
@@ -1735,11 +1752,10 @@ object SimilarityStreamQueries {
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             graft.operators.Multimodal.MediaRow(id, bos.toByteArray, "audio/wav")
           }
-        val scratch = s"$MmScratchBase/mm_audio_fp"
-        graft.operators.Fingerprint.audioFingerprint64(s, media)
-          .coalesce(1).write.mode("overwrite").parquet(scratch)
         graft.operators.Fingerprint.hammingNearDupPairs(
-          s.read.parquet(scratch), "doc_id", "ahash", 4)
+          writeMmScratch(s, "mm_audio_fp",
+            graft.operators.Fingerprint.audioFingerprint64(s, media)),
+          "doc_id", "ahash", 4)
       },
       Some(s"""WITH fp AS (SELECT doc_id, ahash
               |  FROM read_parquet('$MmScratchBase/mm_audio_fp/*.parquet')),

@@ -355,13 +355,13 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(Lakehouse.currentVersion(spark, tbl2) === Some("v0"))
   }
 
-  test("EmbStats rejects non-integral label columns instead of NULL-collapsing classes") {
+  test("EmbStats rejects non-numeric label columns instead of NULL-collapsing classes") {
     import spark.implicits._
     val strLabeled = Seq(("en", Seq(1.0f, 2.0f)), ("fr", Seq(3.0f, 4.0f)))
       .toDF("label", "embedding")
     val e = intercept[IllegalArgumentException] {
       graft.operators.EmbStats.centroidByLabel(strLabeled)
     }
-    assert(e.getMessage.contains("integral type"))
+    assert(e.getMessage.contains("must be numeric"))
   }
 }
