@@ -435,12 +435,64 @@ object SimilarityStreamQueries {
        |FROM (SELECT vec_id, embedding, unnest(range(0, $NTables)) AS tbl FROM embeddings))""".stripMargin
 
   // DuckDB-side sequential double dot product (same fold order as
-  // VectorFunctions.dotSql ⇒ bit-identical doubles).
-  private def dkDot(a: String, b: String) =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), " +
+  // VectorFunctions.dotSql ⇒ bit-identical doubles). dkDotN is the
+  // prefix form over the first n components (the Matryoshka dial).
+  private def dkDotN(a: String, b: String, n: Int) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${n + 1}), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+  private def dkDot(a: String, b: String) = dkDotN(a, b, Dim)
 
   private def dkNorm(a: String) = s"sqrt(${dkDot(a, a)})"
+  private def dkNormN(a: String, n: Int) = s"sqrt(${dkDotN(a, a, n)})"
+
+  // Matryoshka truncation dial: candidate generation scores only the
+  // first MrlDim of Dim components (a 4× cheaper scan — MRL-style
+  // embeddings front-load information so prefixes remain usable
+  // embeddings), then the MrlCand survivors per query rescore at full
+  // dimension. At 100 TB the prefix pass runs over a 4×-smaller
+  // column (or its int8/PQ form); rescore cost is candidate-bounded.
+  val MrlDim = 16
+  val MrlCand = 16
+
+  /** Matryoshka score-prune-rescore (shared by `sim_mrl_topk` and
+    * `sim_mrl_recall`): prefix-MrlDim cosine prunes to MrlCand
+    * candidates per query, full-dim exact cosine ranks the survivors. */
+  private def mrlTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    // one pass computes prefix + full norms for both sides
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("p_emb", expr(s"slice(embedding, 1, $MrlDim)"))
+      .withColumn("p_norm", graft.functions.VectorFunctions.norm("p_emb"))
+      .withColumn("f_norm", graft.functions.VectorFunctions.norm("embedding"))
+      .localCheckpoint(true)
+    val q = base.filter(col("vec_id") < 32)
+    val pruned = base
+      .select(col("vec_id").as("cand_id"), col("p_emb").as("cp"),
+        col("p_norm").as("cpn"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("p_emb").as("qp"), col("p_norm").as("qpn"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("pcos", round(
+        graft.functions.VectorFunctions.dot("qp", "cp")
+          / (col("qpn") * col("cpn")), 8))
+      .withColumn("prnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("pcos").desc, col("cand_id"))))
+      .filter(col("prnk") <= MrlCand)
+      .select("query_id", "cand_id")
+    pruned
+      .join(base.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cf"), col("f_norm").as("cfn")), Seq("cand_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qf"), col("f_norm").as("qfn"))), Seq("query_id"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.dot("qf", "cf")
+          / (col("qfn") * col("cfn")), 8))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "cand_id", "cosine", "rnk")
+  }
 
   /** Embedding near-dup pairs (id_a, id_b, cosine >= 0.3) from
     * multi-table LSH candidates — shared by the near-dup report and the
@@ -506,6 +558,86 @@ object SimilarityStreamQueries {
               |FROM scored
               |QUALIFY rnk <= 5""".stripMargin),
       bench = true),
+
+    // ── Matryoshka (MRL) truncated-dimension search: score-prune on
+    //    the first MrlDim components, exact-rescore the MrlCand
+    //    survivors at full dimension. The standard cheap-first serving
+    //    shape for MRL-trained embeddings (prefix cosine ≈ full cosine
+    //    because MRL front-loads information); exactly oracle-able
+    //    because both passes are the repo's quantized-cosine contract. ──
+    QueryDef(
+      "sim_mrl_topk",
+      s"prefix-$MrlDim candidate gen + full-dim rescore: top-3 per query",
+      (s, d) => mrlTopK(s, d),
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 32),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand)
+              |SELECT query_id, cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) AS cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY
+              |    round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |    cand_id) AS rnk
+              |FROM pruned JOIN e q ON q.vec_id = query_id
+              |  JOIN e c ON c.vec_id = cand_id
+              |QUALIFY rnk <= 3""".stripMargin)),
+
+    // ── MRL quality dial as a driver row: recall@3 of the prefix-
+    //    pruned search vs exact full-dim top-3, per query — the number
+    //    that decides how small the cheap pass can go. ──
+    QueryDef(
+      "sim_mrl_recall",
+      s"recall@3 of prefix-$MrlDim prune + rescore vs exact full-dim top-3",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val mrl = mrlTopK(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val brute = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
+          "vec_id", "embedding", 3).select("query_id", "cand_id")
+        brute.join(mrl, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 32),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand),
+              |mrl AS (SELECT query_id, cand_id FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM pruned JOIN e q ON q.vec_id = query_id
+              |    JOIN e c ON c.vec_id = cand_id
+              |  ) WHERE rnk <= 3),
+              |brute AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE rnk <= 3)
+              |SELECT b.query_id, count(m.cand_id) AS n_hits,
+              |  round(count(m.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM brute b LEFT JOIN mrl m
+              |  ON m.query_id = b.query_id AND m.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
 
     // ── Contrastive-training data mining: semi-hard negatives per
     //    anchor — the candidates ranked just BELOW the positives
