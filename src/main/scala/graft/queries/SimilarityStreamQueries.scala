@@ -494,6 +494,115 @@ object SimilarityStreamQueries {
       .select("query_id", "cand_id", "cosine", "rnk")
   }
 
+  // MMR (maximal marginal relevance) re-ranking dial: from MmrCand
+  // exact-top candidates per query, pick MmrK iteratively maximizing
+  // λ·rel − (1−λ)·max-sim-to-already-picked. λ as an exact decimal
+  // string so both engines compute the identical double product.
+  val MmrCand = 16
+  val MmrK = 5
+  val MmrLambda = "0.7"
+
+  /** MMR selection (shared by the query and its oracle's Spark side):
+    * candidate relevance = exact full-dim cosine to the query;
+    * diversity penalty = max cosine to the already-picked set. MmrK
+    * driver-synchronous rounds of candidate-bounded joins (the IVF
+    * Lloyd-round pattern — per-round frames are (queries × MmrCand)
+    * rows, checkpointed so lineage stays flat). */
+  private def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val cand = Knn.bruteForceTopK(emb.filter(col("vec_id") < 16), emb,
+        "vec_id", "embedding", MmrCand)
+      .select(col("query_id"), col("cand_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
+    // candidate-candidate cosine within each query's candidate set:
+    // (queries × MmrCand²) rows — candidate-bounded at any corpus size
+    val psim = cand.select(col("query_id"), col("cand_id").as("id_a"))
+      .join(cand.select(col("query_id"), col("cand_id").as("id_b")), Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.dot("ea", "eb")
+          / (col("na") * col("nb")), 8).as("sim"))
+      .localCheckpoint(true)
+    var selected = cand
+      .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("pick"))
+      .localCheckpoint(true)
+    (2 to MmrK).foreach { t =>
+      val maxsim = psim
+        .join(selected.select(col("query_id"), col("cand_id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("cand_id"))
+        .agg(max("sim").as("maxsim"))
+      val next = cand
+        .join(selected.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxsim, Seq("query_id", "cand_id"))
+        .withColumn("mmr", round(
+          lit(MmrLambda).cast("double") * col("rel")
+            - (lit(1.0) - lit(MmrLambda).cast("double")) * col("maxsim"), 8))
+        .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr").desc, col("cand_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(t).as("pick"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: brute top-MmrCand + pairwise sims,
+    * then MmrK unrolled pick rounds (the BPE/Lloyd unrolled-CTE
+    * precedent). Terminal relation: (query_id, cand_id, pick). */
+  private def dkMmrSql: String = {
+    val lam = MmrLambda
+    val rounds = (2 to MmrK).map { t =>
+      s"""p$t AS (SELECT query_id, cand_id, $t AS pick FROM (
+         |  SELECT c.query_id, c.cand_id,
+         |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |      round($lam * c.rel - (1.0 - $lam) * ms.maxsim, 8) DESC,
+         |      c.cand_id) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT ps.query_id, ps.id_a AS cand_id, max(ps.sim) AS maxsim
+         |      FROM psim ps JOIN s${t - 1} sl
+         |        ON sl.query_id = ps.query_id AND sl.cand_id = ps.id_b
+         |      GROUP BY 1, 2) ms
+         |    ON ms.query_id = c.query_id AND ms.cand_id = c.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} sx
+         |    WHERE sx.query_id = c.query_id AND sx.cand_id = c.cand_id)
+         |  ) WHERE rn = 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |cand AS (SELECT query_id, cand_id, rel FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS rel,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+       |      c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 16) WHERE rnk <= $MmrCand),
+       |psim AS (SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+       |    round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS sim
+       |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+       |    AND b.cand_id <> a.cand_id
+       |  JOIN e x ON x.vec_id = a.cand_id JOIN e y ON y.vec_id = b.cand_id),
+       |s1 AS (SELECT query_id, cand_id, 1 AS pick FROM (
+       |  SELECT query_id, cand_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT * FROM s$MmrK""".stripMargin
+  }
+
   /** Embedding near-dup pairs (id_a, id_b, cosine >= 0.3) from
     * multi-table LSH candidates — shared by the near-dup report and the
     * semantic-dedup clustering query. */
@@ -588,6 +697,19 @@ object SimilarityStreamQueries {
               |FROM pruned JOIN e q ON q.vec_id = query_id
               |  JOIN e c ON c.vec_id = cand_id
               |QUALIFY rnk <= 3""".stripMargin)),
+
+    // ── MMR diversified re-ranking: from each query's exact top-16,
+    //    pick 5 iteratively maximizing λ·relevance − (1−λ)·max-cosine
+    //    to the already-picked set — the standard diversity pass for
+    //    retrieval serving and eval-set selection (near-duplicate
+    //    candidates can't dominate a result page). MmrK
+    //    driver-synchronous rounds of candidate-bounded joins; the
+    //    oracle replays the same picks as an unrolled CTE chain. ──
+    QueryDef(
+      "sim_mmr_rerank",
+      s"maximal-marginal-relevance pick-$MmrK from exact top-$MmrCand (lambda=$MmrLambda)",
+      (s, d) => mmrRerank(s, d),
+      Some(dkMmrSql)),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number
