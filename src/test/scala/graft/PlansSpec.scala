@@ -568,6 +568,25 @@ class PlanGateSpec extends AnyFunSuite {
     assert(scans <= 1, s"datacard scans parquet $scans times:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("MRL search: bounded-probe prefix scan + keyed rescore, windows per-query") {
+    val p = plan("sim_mrl_topk")
+    // the prefix pass is the intentional bounded-probe corpus scan
+    // (broadcast query batch — the bruteForceTopK shape); the rescore
+    // joins must be KEYED, and every window partitions by query_id
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the prune probe
+  }
+
+  test("MMR rerank: candidate-bounded rounds, no cartesian, no global sort") {
+    val p = plan("sim_mmr_rerank")
+    // every round reads the checkpointed (queries × MmrCand) frames
+    // (ExistingRDD) — corpus data never re-enters the loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
 }
 
 /** SparkSessionExtensions surface: the injected BroadcastDimsRule must
