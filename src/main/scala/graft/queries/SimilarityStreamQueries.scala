@@ -696,7 +696,8 @@ object SimilarityStreamQueries {
               |    cand_id) AS rnk
               |FROM pruned JOIN e q ON q.vec_id = query_id
               |  JOIN e c ON c.vec_id = cand_id
-              |QUALIFY rnk <= 3""".stripMargin)),
+              |QUALIFY rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── MMR diversified re-ranking: from each query's exact top-16,
     //    pick 5 iteratively maximizing λ·relevance − (1−λ)·max-cosine
@@ -709,7 +710,8 @@ object SimilarityStreamQueries {
       "sim_mmr_rerank",
       s"maximal-marginal-relevance pick-$MmrK from exact top-$MmrCand (lambda=$MmrLambda)",
       (s, d) => mmrRerank(s, d),
-      Some(dkMmrSql)),
+      Some(dkMmrSql),
+      bench = true),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number
