@@ -157,7 +157,35 @@ object CnicsSkewSoak {
     assert(nJoined == total, s"fan-out join expected $total rows, got $nJoined")
     assert(skewJoin, "expected OptimizeSkewedJoin to mark the fan-out join skew=true\n" + plan)
 
-    println(s"""{"soak":"cnics_skew","n_patients":$nPatients,"n_labs":$total,"hot_labs":$hotLabs,"run1_insert":${r1.getOrElse("insert", 0L)},"run2_update":${r2.getOrElse("update", 0L)},"fused_skew_split":$fusedSkew,"ckpt_skew_split":$skewJoin,"skew_marks":$skewedReads,"wall_run1_sec":${f"$w1%.1f"},"wall_run2_sec":${f"$w2%.1f"},"wall_fused_sec":${f"$wFused%.1f"},"wall_ckpt_sec":${f"$wJoin%.1f"}}""")
+    // Phase 2 — PER-PATIENT AGGREGATION skew (the other half of the
+    // SURVEY §4.2 claim): one patient carrying 200k PRO sessions
+    // through sessionsPerPatient/proFallback (collect_list into a
+    // single sorted 200k-element array) and the full Patient assembly
+    // + reconcile. AQE cannot split a single-group aggregate — the hot
+    // group IS one row — so the contract here is bounded-memory
+    // completion with the right counts (one giant identifier array in
+    // one resource JSON), not partition splitting.
+    val hotSessions = 200000L
+    val proIn = in.copy(
+      pro = spark.range(0, hotSessions + (nPatients - 1))
+        .select(
+          when(col("id") < hotSessions, lit(1L))
+            .otherwise(col("id") - hotSessions + 2L).as("PatientId"),
+          concat(lit("s"), col("id")).as("SessionId"))
+        .repartition(32).localCheckpoint(true))
+    val proPipe = new graft.pipeline.CnicsPipeline(spark, proIn,
+      new graft.sinks.ParquetFhirStore(
+        java.nio.file.Files.createTempDirectory("graft_skewpro").toString), "uw")
+    val (rp, wp) = timed(proPipe.runPatients())
+    assert(rp.getOrElse("insert", 0L) == nPatients.toLong,
+      s"patient run expected $nPatients inserts, got $rp")
+    val hotLen = proPipe.sessionsPerPatient
+      .filter(col("PatientId") === 1L)
+      .select(size(col("session_ids"))).head().getInt(0)
+    assert(hotLen == hotSessions,
+      s"hot patient expected $hotSessions ordered sessions, got $hotLen")
+
+    println(s"""{"soak":"cnics_skew","n_patients":$nPatients,"n_labs":$total,"hot_labs":$hotLabs,"run1_insert":${r1.getOrElse("insert", 0L)},"run2_update":${r2.getOrElse("update", 0L)},"fused_skew_split":$fusedSkew,"ckpt_skew_split":$skewJoin,"skew_marks":$skewedReads,"hot_sessions":$hotSessions,"patients_insert":${rp.getOrElse("insert", 0L)},"hot_session_list_len":$hotLen,"wall_run1_sec":${f"$w1%.1f"},"wall_run2_sec":${f"$w2%.1f"},"wall_fused_sec":${f"$wFused%.1f"},"wall_ckpt_sec":${f"$wJoin%.1f"},"wall_patients_sec":${f"$wp%.1f"}}""")
     spark.stop()
   }
 }
