@@ -42,6 +42,53 @@ object Knn {
       .select("query_id", "cand_id", "cosine", "rnk")
   }
 
+  /** Matryoshka (MRL) truncated-dimension search: candidates are
+    * scored against each query on the FIRST `prefixDim` components
+    * only (the cheap pass — MRL-trained embeddings front-load
+    * information, so prefixes remain usable embeddings and the scan
+    * reads a dim/prefixDim-times smaller column at scale), the top
+    * `nCand` survivors per query are rescored with the exact
+    * full-dimension cosine, and the top `k` return with the repo's
+    * deterministic (rounded-8 cosine desc, cand_id) ranking. Rescore
+    * cost is candidate-bounded: O(|Q|·nCand) full-dim dots regardless
+    * of corpus size. Shares [[bruteForceTopK]]'s bounded-probe shape
+    * for the prefix pass (broadcast query batch); recall vs the exact
+    * full-dim top-k is measured by `sim_mrl_recall`. */
+  def mrlTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      embCol: String, prefixDim: Int, nCand: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    def prep(df: DataFrame, role: String) = df
+      .select(col(idCol).as(s"${role}_id"), col(embCol).as(s"${role}_emb"))
+      .withColumn(s"${role}_p", expr(s"slice(${role}_emb, 1, $prefixDim)"))
+      .withColumn(s"${role}_pn", VectorFunctions.norm(s"${role}_p"))
+      .withColumn(s"${role}_fn", VectorFunctions.norm(s"${role}_emb"))
+    val q = prep(queries, "query").localCheckpoint(true)
+    // one narrow pass computes the candidate side's prefix + full
+    // norms; checkpointed because the prune and the rescore both read it
+    val c = prep(Dedup.spread(candidates), "cand").localCheckpoint(true)
+    val pruned = c.select(col("cand_id"), col("cand_p"), col("cand_pn"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("query_p"), col("query_pn"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("pcos", round(
+        VectorFunctions.dot("query_p", "cand_p")
+          / (col("query_pn") * col("cand_pn")), 8))
+      .withColumn("prnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("pcos").desc, col("cand_id"))))
+      .filter(col("prnk") <= nCand)
+      .select("query_id", "cand_id")
+    pruned
+      .join(c.select(col("cand_id"), col("cand_emb"), col("cand_fn")), Seq("cand_id"))
+      .join(broadcast(q.select(col("query_id"), col("query_emb"), col("query_fn"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("query_emb", "cand_emb")
+          / (col("query_fn") * col("cand_fn")), 8))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cosine", "rnk")
+  }
+
   /** Bucket assignment via sign-random-projection LSH. */
   def withLshBucket(df: DataFrame, embCol: String, dim: Int, nPlanes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

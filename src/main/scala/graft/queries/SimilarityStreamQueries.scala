@@ -456,42 +456,13 @@ object SimilarityStreamQueries {
 
   /** Matryoshka score-prune-rescore (shared by `sim_mrl_topk` and
     * `sim_mrl_recall`): prefix-MrlDim cosine prunes to MrlCand
-    * candidates per query, full-dim exact cosine ranks the survivors. */
+    * candidates per query, full-dim exact cosine ranks the survivors.
+    * Thin wrapper over the [[graft.operators.Knn.mrlTopK]] operator
+    * (which `mrl_store_serve` also serves off the standing store). */
   private def mrlTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
-    // one pass computes prefix + full norms for both sides
-    val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("p_emb", expr(s"slice(embedding, 1, $MrlDim)"))
-      .withColumn("p_norm", graft.functions.VectorFunctions.norm("p_emb"))
-      .withColumn("f_norm", graft.functions.VectorFunctions.norm("embedding"))
-      .localCheckpoint(true)
-    val q = base.filter(col("vec_id") < 32)
-    val pruned = base
-      .select(col("vec_id").as("cand_id"), col("p_emb").as("cp"),
-        col("p_norm").as("cpn"))
-      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
-        col("p_emb").as("qp"), col("p_norm").as("qpn"))))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("pcos", round(
-        graft.functions.VectorFunctions.dot("qp", "cp")
-          / (col("qpn") * col("cpn")), 8))
-      .withColumn("prnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("pcos").desc, col("cand_id"))))
-      .filter(col("prnk") <= MrlCand)
-      .select("query_id", "cand_id")
-    pruned
-      .join(base.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cf"), col("f_norm").as("cfn")), Seq("cand_id"))
-      .join(broadcast(q.select(col("vec_id").as("query_id"),
-        col("embedding").as("qf"), col("f_norm").as("qfn"))), Seq("query_id"))
-      .withColumn("cosine", round(
-        graft.functions.VectorFunctions.dot("qf", "cf")
-          / (col("qfn") * col("cfn")), 8))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= 3)
-      .select("query_id", "cand_id", "cosine", "rnk")
+    graft.operators.Knn.mrlTopK(emb.filter(col("vec_id") < 32), emb,
+      "vec_id", "embedding", MrlDim, MrlCand, 3)
   }
 
   // MMR (maximal marginal relevance) re-ranking dial: from MmrCand
@@ -698,6 +669,50 @@ object SimilarityStreamQueries {
               |  JOIN e c ON c.vec_id = cand_id
               |QUALIFY rnk <= 3""".stripMargin),
       bench = true),
+
+    // ── MRL serving off the STANDING vector store: two vectorFoldBatch
+    //    folds build the store (odd/even vec_ids), then
+    //    mrlServeFromStore answers the probe batch off the pinned
+    //    `vectors` table. Fold ≡ rebuild makes the served ranking equal
+    //    the batch sim_mrl_topk over the same corpus — the oracle IS
+    //    the same SQL, so the store path is pinned per round like every
+    //    other serving family (nb/bm25/ivf/ivfpq/emb-stats). ──
+    QueryDef(
+      "mrl_store_serve",
+      s"2-batch vector-store fold + prefix-$MrlDim MRL serve == batch sim_mrl_topk",
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_mrlstore").toString
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
+          base, 0L, Dim, TPlanes, NTables)
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
+          base, 1L, Dim, TPlanes, NTables)
+        graft.streaming.VectorStreams.mrlServeFromStore(s, base,
+          emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+          MrlDim, MrlCand, 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 32),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand)
+              |SELECT query_id, cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) AS cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY
+              |    round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |    cand_id) AS rnk
+              |FROM pruned JOIN e q ON q.vec_id = query_id
+              |  JOIN e c ON c.vec_id = cand_id
+              |QUALIFY rnk <= 3""".stripMargin)),
 
     // ── MMR diversified re-ranking: from each query's exact top-16,
     //    pick 5 iteratively maximizing λ·relevance − (1−λ)·max-cosine

@@ -142,20 +142,29 @@ object VectorStreams {
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        commitVectorFold(batch.toDF(), tableDir, id, compactEvery, vacuumKeep,
-            Seq("buckets", "vectors")) { _ =>
-          val tabled = graft.operators.Knn.withLshTables(
-              batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
-            .localCheckpoint(true)
-          tabled.select(col("vec_id"), col("tbl"), col("bucket"))
-            .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
-          tabled.filter(col("tbl") === 0)
-            .select(col("vec_id"), col("embedding"), col("nrm"))
-            .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
-        }
+        vectorFoldBatch(batch.toDF(), tableDir, id, dim, nPlanes, nTables,
+          compactEvery, vacuumKeep)
         ()
       }
       .start()
+
+  /** One vector-store micro-batch fold (the [[vectorIndexIngest]]
+    * body, exposed for direct pipeline composition and replay tests —
+    * the [[ivfFoldBatch]] symmetry). */
+  def vectorFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      dim: Int, nPlanes: Int, nTables: Int,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("buckets", "vectors")) { _ =>
+      val tabled = graft.operators.Knn.withLshTables(
+          batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
+        .localCheckpoint(true)
+      tabled.select(col("vec_id"), col("tbl"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
+      tabled.filter(col("tbl") === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    }
 
   /** Right-to-be-forgotten for ANY standing vector store (LSH, IVF,
     * IVF×PQ): the per-vector append tables are DISCOVERED from the
@@ -231,6 +240,26 @@ object VectorStreams {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
+  }
+
+  /** Matryoshka serving off the standing vector store: the pinned
+    * `vectors` append table (any store [[vectorIndexIngest]] maintains)
+    * is the candidate corpus for [[graft.operators.Knn.mrlTopK]] —
+    * prefix-`prefixDim` prune, exact full-dim rescore of the `nCand`
+    * survivors, top `k`. The cheap pass reads a dim/prefixDim-times
+    * smaller slice of the stored column (a production layout would
+    * persist the prefix as its own column/file for true I/O pruning);
+    * rescore cost is candidate-bounded. Version-pinned like every
+    * serve: fold ≡ rebuild makes the served ranking equal the batch
+    * `sim_mrl_topk` contract over the corpus-so-far (`mrl_store_serve`
+    * pins that per round). */
+  def mrlServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, prefixDim: Int, nCand: Int,
+      k: Int, version: Option[String] = None): DataFrame = {
+    val pinned = pinnedReader(spark, tableDir, version)
+    graft.operators.Knn.mrlTopK(probes,
+      pinned("vectors").select("vec_id", "embedding"),
+      "vec_id", "embedding", prefixDim, nCand, k)
   }
 
   // ───────────────────── IVF standing store ─────────────────────
