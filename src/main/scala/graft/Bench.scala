@@ -96,6 +96,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_SET=all runs the full registry (round-close
     // ratchet runs — bench_best keys are unchanged by the split).
     val benchSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "core")
+    SparkEntry.requireCoreSubset() // stale core name = loud failure, not a silent shrink
     val setNames = benchSet match {
       case "all" | "extended" => SparkEntry.benchNames
       case "core" =>
@@ -159,7 +160,7 @@ object Bench {
         flagged.map(n => n -> materialize(n))
       }
     val p3 = pass3.toMap
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+    var results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       val valid = (Seq(a, b) ++ p3.get(n)).filter(_.wall >= 0)
       n -> (if (valid.nonEmpty) valid.minBy(_.wall) else a)
     }
@@ -169,9 +170,6 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jm(rs: Seq[(String, Timing)], f: Timing => Double): String = rs
       .map { case (k, t) => "\"" + k + "\":" + fmt(f(t)) }.mkString("{", ",", "}")
-    val total = results.map(_._2.wall).filter(_ >= 0).sum
-    val cpuTotal = results.map(_._2.cpu).filter(_ >= 0).sum
-    val gcTotal = results.map(_._2.gc).filter(_ >= 0).sum
     // Self-diagnosing contention flag (round-10 verdict #2): a busy
     // host inflates every wall uniformly while GC stays flat and the
     // plans are unchanged — the signature that previously needed
@@ -181,16 +179,49 @@ object Bench {
     // regression), and contended = median > 1.3 with GC under 10% of
     // wall (so the inflation is not memory pressure). Only meaningful
     // at the canonical scale with enough recorded queries to compare.
-    val ratios = results.collect {
-      case (n, t) if t.wall >= 0 && recordedBest.get(n).exists(_ > 0) =>
-        t.wall / recordedBest(n)
-    }.sorted
-    val medianVsBest =
+    def medianRatio(rs: Seq[(String, Timing)]): Double = {
+      val ratios = rs.collect {
+        case (n, t) if t.wall >= 0 && recordedBest.get(n).exists(_ > 0) =>
+          t.wall / recordedBest(n)
+      }.sorted
       if (ratios.size < 5) -1.0
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
-    val contended =
-      medianVsBest > 1.3 && total > 0 && gcTotal < 0.1 * total
+    }
+    def isContended(rs: Seq[(String, Timing)]): Boolean = {
+      val w = rs.map(_._2.wall).filter(_ >= 0).sum
+      val g = rs.map(_._2.gc).filter(_ >= 0).sum
+      medianRatio(rs) > 1.3 && w > 0 && g < 0.1 * w
+    }
+    // Quiet-box retry protocol (round-12 verdict #5): when the run
+    // still reads as contended after the min-of-passes merge, re-queue
+    // the >1.5×-of-recorded-best rows (cold, bounded rounds) until the
+    // artifact reads clean or retries exhaust — so the COMMITTED
+    // artifact is either a quiet capture or documented retry
+    // exhaustion, never a silently hot recording.
+    var retryRounds = 0
+    while (isContended(results) && retryRounds < 2) {
+      retryRounds += 1
+      val hot = results.collect {
+        case (n, t) if t.wall >= 0 && recordedBest.get(n).exists(t.wall > 1.5 * _) => n
+      }
+      System.err.println(s"[bench] contended (median_vs_best=${fmt(medianRatio(results))}); " +
+        s"retry round $retryRounds over ${hot.size} hot rows: ${hot.mkString(", ")}")
+      if (hot.isEmpty) retryRounds = 2 // contended but nothing individually hot: stop
+      else {
+        graft.queries.TextDedupQueries.clearMemo(spark)
+        graft.queries.SimilarityStreamQueries.clearMemo(spark)
+        val rerun = hot.map(n => n -> materialize(n)).toMap
+        results = results.map { case (n, t) =>
+          n -> rerun.get(n).filter(r => r.wall >= 0 && r.wall < t.wall).getOrElse(t)
+        }
+      }
+    }
+    val medianVsBest = medianRatio(results)
+    val contended = isContended(results)
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val cpuTotal = results.map(_._2.cpu).filter(_ >= 0).sum
+    val gcTotal = results.map(_._2.gc).filter(_ >= 0).sum
     // Full diagnostics (per-query cpu/gc + both raw cold-pass walls) go
     // to a sidecar file: the consumer of stdout keeps only a ~2 KB tail
     // of the run's output, and a JSON line carrying five 18-query maps
@@ -198,7 +229,7 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -216,6 +247,6 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }

@@ -12,16 +12,23 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs. Order is presentation-only; names must be unique. */
-  lazy val all: Seq[QueryDef] = QueryDef.registry(Seq(
-    RelationalQueries.defs,
-    TpchMoreQueries.defs,
-    TranscodeQueries.defs,
-    TextDedupQueries.defs,
-    SimilarityStreamQueries.defs,
-    CurationQueries.defs,
-    CnicsQueries.defs,
-    SourceSinkQueries.defs
-  ))
+  private lazy val packs: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> RelationalQueries.defs,
+    "tpch" -> TpchMoreQueries.defs,
+    "transcode" -> TranscodeQueries.defs,
+    "textdedup" -> TextDedupQueries.defs,
+    "simstream" -> SimilarityStreamQueries.defs,
+    "curation" -> CurationQueries.defs,
+    "cnics" -> CnicsQueries.defs,
+    "sourcesink" -> SourceSinkQueries.defs
+  )
+
+  lazy val all: Seq[QueryDef] = QueryDef.registry(packs.map(_._2))
+
+  /** Query name → pack name, for the Verify sweep's per-family
+    * runtime budget lines (round-12 verdict #8). */
+  lazy val families: Map[String, String] =
+    packs.flatMap { case (f, defs) => defs.map(_.name -> f) }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,4 +71,15 @@ object SparkEntry {
     "txt_bm25_serve", "split_by_cluster",
     // the heaviest graph row keeps iterative-plan timing visible per round
     "pagerank_purchase_graph")
+
+  /** A stale core name (query renamed, bench flag dropped) must fail
+    * LOUDLY, not silently shrink the core set while the run stays
+    * green — the same silent-shrink class the SPARK_GRAFT_BENCH_SET
+    * sys.error guards (ADVICE, round 12). Checked here (not in Bench)
+    * so the registry invariant also trips in tests. */
+  def requireCoreSubset(): Unit = {
+    val missing = benchCoreNames.toSet -- benchNames.toSet
+    require(missing.isEmpty,
+      s"benchCoreNames not registered as bench queries: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

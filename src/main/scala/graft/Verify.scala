@@ -23,12 +23,16 @@ object Verify {
     // silently vanishing from the driver's CORRECTNESS compare (which is
     // keyed on the output dirs that exist).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
       }
@@ -50,6 +54,26 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Per-family runtime budget (round-12 verdict #8): the sweep's
+    // wall-clock per query, rolled up per pack with its slowest 5, so a
+    // registry addition that regresses sweep time is visible in the
+    // ARTIFACT (not only in bench). Flat {"per_query":{...},
+    // "families":{fam:{"total_sec":…,"n":…,"slowest":{name:sec,…}}}}.
+    def fd(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val famJson = timings.toSeq
+      .groupBy { case (n, _) => SparkEntry.families.getOrElse(n, "other") }
+      .toSeq.sortBy(-_._2.map(_._2).sum)
+      .map { case (fam, qs) =>
+        val slowest = qs.sortBy(-_._2).take(5)
+          .map { case (n, s) => s"${q(n)}: ${fd(s)}" }.mkString("{", ",", "}")
+        s"${q(fam)}: {\"total_sec\": ${fd(qs.map(_._2).sum)}, " +
+          s"\"n\": ${qs.size}, \"slowest\": $slowest}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_timings.json"),
+      "{\"per_query\": " +
+        timings.map { case (k, v) => s"${q(k)}: ${fd(v)}" }.mkString("{", ",", "}") +
+        s""", "families": $famJson}""")
     val written = selected.keys.count(n => new java.io.File(s"$outDir/$n").isDirectory)
     System.err.println(s"[verify] registry ${selected.size} queries → $written outputs, " +
       s"${errors.size} FAILED" +

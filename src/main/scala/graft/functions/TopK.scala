@@ -138,3 +138,23 @@ object TopKDistinctAgg {
   def longs(k: Int): TopKDistinctAgg[Long] =
     new TopKDistinctAgg[Long](k)(Ordering.Long, ExpressionEncoder[Array[(Double, Long)]]())
 }
+
+/** Heap payload carrying a candidate's FULL vector (id, full-dim norm,
+  * embedding) alongside its cheap-pass score — the single-aggregation
+  * MRL serving shape: the bounded heap prunes on the prefix score and
+  * only the ≤k SURVIVORS keep their embedding alive, so the exact
+  * full-dim rescore after the aggregate is a row-local array transform
+  * (no second shuffle, no join-back — streaming-legal). Ordering is by
+  * id only (ids are unique within a group), matching the (score desc,
+  * cand_id asc) window tie contract. */
+final case class VecEntry(id: Long, fn: Double, emb: Array[Float])
+
+object VecEntry {
+  implicit val ordById: Ordering[VecEntry] = Ordering.by(_.id)
+}
+
+object TopKVecAgg {
+  def apply(k: Int): TopKAgg[VecEntry] =
+    new TopKAgg[VecEntry](k)(VecEntry.ordById,
+      ExpressionEncoder[Array[(Double, VecEntry)]]())
+}

@@ -53,7 +53,17 @@ object Knn {
     * cost is candidate-bounded: O(|Q|·nCand) full-dim dots regardless
     * of corpus size. Shares [[bruteForceTopK]]'s bounded-probe shape
     * for the prefix pass (broadcast query batch); recall vs the exact
-    * full-dim top-k is measured by `sim_mrl_recall`. */
+    * full-dim top-k is measured by `sim_mrl_recall`.
+    *
+    * Both rankings ride the bounded-heap
+    * [[graft.functions.TopKAgg]] (round-12: the prefix prune was a
+    * `row_number` window over the full |Q|×N score product — a
+    * corpus-sized shuffle onto ≤|Q| reducers plus an O(N log N) sort
+    * per query; the heap keeps O(nCand) map-side state per query and
+    * the shuffle carries O(nCand) entries per query per mapper). Tie
+    * contract (score desc, cand_id asc) is the heap's own, identical
+    * to the retired window's — plan-gated in PlansSpec (no WindowExec
+    * anywhere in this query). */
   def mrlTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       embCol: String, prefixDim: Int, nCand: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
@@ -66,27 +76,32 @@ object Knn {
     // one narrow pass computes the candidate side's prefix + full
     // norms; checkpointed because the prune and the rescore both read it
     val c = prep(Dedup.spread(candidates), "cand").localCheckpoint(true)
+    val prune = udaf(graft.functions.TopKAgg.longs(nCand))
     val pruned = c.select(col("cand_id"), col("cand_p"), col("cand_pn"))
       .crossJoin(broadcast(q.select(col("query_id"), col("query_p"), col("query_pn"))))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("pcos", round(
         VectorFunctions.dot("query_p", "cand_p")
           / (col("query_pn") * col("cand_pn")), 8))
-      .withColumn("prnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("pcos").desc, col("cand_id"))))
-      .filter(col("prnk") <= nCand)
-      .select("query_id", "cand_id")
-    pruned
-      .join(c.select(col("cand_id"), col("cand_emb"), col("cand_fn")), Seq("cand_id"))
+      .groupBy("query_id")
+      .agg(prune(col("pcos"), col("cand_id").cast("long")).as("ptk"))
+      .select(col("query_id"), explode(expr("transform(ptk, e -> e._2)")).as("cand_id"))
+    // |Q|·nCand survivor ids — broadcast against the checkpointed
+    // candidate frame so the rescore is a broadcast hash join, then the
+    // final top-k rides the same bounded heap (no window anywhere)
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    c.select(col("cand_id"), col("cand_emb"), col("cand_fn"))
+      .join(broadcast(pruned), Seq("cand_id"))
       .join(broadcast(q.select(col("query_id"), col("query_emb"), col("query_fn"))),
         Seq("query_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("query_emb", "cand_emb")
           / (col("query_fn") * col("cand_fn")), 8))
-      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= k)
-      .select("query_id", "cand_id", "cosine", "rnk")
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("cand_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        col("e._1").as("cosine"), (col("pos") + 1).as("rnk"))
   }
 
   /** Bucket assignment via sign-random-projection LSH. */

@@ -32,15 +32,28 @@ object SimilarityStreamQueries {
   /** Write `df` to `$MmScratchBase/$name` via tmp dir + atomic rename,
     * so a DuckDB replay overlapping a later Verify can never observe a
     * half-written glob (mode=overwrite deletes in place), and return
-    * the re-read frame the engine-side join runs over. */
+    * the re-read frame the engine-side join runs over.
+    *
+    * Swap discipline (round-12, ADVICE): the PREVIOUS dest is renamed
+    * aside to a unique trash name first, then tmp→dest is one
+    * ATOMIC_MOVE — the dest-absent window is a single rename instead
+    * of a recursive delete, so a concurrent DuckDB replay's glob read
+    * either sees the old version or the new one. (The remaining
+    * caveat stands as documented: the fixed shared scratch root means
+    * the guarantee holds within one serialized verify gate, not across
+    * concurrent checkouts on one host.) */
   private def writeMmScratch(s: SparkSession, name: String,
       df: DataFrame): DataFrame = {
     val dest = new java.io.File(s"$MmScratchBase/$name")
     val tmp = new java.io.File(s"$MmScratchBase/.$name.tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-    org.apache.commons.io.FileUtils.deleteQuietly(dest)
+    val trash = new java.io.File(
+      s"$MmScratchBase/.$name.trash.${System.nanoTime()}")
+    if (dest.exists()) java.nio.file.Files.move(dest.toPath, trash.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(tmp.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(trash)
     s.read.parquet(dest.getPath)
   }
   // Multi-table ANN: L tables of k planes each. The (k, L) pair is the
@@ -472,6 +485,15 @@ object SimilarityStreamQueries {
   val MmrCand = 16
   val MmrK = 5
   val MmrLambda = "0.7"
+  // The λ-complement as its OWN exact decimal literal, interpolated
+  // verbatim into both engines. Computing it as (1.0 - 0.7) instead
+  // diverges by ~1 ulp between engines (Spark folds lit(1.0)-0.7d in
+  // doubles → 0.30000000000000004; DuckDB's 1.0-0.7 is exact DECIMAL
+  // 0.3 → double 0.2999999999999999889) — and because rel/maxsim are
+  // round-8 values, MMR scores frequently land on round(..,8)
+  // half-boundaries where that ulp flips a pick and cascades through
+  // later rounds. One shared literal, one shared double.
+  val MmrLambdaComp = "0.3"
 
   /** MMR selection (shared by the query and its oracle's Spark side):
     * candidate relevance = exact full-dim cosine to the query;
@@ -480,12 +502,38 @@ object SimilarityStreamQueries {
     * Lloyd-round pattern — per-round frames are (queries × MmrCand)
     * rows, checkpointed so lineage stays flat). */
   private def mmrRerank(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
     val cand = Knn.bruteForceTopK(emb.filter(col("vec_id") < 16), emb,
         "vec_id", "embedding", MmrCand)
       .select(col("query_id"), col("cand_id"), col("cosine").as("rel"))
-      .localCheckpoint(true)
+    mmrPick(s, d, cand)
+  }
+
+  /** MMR over the ANN-served shortlist — the serving path MMR rides in
+    * production (the sim_hard_negatives precedent): candidates come
+    * from the Matryoshka prune-rescore search
+    * ([[graft.operators.Knn.mrlTopK]], prefix-prune to
+    * 2·MmrCand survivors, exact full-dim rescore, keep MmrCand) with
+    * rel = the rescored exact cosine, then the identical MmrK pick
+    * rounds. At 100 TB the candidate stage costs one ANN serve per
+    * query instead of a corpus scan; the pick rounds stay
+    * (queries × MmrCand²)-bounded. */
+  private def mmrAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cand = Knn.mrlTopK(emb.filter(col("vec_id") < 16), emb,
+        "vec_id", "embedding", MrlDim, 2 * MmrCand, MmrCand)
+      .select(col("query_id"), col("cand_id"), col("cosine").as("rel"))
+    mmrPick(s, d, cand)
+  }
+
+  /** The MmrK driver-synchronous pick rounds over any candidate frame
+    * (query_id, cand_id, rel) — shared by [[mmrRerank]] (exact
+    * brute-force candidates) and [[mmrAnnRerank]] (ANN-served
+    * candidates). */
+  private def mmrPick(s: SparkSession, d: String, candIn: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val cand = candIn.localCheckpoint(true)
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm("embedding"))
     // candidate-candidate cosine within each query's candidate set:
@@ -519,7 +567,7 @@ object SimilarityStreamQueries {
         .join(maxsim, Seq("query_id", "cand_id"))
         .withColumn("mmr", round(
           lit(MmrLambda).cast("double") * col("rel")
-            - (lit(1.0) - lit(MmrLambda).cast("double")) * col("maxsim"), 8))
+            - lit(MmrLambdaComp).cast("double") * col("maxsim"), 8))
         .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("mmr").desc, col("cand_id"))))
         .filter(col("__rn") === 1)
@@ -529,16 +577,20 @@ object SimilarityStreamQueries {
     selected
   }
 
-  /** DuckDB twin of [[mmrRerank]]: brute top-MmrCand + pairwise sims,
-    * then MmrK unrolled pick rounds (the BPE/Lloyd unrolled-CTE
-    * precedent). Terminal relation: (query_id, cand_id, pick). */
-  private def dkMmrSql: String = {
+  /** DuckDB twin of the MmrK pick rounds over a caller-supplied
+    * candidate CTE body (must yield (query_id, cand_id, rel)) —
+    * unrolled rounds per the BPE/Lloyd unrolled-CTE precedent, the
+    * λ-complement as the SAME exact decimal literal the engine uses
+    * (see [[MmrLambdaComp]]). Terminal relation: (query_id, cand_id,
+    * pick). */
+  private def dkMmrSqlOver(candCte: String): String = {
     val lam = MmrLambda
+    val lamC = MmrLambdaComp
     val rounds = (2 to MmrK).map { t =>
       s"""p$t AS (SELECT query_id, cand_id, $t AS pick FROM (
          |  SELECT c.query_id, c.cand_id,
          |    row_number() OVER (PARTITION BY c.query_id ORDER BY
-         |      round($lam * c.rel - (1.0 - $lam) * ms.maxsim, 8) DESC,
+         |      round($lam * c.rel - $lamC * ms.maxsim, 8) DESC,
          |      c.cand_id) AS rn
          |  FROM cand c
          |  JOIN (SELECT ps.query_id, ps.id_a AS cand_id, max(ps.sim) AS maxsim
@@ -553,14 +605,7 @@ object SimilarityStreamQueries {
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
        |  FROM embeddings),
-       |cand AS (SELECT query_id, cand_id, rel FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-       |    round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS rel,
-       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
-       |      c.vec_id) AS rnk
-       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 16) WHERE rnk <= $MmrCand),
+       |cand AS ($candCte),
        |psim AS (SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
        |    round(${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 8) AS sim
        |  FROM cand a JOIN cand b ON b.query_id = a.query_id
@@ -573,6 +618,43 @@ object SimilarityStreamQueries {
        |$rounds
        |SELECT * FROM s$MmrK""".stripMargin
   }
+
+  /** DuckDB twin of [[mmrRerank]]: brute top-MmrCand candidates. */
+  private def dkMmrSql: String = dkMmrSqlOver(
+    s"""SELECT query_id, cand_id, rel FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS rel,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+       |      c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 16) WHERE rnk <= $MmrCand""".stripMargin)
+
+  /** DuckDB twin of [[mmrAnnRerank]]: the MRL prune-rescore shortlist
+    * (prefix-MrlDim prune to 2·MmrCand, full-dim rescore, keep
+    * MmrCand) replayed as the candidate CTE — rel is the rescored
+    * exact cosine, exactly the engine's. */
+  private def dkMmrAnnSql: String = dkMmrSqlOver(
+    s"""WITH ep AS (SELECT vec_id, embedding,
+       |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+       |  FROM embeddings),
+       |qp AS (SELECT * FROM ep WHERE vec_id < 16),
+       |prn AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+       |      c.vec_id) AS prnk
+       |  FROM qp q CROSS JOIN ep c WHERE c.vec_id <> q.vec_id
+       |  ) WHERE prnk <= ${2 * MmrCand})
+       |SELECT query_id, cand_id, rel FROM (
+       |  SELECT query_id, cand_id,
+       |    round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) AS rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+       |      cand_id) AS rnk
+       |  FROM prn JOIN ep q ON q.vec_id = query_id
+       |    JOIN ep c ON c.vec_id = cand_id
+       |  ) WHERE rnk <= $MmrCand""".stripMargin)
 
   /** Embedding near-dup pairs (id_a, id_b, cosine >= 0.3) from
     * multi-table LSH candidates — shared by the near-dup report and the
@@ -727,6 +809,55 @@ object SimilarityStreamQueries {
       (s, d) => mmrRerank(s, d),
       Some(dkMmrSql),
       bench = true),
+
+    // ── MMR over the ANN-served shortlist — the production
+    //    composition (round-12 verdict #4): candidates come from the
+    //    Matryoshka prune-rescore search instead of a brute-force
+    //    corpus scan, rel = the rescored exact cosine, then the
+    //    identical pick rounds. The oracle replays the ANN candidate
+    //    stage (prefix prune + rescore CTEs) AND the pick rounds. ──
+    QueryDef(
+      "sim_mmr_ann_rerank",
+      s"MMR pick-$MmrK over the MRL ANN shortlist (prefix-$MrlDim prune, top-$MmrCand rescored)",
+      (s, d) => mmrAnnRerank(s, d),
+      Some(dkMmrAnnSql)),
+
+    // ── The MRL ONLINE-SERVING plan as a driver row (round-12 verdict
+    //    #3): the SAME single-aggregation, streaming-legal plan
+    //    VectorStreams.mrlServe runs per micro-batch — stream-static
+    //    scored join, ONE embedding-carrying bounded heap, row-local
+    //    full-dim rescore (transform + comparator array_sort + slice;
+    //    no window, no join-back, no second aggregation) — run here
+    //    over the batch probe frame, pinned against the exact
+    //    sim_mrl_topk SQL. Streaming==batch equivalence (MemoryStream,
+    //    update mode) is tested in VectorStreamsSpec. ──
+    QueryDef(
+      "mrl_serve_heap",
+      s"MRL online-serving plan (single embedding-carrying heap + row-local rescore) == batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.mrlServe(
+          emb.filter(col("vec_id") < 32), emb, MrlDim, MrlCand, 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 32),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand)
+              |SELECT query_id, cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) AS cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY
+              |    round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |    cand_id) AS rnk
+              |FROM pruned JOIN e q ON q.vec_id = query_id
+              |  JOIN e c ON c.vec_id = cand_id
+              |QUALIFY rnk <= 3""".stripMargin)),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number

@@ -262,6 +262,76 @@ object VectorStreams {
       "vec_id", "embedding", prefixDim, nCand, k)
   }
 
+  /** STREAMING Matryoshka serving — the 4th retrieval family's online
+    * twin (dense [[annServe]], perceptual [[fingerprintServe]], lexical
+    * bm25Serve being the other three). One stateful operator total,
+    * which is what makes it streaming-legal:
+    *
+    *   - the scored pass is a stream-static join of the probe stream
+    *     against the static corpus (prefix slices + norms are narrow
+    *     projections on both sides);
+    *   - the prefix prune is ONE bounded-heap aggregation
+    *     ([[graft.functions.TopKVecAgg]]) whose payload carries the
+    *     candidate's id, full-dim norm AND embedding — O(nCand) state
+    *     per probe, map-side partials, so only the ≤nCand survivors
+    *     keep their vector alive past the heap;
+    *   - the exact full-dim rescore is then ROW-LOCAL: a higher-order
+    *     `transform` + comparator `array_sort` + `slice` over the
+    *     survivor array (same sequential-fold dot, same round-8, same
+    *     (cosine desc, cand_id asc) ties) — no join-back, no second
+    *     aggregation, no window.
+    *
+    * Output (query_id, cand_id, cosine, rnk) equals the batch
+    * [[graft.operators.Knn.mrlTopK]] row for row over the same corpus
+    * (equivalence-tested; `mrl_serve_heap` pins the plan's arithmetic
+    * against the sim_mrl_topk oracle per round). `probes` may be a
+    * streaming frame (update mode) or a batch one — same plan. */
+  def mrlServe(probes: DataFrame, vectors: DataFrame,
+      prefixDim: Int, nCand: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(probes.sparkSession)
+    val c = Dedup.spread(vectors)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .withColumn("c_p", expr(s"slice(c_emb, 1, $prefixDim)"))
+      .withColumn("c_pn", VectorFunctions.norm("c_p"))
+      .withColumn("c_fn", VectorFunctions.norm("c_emb"))
+    val q = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_p", expr(s"slice(q_emb, 1, $prefixDim)"))
+      .withColumn("q_pn", VectorFunctions.norm("q_p"))
+      .withColumn("q_fn", VectorFunctions.norm("q_emb"))
+    val heap = udaf(graft.functions.TopKVecAgg(nCand))
+    q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("pcos", round(
+        VectorFunctions.dot("q_p", "c_p") / (col("q_pn") * col("c_pn")), 8))
+      .groupBy("query_id")
+      .agg(heap(col("pcos"), struct(col("cand_id").cast("long").as("id"),
+          col("c_fn").as("fn"), col("c_emb").as("emb"))).as("ptk"),
+        first(col("q_emb")).as("q_emb"), first(col("q_fn")).as("q_fn"))
+      .select(col("query_id"), posexplode(expr(
+        s"""slice(array_sort(
+           |  transform(ptk, e -> struct(
+           |    round(graft_dot(q_emb, e._2.emb) / (q_fn * e._2.fn), 8) AS cosine,
+           |    e._2.id AS cand_id)),
+           |  (a, b) -> CASE WHEN a.cosine > b.cosine THEN -1
+           |                 WHEN a.cosine < b.cosine THEN 1
+           |                 WHEN a.cand_id < b.cand_id THEN -1
+           |                 WHEN a.cand_id > b.cand_id THEN 1 ELSE 0 END),
+           |1, $k)""".stripMargin)).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        col("e.cosine").as("cosine"), (col("pos") + 1).as("rnk"))
+  }
+
+  /** [[mrlServe]] off the pinned standing vector store — the streaming
+    * face of [[mrlServeFromStore]] (whose batch plan localCheckpoints
+    * and is therefore stream-illegal). */
+  def mrlServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, prefixDim: Int, nCand: Int,
+      k: Int, version: Option[String] = None): DataFrame = {
+    val pinned = pinnedReader(spark, tableDir, version)
+    mrlServe(probeStream, pinned("vectors").select("vec_id", "embedding"),
+      prefixDim, nCand, k)
+  }
+
   // ───────────────────── IVF standing store ─────────────────────
 
   /** One IVF-store micro-batch fold (the [[ivfIndexIngest]] body,

@@ -569,14 +569,21 @@ class PlanGateSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("MRL search: bounded-probe prefix scan + keyed rescore, windows per-query") {
-    val p = plan("sim_mrl_topk")
-    // the prefix pass is the intentional bounded-probe corpus scan
-    // (broadcast query batch — the bruteForceTopK shape); the rescore
-    // joins must be KEYED, and every window partitions by query_id
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SinglePartition"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // the prune probe
+  test("MRL search: bounded-heap prune + keyed rescore — no window sort anywhere") {
+    // round-12: the prefix prune was a row_number window over the full
+    // |Q|×N score product (corpus-sized shuffle onto ≤|Q| reducers +
+    // an O(N log N) sort per query). Both rankings now ride the
+    // bounded-heap TopKAgg: ObjectHashAggregate with map-side partials,
+    // O(k) shuffled entries per query per mapper — WindowExec is
+    // FORBIDDEN in this plan, prune and rescore alike.
+    Seq("sim_mrl_topk", "mrl_serve_heap").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("SinglePartition"), s"$n:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p") // the prune probe
+      assert(p.contains("ObjectHashAggregate"), s"$n:\n$p")     // the bounded heaps
+      assert(!p.contains("Window"), s"$n plans a window sort:\n$p")
+    }
   }
 
   test("MMR rerank: candidate-bounded rounds, no cartesian, no global sort") {

@@ -115,6 +115,52 @@ class VectorStoreSpec extends AnyFunSuite {
       === (rows.size - 2).toLong)
   }
 
+  test("MRL streaming serve == batch mrlTopK, row for row (single-heap plan off the store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_mrlstream").toString
+    VectorStreams.vectorFoldBatch(b0.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")), tbl, 0L, dim, tp, nt)
+    VectorStreams.vectorFoldBatch(b1.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")), tbl, 1L, dim, tp, nt)
+
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // the batch contract: the two-window-era semantics, now two heaps
+    val expected = rank4(Knn.mrlTopK(emb.filter(col("vec_id") < 32), emb,
+      "vec_id", "embedding", 16, 16, 3))
+    assert(expected.nonEmpty)
+
+    // batch probes through the SINGLE-heap serving plan
+    val servedBatch = rank4(VectorStreams.mrlServeStreamFromStore(
+      spark, tbl, emb.filter(col("vec_id") < 32), 16, 16, 3))
+    assert(servedBatch === expected)
+
+    // streamed probes (MemoryStream, update mode): one stateful op —
+    // the embedding-carrying heap — so the plan is streaming-legal
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val out = VectorStreams.mrlServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), 16, 16, 3)
+    val sq = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_mrlserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        rank4(spark.table("graft_mrlserve_test"))
+      } finally sq.stop()
+    assert(streamed === expected)
+  }
+
   test("two-batch ivfIndexIngest == one-shot IVF search; pinned, replayed, forgotten") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
