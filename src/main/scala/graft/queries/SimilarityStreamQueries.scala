@@ -820,7 +820,8 @@ object SimilarityStreamQueries {
       "sim_mmr_ann_rerank",
       s"MMR pick-$MmrK over the MRL ANN shortlist (prefix-$MrlDim prune, top-$MmrCand rescored)",
       (s, d) => mmrAnnRerank(s, d),
-      Some(dkMmrAnnSql)),
+      Some(dkMmrAnnSql),
+      bench = true),
 
     // ── The MRL ONLINE-SERVING plan as a driver row (round-12 verdict
     //    #3): the SAME single-aggregation, streaming-legal plan
@@ -857,7 +858,8 @@ object SimilarityStreamQueries {
               |    cand_id) AS rnk
               |FROM pruned JOIN e q ON q.vec_id = query_id
               |  JOIN e c ON c.vec_id = cand_id
-              |QUALIFY rnk <= 3""".stripMargin)),
+              |QUALIFY rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number
