@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) — the THIRD vector-compression family
+  * beside sign-LSH (hash) and PQ (codebook): each dimension is
+  * affinely mapped to an unsigned 8-bit code against per-dimension
+  * [min, max] bounds trained on the corpus. 4× smaller than float32
+  * with no codebook training, the standard first rung of the FAISS
+  * compression ladder (SQ8 → PQ → IVF×PQ).
+  *
+  * Search is asymmetric (ADC): the full-precision query builds a
+  * per-(dim, code) lookup table of exact squared distances to every
+  * RECONSTRUCTED code value (dim × 256 entries per query — the SQ
+  * analogue of the PQ LUT), and candidates are scored by summing
+  * LUT entries keyed by their stored codes — the scan reads ONLY the
+  * 1-byte codes. Per-entry distances floor-quantize to integer e6 so
+  * the per-candidate sum is an order-insensitive BIGINT sum, exactly
+  * replayable in any engine (the [[Pq]] discipline).
+  *
+  * Determinism: bounds are exact min/max of float→double casts; the
+  * encode expression `floor((v - mn) / (mx - mn) * 255 + 0.5)` and the
+  * reconstruction `mn + code / 255 * (mx - mn)` are fixed single-op
+  * sequences spelled identically in the DuckDB oracles, so every
+  * double is bit-identical cross-engine. A constant dimension
+  * (mx == mn) encodes to 0 and reconstructs to mn.
+  *
+  * Reference context: no vector surface in the reference; part of the
+  * SURVEY §7.5 similarity-search extension.
+  */
+object Sq {
+
+  /** Per-dimension quantizer bounds over the corpus: (dim, mn, mx) —
+    * one narrow posexplode + a map-side-combined min/max aggregate
+    * (dim rows out; at 100 TB this is the cheapest trainable
+    * quantizer there is). `dim` is 0-based. */
+  def train(vecs: DataFrame, embCol: String): DataFrame =
+    Dedup.spread(vecs)
+      .select(posexplode(expr(s"transform($embCol, v -> CAST(v AS DOUBLE))"))
+        .as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+
+  /** SQ8 codes: (id, dim, code ∈ 0..255) — the stored index, 1 byte
+    * of information per (vector, dimension). Encode is a narrow
+    * projection against the broadcast dim-row bounds. */
+  def encode(vecs: DataFrame, idCol: String, embCol: String,
+      bounds: DataFrame): DataFrame =
+    Dedup.spread(vecs)
+      .select(col(idCol),
+        posexplode(expr(s"transform($embCol, v -> CAST(v AS DOUBLE))"))
+          .as(Seq("dim", "v")))
+      .join(broadcast(bounds), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(expr("CAST(floor((v - mn) / (mx - mn) * 255.0D + 0.5D) AS INT)"))
+          .as("code"))
+
+  /** ADC lookup table for a query batch: (query_id, dim, code,
+    * dq_e6) — floor-e6-quantized exact squared distance from each
+    * query component to each of the 256 reconstructed code values of
+    * that dimension. |Q| × dim × 256 rows: bounded by the probe
+    * batch, broadcast against the code scan. */
+  def adcLut(queries: DataFrame, idCol: String, embCol: String,
+      bounds: DataFrame): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        posexplode(expr(s"transform($embCol, v -> CAST(v AS DOUBLE))"))
+          .as(Seq("dim", "v")))
+      .join(broadcast(bounds), Seq("dim"))
+      .select(col("query_id"), col("dim"),
+        explode(expr("sequence(0, 255)")).as("code"),
+        col("v"), col("mn"), col("mx"))
+      .withColumn("recon",
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(expr("mn + code / 255.0D * (mx - mn)")))
+      .select(col("query_id"), col("dim"), col("code"),
+        expr("CAST(floor((v - recon) * (v - recon) * 1000000.0D) AS BIGINT)")
+          .as("dq_e6"))
+}

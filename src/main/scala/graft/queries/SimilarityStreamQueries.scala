@@ -239,6 +239,54 @@ object SimilarityStreamQueries {
       graft.operators.Pq.encode(pqSubs(s, d), "vec_id", pqCentroids(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** SQ8 per-dimension bounds (dim, mn, mx) — the cheapest trainable
+    * quantizer (one min/max aggregate). */
+  private def sqBounds(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#sqb"),
+      graft.operators.Sq.train(t(s, d, "embeddings"), "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The SQ8 code index: (vec_id, dim, code) — 1 byte per (vector,
+    * dimension), all the ADC scan reads. */
+  private def sqCodes(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#sqc"),
+      graft.operators.Sq.encode(t(s, d, "embeddings"), "vec_id", "embedding",
+          sqBounds(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  // DuckDB twin of the SQ8 pipeline: xv (exploded double components) →
+  // sqb (per-dim bounds) → sqc (codes) → slut (per-query (dim, code)
+  // ADC table over all 256 reconstructions) → sadc (BIGINT-summed ADC
+  // ranking for probes vec_id < 32). Every double is a fixed single-op
+  // sequence spelled identically to the engine (Sq.scala).
+  private def dkSqCtes: String =
+    s"""xv AS (SELECT vec_id, unnest(range(0, $Dim)) AS dim,
+       |    unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+       |  FROM embeddings),
+       |sqb AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM xv GROUP BY dim),
+       |sqc AS (SELECT vec_id, dim,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5)::INT END AS code
+       |  FROM xv JOIN sqb USING (dim)),
+       |slut AS (SELECT query_id, dim, code,
+       |    floor((v - recon) * (v - recon) * 1000000.0)::BIGINT AS dq_e6
+       |  FROM (SELECT q.vec_id AS query_id, q.dim, cd.code, q.v,
+       |      CASE WHEN b.mx = b.mn THEN b.mn
+       |           ELSE b.mn + cd.code::DOUBLE / 255.0 * (b.mx - b.mn) END AS recon
+       |    FROM xv q JOIN sqb b USING (dim)
+       |    CROSS JOIN (SELECT unnest(range(0, 256)) AS code) cd
+       |    WHERE q.vec_id < 32)),
+       |sadc AS (SELECT query_id, cand_id, adist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+       |  FROM (SELECT l.query_id, c.vec_id AS cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+       |    FROM sqc c JOIN slut l ON l.dim = c.dim AND l.code = c.code
+       |    WHERE c.vec_id <> l.query_id GROUP BY 1, 2))""".stripMargin
+
+  // full-dim squared-L2 with the same sequential fold as graft_l2sq
+  private def dkD2Full(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x, y) -> x + y)"
+
   /** ADC ranking over the code index for queries vec_id < 32 (rows up
     * to rnk ≤ `keep`). rnk ≤ 3 is the pure-ADC answer; rnk ≤ 20 is the
     * shortlist the exact re-rank stage rescores. */
@@ -859,6 +907,177 @@ object SimilarityStreamQueries {
               |FROM pruned JOIN e q ON q.vec_id = query_id
               |  JOIN e c ON c.vec_id = cand_id
               |QUALIFY rnk <= 3""".stripMargin),
+      bench = true),
+
+    // ── SQ8 scalar quantization (the THIRD compression family beside
+    //    sign-LSH and PQ): per-dimension affine uint8 codes, 4× smaller
+    //    than float32 with no codebook training. Three rows pin the
+    //    family: the trained bounds, the ADC search, and its recall
+    //    against the exact full-precision L2 ranking. ──
+    QueryDef(
+      "sq8_bounds",
+      "SQ8 per-dimension quantizer bounds (dim, mn, mx) over the corpus",
+      (s, d) => sqBounds(s, d),
+      Some(s"""WITH xv AS (SELECT vec_id, unnest(range(0, $Dim)) AS dim,
+              |    unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+              |  FROM embeddings)
+              |SELECT dim, min(v) AS mn, max(v) AS mx FROM xv GROUP BY dim""".stripMargin)),
+
+    QueryDef(
+      "sq8_adc_topk",
+      "SQ8 asymmetric-distance top-3 per query over the 1-byte-per-dim code index",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val lut = graft.operators.Sq.adcLut(emb.filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d))
+        val ranked = sqCodes(s, d)
+          .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+          .join(broadcast(lut), Seq("dim", "code"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+        adcTopK(ranked, 3)
+      },
+      Some(s"""WITH $dkSqCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
+
+    QueryDef(
+      "sq8_recall",
+      "recall@3 of SQ8-ADC search vs the exact full-precision squared-L2 top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val lut = graft.operators.Sq.adcLut(emb.filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d))
+        val sq3 = adcTopK(sqCodes(s, d)
+            .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+            .join(broadcast(lut), Seq("dim", "code"))
+            .filter(col("cand_id") =!= col("query_id"))
+            .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6")), 3)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val topk = udaf(graft.functions.TopKAgg.longs(3))
+        val exact = ed.select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("dist_e6",
+            expr("CAST(floor(graft_l2sq(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+          .groupBy("query_id")
+          .agg(topk((-col("dist_e6")).cast("double"), col("cand_id")).as("tk"))
+          .select(col("query_id"), explode(expr("transform(tk, e -> e._2)")).as("cand_id"))
+        exact.join(sq3, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkSqCtes,
+              |e AS (SELECT vec_id, embedding FROM embeddings),
+              |xrk AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |sq3 AS (SELECT query_id, cand_id FROM sadc WHERE rnk <= 3)
+              |SELECT x.query_id, count(s.cand_id) AS n_hits,
+              |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xrk x LEFT JOIN sq3 s
+              |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+              |GROUP BY x.query_id""".stripMargin)),
+
+    // ── CROSS-MODALITY hybrid retrieval: reciprocal-rank fusion of
+    //    the LEXICAL (BM25 impact index, txt_bm25_serve's exact plan)
+    //    and DENSE (exact cosine) rankings — the deployed hybrid-
+    //    search pattern (doc_id and vec_id share a key space in the
+    //    fixture corpus, as they would in any real doc store). The
+    //    existing hybrid_rrf_fusion row fuses two DENSE rankers
+    //    (float cosine vs int8 dot); this one crosses retrieval
+    //    families, which is what hybrid search means in production.
+    //    rrf = Σ 1/(60 + rank) over the families that retrieved the
+    //    doc (k=60 per the standard RRF formulation); one double
+    //    division + one addition per row, spelled identically in the
+    //    oracle. ──
+    QueryDef(
+      "hybrid_rrf_lexdense",
+      "reciprocal-rank fusion of BM25 top-10 and dense cosine top-10, top-5 per query",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val post = graft.operators.Lexical.postings(docs)
+        val dl = graft.operators.Lexical.doclens(docs)
+        val idx = graft.operators.Lexical.impactIndex(post, dl,
+          graft.operators.Lexical.termstats(post),
+          graft.operators.Lexical.corpusStats(dl))
+        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+          (2L, "fast vector scan"), (3L, "customer query filter"))
+          .toDF("query_id", "qtext")
+        val lex = graft.operators.Lexical.bm25Serve(qs, idx, 10)
+          .select(col("query_id"), col("doc_id"), col("rnk").cast("int").as("lex_rnk"))
+        val emb = t(s, d, "embeddings")
+        val dense = Knn.bruteForceTopK(emb.filter(col("vec_id") < 4), emb,
+            "vec_id", "embedding", 10)
+          .select(col("query_id"), col("cand_id").as("doc_id"),
+            col("rnk").cast("int").as("dense_rnk"))
+        lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(expr("CAST(1 AS DOUBLE) / (60 + lex_rnk)"), lit(0.0d))
+              + coalesce(expr("CAST(1 AS DOUBLE) / (60 + dense_rnk)"), lit(0.0d)), 8))
+          .select(col("query_id"), col("doc_id"),
+            coalesce(col("lex_rnk"), lit(0)).as("lex_rnk"),
+            coalesce(col("dense_rnk"), lit(0)).as("dense_rnk"), col("rrf"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rnk") <= 5)
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
+              |    (1, 'stream window agg'), (2, 'fast vector scan'),
+              |    (3, 'customer query filter')) v(query_id, qtext)),
+              |qterms AS (SELECT query_id::BIGINT AS query_id,
+              |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
+              |toks AS (SELECT doc_id, unnest(${TextDedupQueries.dkTokens}) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |dlen AS (SELECT doc_id, len(${TextDedupQueries.dkTokens})::BIGINT AS dl FROM documents),
+              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
+              |contrib AS (SELECT query_id, t.doc_id,
+              |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+              |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+              |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+              |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+              |      8)::DECIMAL(18,8) AS c8
+              |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
+              |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
+              |lex AS (SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sd DESC, doc_id) AS INT) AS lex_rnk
+              |  FROM (SELECT query_id, doc_id, sum(c8) AS sd FROM contrib GROUP BY 1, 2)
+              |  QUALIFY lex_rnk <= 10),
+              |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+              |dense AS (SELECT query_id, cand_id AS doc_id, rnk::INT AS dense_rnk FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) DESC,
+              |      c.vec_id) AS rnk
+              |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 4) WHERE rnk <= 10),
+              |fused AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+              |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+              |    coalesce(l.lex_rnk, 0) AS lex_rnk,
+              |    coalesce(dn.dense_rnk, 0) AS dense_rnk,
+              |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0.0)
+              |      + coalesce(CAST(1 AS DOUBLE) / (60 + dn.dense_rnk), 0.0), 8) AS rrf
+              |  FROM lex l FULL OUTER JOIN dense dn
+              |    ON dn.query_id = l.query_id AND dn.doc_id = l.doc_id)
+              |SELECT query_id, doc_id, lex_rnk, dense_rnk, rrf,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+              |FROM fused QUALIFY rnk <= 5""".stripMargin),
       bench = true),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-

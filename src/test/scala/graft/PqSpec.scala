@@ -108,4 +108,27 @@ class PqSpec extends AnyFunSuite {
     val p = q("pq_ivf_adc_topk").queryExecution.sparkPlan
     assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, p.toString)
   }
+
+  test("SQ8: complete code index, in-range codes, heap-ranked broadcast-LUT ADC scan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    // index shape: one code per (vector, dimension), all in 0..255
+    val codes = graft.operators.Sq.encode(
+      graft.sources.Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+      graft.operators.Sq.train(graft.sources.Tables(spark, dir, "embeddings"),
+        "embedding")).collect()
+    val perVec = codes.groupBy(_.getLong(0))
+    assert(perVec.nonEmpty)
+    assert(perVec.values.forall(_.length == SimilarityStreamQueries.Dim))
+    assert(codes.forall { r => val c = r.getInt(2); c >= 0 && c <= 255 })
+    // plan: ranking rides the bounded heap (no window), the per-query
+    // LUT broadcasts against the code scan (no shuffle of the index on
+    // a non-key), and nothing goes cartesian
+    val p = q("sq8_adc_topk").queryExecution.sparkPlan
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      s"sq8_adc_topk still plans a Window sort:\n$p")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, p.toString)
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString)
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
 }
