@@ -990,6 +990,34 @@ object SimilarityStreamQueries {
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
 
+    // ── SQ8 serving off a STANDING store: bounds trained on the
+    //    corpus and pinned by the first fold, two sqFoldBatch folds
+    //    (odd/even vec_ids) append the 1-byte code index, then
+    //    sq8ServeFromStore answers the probe batch off the pinned
+    //    codes. Fold ≡ rebuild makes the served ranking equal the
+    //    batch sq8_adc_topk — the oracle IS the same SQL, completing
+    //    the standing-store matrix for the SQ8 family (the
+    //    nb/bm25/lsh/ivf/ivfpq/mrl precedent). ──
+    QueryDef(
+      "sq8_store_serve",
+      "2-batch SQ8 store fold + pinned-bounds ADC serve == batch sq8_adc_topk",
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_sq8store").toString
+        val emb = t(s, d, "embeddings")
+        val bounds = graft.operators.Sq.train(emb, "embedding")
+        graft.streaming.VectorStreams.sqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
+          base, 0L, bounds)
+        graft.streaming.VectorStreams.sqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
+          base, 1L, bounds)
+        graft.streaming.VectorStreams.sq8ServeFromStore(s, base,
+          emb.filter(col("vec_id") < 32).select("vec_id", "embedding"), 3)
+      },
+      Some(s"""WITH $dkSqCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin)),
+
     // ── CROSS-MODALITY hybrid retrieval: reciprocal-rank fusion of
     //    the LEXICAL (BM25 impact index, txt_bm25_serve's exact plan)
     //    and DENSE (exact cosine) rankings — the deployed hybrid-

@@ -566,6 +566,86 @@ object VectorStreams {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  // ─────────────────── SQ8 standing store ───────────────────
+
+  /** One SQ8-store micro-batch fold: the per-dimension quantizer
+    * bounds train once ([[graft.operators.Sq.train]], typically on
+    * the first corpus sample — the caller passes them, the
+    * [[ivfPqFoldBatch]] model-pinning precedent), land in `bounds/`
+    * on the first fold, and stay PINNED; every batch encodes against
+    * the STORE's bounds, so fold ≡ rebuild is exact (encoding is
+    * per-vector). Retraining bounds is a rebuild event, not a fold.
+    * Layout per batch (append-only, O(batch) fold I/O):
+    *
+    *   - `codes/batch=N/`   — (vec_id, dim, code): the SQ8 index —
+    *     1 byte of information per (vector, dimension), ALL a serve
+    *     scan reads beyond the LUT (4× smaller than float32);
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm) once per
+    *     vector: the exact-rerank side;
+    *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
+    *
+    * Same crash/replay contract as every store fold; right-to-be-
+    * forgotten rides [[forgetVectors]] unchanged (its table discovery
+    * already spans codes/vectors). */
+  def sqFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      bounds: DataFrame,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("codes", "vectors")) { _ =>
+      val spark = batch.sparkSession
+      val bdir = new java.io.File(s"$tableDir/bounds")
+      if (!bdir.exists())
+        bounds.write.mode("overwrite").parquet(bdir.getPath)
+      // the store's own pinned quantizer, not the caller's frame
+      val pinned = spark.read.parquet(bdir.getPath)
+      graft.operators.Sq.encode(batch.select("vec_id", "embedding"),
+          "vec_id", "embedding", pinned)
+        .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
+      batch.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", VectorFunctions.norm("embedding"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    }
+
+  /** SQ8 INDEX-at-ingest — see [[sqFoldBatch]]. */
+  def sqIngest(vecStream: DataFrame, tableDir: String, bounds: DataFrame,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sqFoldBatch(batch.toDF(), tableDir, id, bounds, compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** SQ8-ADC top-k from a standing [[sqIngest]] store, pinned to
+    * `version` (default CURRENT): the probe batch builds its
+    * (dim, code) LUT against the PINNED bounds and broadcasts it over
+    * the pinned 1-byte code index; ranking is the bounded heap by
+    * (adist_e6 asc, cand_id asc) — exactly the batch `sq8_adc_topk`
+    * total order (oracle-pinned by `sq8_store_serve`).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk). */
+  def sq8ServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val bounds = spark.read.parquet(s"$tableDir/bounds")
+    val lut = graft.operators.Sq.adcLut(probes.select("vec_id", "embedding"),
+      "vec_id", "embedding", bounds)
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    pinned("codes").select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(broadcast(lut), Seq("dim", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Enrich a stream of `(id, h)` 64-bit perceptual fingerprints (the
     * "did we already crawl this image?" lookup) with their k nearest
     * index entries within hamming radius `maxHamming`, from a STATIC

@@ -161,6 +161,65 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("SQ8 store: streamed 2-batch ingest == one-shot ADC; pinned bounds; forget spans codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val bounds = graft.operators.Sq.train(emb, "embedding").localCheckpoint(true)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_sq8store_t").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.sqIngest(
+      mem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), tbl, bounds)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === rows.size.toLong)
+
+    def adist(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // store serve == one-shot ADC over the same corpus + same bounds
+    val probes = emb.filter(col("vec_id") < 32)
+    val served = adist(VectorStreams.sq8ServeFromStore(spark, tbl, probes, 3))
+    val codes = graft.operators.Sq.encode(emb, "vec_id", "embedding", bounds)
+    val lut = graft.operators.Sq.adcLut(probes, "vec_id", "embedding", bounds)
+    val topk = udaf(graft.functions.TopKAgg.longs(3))
+    val oneShot = adist(codes
+      .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(broadcast(lut), Seq("dim", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk")))
+    assert(served === oneShot)
+    assert(served.nonEmpty)
+
+    // right-to-be-forgotten discovers the codes table: forgetting a
+    // served candidate rewrites its codes AND vectors partitions and
+    // it never surfaces again
+    val doomed = served.map(_._2).head
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, Seq(doomed))
+    assert(rewritten === 2) // one codes partition + one vectors partition
+    val after = adist(VectorStreams.sq8ServeFromStore(spark, tbl,
+      probes.filter(col("vec_id") =!= doomed), 3))
+    assert(!after.exists(_._2 == doomed))
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === (rows.size - 1).toLong)
+  }
+
   test("two-batch ivfIndexIngest == one-shot IVF search; pinned, replayed, forgotten") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
