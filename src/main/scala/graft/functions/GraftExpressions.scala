@@ -697,6 +697,46 @@ case class Log2Floor(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Log2Floor = copy(newChild)
 }
 
+/** Packed SQ8 asymmetric-distance sum: Σ_d lut[d·256 + codes[d]] over
+  * an int-array code vector and a query's flat (dim × 256)-entry
+  * BIGINT LUT — the codegen'd scan kernel that replaces the
+  * row-exploded (vec, dim, code) ⋈ LUT join (O(|Q|·N·dim) joined rows)
+  * with one tight loop per (query, vector) pair. Integer addition is
+  * order-insensitive, so the result is exactly the exploded plan's
+  * BIGINT sum and the same DuckDB oracle applies verbatim
+  * (`sq8_adc_packed_topk`). */
+case class Sq8AdcSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq8_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8AdcSum.sum(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sq8AdcSum.sum($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8AdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8AdcSum {
+  def sum(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = codes.numElements()
+    var acc = 0L
+    var d = 0
+    while (d < n) {
+      acc += lut.getLong((d << 8) + codes.getInt(d))
+      d += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. The
@@ -751,5 +791,7 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_log2floor", exprs => Log2Floor(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_adc", exprs => Sq8AdcSum(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -57,6 +57,44 @@ object Sq {
           .otherwise(expr("CAST(floor((v - mn) / (mx - mn) * 255.0D + 0.5D) AS INT)"))
           .as("code"))
 
+  /** Bounds as ONE broadcastable row (mn_arr, mx_arr indexed by dim) —
+    * the form the packed encode/scan kernels consume. */
+  def boundsRow(bounds: DataFrame): DataFrame =
+    bounds.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), x -> x.mn)")
+          .as("mn_arr"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), x -> x.mx)")
+          .as("mx_arr"))
+
+  /** PACKED SQ8 codes: (id, codes array<int>) — one row per vector,
+    * the 100 TB index layout (the long (id, dim, code) form of
+    * [[encode]] is the oracle-replayable view; this is what a scan
+    * should actually read: dim bytes of information per vector, no
+    * ×dim row blow-up). Same arithmetic per component as [[encode]],
+    * so unpacking reproduces it exactly. */
+  def encodePacked(vecs: DataFrame, idCol: String, embCol: String,
+      bounds: DataFrame): DataFrame =
+    Dedup.spread(vecs)
+      .crossJoin(broadcast(boundsRow(bounds)))
+      .select(col(idCol), expr(
+        s"""transform($embCol, (v, i) ->
+           |  CASE WHEN mx_arr[i] = mn_arr[i] THEN 0
+           |       ELSE CAST(floor((CAST(v AS DOUBLE) - mn_arr[i])
+           |                 / (mx_arr[i] - mn_arr[i]) * 255.0D + 0.5D) AS INT)
+           |  END)""".stripMargin).as("codes"))
+
+  /** Per-query FLAT ADC LUT: (query_id, lut array<bigint>) with entry
+    * d·256 + code = [[adcLut]]'s dq_e6 — the broadcast side of the
+    * packed scan ([[graft.functions.Sq8AdcSum]] indexes it directly).
+    * dim×256 longs ≈ 128 KB per query: probe-batch bounded. */
+  def adcLutPacked(queries: DataFrame, idCol: String, embCol: String,
+      bounds: DataFrame): DataFrame =
+    adcLut(queries, idCol, embCol, bounds)
+      .groupBy("query_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, code, dq_e6))), x -> x.dq_e6)")
+        .as("lut"))
+
   /** ADC lookup table for a query batch: (query_id, dim, code,
     * dq_e6) — floor-e6-quantized exact squared distance from each
     * query component to each of the 256 reconstructed code values of

@@ -254,6 +254,14 @@ object SimilarityStreamQueries {
           sqBounds(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The PACKED code index: (vec_id, codes array<int>) — one row per
+    * vector, what a 100 TB scan actually reads. */
+  private def sqCodesPacked(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#sqcp"),
+      graft.operators.Sq.encodePacked(t(s, d, "embeddings"), "vec_id", "embedding",
+          sqBounds(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // DuckDB twin of the SQ8 pipeline: xv (exploded double components) →
   // sqb (per-dim bounds) → sqc (codes) → slut (per-query (dim, code)
   // ADC table over all 256 reconstructions) → sadc (BIGINT-summed ADC
@@ -989,6 +997,34 @@ object SimilarityStreamQueries {
               |FROM xrk x LEFT JOIN sq3 s
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
+
+    // ── The PACKED SQ8 scan — the 100 TB plan shape: one row per
+    //    vector (codes array<int>), the probe batch's flat LUTs
+    //    broadcast, and the codegen'd graft_sq8_adc kernel sums
+    //    dim LUT lookups per (query, vector) pair in one tight loop —
+    //    no ×dim row explosion on the corpus side (the exploded
+    //    sq8_adc_topk join produces |Q|·N·dim rows; this produces
+    //    |Q|·N). Integer sums are order-insensitive, so the EXPLODED
+    //    form's oracle applies verbatim. ──
+    QueryDef(
+      "sq8_adc_packed_topk",
+      "packed-codes SQ8 ADC top-3 via the codegen'd graft_sq8_adc kernel == exploded plan",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val lut = graft.operators.Sq.adcLutPacked(emb.filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d))
+        val ranked = sqCodesPacked(s, d)
+          .select(col("vec_id").as("cand_id"), col("codes"))
+          .crossJoin(broadcast(lut))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+        adcTopK(ranked, 3)
+      },
+      Some(s"""WITH $dkSqCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── SQ8 serving off a STANDING store: bounds trained on the
     //    corpus and pinned by the first fold, two sqFoldBatch folds

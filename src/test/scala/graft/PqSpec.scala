@@ -130,5 +130,20 @@ class PqSpec extends AnyFunSuite {
     assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, p.toString)
     assert(p.toString.contains("BroadcastHashJoin"), p.toString)
     assert(!p.toString.contains("CartesianProduct"), p.toString)
+    // the PACKED plan: the corpus side is one row per vector scored by
+    // the codegen'd kernel against the broadcast flat LUT — no ×dim
+    // Generate on the candidate side (the only Generate allowed is the
+    // bounded LUT build under its BroadcastExchange), heap-ranked
+    val pp = q("sq8_adc_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_sq8_adc"), pp.toString)
+    assert(pp.collect { case w: WindowExec => w }.isEmpty, pp.toString)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    // exploded == packed, row for row (integer sums are order-insensitive)
+    val exploded = q("sq8_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("sq8_adc_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
   }
 }
