@@ -577,9 +577,12 @@ object VectorStreams {
     * per-vector). Retraining bounds is a rebuild event, not a fold.
     * Layout per batch (append-only, O(batch) fold I/O):
     *
-    *   - `codes/batch=N/`   — (vec_id, dim, code): the SQ8 index —
-    *     1 byte of information per (vector, dimension), ALL a serve
-    *     scan reads beyond the LUT (4× smaller than float32);
+    *   - `codes/batch=N/`   — (vec_id, codes array<int>): the PACKED
+    *     SQ8 index — one row per vector, 1 byte of information per
+    *     dimension, ALL a serve scan reads beyond the LUT (4× smaller
+    *     than float32; the packed layout is what the codegen'd
+    *     `graft_sq8_adc` kernel scans — SqSoak measures it 96× the
+    *     row-exploded join at 500k vectors);
     *   - `vectors/batch=N/` — (vec_id, embedding, nrm) once per
     *     vector: the exact-rerank side;
     *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
@@ -598,7 +601,7 @@ object VectorStreams {
         bounds.write.mode("overwrite").parquet(bdir.getPath)
       // the store's own pinned quantizer, not the caller's frame
       val pinned = spark.read.parquet(bdir.getPath)
-      graft.operators.Sq.encode(batch.select("vec_id", "embedding"),
+      graft.operators.Sq.encodePacked(batch.select("vec_id", "embedding"),
           "vec_id", "embedding", pinned)
         .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
       batch.select(col("vec_id"), col("embedding"))
@@ -618,11 +621,14 @@ object VectorStreams {
       .start()
 
   /** SQ8-ADC top-k from a standing [[sqIngest]] store, pinned to
-    * `version` (default CURRENT): the probe batch builds its
-    * (dim, code) LUT against the PINNED bounds and broadcasts it over
-    * the pinned 1-byte code index; ranking is the bounded heap by
-    * (adist_e6 asc, cand_id asc) — exactly the batch `sq8_adc_topk`
-    * total order (oracle-pinned by `sq8_store_serve`).
+    * `version` (default CURRENT): the probe batch builds its FLAT
+    * per-query LUT against the PINNED bounds and broadcasts it over
+    * the pinned packed code index — the codegen'd `graft_sq8_adc`
+    * kernel scores |Q|·N rows (never |Q|·N·dim); ranking is the
+    * bounded heap by (adist_e6 asc, cand_id asc) — exactly the batch
+    * `sq8_adc_topk` total order (oracle-pinned by `sq8_store_serve`;
+    * integer ADC sums are order-insensitive so the exploded oracle
+    * applies verbatim).
     *
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def sq8ServeFromStore(spark: org.apache.spark.sql.SparkSession,
@@ -631,13 +637,14 @@ object VectorStreams {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val bounds = spark.read.parquet(s"$tableDir/bounds")
-    val lut = graft.operators.Sq.adcLut(probes.select("vec_id", "embedding"),
+    val lut = graft.operators.Sq.adcLutPacked(probes.select("vec_id", "embedding"),
       "vec_id", "embedding", bounds)
     val topk = udaf(graft.functions.TopKAgg.longs(k))
-    pinned("codes").select(col("vec_id").as("cand_id"), col("dim"), col("code"))
-      .join(broadcast(lut), Seq("dim", "code"))
+    pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(lut))
       .filter(col("cand_id") =!= col("query_id"))
-      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
       .groupBy("query_id")
       .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
