@@ -737,6 +737,45 @@ object Sq8AdcSum {
   }
 }
 
+/** Generalized packed ADC sum: Σ_m lut[m·ks + codes[m]] for any
+  * codebook width ks — the [[Sq8AdcSum]] kernel (ks = 256) opened up
+  * for the PQ family (ks = 16 codebook cells per subspace). Same
+  * order-insensitive integer-sum contract: the exploded
+  * (id, m, code) ⋈ LUT join's oracle pins the packed plan verbatim. */
+case class AdcSumK(codes: Expression, lut: Expression, ks: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_adc_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AdcSumK.sum(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.AdcSumK.sum($a, $b, $ks)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSumK =
+    copy(codes = newLeft, lut = newRight)
+}
+
+object AdcSumK {
+  def sum(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: org.apache.spark.sql.catalyst.util.ArrayData, ks: Int): Long = {
+    val n = codes.numElements()
+    var acc = 0L
+    var m = 0
+    while (m < n) {
+      acc += lut.getLong(m * ks + codes.getInt(m))
+      m += 1
+    }
+    acc
+  }
+}
+
 object GraftFunctions {
   /** Idempotently register graft SQL functions on a session so
     * expression text (including lambda bodies) can call them. The
@@ -793,5 +832,9 @@ object GraftFunctions {
       "graft_log2floor", exprs => Log2Floor(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8_adc", exprs => Sq8AdcSum(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_adc_sum",
+      exprs => AdcSumK(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -92,4 +92,27 @@ object Pq {
       .select(col(idCol), col("m"), col("cell").as("code"),
         expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
   }
+
+  /** PACKED PQ codes: (id, codes array<int>) with codes[m] the m-th
+    * subspace's code — one row per vector (the [[encode]] long form is
+    * the oracle-replayable view; this is the scan layout: m small
+    * integers per vector, no ×m row blow-up). */
+  def encodePacked(subs: DataFrame, idCol: String,
+      codebooks: DataFrame): DataFrame =
+    encode(subs, idCol, codebooks)
+      .groupBy(idCol)
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS INT))")
+        .as("codes"))
+
+  /** Per-query FLAT ADC LUT: (id, lut array<bigint>) with entry
+    * m·ks + code = [[adcLut]]'s dq_e6 — the broadcast side of the
+    * packed scan (`graft_adc_sum(codes, lut, ks)` indexes it
+    * directly). m×ks longs per query: probe-batch bounded. */
+  def adcLutFlat(querySubs: DataFrame, idCol: String,
+      codebooks: DataFrame): DataFrame =
+    adcLut(querySubs, idCol, codebooks)
+      .groupBy(idCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, code, dq_e6))), x -> x.dq_e6)")
+        .as("lut"))
 }

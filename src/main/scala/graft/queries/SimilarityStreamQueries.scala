@@ -1837,6 +1837,33 @@ object SimilarityStreamQueries {
               |SELECT query_id, cand_id, adist_e6, rnk FROM padc WHERE rnk <= 3""".stripMargin),
       bench = true),
 
+    // ── The PACKED PQ scan — same kernel discipline as
+    //    sq8_adc_packed_topk (graft_adc_sum with ks=PqKs): one
+    //    (vec_id, codes array<int>) row per vector scored against the
+    //    broadcast flat m×ks LUT — |Q|·N scored rows instead of the
+    //    exploded join's |Q|·N·m. Integer sums are order-insensitive,
+    //    so pq_adc_topk's oracle pins this plan verbatim. ──
+    QueryDef(
+      "pq_adc_packed_topk",
+      s"packed-codes PQ ADC top-3 via the codegen'd graft_adc_sum kernel == exploded plan",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val lut = graft.operators.Pq.adcLutFlat(
+            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d))
+          .withColumnRenamed("vec_id", "query_id")
+        val codesP = graft.operators.Pq.encodePacked(pqSubs(s, d), "vec_id",
+            pqCentroids(s, d))
+          .select(col("vec_id").as("cand_id"), col("codes"))
+        val ranked = codesP.crossJoin(broadcast(lut))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr(s"graft_adc_sum(codes, lut, $PqKs)").as("adist_e6"))
+        adcTopK(ranked, 3)
+      },
+      Some(s"""WITH ${dkPqCtes()},
+              |$dkPqAdcCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM padc WHERE rnk <= 3""".stripMargin)),
+
     QueryDef(
       "pq_rerank_topk",
       "PQ ADC shortlist-20 re-ranked exactly against true vectors (production ANN shape)",

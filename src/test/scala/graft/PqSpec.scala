@@ -146,4 +146,19 @@ class PqSpec extends AnyFunSuite {
     assert(packed === exploded)
     assert(packed.nonEmpty)
   }
+
+  test("packed PQ scan: graft_adc_sum kernel, no window, == exploded ADC row for row") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val pp = q("pq_adc_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_adc_sum"), pp.toString)
+    assert(pp.collect { case w: WindowExec => w }.isEmpty, pp.toString)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    val exploded = q("pq_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("pq_adc_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+  }
 }
