@@ -1862,7 +1862,8 @@ object SimilarityStreamQueries {
       },
       Some(s"""WITH ${dkPqCtes()},
               |$dkPqAdcCtes
-              |SELECT query_id, cand_id, adist_e6, rnk FROM padc WHERE rnk <= 3""".stripMargin)),
+              |SELECT query_id, cand_id, adist_e6, rnk FROM padc WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     QueryDef(
       "pq_rerank_topk",
