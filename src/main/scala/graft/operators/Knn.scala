@@ -23,6 +23,32 @@ import graft.functions.VectorFunctions
   */
 object Knn {
 
+  /** Bounded-heap (cosine desc, cand_id asc) top-k per query over a
+    * scored frame — the ONE ranking discipline every ANN surface in
+    * this file shares (round 12: replaced the per-function
+    * `row_number` windows, which shuffled each query's ENTIRE
+    * candidate set — corpus-proportional for the exact and
+    * multi-table paths — onto ≤|Q| reducers and sorted it; the heap
+    * keeps O(k) map-side state per query and the exchange carries
+    * O(k) entries per query per mapper). Tie contract identical to
+    * the retired windows, so every oracle and serve-equivalence pin
+    * is unchanged. `carry` names per-query-constant columns to keep
+    * (e.g. the query's own LSH bucket). Output: (query_id, carry…,
+    * cand_id, cosine, rnk). */
+  private def heapTopK(scored: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    val aggs = topk(col("cosine"), col("cand_id").cast("long")).as("tk") +:
+      carry.map(c => first(col(c)).as(c))
+    scored.groupBy("query_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("query_id") +: carry.map(col) :+
+        posexplode(col("tk")).as(Seq("pos", "e")): _*)
+      .select(col("query_id") +: carry.map(col) :+
+        col("e._2").as("cand_id") :+ col("e._1").as("cosine") :+
+        (col("pos") + 1).as("rnk"): _*)
+  }
+
   /** Exact cosine top-k. `queries`/`candidates` must carry (idCol, embCol). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
@@ -35,10 +61,7 @@ object Knn {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= k)
+    heapTopK(scored, k)
       .select("query_id", "cand_id", "cosine", "rnk")
   }
 
@@ -132,13 +155,12 @@ object Knn {
   def lshTopKFromBuckets(queries: DataFrame, candidates: DataFrame, k: Int,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val c = Dedup.dropHotBuckets(candidates, Seq("bucket"), maxBucket, "lshTopK")
-    c.join(queries, Seq("bucket"))
+    val scored = c.join(queries, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= k)
+    // a query's candidates all share ITS bucket — per-query constant
+    heapTopK(scored, k, carry = Seq("bucket"))
       .select("query_id", "cand_id", "bucket", "cosine", "rnk")
   }
 
@@ -176,16 +198,14 @@ object Knn {
       .select("query_id", "cand_id").distinct()
     val emb = tabled.filter(col("tbl") === 0)
       .select(col(idCol), col(embCol), col("nrm"))
-    pairs
+    val scored = pairs
       .join(emb.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
         col("nrm").as("q_norm")), Seq("query_id"))
       .join(emb.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         col("nrm").as("c_norm")), Seq("cand_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= k)
+    heapTopK(scored, k)
       .select("query_id", "cand_id", "cosine", "rnk")
   }
 
@@ -213,16 +233,14 @@ object Knn {
       .select("query_id", "cand_id").distinct()
     val emb = tabled.filter(col("tbl") === 0)
       .select(col(idCol), col(embCol), col("nrm"))
-    pairs
+    val scored = pairs
       .join(emb.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
         col("nrm").as("q_norm")), Seq("query_id"))
       .join(emb.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         col("nrm").as("c_norm")), Seq("cand_id"))
       .withColumn("cosine", round(
         VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-      .filter(col("rnk") <= k)
+    heapTopK(scored, k)
       .select("query_id", "cand_id", "cosine", "rnk")
   }
 
