@@ -35,7 +35,7 @@ object Knn {
     * is unchanged. `carry` names per-query-constant columns to keep
     * (e.g. the query's own LSH bucket). Output: (query_id, carry…,
     * cand_id, cosine, rnk). */
-  private def heapTopK(scored: DataFrame, k: Int,
+  private[graft] def heapTopK(scored: DataFrame, k: Int,
       carry: Seq[String] = Nil): DataFrame = {
     val topk = udaf(graft.functions.TopKAgg.longs(k))
     val aggs = topk(col("cosine"), col("cand_id").cast("long")).as("tk") +:

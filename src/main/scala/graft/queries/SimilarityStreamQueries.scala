@@ -331,6 +331,22 @@ object SimilarityStreamQueries {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Bounded-heap top-k by (score desc, cand_id asc) over BIGINT
+    * int8-dot scores — the [[adcTopK]] twin for descending integer
+    * scores (int8 dots are ≤ 64·127² ≈ 1.03e6, exact in double, so
+    * the heap's double score round-trips the long losslessly).
+    * Output: (query_id, cand_id, score, rnk). */
+  private def int8TopK(scored: DataFrame, keep: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg.longs(keep))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score").cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        col("e._1").cast("long").as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** IVF×PQ composition (the production 100 TB ANN shape): the trained
     * coarse quantizer prunes the corpus to the `IvfProbe` probed cells
     * per query FIRST, and the ADC LUT scan then touches only codes of
@@ -1615,17 +1631,14 @@ object SimilarityStreamQueries {
         val pairs = probes.join(posts, Seq("cell"))
           .filter(col("query_id") =!= col("cand_id"))
           .select("query_id", "cand_id").distinct()
-        pairs
+        Knn.heapTopK(pairs
           .join(cells.select(col("vec_id").as("cand_id"),
             col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))
           .join(cells.select(col("vec_id").as("query_id"),
             col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
           .withColumn("cosine", round(
             graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
-              (col("q_norm") * col("c_norm")), 8))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-          .filter(col("rnk") <= 3)
+              (col("q_norm") * col("c_norm")), 8)), 3)
           .select("query_id", "cand_id", "cosine", "rnk")
       },
       Some(s"""WITH $dkIvfCtes,
@@ -1655,17 +1668,14 @@ object SimilarityStreamQueries {
         val pairs = probes.join(posts, Seq("cell"))
           .filter(col("query_id") =!= col("cand_id"))
           .select("query_id", "cand_id").distinct()
-        val ann = pairs
+        val ann = Knn.heapTopK(pairs
           .join(cells.select(col("vec_id").as("cand_id"),
             col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))
           .join(cells.select(col("vec_id").as("query_id"),
             col("embedding").as("q_emb"), col("nrm").as("q_norm")), Seq("query_id"))
           .withColumn("cosine", round(
             graft.functions.VectorFunctions.dot("q_emb", "c_emb") /
-              (col("q_norm") * col("c_norm")), 8))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
-          .filter(col("rnk") <= 3)
+              (col("q_norm") * col("c_norm")), 8)), 3)
           .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
         val emb = t(s, d, "embeddings")
         val brute = Knn.bruteForceTopK(emb.filter(col("vec_id") < 32), emb,
@@ -1888,9 +1898,7 @@ object SimilarityStreamQueries {
           .withColumn("d_e6",
             expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
           .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("dist_e6"), col("cand_id"))))
-          .filter(col("rnk") <= 3)
+          .transform(adcTopK(_, 3, "dist_e6"))
           .select("query_id", "cand_id")
         val ann = pqRerankTop3(s, d)
           .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
@@ -1974,9 +1982,7 @@ object SimilarityStreamQueries {
           .withColumn("d_e6",
             expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
           .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("dist_e6"), col("cand_id"))))
-          .filter(col("rnk") <= 3)
+          .transform(adcTopK(_, 3, "dist_e6"))
           .select("query_id", "cand_id")
         val ann = pqIvfRerankTop3(s, d)
           .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
@@ -2192,12 +2198,9 @@ object SimilarityStreamQueries {
         val q = q8.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("q8").as("qa"))
         val c = q8.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
-        c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        int8TopK(c.join(broadcast(q), col("query_id") =!= col("cand_id"))
           .withColumn("score",
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
-          .filter(col("rnk") <= 3)
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)")), 3)
           .select("query_id", "cand_id", "score", "rnk")
       },
       Some(s"""WITH sc AS (SELECT vec_id, embedding,
@@ -2234,13 +2237,10 @@ object SimilarityStreamQueries {
             expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * __scale) AS BIGINT))").as("q8"))
         val q = q8all.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-        val int8 = q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+        val int8 = int8TopK(q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
           .join(broadcast(q), col("query_id") =!= col("cand_id"))
           .withColumn("score",
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
-          .filter(col("rnk") <= 3)
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)")), 3)
           .select(col("query_id"), col("cand_id"))
         exact.join(int8, Seq("query_id", "cand_id"), "left_semi")
           .groupBy("query_id")
@@ -2901,13 +2901,10 @@ object SimilarityStreamQueries {
             expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * __scale) AS BIGINT))").as("q8"))
         val q = q8all.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("q8").as("qa"))
-        val int8 = q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
+        val int8 = int8TopK(q8all.select(col("vec_id").as("cand_id"), col("q8").as("qb"))
           .join(broadcast(q), col("query_id") =!= col("cand_id"))
           .withColumn("score",
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
-          .filter(col("rnk") <= 10)
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)")), 10)
           .select(col("query_id"), col("cand_id"),
             expr("1000000L div (60 + rnk)").as("e_int8"))
         dense.join(int8, Seq("query_id", "cand_id"), "full_outer")
