@@ -147,6 +147,34 @@ class PqSpec extends AnyFunSuite {
     assert(packed.nonEmpty)
   }
 
+  test("SQ8 constant dimension: encodes to 0, reconstructs to mn, no div-by-zero under ANSI") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dim 0 constant (mx == mn), dim 1 varying — the CASE guard must
+    // short-circuit the (v - mn) / 0 branch in BOTH encode paths and
+    // the LUT reconstruction (Spark 4 runs ANSI; Infinity→INT casts throw)
+    val vecs = Seq((0L, Seq(0.5f, -1.0f)), (1L, Seq(0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val bounds = graft.operators.Sq.train(vecs, "embedding")
+    assert(bounds.filter(col("dim") === 0)
+      .head().getDouble(1) === bounds.filter(col("dim") === 0).head().getDouble(2))
+    val longCodes = graft.operators.Sq.encode(vecs, "vec_id", "embedding", bounds)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(longCodes((0L, 0)) === 0 && longCodes((1L, 0)) === 0) // constant dim → 0
+    assert(longCodes((0L, 1)) === 0 && longCodes((1L, 1)) === 255) // varying dim spans
+    val packed = graft.operators.Sq.encodePacked(vecs, "vec_id", "embedding", bounds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(packed(0L) === Seq(0, 0) && packed(1L) === Seq(0, 255))
+    // LUT on the constant dim: recon = mn for every code → dq_e6 = 0
+    // for a query equal to mn
+    val lut = graft.operators.Sq.adcLut(vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", bounds)
+      .filter(col("dim") === 0).collect()
+    assert(lut.length === 256)
+    assert(lut.forall(_.getLong(3) === 0L))
+  }
+
   test("packed PQ scan: graft_adc_sum kernel, no window, == exploded ADC row for row") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
