@@ -727,10 +727,20 @@ object Sq8AdcSum {
   def sum(codes: org.apache.spark.sql.catalyst.util.ArrayData,
       lut: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = codes.numElements()
+    // Fail LOUDLY on a shape mismatch (ADVICE r12): UnsafeArrayData has
+    // no bounds check, so a misaligned LUT or an unclamped legacy code
+    // would otherwise read garbage memory silently.
+    if (lut.numElements() != (n << 8))
+      throw new IllegalArgumentException(
+        s"graft_sq8_adc: LUT carries ${lut.numElements()} entries, expected dim·256 = ${n << 8}")
     var acc = 0L
     var d = 0
     while (d < n) {
-      acc += lut.getLong((d << 8) + codes.getInt(d))
+      val c = codes.getInt(d)
+      if (c < 0 || c > 255)
+        throw new IllegalArgumentException(
+          s"graft_sq8_adc: code $c at dim $d outside [0, 255] — encode must clamp")
+      acc += lut.getLong((d << 8) + c)
       d += 1
     }
     acc
@@ -766,10 +776,21 @@ object AdcSumK {
   def sum(codes: org.apache.spark.sql.catalyst.util.ArrayData,
       lut: org.apache.spark.sql.catalyst.util.ArrayData, ks: Int): Long = {
     val n = codes.numElements()
+    // Fail LOUDLY on a shape mismatch (ADVICE r12): a sparse LUT (dead
+    // Lloyd cells dropped from the codebook) or a foreign code id would
+    // otherwise index past the UnsafeArrayData silently. Pq.adcLutFlat
+    // densifies to exactly m·ks entries; anything else is corruption.
+    if (lut.numElements() != n * ks)
+      throw new IllegalArgumentException(
+        s"graft_adc_sum: LUT carries ${lut.numElements()} entries, expected m·ks = ${n * ks}")
     var acc = 0L
     var m = 0
     while (m < n) {
-      acc += lut.getLong(m * ks + codes.getInt(m))
+      val c = codes.getInt(m)
+      if (c < 0 || c >= ks)
+        throw new IllegalArgumentException(
+          s"graft_adc_sum: code $c at subspace $m outside [0, $ks)")
+      acc += lut.getLong(m * ks + c)
       m += 1
     }
     acc

@@ -104,15 +104,39 @@ object Pq {
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS INT))")
         .as("codes"))
 
+  /** Sentinel for a dead-cell LUT slot: a code id Lloyd's update
+    * dropped from the codebook (no assigned members) can never be
+    * emitted by [[encode]] against the same codebooks, so the slot is
+    * never read — but it must EXIST for the flat m·ks+code indexing to
+    * stay aligned (ADVICE r12), and if a foreign code ever reaches it
+    * the ~1.1e15 value dominates any e6 distance sum unmissably. */
+  val DeadCellSentinel: Long = 1L << 50
+
   /** Per-query FLAT ADC LUT: (id, lut array<bigint>) with entry
     * m·ks + code = [[adcLut]]'s dq_e6 — the broadcast side of the
     * packed scan (`graft_adc_sum(codes, lut, ks)` indexes it
-    * directly). m×ks longs per query: probe-batch bounded. */
+    * directly). m×ks longs per query: probe-batch bounded.
+    *
+    * DENSE by construction: [[train]]'s Lloyd update only emits cells
+    * with assigned members, so a dead cell vanishes from the codebook
+    * and a naive collect would produce a LUT shorter than m·ks with
+    * surviving cells keeping their original ids — misaligning every
+    * entry after the hole. The grid join below materializes all ks
+    * slots per subspace ([[DeadCellSentinel]] where dead); the kernel
+    * additionally asserts numElements == m·ks. `ks` is the codebook
+    * width the index was TRAINED with (a property of the model, which
+    * is why it's a parameter and not inferred from surviving cells). */
   def adcLutFlat(querySubs: DataFrame, idCol: String,
-      codebooks: DataFrame): DataFrame =
-    adcLut(querySubs, idCol, codebooks)
+      codebooks: DataFrame, ks: Int): DataFrame = {
+    val base = adcLut(querySubs, idCol, codebooks)
+    base.select(col(idCol), col("m")).distinct()
+      .withColumn("code", explode(expr(s"sequence(0, ${ks - 1})")))
+      .join(base, Seq(idCol, "m", "code"), "left")
+      .select(col(idCol), col("m"), col("code"),
+        coalesce(col("dq_e6"), lit(DeadCellSentinel)).as("dq_e6"))
       .groupBy(idCol)
       .agg(expr(
         "transform(array_sort(collect_list(struct(m, code, dq_e6))), x -> x.dq_e6)")
         .as("lut"))
+  }
 }

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   * double is bit-identical cross-engine. A constant dimension
   * (mx == mn) encodes to 0 and reconstructs to mn.
   *
+  * Clamping (ADVICE r12, FAISS's SQ discipline): encode saturates to
+  * [0, 255] BEFORE the int cast. The standing-store contract makes
+  * out-of-range components the expected case — bounds train on the
+  * first fold and stay pinned, so later batches routinely carry values
+  * outside [mn, mx]; unclamped they'd produce codes < 0 / > 255, which
+  * the packed [[graft.functions.Sq8AdcSum]] kernel would use as raw
+  * array indices (and the exploded join would silently DROP, losing
+  * the dimension's distance term). The clamp happens on the double
+  * (pre-cast) so a wildly out-of-range value can't overflow the ANSI
+  * int cast either, and is spelled identically in the DuckDB CTEs.
+  *
   * Reference context: no vector surface in the reference; part of the
   * SURVEY §7.5 similarity-search extension.
   */
@@ -54,7 +65,8 @@ object Sq {
       .join(broadcast(bounds), Seq("dim"))
       .select(col(idCol), col("dim"),
         when(col("mx") === col("mn"), lit(0))
-          .otherwise(expr("CAST(floor((v - mn) / (mx - mn) * 255.0D + 0.5D) AS INT)"))
+          .otherwise(expr(
+            "CAST(least(greatest(floor((v - mn) / (mx - mn) * 255.0D + 0.5D), 0.0D), 255.0D) AS INT)"))
           .as("code"))
 
   /** Bounds as ONE broadcastable row (mn_arr, mx_arr indexed by dim) —
@@ -79,8 +91,8 @@ object Sq {
       .select(col(idCol), expr(
         s"""transform($embCol, (v, i) ->
            |  CASE WHEN mx_arr[i] = mn_arr[i] THEN 0
-           |       ELSE CAST(floor((CAST(v AS DOUBLE) - mn_arr[i])
-           |                 / (mx_arr[i] - mn_arr[i]) * 255.0D + 0.5D) AS INT)
+           |       ELSE CAST(least(greatest(floor((CAST(v AS DOUBLE) - mn_arr[i])
+           |                 / (mx_arr[i] - mn_arr[i]) * 255.0D + 0.5D), 0.0D), 255.0D) AS INT)
            |  END)""".stripMargin).as("codes"))
 
   /** Per-query FLAT ADC LUT: (query_id, lut array<bigint>) with entry

@@ -274,7 +274,7 @@ object SimilarityStreamQueries {
        |sqb AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM xv GROUP BY dim),
        |sqc AS (SELECT vec_id, dim,
        |    CASE WHEN mx = mn THEN 0
-       |         ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5)::INT END AS code
+       |         ELSE least(greatest(floor((v - mn) / (mx - mn) * 255.0 + 0.5), 0.0), 255.0)::INT END AS code
        |  FROM xv JOIN sqb USING (dim)),
        |slut AS (SELECT query_id, dim, code,
        |    floor((v - recon) * (v - recon) * 1000000.0)::BIGINT AS dq_e6
@@ -1859,7 +1859,7 @@ object SimilarityStreamQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val lut = graft.operators.Pq.adcLutFlat(
-            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d))
+            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d), PqKs)
           .withColumnRenamed("vec_id", "query_id")
         val codesP = graft.operators.Pq.encodePacked(pqSubs(s, d), "vec_id",
             pqCentroids(s, d))

@@ -175,6 +175,93 @@ class PqSpec extends AnyFunSuite {
     assert(lut.forall(_.getLong(3) === 0L))
   }
 
+  test("SQ8 encode clamps out-of-range values to [0, 255] in both layouts (pinned-bounds store case)") {
+    import spark.implicits._
+    // bounds trained on a NARROW first batch; a later batch carries
+    // values outside [mn, mx] — the standing-store contract (sqFoldBatch
+    // pins bounds from the first fold). Unclamped, these would encode to
+    // codes < 0 / > 255: raw out-of-bounds indices for the packed kernel.
+    val trainBatch = Seq((0L, Seq(0.0f, -1.0f)), (1L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val bounds = graft.operators.Sq.train(trainBatch, "embedding")
+    val laterBatch = Seq((2L, Seq(-5.0f, 9.0f)), (3L, Seq(7.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val long = graft.operators.Sq.encode(laterBatch, "vec_id", "embedding", bounds)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(long((2L, 0)) === 0 && long((2L, 1)) === 255) // saturated, not -1275 / 1275
+    assert(long((3L, 0)) === 255 && long((3L, 1)) === 128) // in-range dim stays exact
+    val packed = graft.operators.Sq.encodePacked(laterBatch, "vec_id", "embedding", bounds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(packed(2L) === Seq(0, 255) && packed(3L) === Seq(255, 128))
+    // the packed kernel accepts the clamped codes (all LUT reads in
+    // bounds) and equals the exploded join's sum per pair
+    graft.functions.GraftFunctions.register(spark)
+    val lut = graft.operators.Sq.adcLutPacked(trainBatch, "vec_id", "embedding", bounds)
+    val packedScores = graft.operators.Sq
+      .encodePacked(laterBatch, "vec_id", "embedding", bounds)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(lut))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val explodedScores = graft.operators.Sq
+      .encode(laterBatch, "vec_id", "embedding", bounds)
+      .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(graft.operators.Sq.adcLut(trainBatch, "vec_id", "embedding", bounds),
+        Seq("dim", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packedScores === explodedScores)
+    assert(packedScores.nonEmpty)
+  }
+
+  test("adcLutFlat stays aligned under dead codebook cells (sentinel-densified to m·ks)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // hand-built codebooks with HOLES: ks = 4 but cell 1 dead in m=0 and
+    // cells 0,3 dead in m=1 — the shape Lloyd's members-only update
+    // produces. Survivor cells keep their original ids, so a naive
+    // collect would misalign every entry after a hole (ADVICE r12).
+    val ks = 4
+    val books = Seq(
+      (0, 0L, Seq(0.0, 0.0)), (0, 2L, Seq(1.0, 1.0)), (0, 3L, Seq(2.0, 2.0)),
+      (1, 1L, Seq(0.5, 0.5)), (1, 2L, Seq(1.5, 1.5)))
+      .toDF("m", "cell", "cw")
+    val vecs = Seq((0L, Seq(0.1f, 0.1f, 0.6f, 0.6f)), (1L, Seq(2.0f, 2.0f, 1.4f, 1.4f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val subs = graft.operators.Pq.subviews(vecs, "vec_id", "embedding", 2, 2)
+    val lutRows = graft.operators.Pq.adcLutFlat(subs, "vec_id", books, ks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(lutRows.values.forall(_.length == 2 * ks), "LUT not densified to m*ks")
+    // dead slots carry the sentinel; live slots carry real e6 distances
+    assert(lutRows(0L)(1) === graft.operators.Pq.DeadCellSentinel)       // m=0 cell 1
+    assert(lutRows(0L)(ks + 0) === graft.operators.Pq.DeadCellSentinel)  // m=1 cell 0
+    assert(lutRows(0L)(ks + 3) === graft.operators.Pq.DeadCellSentinel)  // m=1 cell 3
+    assert(lutRows(0L)(2) < graft.operators.Pq.DeadCellSentinel)
+    // packed kernel over codes encoded against the SAME holey codebooks
+    // == the exploded (m, code) ⋈ LUT join, per pair
+    val lut = graft.operators.Pq.adcLutFlat(subs, "vec_id", books, ks)
+      .withColumnRenamed("vec_id", "query_id")
+    val packed = graft.operators.Pq.encodePacked(subs, "vec_id", books)
+      .select(col("vec_id").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(lut))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"graft_adc_sum(codes, lut, $ks)").as("adist_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exploded = graft.operators.Pq.encode(subs, "vec_id", books)
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(graft.operators.Pq.adcLut(subs, "vec_id", books)
+        .select(col("vec_id").as("query_id"), col("m"), col("code"), col("dq_e6")),
+        Seq("m", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+  }
+
   test("packed PQ scan: graft_adc_sum kernel, no window, == exploded ADC row for row") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
