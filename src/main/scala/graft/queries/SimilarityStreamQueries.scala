@@ -239,6 +239,14 @@ object SimilarityStreamQueries {
       graft.operators.Pq.encode(pqSubs(s, d), "vec_id", pqCentroids(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The PACKED PQ index: (vec_id, codes array<int>) — one row per
+    * vector, the layout a 100 TB code scan actually reads (the
+    * [[pqCodes]] long form is the oracle-replayable view). */
+  private def pqCodesPacked(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#pqcodep"),
+      graft.operators.Pq.encodePacked(pqSubs(s, d), "vec_id", pqCentroids(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** SQ8 per-dimension bounds (dim, mn, mx) — the cheapest trainable
     * quantizer (one min/max aggregate). */
   private def sqBounds(s: SparkSession, d: String): DataFrame =
@@ -394,6 +402,36 @@ object SimilarityStreamQueries {
         expr(s"CAST(floor(${d2Sql("q_sub", "c_sub")} * 1000000.0D) AS BIGINT)"))
       .groupBy("query_id", "cand_id").agg(sum("d_e6").as("dist_e6"))
       .transform(adcTopK(_, 3, "dist_e6"))
+  }
+
+  /** The PACKED IVF×PQ composition — [[pqIvfAdcRanked]] with the code
+    * scan riding the codegen'd `graft_adc_sum` kernel over one
+    * (vec_id, codes) row per candidate instead of the exploded
+    * (vec_id, m, code) ⋈ LUT join (|cand| kernel calls vs |cand|·m
+    * joined rows). This is the plan the packed standing store serves
+    * ([[graft.streaming.VectorStreams.ivfPqServeFromStore]]); integer
+    * ADC sums are order-insensitive, so the exploded form's oracle
+    * pins it verbatim. */
+  private[graft] def pqIvfAdcPackedRanked(s: SparkSession, d: String,
+      keep: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val probes = ivfRanked(s, d)
+      .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val cand = probes.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val lut = graft.operators.Pq.adcLutFlat(
+        pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d), PqKs)
+      .withColumnRenamed("vec_id", "query_id")
+    val ranked = pqCodesPacked(s, d).select(col("vec_id").as("cand_id"), col("codes"))
+      .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the kernel scan
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"graft_adc_sum(codes, lut, $PqKs)").as("adist_e6"))
+    adcTopK(ranked, keep)
   }
 
   /** Exact rerank of the IVF×PQ ADC shortlist (composition twin of
@@ -1861,8 +1899,7 @@ object SimilarityStreamQueries {
         val lut = graft.operators.Pq.adcLutFlat(
             pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d), PqKs)
           .withColumnRenamed("vec_id", "query_id")
-        val codesP = graft.operators.Pq.encodePacked(pqSubs(s, d), "vec_id",
-            pqCentroids(s, d))
+        val codesP = pqCodesPacked(s, d)
           .select(col("vec_id").as("cand_id"), col("codes"))
         val ranked = codesP.crossJoin(broadcast(lut))
           .filter(col("cand_id") =!= col("query_id"))
@@ -1931,6 +1968,23 @@ object SimilarityStreamQueries {
       "pq_ivf_adc_topk",
       s"IVF-ADC top-3: coarse prune to $IvfProbe/$IvfK probed cells, then PQ code-scan only those",
       (s, d) => pqIvfAdcRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM ivfadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
+
+    // ── The PACKED IVF×PQ composition — the production 100 TB plan
+    //    and the exact plan the packed standing store serves: coarse
+    //    prune first, then ONE graft_adc_sum kernel call per surviving
+    //    (query, candidate) pair over the packed (vec_id, codes) row —
+    //    never the |cand|·m exploded join. Benched beside the exploded
+    //    pq_ivf_adc_topk (which stays registered as the oracle-shape
+    //    row) so the artifact carries the production number. ──
+    QueryDef(
+      "pq_ivf_adc_packed_topk",
+      s"IVF-coarse-pruned PACKED code scan via graft_adc_sum == exploded IVF-ADC",
+      (s, d) => pqIvfAdcPackedRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
       Some(s"""WITH $dkIvfCtes,
               |${dkPqCtes()},
               |$dkIvfAdcCtes

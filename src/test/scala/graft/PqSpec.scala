@@ -175,6 +175,24 @@ class PqSpec extends AnyFunSuite {
     assert(lut.forall(_.getLong(3) === 0L))
   }
 
+  test("packed IVF-ADC: graft_adc_sum kernel in plan, coarse prune below it, == exploded row for row") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val pp = q("pq_ivf_adc_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_adc_sum"), pp.toString)
+    assert(pp.toString.contains("BroadcastHashJoin"), pp.toString)
+    // the candidate-ranking stage is the bounded heap; the only windows
+    // allowed are the probe/posting-side ivfRank cell rankings (K=16
+    // broadcast rows per vector — bounded by construction)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    val exploded = q("pq_ivf_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("pq_ivf_adc_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+  }
+
   test("SQ8 encode clamps out-of-range values to [0, 255] in both layouts (pinned-bounds store case)") {
     import spark.implicits._
     // bounds trained on a NARROW first batch; a later batch carries

@@ -403,6 +403,16 @@ class VectorStoreSpec extends AnyFunSuite {
     // candidate prune and the LUT enter as broadcast joins
     assert(!adcPlan.contains("CartesianProduct"))
     assert(adcPlan.contains("BroadcastHashJoin"), adcPlan.take(800))
+    // round 13: the store persists PACKED codes and the serve scores
+    // them through the codegen'd kernel — one row per candidate, no
+    // (vec, m, code) explosion anywhere in the serve plan (the
+    // `oneShot` comparator above IS the exploded join, so this test is
+    // the packed==exploded store-serve pin)
+    assert(adcPlan.contains("graft_adc_sum"), adcPlan.take(800))
+    val storedCodes = spark.read.parquet(s"$tbl/codes")
+    assert(storedCodes.schema.fieldNames.toSet === Set("vec_id", "codes", "batch"))
+    assert(storedCodes.count() === storedCodes.select("vec_id").distinct().count(),
+      "codes table must carry ONE packed row per vector")
   }
 
   test("embedding-stats store: 2-batch fold == one-shot; unlearn == survivors; signed s1 passes tripwire") {
