@@ -1108,6 +1108,33 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkSqCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin)),
 
+    // ── The SQ8 store's STREAMING serve twin as a driver row: the
+    //    query-independent reconstruction array broadcasts once, each
+    //    probe transforms it into its flat LUT row-locally (no groupBy
+    //    on the probe side — Sq.adcLutPacked's collect is
+    //    stream-illegal), the packed graft_sq8_adc scan scores the
+    //    pinned codes, ONE bounded heap ranks. Streamed == batch is
+    //    MemoryStream-tested in VectorStoreSpec; this row pins the
+    //    plan's arithmetic against the same exploded sadc SQL. ──
+    QueryDef(
+      "sq8_serve_stream",
+      "SQ8 store streaming-serve plan (row-local LUT, packed kernel, one heap) == batch ADC",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_sq8stream").toString
+        val emb = t(s, d, "embeddings")
+        val bounds = graft.operators.Sq.train(emb, "embedding")
+        graft.streaming.VectorStreams.sqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
+          base, 0L, bounds)
+        graft.streaming.VectorStreams.sqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
+          base, 1L, bounds)
+        graft.streaming.VectorStreams.sq8ServeStreamFromStore(s, base,
+          emb.filter(col("vec_id") < 32).select("vec_id", "embedding"), 3)
+      },
+      Some(s"""WITH $dkSqCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin)),
+
     // ── CROSS-MODALITY hybrid retrieval: reciprocal-rank fusion of
     //    the LEXICAL (BM25 impact index, txt_bm25_serve's exact plan)
     //    and DENSE (exact cosine) rankings — the deployed hybrid-
@@ -1792,6 +1819,44 @@ object SimilarityStreamQueries {
               |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
               |FROM scored QUALIFY rnk <= 3""".stripMargin)),
 
+    // ── The IVF store's STREAMING serve twin as a driver row: the
+    //    row-local probe-cell ranking (comparator array_sort over the
+    //    one-row broadcast quantizer — no ivfRank window, so the plan
+    //    is streaming-legal with exactly one stateful op, the distinct
+    //    bounded heap) run here over the batch probe frame. Streamed ==
+    //    batch is MemoryStream-tested in VectorStoreSpec; this row pins
+    //    the plan's arithmetic against the same one-shot IVF SQL. ──
+    QueryDef(
+      "ivf_serve_stream",
+      "IVF store streaming-serve plan (row-local probe cells, one heap) == one-shot IVF",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+        val cent = ivfCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent,
+          nAssign = IvfAssign)
+        graft.streaming.VectorStreams.ivfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent,
+          nAssign = IvfAssign)
+        graft.streaming.VectorStreams.ivfServeStreamFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |cells AS (SELECT vec_id, embedding, nrm, cell FROM rk WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 32 AND rn <= $IvfProbe),
+              |posts AS (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign),
+              |pairs AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM probes p JOIN posts c ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |scored AS (SELECT pr.query_id, pr.cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 8) AS cosine
+              |  FROM pairs pr JOIN cells c ON c.vec_id = pr.cand_id
+              |  JOIN cells q ON q.vec_id = pr.query_id)
+              |SELECT query_id, cand_id, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored QUALIFY rnk <= 3""".stripMargin)),
+
     // ── Product quantization (third ANN family): trained codebooks,
     //    the compressed code index, ADC search over codes only, and an
     //    exactly-measured recall row. See the PQ block comment above. ──
@@ -2013,6 +2078,36 @@ object SimilarityStreamQueries {
           emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
           nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
         graft.streaming.VectorStreams.ivfPqServeFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM ivfadc WHERE rnk <= 3""".stripMargin)),
+
+    // ── The IVF×PQ store's STREAMING serve twin as a driver row:
+    //    row-local probe cells + row-local flat LUT (dense broadcast
+    //    codeword grid transformed per probe — no groupBy on the probe
+    //    side) + packed graft_adc_sum scan + ONE payload-distinct heap.
+    //    Streamed == batch is MemoryStream-tested in VectorStoreSpec;
+    //    this row pins the plan's arithmetic against the same one-shot
+    //    IVF-ADC CTE chain. ──
+    QueryDef(
+      "ivfpq_serve_stream",
+      "IVF-PQ store streaming-serve plan (row-local cells+LUT, packed kernel) == one-shot IVF-ADC",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfpqstream").toString
+        val cent = ivfCentroids(s, d)
+        val books = pqCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfPqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqServeStreamFromStore(
             s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
           .select("query_id", "cand_id", "adist_e6", "rnk")
       },

@@ -437,6 +437,79 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  /** Row-local probe-cell ranking — the streaming-legal twin of
+    * [[graft.operators.Knn.ivfRank]]'s per-vector window: the pinned
+    * K-row quantizer collapses to ONE broadcastable array row, each
+    * probe ranks it INSIDE a higher-order expression (comparator
+    * `array_sort` + `slice`), and the top-`nprobe` cells come back as
+    * a row-local array — a pure stream-side projection, no window, no
+    * aggregation. Arithmetic is ivfRank's verbatim (round-8 cosine of
+    * the double casts); the comparator reproduces the window's
+    * (csim desc, cell asc) total order including NaN-greatest (a
+    * zero-norm probe ranks NaN cells first, exactly like the desc
+    * sort). K×dim doubles per probe row — metadata-sized.
+    *
+    * Output: (query_id, q_emb, q_norm, cells array<bigint>) — callers
+    * attach any further per-probe columns, then explode `cells`. */
+  private def ivfProbeCellsRowLocal(probes: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(probes.sparkSession)
+    val centArr = centroids.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cell, cw, cn)))").as("cents"))
+    probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_d", expr("transform(q_emb, v -> CAST(v AS DOUBLE))"))
+      .withColumn("q_norm", VectorFunctions.norm("q_emb"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), expr(
+        s"""transform(slice(array_sort(
+           |  transform(cents, c -> struct(
+           |    round(graft_dot_d(q_d, c.cw) / (q_norm * c.cn), 8) AS csim,
+           |    c.cell AS cell)),
+           |  (a, b) -> CASE
+           |    WHEN (isnan(a.csim) AND isnan(b.csim)) OR a.csim = b.csim THEN
+           |      CASE WHEN a.cell < b.cell THEN -1
+           |           WHEN a.cell > b.cell THEN 1 ELSE 0 END
+           |    WHEN isnan(a.csim) THEN -1
+           |    WHEN isnan(b.csim) THEN 1
+           |    WHEN a.csim > b.csim THEN -1 ELSE 1 END),
+           |1, $nprobe), e -> e.cell)""".stripMargin).as("cells"))
+  }
+
+  /** STREAMING IVF serving off the standing [[ivfIndexIngest]] store —
+    * [[ivfServeFromStore]]'s plan with the probe-side cell ranking
+    * made row-local ([[ivfProbeCellsRowLocal]]; the batch path's
+    * ivfRank window is stream-illegal), leaving exactly ONE stateful
+    * operator: the payload-distinct bounded heap (a candidate reached
+    * through several probed cells carries one identical cosine and
+    * collapses in O(k) aggregation state). Equals the batch serve row
+    * for row over the same pinned version (equivalence-tested).
+    *
+    * Output: (query_id, rnk, cand_id, cosine); update mode. */
+  def ivfServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val vecs = pinned("vectors")
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(vecs.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_norm")), Seq("cand_id"))
+      .withColumn("cosine", round(
+        VectorFunctions.dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm")), 8))
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("cand_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e._2").as("cand_id"), col("e._1").as("cosine"))
+  }
+
   // ─────────────────── IVF×PQ standing store ───────────────────
 
   /** One IVF×PQ-store micro-batch fold — the full production ANN
@@ -582,6 +655,80 @@ object VectorStreams {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** STREAMING IVF-ADC serving off the standing [[ivfPqIngest]] store —
+    * [[ivfPqServeFromStore]] with every probe-side stage made
+    * row-local, leaving ONE stateful operator:
+    *
+    *   - probe cells rank row-locally ([[ivfProbeCellsRowLocal]] —
+    *     the ivfRank window is stream-illegal);
+    *   - the flat ADC LUT builds row-locally: the pinned codebooks
+    *     collapse to ONE dense (m·ks)-slot broadcast array (dead Lloyd
+    *     cells = NULL slots, the [[graft.operators.Pq.adcLutFlat]]
+    *     densification), and each probe row transforms it into its LUT
+    *     with the exact [[graft.operators.Pq.adcLut]] arithmetic — no
+    *     groupBy on the stream;
+    *   - candidates coarse-prune through the pinned posts and score
+    *     their PACKED code row in one `graft_adc_sum` kernel call;
+    *   - ranking is the payload-distinct bounded heap (a candidate
+    *     reached through several probed cells carries one identical
+    *     integer sum and collapses in O(k) state — standing in for the
+    *     batch path's blocking `.distinct()`).
+    *
+    * Equals the batch serve row for row over the same pinned version
+    * (equivalence-tested; integer ADC sums are order-insensitive).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
+  def ivfPqServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val books = spark.read.parquet(s"$tableDir/codebooks")
+    val shape = books.agg(max(col("m")).as("mx"),
+      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+    val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
+    val ksEff = shape.getLong(2).toInt + 1
+    // dense (m × ksEff) codeword grid as ONE broadcastable row ordered
+    // by (m, code): slot m·ks+code carries the codeword, NULL if dead
+    val booksGrid = books.select(col("m")).distinct()
+      .withColumn("code", explode(expr(s"sequence(0, ${ksEff - 1})")))
+      .join(books.select(col("m"), col("cell").as("code"), col("cw")),
+        Seq("m", "code"), "left")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, cw))), x -> x.cw)")
+        .as("cws"))
+    val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
+      .crossJoin(broadcast(booksGrid))
+      // the row-local flat LUT: per slot, the e6-floored exact L2² of
+      // the probe's m-th subvector to that codeword — Pq.adcLut's
+      // arithmetic verbatim (same slice, same double casts, same fold)
+      .withColumn("lut", expr(
+        s"""transform(cws, (w, i) ->
+           |  CASE WHEN w IS NULL THEN ${graft.operators.Pq.DeadCellSentinel}L
+           |       ELSE CAST(floor(graft_l2sq(
+           |              transform(slice(q_emb, CAST((i div $ksEff) * $pqSub + 1 AS INT), $pqSub),
+           |                        v -> CAST(v AS DOUBLE)),
+           |              w) * 1000000.0D) AS BIGINT)
+           |  END)""".stripMargin))
+      .drop("cws", "q_emb", "q_norm")
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val codes = pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"graft_adc_sum(codes, lut, $ksEff)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   // ─────────────────── SQ8 standing store ───────────────────
 
   /** One SQ8-store micro-batch fold: the per-dimension quantizer
@@ -659,6 +806,65 @@ object VectorStreams {
     pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
       .crossJoin(broadcast(lut))
       .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** STREAMING SQ8-ADC serving off the standing [[sqIngest]] store —
+    * [[sq8ServeFromStore]] with the LUT build made row-local, leaving
+    * ONE stateful operator:
+    *
+    *   - the per-(dim, code) RECONSTRUCTION array is query-independent
+    *     — it collapses to one dense (dim·256)-slot broadcast row
+    *     computed from the pinned bounds with
+    *     [[graft.operators.Sq.adcLut]]'s arithmetic verbatim;
+    *   - each probe row transforms it into its flat LUT (the
+    *     `floor((v − recon)² · 1e6)` entry per slot) — a pure
+    *     projection, no groupBy on the stream (the batch path's
+    *     [[graft.operators.Sq.adcLutPacked]] collect is stream-illegal);
+    *   - every pinned packed code row scores in one `graft_sq8_adc`
+    *     kernel call; ranking is the bounded heap.
+    *
+    * Equals the batch serve row for row over the same pinned version
+    * (equivalence-tested; integer ADC sums are order-insensitive).
+    * The scan is |codes| kernel calls per probe per micro-batch —
+    * the same full-scan contract as the batch serve; at cluster scale
+    * the probe micro-batch is the broadcast side of the join.
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
+  def sq8ServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, k: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val bounds = spark.read.parquet(s"$tableDir/bounds")
+    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    // static: slot d·256 + code = the reconstructed value of that code
+    // in that dimension (Sq.adcLut's CASE + affine spelled verbatim)
+    val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
+      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+         |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
+         |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
+         |              * (mx_arr[i div 256] - mn_arr[i div 256])
+         |  END)""".stripMargin).as("recon"))
+    val q = probeStream
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(reconArr))
+      // row-local flat LUT: dq_e6 per slot, Sq.adcLut's arithmetic
+      .withColumn("lut", expr(
+        """transform(recon, (r, i) ->
+          |  CAST(floor((CAST(q_emb[i div 256] AS DOUBLE) - r)
+          |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
+      .select("query_id", "lut")
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    q.join(pinned("codes").select(col("vec_id").as("cand_id"), col("codes")),
+        col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
       .groupBy("query_id")

@@ -207,6 +207,24 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(served === oneShot)
     assert(served.nonEmpty)
 
+    // STREAMING serve twin: the row-local LUT plan (no groupBy on the
+    // probe side) equals the batch serve on a batch frame AND through
+    // a real MemoryStream (one stateful op — the bounded heap)
+    assert(adist(VectorStreams.sq8ServeStreamFromStore(spark, tbl, probes, 3))
+      === served)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.sq8ServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), 3)
+    val sq = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_sq8serve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        adist(spark.table("graft_sq8serve_test"))
+      } finally sq.stop()
+    assert(streamed === served)
+
     // right-to-be-forgotten discovers the codes table: forgetting a
     // served candidate rewrites its codes AND vectors partitions and
     // it never surfaces again
@@ -279,6 +297,23 @@ class VectorStoreSpec extends AnyFunSuite {
         .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine")))
     val expected = ranking(oneShot(lit(true)))
     assert(serve() === expected && expected.nonEmpty)
+
+    // STREAMING serve twin: row-local probe-cell ranking (no ivfRank
+    // window) == the batch serve, on a batch frame and via MemoryStream
+    assert(ranking(VectorStreams.ivfServeStreamFromStore(spark, tbl, probes, k, nprobe)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"))) === expected)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.ivfServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), k, nprobe)
+    val sq = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_ivfserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        ranking(spark.table("graft_ivfserve_test"))
+      } finally sq.stop()
+    assert(streamed === expected)
 
     // pinned v0: batch 1's posts/vectors are on disk but pruned away —
     // equals the one-shot search with candidates restricted to batch 0
@@ -376,6 +411,27 @@ class VectorStoreSpec extends AnyFunSuite {
           col("adist_e6").cast("double")))
     val expected = ranking(oneShot(lit(true)))
     assert(serve() === expected && expected.nonEmpty)
+
+    // STREAMING serve twin: row-local probe cells + row-local flat LUT
+    // + packed-kernel scan + distinct heap == the batch serve, on a
+    // batch frame and via MemoryStream (one stateful op)
+    def rankStream(df: org.apache.spark.sql.DataFrame) =
+      ranking(df.select(col("query_id"), col("rnk").cast("long"),
+        col("cand_id"), col("adist_e6").cast("double")))
+    assert(rankStream(VectorStreams.ivfPqServeStreamFromStore(
+      spark, tbl, probes, k, nprobe)) === expected)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.ivfPqServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), k, nprobe)
+    val sq2 = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_ivfpqserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq2.processAllAvailable()
+        rankStream(spark.table("graft_ivfpqserve_test"))
+      } finally sq2.stop()
+    assert(streamed === expected)
 
     // forget spans the code index too: no ghost ADC candidates
     val cands = expected.map(_._3).toSeq.distinct
