@@ -565,6 +565,87 @@ object SimilarityStreamQueries {
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
   private def dkDot(a: String, b: String) = dkDotN(a, b, Dim)
 
+  // ── Shared hybrid-retrieval arms: the BM25 lexical ranking and the
+  //    RRF fusion tail are identical across the hybrid rows (exact
+  //    dense arm in hybrid_rrf_lexdense; standing-store MRL ANN arm in
+  //    hybrid_rrf_ann_lexdense) — one engine builder + one oracle CTE
+  //    string each, so the two rows can never drift apart. ──
+
+  /** Lexical arm: the fixture query batch served through the BM25
+    * impact index, top 10 per query — txt_bm25_serve's exact plan. */
+  private def hybridLexArm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val post = graft.operators.Lexical.postings(docs)
+    val dl = graft.operators.Lexical.doclens(docs)
+    val idx = graft.operators.Lexical.impactIndex(post, dl,
+      graft.operators.Lexical.termstats(post),
+      graft.operators.Lexical.corpusStats(dl))
+    val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+      (2L, "fast vector scan"), (3L, "customer query filter"))
+      .toDF("query_id", "qtext")
+    graft.operators.Lexical.bm25Serve(qs, idx, 10)
+      .select(col("query_id"), col("doc_id"), col("rnk").cast("int").as("lex_rnk"))
+  }
+
+  /** RRF fusion of a lexical and a dense top-10 list: Σ 1/(60 + rank)
+    * over the families that retrieved the doc (k=60, the standard RRF
+    * constant), top 5 per query. The window partitions are ≤ 20-row
+    * fused lists — bounded by construction, never corpus-sized. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame =
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(expr("CAST(1 AS DOUBLE) / (60 + lex_rnk)"), lit(0.0d))
+          + coalesce(expr("CAST(1 AS DOUBLE) / (60 + dense_rnk)"), lit(0.0d)), 8))
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rnk"), lit(0)).as("lex_rnk"),
+        coalesce(col("dense_rnk"), lit(0)).as("dense_rnk"), col("rrf"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rnk") <= 5)
+
+  /** DuckDB twin of [[hybridLexArm]] (CTEs qs…lex). */
+  private def dkHybridLexCtes: String =
+    s"""qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
+       |    (1, 'stream window agg'), (2, 'fast vector scan'),
+       |    (3, 'customer query filter')) v(query_id, qtext)),
+       |qterms AS (SELECT query_id::BIGINT AS query_id,
+       |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
+       |toks AS (SELECT doc_id, unnest(${TextDedupQueries.dkTokens}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+       |dlen AS (SELECT doc_id, len(${TextDedupQueries.dkTokens})::BIGINT AS dl FROM documents),
+       |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
+       |contrib AS (SELECT query_id, t.doc_id,
+       |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+       |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+       |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+       |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+       |      8)::DECIMAL(18,8) AS c8
+       |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
+       |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
+       |lex AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sd DESC, doc_id) AS INT) AS lex_rnk
+       |  FROM (SELECT query_id, doc_id, sum(c8) AS sd FROM contrib GROUP BY 1, 2)
+       |  QUALIFY lex_rnk <= 10)""".stripMargin
+
+  /** DuckDB twin of [[rrfFuse]] over CTEs `lex` and `dense`. */
+  private def dkHybridFusedSql: String =
+    s"""fused AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+       |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    coalesce(l.lex_rnk, 0) AS lex_rnk,
+       |    coalesce(dn.dense_rnk, 0) AS dense_rnk,
+       |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0.0)
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + dn.dense_rnk), 0.0), 8) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense dn
+       |    ON dn.query_id = l.query_id AND dn.doc_id = l.doc_id)
+       |SELECT query_id, doc_id, lex_rnk, dense_rnk, rrf,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+       |FROM fused QUALIFY rnk <= 5""".stripMargin
+
   private def dkNorm(a: String) = s"sqrt(${dkDot(a, a)})"
   private def dkNormN(a: String, n: Int) = s"sqrt(${dkDotN(a, a, n)})"
 
@@ -1151,58 +1232,14 @@ object SimilarityStreamQueries {
       "hybrid_rrf_lexdense",
       "reciprocal-rank fusion of BM25 top-10 and dense cosine top-10, top-5 per query",
       (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val post = graft.operators.Lexical.postings(docs)
-        val dl = graft.operators.Lexical.doclens(docs)
-        val idx = graft.operators.Lexical.impactIndex(post, dl,
-          graft.operators.Lexical.termstats(post),
-          graft.operators.Lexical.corpusStats(dl))
-        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
-          (2L, "fast vector scan"), (3L, "customer query filter"))
-          .toDF("query_id", "qtext")
-        val lex = graft.operators.Lexical.bm25Serve(qs, idx, 10)
-          .select(col("query_id"), col("doc_id"), col("rnk").cast("int").as("lex_rnk"))
         val emb = t(s, d, "embeddings")
         val dense = Knn.bruteForceTopK(emb.filter(col("vec_id") < 4), emb,
             "vec_id", "embedding", 10)
           .select(col("query_id"), col("cand_id").as("doc_id"),
             col("rnk").cast("int").as("dense_rnk"))
-        lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
-          .withColumn("rrf", round(
-            coalesce(expr("CAST(1 AS DOUBLE) / (60 + lex_rnk)"), lit(0.0d))
-              + coalesce(expr("CAST(1 AS DOUBLE) / (60 + dense_rnk)"), lit(0.0d)), 8))
-          .select(col("query_id"), col("doc_id"),
-            coalesce(col("lex_rnk"), lit(0)).as("lex_rnk"),
-            coalesce(col("dense_rnk"), lit(0)).as("dense_rnk"), col("rrf"))
-          .withColumn("rnk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-              .orderBy(col("rrf").desc, col("doc_id"))))
-          .filter(col("rnk") <= 5)
+        rrfFuse(hybridLexArm(s, d), dense)
       },
-      Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
-              |    (1, 'stream window agg'), (2, 'fast vector scan'),
-              |    (3, 'customer query filter')) v(query_id, qtext)),
-              |qterms AS (SELECT query_id::BIGINT AS query_id,
-              |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
-              |toks AS (SELECT doc_id, unnest(${TextDedupQueries.dkTokens}) AS term FROM documents),
-              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
-              |dlen AS (SELECT doc_id, len(${TextDedupQueries.dkTokens})::BIGINT AS dl FROM documents),
-              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
-              |contrib AS (SELECT query_id, t.doc_id,
-              |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
-              |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
-              |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
-              |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
-              |      8)::DECIMAL(18,8) AS c8
-              |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
-              |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
-              |lex AS (SELECT query_id, doc_id,
-              |    CAST(row_number() OVER (PARTITION BY query_id
-              |      ORDER BY sd DESC, doc_id) AS INT) AS lex_rnk
-              |  FROM (SELECT query_id, doc_id, sum(c8) AS sd FROM contrib GROUP BY 1, 2)
-              |  QUALIFY lex_rnk <= 10),
+      Some(s"""WITH $dkHybridLexCtes,
               |e AS (SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
               |dense AS (SELECT query_id, cand_id AS doc_id, rnk::INT AS dense_rnk FROM (
               |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -1211,19 +1248,56 @@ object SimilarityStreamQueries {
               |      c.vec_id) AS rnk
               |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
               |  WHERE q.vec_id < 4) WHERE rnk <= 10),
-              |fused AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
-              |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
-              |    coalesce(l.lex_rnk, 0) AS lex_rnk,
-              |    coalesce(dn.dense_rnk, 0) AS dense_rnk,
-              |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0.0)
-              |      + coalesce(CAST(1 AS DOUBLE) / (60 + dn.dense_rnk), 0.0), 8) AS rrf
-              |  FROM lex l FULL OUTER JOIN dense dn
-              |    ON dn.query_id = l.query_id AND dn.doc_id = l.doc_id)
-              |SELECT query_id, doc_id, lex_rnk, dense_rnk, rrf,
-              |  CAST(row_number() OVER (PARTITION BY query_id
-              |    ORDER BY rrf DESC, doc_id) AS INT) AS rnk
-              |FROM fused QUALIFY rnk <= 5""".stripMargin),
+              |$dkHybridFusedSql""".stripMargin),
       bench = true),
+
+    // ── The ANN-COMPOSED hybrid row — the production composition: the
+    //    dense arm is a STANDING-STORE ANN shortlist (mrlServeFromStore
+    //    over the pinned vector store — the sim_mmr_ann_rerank
+    //    precedent), not the exact brute scan; the lexical arm and the
+    //    RRF tail are the shared builders above. Fold ≡ rebuild makes
+    //    the store's MRL ranking equal the in-session mrlTopK over the
+    //    same corpus (mrl_store_serve pins that), so the oracle replays
+    //    the MRL candidate CTEs + fusion exactly. ──
+    QueryDef(
+      "hybrid_rrf_ann_lexdense",
+      "RRF fusion of BM25 top-10 with a standing-store MRL ANN top-10 dense arm, top-5 per query",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_hybridann").toString
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
+          base, 0L, Dim, TPlanes, NTables)
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
+          base, 1L, Dim, TPlanes, NTables)
+        val dense = graft.streaming.VectorStreams.mrlServeFromStore(
+            s, base, emb.filter(col("vec_id") < 4), MrlDim, MrlCand, 10)
+          .select(col("query_id"), col("cand_id").as("doc_id"),
+            col("rnk").cast("int").as("dense_rnk"))
+        rrfFuse(hybridLexArm(s, d), dense)
+      },
+      Some(s"""WITH $dkHybridLexCtes,
+              |e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 4),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand),
+              |dense AS (SELECT query_id, cand_id AS doc_id, rnk::INT AS dense_rnk FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM pruned JOIN e q ON q.vec_id = query_id
+              |    JOIN e c ON c.vec_id = cand_id
+              |  ) WHERE rnk <= 10),
+              |$dkHybridFusedSql""".stripMargin)),
 
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number
