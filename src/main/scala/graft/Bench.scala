@@ -195,20 +195,33 @@ object Bench {
     }
     // Quiet-box retry protocol (round-12 verdict #5): when the run
     // still reads as contended after the min-of-passes merge, re-queue
-    // the >1.5×-of-recorded-best rows (cold, bounded rounds) until the
+    // the >1.5×-of-recorded-best rows (cold, bounded rounds, linear
+    // backoff so a transient co-tenant burst can pass) until the
     // artifact reads clean or retries exhaust — so the COMMITTED
     // artifact is either a quiet capture or documented retry
-    // exhaustion, never a silently hot recording.
+    // exhaustion, never a silently hot recording. retryRounds counts
+    // EXECUTED rerun rounds only (ADVICE r12: the old loop force-set it
+    // to the cap to exit the nothing-hot branch, misreporting the
+    // evidence); the nothing-hot exit is its own flag in the JSON.
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES")
+      .map(_.toInt).getOrElse(3)
     var retryRounds = 0
-    while (isContended(results) && retryRounds < 2) {
-      retryRounds += 1
+    var noHotRows = false
+    while (isContended(results) && retryRounds < maxRetries && !noHotRows) {
       val hot = results.collect {
         case (n, t) if t.wall >= 0 && recordedBest.get(n).exists(t.wall > 1.5 * _) => n
       }
-      System.err.println(s"[bench] contended (median_vs_best=${fmt(medianRatio(results))}); " +
-        s"retry round $retryRounds over ${hot.size} hot rows: ${hot.mkString(", ")}")
-      if (hot.isEmpty) retryRounds = 2 // contended but nothing individually hot: stop
-      else {
+      if (hot.isEmpty) {
+        System.err.println(s"[bench] contended (median_vs_best=" +
+          s"${fmt(medianRatio(results))}) but no row exceeds 1.5× its " +
+          "recorded best: nothing to re-run")
+        noHotRows = true
+      } else {
+        retryRounds += 1
+        System.err.println(s"[bench] contended (median_vs_best=${fmt(medianRatio(results))}); " +
+          s"retry round $retryRounds/$maxRetries over ${hot.size} hot rows " +
+          s"after ${15 * retryRounds}s backoff: ${hot.mkString(", ")}")
+        Thread.sleep(15000L * retryRounds)
         graft.queries.TextDedupQueries.clearMemo(spark)
         graft.queries.SimilarityStreamQueries.clearMemo(spark)
         val rerun = hot.map(n => n -> materialize(n)).toMap
@@ -229,7 +242,7 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -247,6 +260,6 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }

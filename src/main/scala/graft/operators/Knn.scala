@@ -34,9 +34,24 @@ object Knn {
     * the retired windows, so every oracle and serve-equivalence pin
     * is unchanged. `carry` names per-query-constant columns to keep
     * (e.g. the query's own LSH bucket). Output: (query_id, carry…,
-    * cand_id, cosine, rnk). */
+    * cand_id, cosine, rnk).
+    *
+    * ID CONTRACT (ADVICE r12): the heap ranks LONG payloads, so
+    * `cand_id` is cast to BIGINT in the output and MUST be integral on
+    * input — a string id would silently cast to NULL and then fail
+    * inside the aggregator. Asserted here so every public entry point
+    * (bruteForceTopK, mrlTopK, the LSH family) fails loudly at plan
+    * build instead; rank string-keyed corpora through
+    * [[graft.functions.TopKAgg.strings]] directly. */
   private[graft] def heapTopK(scored: DataFrame, k: Int,
       carry: Seq[String] = Nil): DataFrame = {
+    val idType = scored.schema("cand_id").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"heapTopK ranks integral candidate ids (output cand_id is BIGINT); " +
+        s"got $idType — use TopKAgg.strings for string keys")
     val topk = udaf(graft.functions.TopKAgg.longs(k))
     val aggs = topk(col("cosine"), col("cand_id").cast("long")).as("tk") +:
       carry.map(c => first(col(c)).as(c))

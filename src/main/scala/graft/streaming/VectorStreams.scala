@@ -307,15 +307,24 @@ object VectorStreams {
       .agg(heap(col("pcos"), struct(col("cand_id").cast("long").as("id"),
           col("c_fn").as("fn"), col("c_emb").as("emb"))).as("ptk"),
         first(col("q_emb")).as("q_emb"), first(col("q_fn")).as("q_fn"))
+      // comparator reproduces java.lang.Double.compare's total order
+      // on the cosine (NaN greatest — a zero-norm survivor ranks FIRST
+      // under desc, exactly like the batch heap; ADVICE r12: the old
+      // >/< comparator treated NaN as a tie on both branches and fell
+      // through to cand_id order, breaking batch==streaming on
+      // zero-norm embeddings), then cand_id asc
       .select(col("query_id"), posexplode(expr(
         s"""slice(array_sort(
            |  transform(ptk, e -> struct(
            |    round(graft_dot(q_emb, e._2.emb) / (q_fn * e._2.fn), 8) AS cosine,
            |    e._2.id AS cand_id)),
-           |  (a, b) -> CASE WHEN a.cosine > b.cosine THEN -1
-           |                 WHEN a.cosine < b.cosine THEN 1
-           |                 WHEN a.cand_id < b.cand_id THEN -1
-           |                 WHEN a.cand_id > b.cand_id THEN 1 ELSE 0 END),
+           |  (a, b) -> CASE
+           |    WHEN (isnan(a.cosine) AND isnan(b.cosine)) OR a.cosine = b.cosine THEN
+           |      CASE WHEN a.cand_id < b.cand_id THEN -1
+           |           WHEN a.cand_id > b.cand_id THEN 1 ELSE 0 END
+           |    WHEN isnan(a.cosine) THEN -1
+           |    WHEN isnan(b.cosine) THEN 1
+           |    WHEN a.cosine > b.cosine THEN -1 ELSE 1 END),
            |1, $k)""".stripMargin)).as(Seq("pos", "e")))
       .select(col("query_id"), col("e.cand_id").as("cand_id"),
         col("e.cosine").as("cosine"), (col("pos") + 1).as("rnk"))

@@ -159,6 +159,27 @@ class VectorStoreSpec extends AnyFunSuite {
         rank4(spark.table("graft_mrlserve_test"))
       } finally sq.stop()
     assert(streamed === expected)
+
+    // NaN-cosine candidate (NaN components → NaN norm → NaN/NaN is NOT
+    // an ANSI divide-by-zero, unlike a zero norm which throws in BOTH
+    // paths): the row-local rescore comparator must reproduce the
+    // batch heap's Double.compare total order (NaN greatest — ranks
+    // FIRST under desc), not treat NaN as a tie and fall through to
+    // cand_id order (ADVICE r12)
+    val withNaN = rows.take(8) :+ (999L, Seq.fill(dim)(Float.NaN).toSeq)
+    val zdf = withNaN.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val zprobes = zdf.filter(col("vec_id") < 4)
+    // Scala == on boxed doubles is IEEE (NaN != NaN): canonicalize NaN
+    // to a sentinel so set equality can actually match the NaN rows
+    def canon(s: Set[(Long, Long, Double, Int)]) =
+      s.map { case (q, c, cos, r) => (q, c, if (cos.isNaN) -999.0 else cos, r) }
+    val zBatch = rank4(Knn.mrlTopK(zprobes, zdf, "vec_id", "embedding", 16, 16, 3))
+    val zServe = rank4(VectorStreams.mrlServe(zprobes, zdf, 16, 16, 3))
+    assert(canon(zServe) === canon(zBatch))
+    assert(zBatch.exists(r => r._2 == 999L && r._3.isNaN),
+      "NaN-cosine candidate must surface (NaN sorts greatest under desc)")
   }
 
   test("SQ8 store: streamed 2-batch ingest == one-shot ADC; pinned bounds; forget spans codes") {
