@@ -987,6 +987,51 @@ object SimilarityStreamQueries {
               |  JOIN e c ON c.vec_id = cand_id
               |QUALIFY rnk <= 3""".stripMargin)),
 
+    // ── The I/O-PRUNED MRL store serve: the store is folded with the
+    //    prefix PINNED as its own columns (PREFIX_DIM file +
+    //    (p_emb, p_nrm) on the vectors table), so the cheap pass
+    //    column-prunes to prefixDim/dim of the embedding bytes and the
+    //    exact rescore scans only the IN-pushed survivor row groups —
+    //    the 100 TB MRL layout (round-12 scaladoc's "production
+    //    layout" note made real). Same arithmetic as mrlTopK verbatim,
+    //    so the sim_mrl_topk SQL pins it unchanged. ──
+    QueryDef(
+      "mrl_store_serve_pruned",
+      s"prefix-pinned vector store: column-pruned MRL prune + IN-pushed rescore == batch",
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_mrlstorep").toString
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
+          base, 0L, Dim, TPlanes, NTables, prefixDim = MrlDim)
+        graft.streaming.VectorStreams.vectorFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
+          base, 1L, Dim, TPlanes, NTables, prefixDim = MrlDim)
+        graft.streaming.VectorStreams.mrlServeFromStore(s, base,
+          emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+          MrlDim, MrlCand, 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |  FROM embeddings),
+              |q AS (SELECT * FROM e WHERE vec_id < 32),
+              |pruned AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id
+              |  ) WHERE prnk <= $MrlCand)
+              |SELECT query_id, cand_id,
+              |  round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) AS cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY
+              |    round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |    cand_id) AS rnk
+              |FROM pruned JOIN e q ON q.vec_id = query_id
+              |  JOIN e c ON c.vec_id = cand_id
+              |QUALIFY rnk <= 3""".stripMargin)),
+
     // ── MMR diversified re-ranking: from each query's exact top-16,
     //    pick 5 iteratively maximizing λ·relevance − (1−λ)·max-cosine
     //    to the already-picked set — the standard diversity pass for

@@ -150,10 +150,21 @@ object VectorStreams {
 
   /** One vector-store micro-batch fold (the [[vectorIndexIngest]]
     * body, exposed for direct pipeline composition and replay tests —
-    * the [[ivfFoldBatch]] symmetry). */
+    * the [[ivfFoldBatch]] symmetry).
+    *
+    * `prefixDim > 0` additionally persists the Matryoshka PREFIX as
+    * its own columns on the vectors table — `p_emb` (the first
+    * prefixDim components) and `p_nrm` (its norm, computed once at
+    * fold time) — so [[mrlServeFromStore]]'s cheap pass can COLUMN-
+    * PRUNE down to prefixDim/dim of the embedding bytes instead of
+    * slicing the full column per query (the round-12 scaladoc's
+    * "production layout" note, now real). The prefix width is a STORE
+    * property: the first fold pins it in `PREFIX_DIM` and later folds
+    * must match (the centroid/codebook/bounds pinning precedent). */
   def vectorFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       dim: Int, nPlanes: Int, nTables: Int,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      prefixDim: Int = 0): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("buckets", "vectors")) { _ =>
       val tabled = graft.operators.Knn.withLshTables(
@@ -161,9 +172,23 @@ object VectorStreams {
         .localCheckpoint(true)
       tabled.select(col("vec_id"), col("tbl"), col("bucket"))
         .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
-      tabled.filter(col("tbl") === 0)
+      val vecs0 = tabled.filter(col("tbl") === 0)
         .select(col("vec_id"), col("embedding"), col("nrm"))
-        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+      val vecs =
+        if (prefixDim <= 0) vecs0
+        else {
+          val pd = new java.io.File(s"$tableDir/PREFIX_DIM")
+          if (!pd.exists())
+            java.nio.file.Files.writeString(pd.toPath, prefixDim.toString)
+          else {
+            val pinnedPd = java.nio.file.Files.readString(pd.toPath).trim.toInt
+            require(pinnedPd == prefixDim,
+              s"store $tableDir pinned prefix dim $pinnedPd; fold asked for $prefixDim")
+          }
+          vecs0.withColumn("p_emb", expr(s"slice(embedding, 1, $prefixDim)"))
+            .withColumn("p_nrm", VectorFunctions.norm("p_emb"))
+        }
+      vecs.write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
 
   /** Right-to-be-forgotten for ANY standing vector store (LSH, IVF,
@@ -244,22 +269,91 @@ object VectorStreams {
 
   /** Matryoshka serving off the standing vector store: the pinned
     * `vectors` append table (any store [[vectorIndexIngest]] maintains)
-    * is the candidate corpus for [[graft.operators.Knn.mrlTopK]] —
-    * prefix-`prefixDim` prune, exact full-dim rescore of the `nCand`
-    * survivors, top `k`. The cheap pass reads a dim/prefixDim-times
-    * smaller slice of the stored column (a production layout would
-    * persist the prefix as its own column/file for true I/O pruning);
-    * rescore cost is candidate-bounded. Version-pinned like every
-    * serve: fold ≡ rebuild makes the served ranking equal the batch
-    * `sim_mrl_topk` contract over the corpus-so-far (`mrl_store_serve`
-    * pins that per round). */
+    * is the candidate corpus — prefix-`prefixDim` prune, exact
+    * full-dim rescore of the `nCand` survivors, top `k`. Version-
+    * pinned like every serve: fold ≡ rebuild makes the served ranking
+    * equal the batch `sim_mrl_topk` contract over the corpus-so-far
+    * (`mrl_store_serve` / `mrl_store_serve_pruned` pin that per round).
+    *
+    * When the store was folded with a matching pinned prefix
+    * (`PREFIX_DIM` == prefixDim — see [[vectorFoldBatch]]), the serve
+    * takes the I/O-PRUNED plan:
+    *
+    *   - the cheap pass scans ONLY (vec_id, p_emb, p_nrm) — parquet
+    *     column pruning skips the full-dim embedding bytes entirely
+    *     (prefixDim/dim of the vector I/O, the actual point of MRL at
+    *     100 TB), and the per-candidate prefix slice + norm are
+    *     already materialized;
+    *   - the exact rescore scans the full embedding of ONLY the
+    *     survivor set: the ≤ |probes|·nCand distinct survivor ids (a
+    *     probe-batch-bounded list, the MaxDupKeys-style documented
+    *     collect) push into the second scan as an IN filter, so
+    *     parquet row-group stats skip everything else.
+    *
+    * Arithmetic is [[graft.operators.Knn.mrlTopK]]'s verbatim (same
+    * slices, same fold-time norms, same round-8 + heap tie order), so
+    * pruned == unpruned row for row (spec-pinned). Without a matching
+    * pinned prefix the serve falls back to mrlTopK over the raw
+    * embedding column. */
+  /** The pruned serve's CHEAP PASS (exposed for the plan pin — the
+    * serve checkpoints its output, which hides this subtree from the
+    * returned frame's QueryExecution): scans ONLY
+    * (vec_id, p_emb, p_nrm) off the prefix-pinned vectors table and
+    * heap-prunes to each probe's top `nCand`. `q` must carry
+    * (query_id, q_p, q_pn). */
+  private[graft] def mrlPrunedSurvivors(vectors: DataFrame, q: DataFrame,
+      nCand: Int): DataFrame = {
+    val prune = udaf(graft.functions.TopKAgg.longs(nCand))
+    vectors
+      .select(col("vec_id").as("cand_id"), col("p_emb"), col("p_nrm"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_p"), col("q_pn"))))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("pcos", round(
+        VectorFunctions.dot("q_p", "p_emb") / (col("q_pn") * col("p_nrm")), 8))
+      .groupBy("query_id")
+      .agg(prune(col("pcos"), col("cand_id").cast("long")).as("ptk"))
+      .select(col("query_id"), explode(expr("transform(ptk, e -> e._2)")).as("cand_id"))
+  }
+
   def mrlServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, prefixDim: Int, nCand: Int,
       k: Int, version: Option[String] = None): DataFrame = {
     val pinned = pinnedReader(spark, tableDir, version)
-    graft.operators.Knn.mrlTopK(probes,
-      pinned("vectors").select("vec_id", "embedding"),
-      "vec_id", "embedding", prefixDim, nCand, k)
+    val pdFile = new java.io.File(s"$tableDir/PREFIX_DIM")
+    val storedPd =
+      if (pdFile.exists()) java.nio.file.Files.readString(pdFile.toPath).trim.toInt
+      else 0
+    if (storedPd != prefixDim)
+      graft.operators.Knn.mrlTopK(probes,
+        pinned("vectors").select("vec_id", "embedding"),
+        "vec_id", "embedding", prefixDim, nCand, k)
+    else {
+      graft.functions.GraftFunctions.register(spark)
+      val q = probes
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("q_p", expr(s"slice(q_emb, 1, $prefixDim)"))
+        .withColumn("q_pn", VectorFunctions.norm("q_p"))
+        .withColumn("q_fn", VectorFunctions.norm("q_emb"))
+        .localCheckpoint(true)
+      val surv = mrlPrunedSurvivors(pinned("vectors"), q, nCand)
+        .localCheckpoint(true) // |Q|·nCand rows; read by ids + the join
+      // probe-batch-bounded survivor ids → IN-pushed rescore scan
+      val ids = surv.select("cand_id").distinct().collect().map(_.getLong(0))
+      val topk = udaf(graft.functions.TopKAgg.longs(k))
+      pinned("vectors").select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .filter(col("cand_id").isin(ids.map(Long.box): _*))
+        .withColumn("c_fn", VectorFunctions.norm("c_emb"))
+        .join(broadcast(surv), Seq("cand_id"))
+        .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_fn"))),
+          Seq("query_id"))
+        .withColumn("cosine", round(
+          VectorFunctions.dot("q_emb", "c_emb") / (col("q_fn") * col("c_fn")), 8))
+        .groupBy("query_id")
+        .agg(topk(col("cosine"), col("cand_id").cast("long")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e._2").as("cand_id"),
+          col("e._1").as("cosine"), (col("pos") + 1).as("rnk"))
+    }
   }
 
   /** STREAMING Matryoshka serving — the 4th retrieval family's online

@@ -160,6 +160,53 @@ class VectorStoreSpec extends AnyFunSuite {
       } finally sq.stop()
     assert(streamed === expected)
 
+    // I/O-PRUNED serve off a PREFIX-PINNED store: fold with
+    // prefixDim=16 persists (p_emb, p_nrm) + the PREFIX_DIM pin; the
+    // serve must (a) equal the batch contract row for row, (b) scan
+    // ONLY the prefix columns in the cheap pass (column pruning), and
+    // (c) push the survivor ids into the rescore scan as an IN filter
+    val ptbl = java.nio.file.Files.createTempDirectory("graft_mrlpruned").toString
+    VectorStreams.vectorFoldBatch(b0.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")),
+      ptbl, 0L, dim, tp, nt, prefixDim = 16)
+    VectorStreams.vectorFoldBatch(b1.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")),
+      ptbl, 1L, dim, tp, nt, prefixDim = 16)
+    val prunedDf = VectorStreams.mrlServeFromStore(
+      spark, ptbl, emb.filter(col("vec_id") < 32), 16, 16, 3)
+    assert(rank4(prunedDf) === expected)
+    // the rescore scan carries the survivor IN filter (visible in the
+    // returned frame's plan; the cheap pass sits behind its checkpoint)
+    val pplan = prunedDf.queryExecution.executedPlan.toString
+    assert(pplan.contains("In(vec_id") || pplan.contains("vec_id IN"),
+      pplan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the cheap pass (the serve's own builder) scans p_emb/p_nrm
+    // WITHOUT the full embedding column — parquet column pruning cuts
+    // the prune pass's vector I/O to prefixDim/dim of the bytes
+    val qSide = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_p", expr("slice(q_emb, 1, 16)"))
+      .withColumn("q_pn", graft.functions.VectorFunctions.norm("q_p"))
+    val cheapPlan = VectorStreams.mrlPrunedSurvivors(
+      spark.read.parquet(s"$ptbl/vectors"), qSide, 16)
+      .queryExecution.executedPlan.toString
+    assert(cheapPlan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("p_emb") && !l.contains("embedding:")),
+      cheapPlan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // a mismatched prefix request falls back to the raw-column plan,
+    // still row-identical (prefix 8 != pinned 16)
+    val fallback = VectorStreams.mrlServeFromStore(
+      spark, ptbl, emb.filter(col("vec_id") < 32), 8, 16, 3)
+    assert(rank4(fallback) === rank4(Knn.mrlTopK(emb.filter(col("vec_id") < 32),
+      emb, "vec_id", "embedding", 8, 16, 3)))
+    // a later fold under a DIFFERENT prefix must fail loudly
+    val e2 = intercept[IllegalArgumentException] {
+      VectorStreams.vectorFoldBatch(b0.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+        ptbl, 2L, dim, tp, nt, prefixDim = 8)
+    }
+    assert(e2.getMessage.contains("pinned prefix dim"))
+
     // NaN-cosine candidate (NaN components → NaN norm → NaN/NaN is NOT
     // an ANSI divide-by-zero, unlike a zero norm which throws in BOTH
     // paths): the row-local rescore comparator must reproduce the
