@@ -1178,6 +1178,50 @@ object SimilarityStreamQueries {
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
 
+    // ── The SQ8 twin of `profile_drift_cells`/`profile_drift_codes` —
+    //    the "retrain the BOUNDS?" gate: per-dimension fraction of a
+    //    new batch's components falling OUTSIDE the pinned quantizer
+    //    bounds (exactly the values round-13's encode clamp saturates —
+    //    the clamp makes stale bounds safe, this row makes them
+    //    OBSERVABLE). Baseline = bounds trained on even vec_ids (the
+    //    first-fold pin), batch = odd vec_ids; out-of-range share as a
+    //    round-half-up ppm BIGINT (no float ratios), drift flag at >5%.
+    //    One broadcast join + one map-side aggregate — dim rows out at
+    //    any corpus size. ──
+    QueryDef(
+      "profile_drift_bounds",
+      "pinned-SQ8-bounds drift gate: per-dim out-of-range ppm of a new batch, flag at >5%",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val bounds = graft.operators.Sq.train(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding")
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select(posexplode(expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+            .as(Seq("dim", "v")))
+          .join(broadcast(bounds), Seq("dim"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("v") < col("mn") || col("v") > col("mx"), 1L)
+              .otherwise(0L)).as("n_oob"))
+          .select(col("dim"), col("n_batch"), col("n_oob"),
+            expr("(2000000 * n_oob + n_batch) div (2 * n_batch)").as("oob_ppm"),
+            (col("n_oob") * lit(20L) > col("n_batch")).as("drifted"))
+      },
+      Some(s"""WITH xe AS (SELECT vec_id, unnest(range(0, $Dim)) AS dim,
+              |    unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+              |  FROM embeddings WHERE vec_id % 2 = 0),
+              |b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM xe GROUP BY dim),
+              |xo AS (SELECT vec_id, unnest(range(0, $Dim)) AS dim,
+              |    unnest(list_transform(embedding, v -> v::DOUBLE)) AS v
+              |  FROM embeddings WHERE vec_id % 2 = 1),
+              |agg AS (SELECT dim, count(*)::BIGINT AS n_batch,
+              |    sum(CASE WHEN v < mn OR v > mx THEN 1 ELSE 0 END)::BIGINT AS n_oob
+              |  FROM xo JOIN b USING (dim) GROUP BY dim)
+              |SELECT dim, n_batch, n_oob,
+              |  ((2000000 * n_oob + n_batch) // (2 * n_batch))::BIGINT AS oob_ppm,
+              |  n_oob * 20 > n_batch AS drifted
+              |FROM agg""".stripMargin)),
+
     // ── The PACKED SQ8 scan — the 100 TB plan shape: one row per
     //    vector (codes array<int>), the probe batch's flat LUTs
     //    broadcast, and the codegen'd graft_sq8_adc kernel sums
