@@ -1354,12 +1354,15 @@ object SimilarityStreamQueries {
       (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft_hybridann").toString
         val emb = t(s, d, "embeddings")
+        // prefix-pinned folds: the dense arm runs the production
+        // I/O-pruned MRL serve (column-pruned cheap pass + IN-pushed
+        // rescore) — same ranking contract either way
         graft.streaming.VectorStreams.vectorFoldBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
-          base, 0L, Dim, TPlanes, NTables)
+          base, 0L, Dim, TPlanes, NTables, prefixDim = MrlDim)
         graft.streaming.VectorStreams.vectorFoldBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 1).select("vec_id", "embedding"),
-          base, 1L, Dim, TPlanes, NTables)
+          base, 1L, Dim, TPlanes, NTables, prefixDim = MrlDim)
         val dense = graft.streaming.VectorStreams.mrlServeFromStore(
             s, base, emb.filter(col("vec_id") < 4), MrlDim, MrlCand, 10)
           .select(col("query_id"), col("cand_id").as("doc_id"),
