@@ -175,6 +175,32 @@ class PqSpec extends AnyFunSuite {
     assert(lut.forall(_.getLong(3) === 0L))
   }
 
+  test("ADC kernels fail loudly on LUT-shape mismatches and out-of-range codes") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => Option(e.getMessage).exists(_.contains(s)))
+    // graft_sq8_adc: 2 codes need a 512-entry LUT, not 4
+    val short8 = Seq((Seq(0, 1), Seq(0L, 1L, 2L, 3L))).toDF("codes", "lut")
+    val e1 = intercept[Throwable] {
+      short8.select(expr("graft_sq8_adc(codes, lut)")).collect()
+    }
+    assert(chainHas(e1, "graft_sq8_adc"), e1.toString)
+    // graft_adc_sum with ks=4: LUT must be m*ks = 8 entries
+    val short4 = Seq((Seq(0, 1), Seq(0L, 1L, 2L, 3L))).toDF("codes", "lut")
+    val e2 = intercept[Throwable] {
+      short4.select(expr("graft_adc_sum(codes, lut, 4)")).collect()
+    }
+    assert(chainHas(e2, "graft_adc_sum"), e2.toString)
+    // right-sized LUT but a code outside [0, ks): loud, not a garbage read
+    val oob = Seq((Seq(0, 5), Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))).toDF("codes", "lut")
+    val e3 = intercept[Throwable] {
+      oob.select(expr("graft_adc_sum(codes, lut, 4)")).collect()
+    }
+    assert(chainHas(e3, "outside [0, 4)"), e3.toString)
+  }
+
   test("packed IVF-ADC: graft_adc_sum kernel in plan, coarse prune below it, == exploded row for row") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
