@@ -363,7 +363,13 @@ object SimilarityStreamQueries {
     * queries × (corpus/K × nprobe × assign) rows, broadcast against
     * the code index, so the big `pqCodes` scan is pruned by a
     * broadcast join BELOW the ADC aggregate (plan-gated in PqSpec). */
-  private[graft] def pqIvfAdcRanked(s: SparkSession, d: String, keep: Int): DataFrame = {
+  private[graft] def pqIvfAdcRanked(s: SparkSession, d: String, keep: Int): DataFrame =
+    adcTopK(pqIvfAdcScored(s, d), keep)
+
+  /** All coarse-pruned (query, candidate) pairs with their raw-code
+    * ADC estimate — [[pqIvfAdcRanked]] before the heap (also the frame
+    * the distortion pin measures). */
+  private[graft] def pqIvfAdcScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val probes = ivfRanked(s, d)
       .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
@@ -377,11 +383,10 @@ object SimilarityStreamQueries {
       .join(broadcast(pqCentroids(s, d)), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell").as("code"),
         expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
-    val ranked = pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
+    pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
       .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the LUT scan
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
-    adcTopK(ranked, keep)
   }
 
   /** The production PQ pipeline: ADC shortlist of 20 per query (codes
@@ -538,6 +543,189 @@ object SimilarityStreamQueries {
        |    JOIN pv q ON q.vec_id = s.query_id
        |    JOIN pv c ON c.vec_id = s.cand_id AND c.m = q.m
        |    GROUP BY 1, 2)) WHERE rnk <= 3)""".stripMargin
+
+  // ── RESIDUAL IVF×PQ (the FAISS IVFADC layout, Jégou et al. 2011
+  //    §III): codes quantize the RESIDUAL vec − home-centroid instead
+  //    of the raw vector. The coarse quantizer has already explained
+  //    the between-cell variance, so the residual distribution is far
+  //    tighter than the raw one and the same m×ks code budget buys
+  //    strictly more precision. The price is that ADC LUTs become
+  //    per-(query, cell) — the query's residual differs per probed
+  //    cell — which is |Q|·K·m·ks entries: probe-batch bounded, still
+  //    broadcast. The index row is (cell, vec_id, codes): home cell +
+  //    residual codes, built once at encode time. ──
+
+  /** Residual vectors wrt the home (rank-1) IVF cell:
+    * (vec_id, cell, rvec array<double>). One broadcast join against
+    * the K-row centroid frame — index-build cost, O(corpus) rows.
+    * NOTE the /2²⁰ rescale: [[Knn.ivfTrain]] centroids live in the
+    * integer-quantized (×1048576) space because cosine is
+    * scale-invariant; residual L2 is NOT, so the centroid must come
+    * back to vector scale first (one fixed division per component,
+    * spelled identically in the oracle). */
+  private def ivfResVecs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#ivfres"),
+      ivfCells(s, d)
+        .join(broadcast(ivfCentroids(s, d).select(col("cell"), col("cw"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)").as("rvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Residual subviews (vec_id, m, sub, qsub) — [[Pq.subviews]] over
+    * the residuals; the frame residual codebooks train on. */
+  private def pqResSubs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#rsub"),
+      graft.operators.Pq.subviews(ivfResVecs(s, d), "vec_id", "rvec", PqM, PqSub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Residual codebooks: same deterministic Lloyd training as the raw
+    * PQ codebooks, but fit to the residual distribution. */
+  private def pqResCentroids(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#rcent"),
+      graft.operators.Pq.train(pqResSubs(s, d), "vec_id", PqKs, PqIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The residual IVFADC index, exploded oracle shape:
+    * (vec_id, cell, m, code) — home cell carried on every code row so
+    * the scan can key the per-(query, cell) LUT without a corpus join
+    * at query time. */
+  private def pqResCodes(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#rcode"),
+      graft.operators.Pq.encode(pqResSubs(s, d), "vec_id", pqResCentroids(s, d))
+        .join(ivfResVecs(s, d).select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The PACKED residual index: (vec_id, cell, codes array<int>) —
+    * one row per vector, the layout a 100 TB IVFADC scan reads. */
+  private def pqResCodesPacked(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#rcodep"),
+      graft.operators.Pq.encodePacked(pqResSubs(s, d), "vec_id", pqResCentroids(s, d))
+        .join(ivfResVecs(s, d).select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Query residual subviews per (query, cell), keyed by the composite
+    * qc = query_id·IvfK + cell (cells are seed ids < IvfK, so the key
+    * is collision-free): |Q|·K·m rows, the frame both LUT builders
+    * take. */
+  private def pqResQuerySubs(s: SparkSession, d: String): DataFrame = {
+    val q = t(s, d, "embeddings").filter(col("vec_id") < 32)
+      .crossJoin(broadcast(ivfCentroids(s, d).select(col("cell"), col("cw"))))
+      .select((col("vec_id") * lit(IvfK.toLong) + col("cell")).as("qc"),
+        expr("zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)").as("rvec"))
+    graft.operators.Pq.subviews(q, "qc", "rvec", PqM, PqSub)
+  }
+
+  /** (query_id, cand_id) pairs surviving the coarse prune — shared by
+    * the exploded and packed residual scans (same prune as
+    * [[pqIvfAdcRanked]]). */
+  private def ivfCandPairs(s: SparkSession, d: String): DataFrame = {
+    val probes = ivfRanked(s, d)
+      .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    probes.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+  }
+
+  /** Residual IVFADC, exploded oracle shape: coarse prune → code rows
+    * of surviving candidates joined against the per-(query, home-cell)
+    * LUT → order-insensitive BIGINT ADC sum → bounded-heap top-k. */
+  private[graft] def pqIvfResRanked(s: SparkSession, d: String, keep: Int): DataFrame =
+    adcTopK(pqIvfResScored(s, d), keep)
+
+  /** All coarse-pruned pairs with their RESIDUAL-code ADC estimate —
+    * same pair set as [[pqIvfAdcScored]] (same prune), different
+    * estimator. */
+  private[graft] def pqIvfResScored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val lut = graft.operators.Pq.adcLut(pqResQuerySubs(s, d), "qc", pqResCentroids(s, d))
+    pqResCodes(s, d)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("m"), col("code"))
+      .join(broadcast(ivfCandPairs(s, d)), Seq("cand_id")) // prune BEFORE the LUT scan
+      .withColumn("qc", col("query_id") * lit(IvfK.toLong) + col("cell"))
+      .join(broadcast(lut), Seq("qc", "m", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+  }
+
+  /** Residual IVFADC, PACKED production plan: one `graft_adc_sum`
+    * kernel call per surviving (query, candidate) pair over the
+    * (vec_id, cell, codes) row, LUT keyed by the candidate's home
+    * cell. Integer ADC sums are order-insensitive, so the exploded
+    * form's oracle pins this plan verbatim. */
+  private[graft] def pqIvfResPackedRanked(s: SparkSession, d: String,
+      keep: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val lutFlat = graft.operators.Pq.adcLutFlat(
+      pqResQuerySubs(s, d), "qc", pqResCentroids(s, d), PqKs)
+    val ranked = pqResCodesPacked(s, d)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+      .join(broadcast(ivfCandPairs(s, d)), Seq("cand_id")) // prune BEFORE the kernel scan
+      .withColumn("qc", col("query_id") * lit(IvfK.toLong) + col("cell"))
+      .join(broadcast(lutFlat), Seq("qc"))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"graft_adc_sum(codes, lut, $PqKs)").as("adist_e6"))
+    adcTopK(ranked, keep)
+  }
+
+  /** DuckDB twin of the residual IVFADC chain, layered over
+    * [[dkIvfCtes]] (`rk`, `c$IvfIters`): residuals (`rvv`) → residual
+    * subviews (`rpv`) → Lloyd rounds (rp0..rp`PqIters`) → codes with
+    * home cell (`rcode`) → per-(query, cell) LUT (`rlut`) →
+    * candidate-restricted ADC ranking (`rivfadc`). Every double is the
+    * same fixed single-op sequence as the engine's, so the chain
+    * replays bit-exact. */
+  private def dkResCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""rvv AS (SELECT r.vec_id, r.cell,
+              |  list_transform(range(1, ${Dim + 1}), i -> r.embedding[i]::DOUBLE - c.cw[i] / 1048576.0) AS rvec
+              |  FROM (SELECT vec_id, embedding, cell FROM rk WHERE rn = 1) r
+              |  JOIN c$IvfIters c ON c.cell = r.cell),
+              |rpv AS (SELECT vec_id, cell, m,
+              |  list_transform(range(1, ${PqSub + 1}), i -> rvec[(m * $PqSub + i)::INT]) AS sub,
+              |  list_transform(range(1, ${PqSub + 1}), i -> floor(rvec[(m * $PqSub + i)::INT] * 1048576.0 + 0.5)::BIGINT) AS qsub
+              |  FROM (SELECT vec_id, cell, rvec, unnest(range(0, $PqM)) AS m FROM rvv)),
+              |rp0 AS (SELECT m, vec_id AS cw_cell, sub AS cw FROM rpv WHERE vec_id < $PqKs)""".stripMargin
+    for (r <- 1 to PqIters) {
+      sb ++= s""",
+                |rpa$r AS (SELECT vec_id, m, qsub, cw_cell FROM (
+                |  SELECT v.vec_id, v.m, v.qsub, c.cw_cell, row_number() OVER (PARTITION BY v.vec_id, v.m
+                |    ORDER BY round(${dkD2("v.sub", "c.cw")}, 8), c.cw_cell) AS rn
+                |  FROM rpv v JOIN rp${r - 1} c ON c.m = v.m) WHERE rn = 1),
+                |rp$r AS (SELECT m, cw_cell, list(w ORDER BY i) AS cw FROM (
+                |  SELECT m, cw_cell, i, (sum(qv)::DOUBLE / count(*)::DOUBLE) / 1048576.0 AS w FROM (
+                |    SELECT m, cw_cell, unnest(qsub) AS qv, unnest(range(1, ${PqSub + 1})) AS i FROM rpa$r)
+                |  GROUP BY m, cw_cell, i) GROUP BY m, cw_cell)""".stripMargin
+    }
+    sb ++= s""",
+              |rcode AS (SELECT vec_id, cell, m, cw_cell AS code FROM (
+              |  SELECT v.vec_id, v.cell, v.m, c.cw_cell, row_number() OVER (PARTITION BY v.vec_id, v.m
+              |    ORDER BY round(${dkD2("v.sub", "c.cw")}, 8), c.cw_cell) AS rn
+              |  FROM rpv v JOIN rp$PqIters c ON c.m = v.m) WHERE rn = 1),
+              |rqv AS (SELECT q.vec_id AS query_id, c.cell,
+              |    list_transform(range(1, ${Dim + 1}), i -> q.embedding[i]::DOUBLE - c.cw[i] / 1048576.0) AS rvec
+              |  FROM embeddings q CROSS JOIN c$IvfIters c WHERE q.vec_id < 32),
+              |rqpv AS (SELECT query_id, cell, m,
+              |  list_transform(range(1, ${PqSub + 1}), i -> rvec[(m * $PqSub + i)::INT]) AS sub
+              |  FROM (SELECT query_id, cell, rvec, unnest(range(0, $PqM)) AS m FROM rqv)),
+              |rlut AS (SELECT q.query_id, q.cell, q.m, c.cw_cell AS code,
+              |    floor(${dkD2("q.sub", "c.cw")} * 1000000.0)::BIGINT AS dq_e6
+              |  FROM rqpv q JOIN rp$PqIters c ON c.m = q.m),
+              |rcand AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM (SELECT vec_id AS query_id, cell FROM rk
+              |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
+              |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
+              |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |rivfadc AS (SELECT query_id, cand_id, adist_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+              |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+              |    FROM rcode rc JOIN rcand cd ON cd.cand_id = rc.vec_id
+              |    JOIN rlut l ON l.query_id = cd.query_id AND l.cell = rc.cell
+              |      AND l.m = rc.m AND l.code = rc.code
+              |    GROUP BY 1, 2))""".stripMargin
+    sb.toString
+  }
 
   /** Multi-table ANN index (vec_id, embedding, nrm, tbl, bucket). */
   private def embTables(s: SparkSession, d: String): DataFrame =
@@ -2321,6 +2509,115 @@ object SimilarityStreamQueries {
               |FROM pex b LEFT JOIN ivfrr a
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
+
+    // ── RESIDUAL IVF×PQ (FAISS IVFADC, Jégou et al. 2011 §III): the
+    //    codes quantize vec − home-centroid, so the same m×ks budget
+    //    spends all its precision on the within-cell geometry the
+    //    coarse quantizer didn't explain. LUTs become per-(query,
+    //    probed-cell) — |Q|·K·m·ks entries, probe-batch bounded. The
+    //    exploded row is the oracle shape; the packed row is the
+    //    production kernel plan (same SQL: integer ADC sums are
+    //    order-insensitive). ──
+    QueryDef(
+      "pq_ivfres_topk",
+      "residual IVF-ADC top-3: codes quantize vec − home centroid, per-(query, cell) LUTs",
+      (s, d) => pqIvfResRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "pq_ivfres_packed_topk",
+      "residual IVF-ADC PACKED: graft_adc_sum over (cell, codes) rows == exploded plan",
+      (s, d) => pqIvfResPackedRanked(s, d, 3).select("query_id", "cand_id", "adist_e6", "rnk"),
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
+
+    QueryDef(
+      "pq_ivfres_recall",
+      "recall@3 of RAW residual IVF-ADC (no rerank) vs exact full-dim L2 top-3 per query",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"),
+            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
+        val exact = emb
+          .select(col("vec_id").as("cand_id"),
+            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cv"))
+          .crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("dist_e6"))
+          .transform(adcTopK(_, 3, "dist_e6"))
+          .select("query_id", "cand_id")
+        val ann = pqIvfResRanked(s, d, 3)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |rex AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT, c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM rex b LEFT JOIN (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 3) a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
+
+    // ── The residual claim pinned as DATA: over the identical
+    //    coarse-pruned pair set, sum |ADC estimate − true L2²·e6| for
+    //    the residual codes vs the raw codes. Exact BIGINTs (no
+    //    division anywhere), so the "residual quantizes tighter"
+    //    property is a hash-checked driver row, not a doc claim. On
+    //    this near-isotropic synthetic corpus the margin is ~6%; on
+    //    clustered real embeddings the coarse quantizer explains far
+    //    more variance and the gap widens (Jégou et al. 2011, Fig. 2).
+    QueryDef(
+      "pq_ivfres_distortion",
+      "ADC |estimate − true| summed over all coarse-pruned pairs: residual vs raw codes",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val dv = expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        val q = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), dv.as("qv"))
+        val c = emb.select(col("vec_id").as("cand_id"), dv.as("cv"))
+        pqIvfResScored(s, d).withColumnRenamed("adist_e6", "res_e6")
+          .join(pqIvfAdcScored(s, d).withColumnRenamed("adist_e6", "raw_e6"),
+            Seq("query_id", "cand_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .join(c, Seq("cand_id"))
+          .select(col("res_e6"), col("raw_e6"),
+            expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("true_e6"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("res_e6") - col("true_e6"))).as("sae_res_e6"),
+            sum(abs(col("raw_e6") - col("true_e6"))).as("sae_raw_e6"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |${dkPqCtes()},
+              |$dkIvfAdcCtes,
+              |$dkResCtes,
+              |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS true_e6
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32)
+              |SELECT count(*)::BIGINT AS n_pairs,
+              |  sum(abs(r.adist_e6 - ex.true_e6))::BIGINT AS sae_res_e6,
+              |  sum(abs(p.adist_e6 - ex.true_e6))::BIGINT AS sae_raw_e6
+              |FROM rivfadc r
+              |JOIN ivfadc p ON p.query_id = r.query_id AND p.cand_id = r.cand_id
+              |JOIN ex ON ex.query_id = r.query_id AND ex.cand_id = r.cand_id""".stripMargin)),
 
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single

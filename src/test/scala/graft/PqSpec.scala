@@ -219,6 +219,41 @@ class PqSpec extends AnyFunSuite {
     assert(packed.nonEmpty)
   }
 
+  test("residual IVFADC: packed kernel plan == exploded row for row; residual SAE <= raw SAE") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val pp = q("pq_ivfres_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_adc_sum"), pp.toString)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    val exploded = q("pq_ivfres_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("pq_ivfres_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+    // the residual claim as an invariant: over the identical pair set,
+    // residual codes reconstruct distances at least as tightly as raw
+    // codes (the margin is ~6% on this isotropic corpus — see the
+    // pq_ivfres_distortion oracle row; real clustered embeddings widen it)
+    val d = q("pq_ivfres_distortion").collect().head
+    val (n, saeRes, saeRaw) = (d.getLong(0), d.getLong(1), d.getLong(2))
+    assert(n > 0)
+    assert(saeRes <= saeRaw, s"residual SAE $saeRes > raw SAE $saeRaw")
+  }
+
+  test("residual estimator genuinely diverges from the raw one on the shared pair set") {
+    // if the residual path accidentally fed raw vectors (e.g. the 2^20
+    // centroid-scale bug this round's build caught), the two estimators
+    // would be near-identical pairwise; require a majority of pairs to
+    // carry different estimates
+    val res = SimilarityStreamQueries.pqIvfResScored(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = SimilarityStreamQueries.pqIvfAdcScored(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(res.keySet === raw.keySet) // identical coarse prune
+    val differing = res.count { case (k, v) => raw(k) != v }
+    assert(differing * 2 > res.size, s"only $differing of ${res.size} pairs differ")
+  }
+
   test("SQ8 encode clamps out-of-range values to [0, 255] in both layouts (pinned-bounds store case)") {
     import spark.implicits._
     // bounds trained on a NARROW first batch; a later batch carries
