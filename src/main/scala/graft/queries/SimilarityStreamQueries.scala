@@ -2619,6 +2619,61 @@ object SimilarityStreamQueries {
               |JOIN ivfadc p ON p.query_id = r.query_id AND p.cand_id = r.cand_id
               |JOIN ex ON ex.query_id = r.query_id AND ex.cand_id = r.cand_id""".stripMargin)),
 
+    // ── The standing residual store as a driver row: models pinned by
+    //    the first fold, 2-batch even/odd ingest, pinned-version serve
+    //    == the one-shot residual search (fold ≡ rebuild is exact —
+    //    assignment and encoding are per-vector), so the oracle is the
+    //    `pq_ivfres_topk` CTE chain verbatim. ──
+    QueryDef(
+      "ivfres_store_serve",
+      "standing residual IVF-PQ store: 2-batch fold + pinned-model serve == one-shot IVFADC",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfresstore").toString
+        val cent = ivfCentroids(s, d)
+        val books = pqResCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfPqResFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqResFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqResServeFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin)),
+
+    // ── The residual store's STREAMING serve twin as a driver row:
+    //    row-local probe cells + per-pair row-local ADC arithmetic
+    //    (no LUT amortization on the stream path — the stated
+    //    tradeoff) + ONE payload-distinct heap. Streamed == batch is
+    //    MemoryStream-tested in VectorStoreSpec; this row pins the
+    //    per-pair arithmetic against the same one-shot CTE chain. ──
+    QueryDef(
+      "ivfres_serve_stream",
+      "residual store streaming-serve plan (row-local per-pair ADC) == one-shot IVFADC",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivfresstream").toString
+        val cent = ivfCentroids(s, d)
+        val books = pqResCentroids(s, d)
+        val emb = t(s, d, "embeddings")
+        graft.streaming.VectorStreams.ivfPqResFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), base, 0L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqResFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), base, 1L, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+        graft.streaming.VectorStreams.ivfPqResServeStreamFromStore(
+            s, base, emb.filter(col("vec_id") < 32), k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin)),
+
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single
     //    bucketing), distinct pairs scored once, threshold on exact

@@ -648,6 +648,7 @@ object VectorStreams {
         Seq("posts", "vectors", "codes")) { _ =>
       val spark = batch.sparkSession
       val cdir = new java.io.File(s"$tableDir/centroids")
+      if (cdir.exists()) requireResidual(tableDir, expect = false, "ivfPqFoldBatch")
       if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
       val bdir = new java.io.File(s"$tableDir/codebooks")
       if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
@@ -712,6 +713,7 @@ object VectorStreams {
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requireResidual(tableDir, expect = false, "ivfPqServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
@@ -785,6 +787,7 @@ object VectorStreams {
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requireResidual(tableDir, expect = false, "ivfPqServeStreamFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
@@ -824,6 +827,245 @@ object VectorStreams {
       .join(codes, Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
         expr(s"graft_adc_sum(codes, lut, $ksEff)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  // ───────────── residual IVF×PQ standing store (IVFADC) ─────────────
+
+  /** Marker file pinning a store's code LAYOUT to residual encoding —
+    * written by the first [[ivfPqResFoldBatch]] fold, required by the
+    * residual serves and REFUSED by the raw ones: residual codes and
+    * raw codes are numerically incompatible (same schema, different
+    * quantization target), so the layout must be a store property a
+    * serve checks, never caller memory. */
+  private def residualMarker(tableDir: String): java.io.File =
+    new java.io.File(s"$tableDir/RESIDUAL_CODES")
+
+  private def requireResidual(tableDir: String, expect: Boolean, fn: String): Unit = {
+    val is = residualMarker(tableDir).exists()
+    require(is == expect,
+      if (expect) s"$fn: $tableDir carries RAW codes — use the ivfPq* functions"
+      else s"$fn: $tableDir carries RESIDUAL codes — use the ivfPqRes* functions")
+  }
+
+  /** One residual-IVF×PQ-store micro-batch fold — the FAISS IVFADC
+    * layout (Jégou et al. 2011 §III) as a standing store. Same
+    * pinned-model discipline as [[ivfPqFoldBatch]] (coarse quantizer +
+    * codebooks land in the store on the first fold and stay pinned;
+    * fold ≡ rebuild because assignment and encoding are per-vector),
+    * but `codes/batch=N/` persists (vec_id, cell, codes array<int>)
+    * where `codes` quantize the RESIDUAL vec − home-centroid/2²⁰
+    * against RESIDUAL-trained codebooks and `cell` is the home
+    * (rank-1) cell the residual was taken against — the serve keys
+    * its per-(query, home-cell) LUT on it. The caller passes
+    * residual-trained codebooks (train [[graft.operators.Pq.train]]
+    * on residual subviews); the `RESIDUAL_CODES` marker pins the
+    * layout so the raw serve can never silently scan residual codes. */
+  def ivfPqResFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      centroids: DataFrame, codebooks: DataFrame,
+      nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("posts", "vectors", "codes")) { _ =>
+      val spark = batch.sparkSession
+      val cdir = new java.io.File(s"$tableDir/centroids")
+      val mk = residualMarker(tableDir)
+      // marker BEFORE models: a first-fold crash between the two must
+      // replay as a residual store, while a pre-existing raw store
+      // (centroids without marker) is refused
+      require(mk.exists() || !cdir.exists(),
+        s"ivfPqResFoldBatch: $tableDir carries RAW codes — use ivfPqFoldBatch")
+      if (!mk.exists())
+        java.nio.file.Files.write(mk.toPath,
+          "residual".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      val bdir = new java.io.File(s"$tableDir/codebooks")
+      if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
+      val pinnedCent = spark.read.parquet(cdir.getPath)
+      val pinnedBooks = spark.read.parquet(bdir.getPath)
+      // geometry off the pinned codebook shape (ivfPqFoldBatch rule)
+      val shape = pinnedBooks.agg(max(col("m")).as("mx"),
+        max(size(col("cw"))).as("sd")).head()
+      val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+      val ranked = graft.operators.Knn
+        .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
+        .filter(col("rn") <= nAssign)
+        .localCheckpoint(true)
+      ranked.select(col("vec_id"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+      val home = ranked.filter(col("rn") === 1)
+      home.select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+      // residual wrt the home centroid: ivfTrain centroids live in the
+      // ×2²⁰ integer-quantized space (cosine is scale-invariant),
+      // residual L2 is not — rescale first (one fixed division per
+      // component, the pq_ivfres_* spelling)
+      val res = home.select(col("vec_id"), col("cell"), col("embedding"))
+        .join(broadcast(pinnedCent.select(col("cell"), col("cw"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)")
+            .as("rvec"))
+        .localCheckpoint(true)
+      graft.operators.Pq.encodePacked(
+          graft.operators.Pq.subviews(res, "vec_id", "rvec", m, subDim),
+          "vec_id", pinnedBooks)
+        .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
+    }
+
+  /** Residual IVFADC INDEX-at-ingest — see [[ivfPqResFoldBatch]]. */
+  def ivfPqResIngest(vecStream: DataFrame, tableDir: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ivfPqResFoldBatch(batch.toDF(), tableDir, id, centroids, codebooks,
+          nAssign, pqM, pqSub, compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** Residual IVF-ADC top-k from a standing [[ivfPqResIngest]] store:
+    * coarse-prune through the pinned posts as [[ivfPqServeFromStore]],
+    * then score each surviving candidate's PACKED residual code row
+    * through `graft_adc_sum` against the per-(query, home-cell) flat
+    * LUT. LUTs are built ONLY for the (query, home-cell) pairs that
+    * actually occur among candidates — bounded by min(K, |cand|) per
+    * query, never the full |Q|·K grid — and keyed by the composite
+    * qc = query_id·K + cell (cells are seed ids < K). Oracle-pinned by
+    * `ivfres_store_serve` against the one-shot `pq_ivfres_topk` CTE
+    * chain (fold ≡ rebuild: both models pinned, assignment and
+    * encoding per-vector).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk). */
+  def ivfPqResServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireResidual(tableDir, expect = true, "ivfPqResServeFromStore")
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val books = spark.read.parquet(s"$tableDir/codebooks")
+    val shape = books.agg(max(col("m")).as("mx"),
+      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+    val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
+    val ksEff = shape.getLong(2).toInt + 1
+    val kCells = cent.agg(max(col("cell"))).head().getLong(0) + 1
+    val probeCells = graft.operators.Knn
+      .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probeCells
+      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val codes = pinned("codes")
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    // coarse prune BEFORE the kernel scan (cand scales with corpus
+    // size — AQE picks broadcast vs shuffle, as in the raw serve)
+    val scored0 = codes.join(cand, Seq("cand_id"))
+    // LUTs only for the (query, home-cell) pairs candidates realize
+    val pairs = scored0.select(col("query_id"), col("cell")).distinct()
+    val qres = probes.select(col("vec_id").as("query_id"), col("embedding"))
+      .join(pairs, Seq("query_id"))
+      .join(broadcast(cent.select(col("cell"), col("cw"))), Seq("cell"))
+      .select((col("query_id") * lit(kCells) + col("cell")).as("qc"),
+        expr("zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)")
+          .as("rvec"))
+    val lut = graft.operators.Pq.adcLutFlat(
+      graft.operators.Pq.subviews(qres, "qc", "rvec", pqM, pqSub), "qc", books, ksEff)
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    scored0
+      .withColumn("qc", col("query_id") * lit(kCells) + col("cell"))
+      .join(broadcast(lut), Seq("qc"))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"graft_adc_sum(codes, lut, $ksEff)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** STREAMING residual IVF-ADC serving off the standing
+    * [[ivfPqResIngest]] store — [[ivfPqResServeFromStore]] made
+    * streaming-legal. The batch path's LUT build needs a blocking
+    * distinct over realized (query, home-cell) pairs, so the stream
+    * twin drops LUT amortization entirely: each surviving (probe,
+    * candidate) pair computes its ADC sum ROW-LOCALLY from the
+    * broadcast dense centroid grid + codeword grid — per subspace,
+    * the e6-floored exact L2² of the probe's residual subvector
+    * (wrt the CANDIDATE's home centroid) to the codeword its code
+    * names. Same fixed single-op sequence as
+    * [[graft.operators.Pq.adcLut]], so the integers are identical;
+    * the cost is dim multiplies per pair instead of m lookups —
+    * the stated streaming tradeoff (probe batches are bounded; the
+    * corpus-side scan is still coarse-pruned and packed). One
+    * stateful op: the payload-distinct bounded heap.
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
+  def ivfPqResServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireResidual(tableDir, expect = true, "ivfPqResServeStreamFromStore")
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val books = spark.read.parquet(s"$tableDir/codebooks")
+    val shape = books.agg(max(col("m")).as("mx"),
+      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+    val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
+    val ksEff = shape.getLong(2).toInt + 1
+    val kCells = (cent.agg(max(col("cell"))).head().getLong(0) + 1).toInt
+    // dense grids as ONE broadcastable row each: slot cell+1 → the
+    // (×2²⁰-space) centroid, slot m·ks+code+1 → the codeword (NULL if
+    // the Lloyd update dropped the cell); homes always name live cells
+    val cgrid = spark.range(kCells).select(col("id").as("cell"))
+      .join(cent.select(col("cell"), col("cw")), Seq("cell"), "left")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(cell, cw))), x -> x.cw)")
+        .as("cgrid"))
+    val booksGrid = books.select(col("m")).distinct()
+      .withColumn("code", explode(expr(s"sequence(0, ${ksEff - 1})")))
+      .join(books.select(col("m"), col("cell").as("code"), col("cw")),
+        Seq("m", "code"), "left")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, cw))), x -> x.cw)")
+        .as("cws"))
+    val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
+      .withColumn("cell", explode(col("cells"))).drop("cells", "q_norm")
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val codes = pinned("codes")
+      .select(col("vec_id").as("cand_id"), col("cell").as("home"), col("codes"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .crossJoin(broadcast(cgrid))
+      .crossJoin(broadcast(booksGrid))
+      // per-pair ADC: Σ_m floor(l2sq((q − c_home/2²⁰)_m, cw[m, code_m])·1e6)
+      // — Pq.adcLut's arithmetic verbatim, per pair instead of per LUT slot
+      .withColumn("adist_e6", expr(
+        s"""aggregate(sequence(0, ${pqM - 1}), 0L, (acc, mi) ->
+           |  acc + CASE
+           |    WHEN element_at(cws, mi * $ksEff + element_at(codes, mi + 1) + 1) IS NULL
+           |      THEN ${graft.operators.Pq.DeadCellSentinel}L
+           |    ELSE CAST(floor(graft_l2sq(
+           |      transform(sequence(1, $pqSub), j ->
+           |        CAST(element_at(q_emb, mi * $pqSub + j) AS DOUBLE)
+           |          - element_at(element_at(cgrid, CAST(home + 1 AS INT)), mi * $pqSub + j) / 1048576.0D),
+           |      element_at(cws, mi * $ksEff + element_at(codes, mi + 1) + 1))
+           |      * 1000000.0D) AS BIGINT)
+           |  END)""".stripMargin))
       .groupBy("query_id")
       .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))

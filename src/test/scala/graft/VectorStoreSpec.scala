@@ -539,6 +539,139 @@ class VectorStoreSpec extends AnyFunSuite {
       "codes table must carry ONE packed row per vector")
   }
 
+  test("residual store: streamed ingest + both serves == one-shot IVFADC; layout guards; forget spans codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val (k, nprobe, nAssign, pqM, pqSub) = (3, 4, 2, 8, 8)
+    val resid = "zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)"
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val res = Knn.ivfRank(emb, cent, "vec_id", "embedding").filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .join(broadcast(cent.select(col("cell"), col("cw"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"), expr(resid).as("rvec"))
+      .localCheckpoint(true)
+    val rsubs = graft.operators.Pq.subviews(res, "vec_id", "rvec", pqM, pqSub)
+      .localCheckpoint(true)
+    val books = graft.operators.Pq.train(rsubs, "vec_id", 16, 2).localCheckpoint(true)
+
+    // one-shot residual IVFADC over candPred-restricted posts (the
+    // pqIvfResRanked shape, parameterized for the forget comparator)
+    def oneShot(candPred: org.apache.spark.sql.Column) = {
+      val rankedAll = Knn.ivfRank(emb, cent, "vec_id", "embedding").localCheckpoint(true)
+      val probesC = rankedAll.filter(col("vec_id") < 32 && col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val posts = rankedAll.filter(col("rn") <= nAssign && candPred)
+        .select(col("vec_id").as("cand_id"), col("cell"))
+      val cand = probesC.join(posts, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      val codes = graft.operators.Pq.encode(rsubs, "vec_id", books)
+        .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("vec_id").as("cand_id"), col("cell"), col("m"), col("code"))
+      val qres = emb.filter(col("vec_id") < 32)
+        .crossJoin(broadcast(cent.select(col("cell"), col("cw"))))
+        .select((col("vec_id") * 16 + col("cell")).as("qc"), expr(resid).as("rvec"))
+      val lut = graft.operators.Pq.adcLut(
+          graft.operators.Pq.subviews(qres, "qc", "rvec", pqM, pqSub), "qc", books)
+        .select(expr("qc div 16").as("query_id"), expr("pmod(qc, 16)").as("cell"),
+          col("m"), col("code"), col("dq_e6"))
+      codes.join(cand, Seq("cand_id"))
+        .join(lut, Seq("query_id", "cell", "m", "code"))
+        .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist_e6"), col("cand_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
+          col("adist_e6").cast("double"))
+    }
+    def rank4(df: org.apache.spark.sql.DataFrame) =
+      ranking(df.select(col("query_id"), col("rnk").cast("long"),
+        col("cand_id"), col("adist_e6").cast("double")))
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_ivfres_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.ivfPqResIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, cent, books, nAssign, pqM, pqSub)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+
+    val probes = emb.filter(col("vec_id") < 32)
+    val expected = ranking(oneShot(lit(true)))
+    assert(rank4(VectorStreams.ivfPqResServeFromStore(spark, tbl, probes, k, nprobe))
+      === expected)
+    assert(expected.nonEmpty)
+    // the registered one-shot query builder agrees too (same models by
+    // determinism — the memoized query-layer frames replay this math)
+    assert(rank4(graft.queries.SimilarityStreamQueries.pqIvfResRanked(spark, d, k))
+      === expected)
+
+    // STREAMING serve twin: per-pair row-local ADC (no LUT) must carry
+    // the exact same integers — on a batch frame and via MemoryStream
+    assert(rank4(VectorStreams.ivfPqResServeStreamFromStore(
+      spark, tbl, probes, k, nprobe)) === expected)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.ivfPqResServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), k, nprobe)
+    val sq2 = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_ivfresserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq2.processAllAvailable()
+        rank4(spark.table("graft_ivfresserve_test"))
+      } finally sq2.stop()
+    assert(streamed === expected)
+
+    // layout guards: residual and raw functions refuse each other's
+    // stores (the marker is a store property, never caller memory)
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqServeFromStore(spark, tbl, probes, k, nprobe) }
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqServeStreamFromStore(spark, tbl, probes, k, nprobe) }
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqFoldBatch(emb, tbl, 2L, cent, books, nAssign, pqM, pqSub) }
+    val rawTbl = java.nio.file.Files.createTempDirectory("graft_ivfres_raw").toString
+    VectorStreams.ivfPqFoldBatch(emb, rawTbl, 0L, cent, books, nAssign, pqM, pqSub)
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqResServeFromStore(spark, rawTbl, probes, k, nprobe) }
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqResServeStreamFromStore(spark, rawTbl, probes, k, nprobe) }
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqResFoldBatch(emb, rawTbl, 1L, cent, books, nAssign, pqM, pqSub) }
+
+    // forget spans the residual code index: no ghost ADC candidates
+    val cands = expected.map(_._3).toSeq.distinct
+    val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
+    assert(rewritten === 6) // posts + vectors + codes, one partition per batch
+    val after = rank4(VectorStreams.ivfPqResServeFromStore(
+      spark, tbl, probes.filter(!col("vec_id").isin(doomed: _*)), k, nprobe))
+    val expSurv = ranking(oneShot(!col("vec_id").isin(doomed: _*)))
+      .filterNot(r => doomed.contains(r._1))
+    assert(after === expSurv)
+    assert(!after.exists(r => doomed.contains(r._3)))
+
+    // plan gates: packed kernel + bounded heap in the batch serve; the
+    // stream twin plans ONE aggregate and no blocking distinct
+    val bp = VectorStreams.ivfPqResServeFromStore(spark, tbl,
+      probes.filter(!col("vec_id").isin(doomed: _*)), k, nprobe)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("graft_adc_sum"), bp.take(800))
+    assert(bp.contains("ObjectHashAggregate"), bp.take(800))
+    assert(!bp.contains("CartesianProduct"))
+  }
+
   test("embedding-stats store: 2-batch fold == one-shot; unlearn == survivors; signed s1 passes tripwire") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
