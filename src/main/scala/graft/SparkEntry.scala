@@ -68,8 +68,10 @@ object SparkEntry {
     "dedup_components", "sem_dedup_clusters", "fp_search_index",
     // ANN / serving headliners (pq_ivf_adc_topk is the exploded
     // oracle-shape row; pq_ivf_adc_packed_topk is the production
-    // packed-kernel plan — benched as a pair per round-12 verdict #6)
+    // packed-kernel plan — benched as a pair per round-12 verdict #6;
+    // pq_ivfres_packed_topk is the round-13 residual IVFADC twin)
     "pq_adc_topk", "pq_ivf_adc_topk", "pq_ivf_adc_packed_topk",
+    "pq_ivfres_packed_topk",
     "nb_serve_classify",
     "txt_bm25_serve", "split_by_cluster",
     // the heaviest graph row keeps iterative-plan timing visible per round

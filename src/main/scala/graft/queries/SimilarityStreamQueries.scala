@@ -2674,6 +2674,42 @@ object SimilarityStreamQueries {
               |$dkResCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin)),
 
+    // ── The FULLY-COMPRESSED serving pipeline (FAISS's IndexRefine
+    //    pattern): IVF coarse prune → residual 8-byte-code ADC
+    //    shortlist (20/query) → SQ8 64-byte-code refine of just the
+    //    shortlist → top-3. The refine stage reads 64 one-byte codes
+    //    per candidate instead of the 256-byte raw vector, so the
+    //    whole pipeline never touches a raw embedding — at 100 TB the
+    //    serve reads (8 + 64)/256 ≈ 28% of the bytes with near-exact
+    //    ordering, and the raw vectors can live on cold storage. ──
+    QueryDef(
+      "pq_ivfres_refine_topk",
+      "residual-ADC shortlist-20 refined by SQ8 codes (no raw vectors anywhere) top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val short = pqIvfResRanked(s, d, 20).select("query_id", "cand_id")
+        val lut = graft.operators.Sq.adcLut(
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d))
+        val refined = sqCodes(s, d)
+          .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+          .join(broadcast(short), Seq("cand_id")) // shortlist prune BEFORE the code scan
+          .join(broadcast(lut), Seq("query_id", "dim", "code"))
+          .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("sq_e6"))
+        adcTopK(refined, 3, "sq_e6")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |$dkSqCtes,
+              |rfn AS (SELECT query_id, cand_id, sq_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sq_e6, cand_id) AS rnk
+              |  FROM (SELECT s.query_id, s.cand_id, sum(l.dq_e6)::BIGINT AS sq_e6
+              |    FROM (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 20) s
+              |    JOIN sqc c ON c.vec_id = s.cand_id
+              |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
+              |    GROUP BY 1, 2))
+              |SELECT query_id, cand_id, sq_e6, rnk FROM rfn WHERE rnk <= 3""".stripMargin)),
+
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single
     //    bucketing), distinct pairs scored once, threshold on exact
