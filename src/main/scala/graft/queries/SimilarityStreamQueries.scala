@@ -2037,6 +2037,56 @@ object SimilarityStreamQueries {
               |     n_base::HUGEINT * t_batch)::INT AS share_drift
               |FROM a FULL JOIN b ON a.cell = b.cell, ta, tb""".stripMargin)),
 
+    // ── The residual-store retrain gate (completes the drift family
+    //    beside cells/codes/bounds): per cell, the e6-floored squared
+    //    residual energy of the "batch" half (odd vec_ids) vs the
+    //    "base" half the models saw — a cell whose incoming residual
+    //    energy grows >1.2× means the pinned coarse centroid has gone
+    //    stale for new data and the residual codebooks are spending
+    //    their budget on drift, not geometry. Exact BIGINT sums,
+    //    DECIMAL/HUGEINT cross-multiplied ratio test, K rows out at
+    //    any corpus size. ──
+    QueryDef(
+      "profile_drift_residual",
+      "baseline-vs-batch per-cell residual energy: counts, e6 sums, >1.2x energy drift flag",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val r2 = ivfResVecs(s, d).select(col("vec_id"), col("cell"),
+          expr("CAST(floor(graft_dot_d(rvec, rvec) * 1000000.0D) AS BIGINT)").as("r2_e6"))
+        def prof(even: Boolean, n: String, sn: String) = r2
+          .filter(pmod(col("vec_id"), lit(2)) === (if (even) 0 else 1))
+          .groupBy("cell").agg(count(lit(1)).as(n), sum("r2_e6").as(sn))
+        prof(even = true, "n_base", "sr2_base_e6")
+          .join(prof(even = false, "n_batch", "sr2_batch_e6"), Seq("cell"), "full")
+          .select(col("cell"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            coalesce(col("sr2_base_e6"), lit(0L)).as("sr2_base_e6"),
+            coalesce(col("sr2_batch_e6"), lit(0L)).as("sr2_batch_e6"),
+            (coalesce(col("n_base"), lit(0L)) > 0 &&
+              coalesce(col("n_batch"), lit(0L)) > 0 &&
+              col("sr2_batch_e6").cast("decimal(38,0)") * col("n_base") * 5 >
+                col("sr2_base_e6").cast("decimal(38,0)") * col("n_batch") * 6)
+              .cast("int").as("energy_drift"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |rr AS (SELECT vec_id, cell,
+              |    floor(${dkDotD("rvec", "rvec")} * 1000000.0)::BIGINT AS r2_e6 FROM rvv),
+              |a AS (SELECT cell, count(*) AS n_base, sum(r2_e6)::BIGINT AS sr2_base_e6
+              |  FROM rr WHERE vec_id % 2 = 0 GROUP BY 1),
+              |b AS (SELECT cell, count(*) AS n_batch, sum(r2_e6)::BIGINT AS sr2_batch_e6
+              |  FROM rr WHERE vec_id % 2 = 1 GROUP BY 1)
+              |SELECT coalesce(a.cell, b.cell) AS cell,
+              |  coalesce(n_base, 0)::BIGINT AS n_base,
+              |  coalesce(n_batch, 0)::BIGINT AS n_batch,
+              |  coalesce(sr2_base_e6, 0)::BIGINT AS sr2_base_e6,
+              |  coalesce(sr2_batch_e6, 0)::BIGINT AS sr2_batch_e6,
+              |  (coalesce(n_base, 0) > 0 AND coalesce(n_batch, 0) > 0 AND
+              |   sr2_batch_e6::HUGEINT * n_base * 5 > sr2_base_e6::HUGEINT * n_batch * 6)::INT
+              |    AS energy_drift
+              |FROM a FULL JOIN b ON a.cell = b.cell""".stripMargin)),
+
     QueryDef(
       "sim_ivf_topk",
       s"IVF top-3: probe the $IvfProbe best of $IvfK cells against ${IvfAssign}x-posted index",
