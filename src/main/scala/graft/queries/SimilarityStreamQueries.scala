@@ -371,20 +371,16 @@ object SimilarityStreamQueries {
     * the distortion pin measures). */
   private[graft] def pqIvfAdcScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val probes = ivfRanked(s, d)
-      .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
-      .select(col("vec_id").as("cand_id"), col("cell"))
-    val cand = probes.join(posts, Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
     val lut = pqSubs(s, d).filter(col("vec_id") < 32)
       .join(broadcast(pqCentroids(s, d)), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell").as("code"),
         expr(s"CAST(floor(${d2Sql("sub", "cw")} * 1000000.0D) AS BIGINT)").as("dq_e6"))
+    // the coarse prune is the SHARED ivfCandPairs builder — the
+    // residual estimator's "identical pair set" contract
+    // (pq_ivfres_distortion, PqSpec keySet equality) holds by
+    // construction, not by two hand-synced copies
     pqCodes(s, d).select(col("vec_id").as("cand_id"), col("m"), col("code"))
-      .join(broadcast(cand), Seq("cand_id")) // coarse prune BEFORE the LUT scan
+      .join(broadcast(ivfCandPairs(s, d)), Seq("cand_id")) // prune BEFORE the LUT scan
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
   }

@@ -174,20 +174,29 @@ object VectorStreams {
         .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
       val vecs0 = tabled.filter(col("tbl") === 0)
         .select(col("vec_id"), col("embedding"), col("nrm"))
+      // the prefix layout is a STORE property checked UNCONDITIONALLY:
+      // a default-argument (prefixDim = 0) fold into a prefix-pinned
+      // store would write batches WITHOUT p_emb/p_nrm — the pruned
+      // serve would then drop those batches' rows (or fail analysis)
+      // while the pin still advertises the layout; and the reverse
+      // (pinning prefixDim onto a store with existing raw batches)
+      // leaves earlier batches unreadable by the pruned plan. Both
+      // directions must fail loudly at fold time.
+      val pd = new java.io.File(s"$tableDir/PREFIX_DIM")
+      if (pd.exists()) {
+        val pinnedPd = java.nio.file.Files.readString(pd.toPath).trim.toInt
+        require(pinnedPd == prefixDim,
+          s"store $tableDir pinned prefix dim $pinnedPd; fold asked for $prefixDim")
+      } else if (prefixDim > 0) {
+        require(!new java.io.File(s"$tableDir/CURRENT").exists(),
+          s"store $tableDir already has raw (un-prefixed) batches; " +
+            s"cannot pin prefix dim $prefixDim onto them")
+        java.nio.file.Files.writeString(pd.toPath, prefixDim.toString)
+      }
       val vecs =
         if (prefixDim <= 0) vecs0
-        else {
-          val pd = new java.io.File(s"$tableDir/PREFIX_DIM")
-          if (!pd.exists())
-            java.nio.file.Files.writeString(pd.toPath, prefixDim.toString)
-          else {
-            val pinnedPd = java.nio.file.Files.readString(pd.toPath).trim.toInt
-            require(pinnedPd == prefixDim,
-              s"store $tableDir pinned prefix dim $pinnedPd; fold asked for $prefixDim")
-          }
-          vecs0.withColumn("p_emb", expr(s"slice(embedding, 1, $prefixDim)"))
-            .withColumn("p_nrm", VectorFunctions.norm("p_emb"))
-        }
+        else vecs0.withColumn("p_emb", expr(s"slice(embedding, 1, $prefixDim)"))
+          .withColumn("p_nrm", VectorFunctions.norm("p_emb"))
       vecs.write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
 
@@ -648,7 +657,12 @@ object VectorStreams {
         Seq("posts", "vectors", "codes")) { _ =>
       val spark = batch.sparkSession
       val cdir = new java.io.File(s"$tableDir/centroids")
-      if (cdir.exists()) requireResidual(tableDir, expect = false, "ivfPqFoldBatch")
+      // UNCONDITIONAL (not gated on centroids existing): a residual
+      // first fold writes its marker BEFORE the models, so in that
+      // crash window the dir carries the marker but no centroids — a
+      // raw fold routed here must refuse it rather than hijack the
+      // marker-carrying store with raw codes (no-op on a fresh dir)
+      requireResidual(tableDir, expect = false, "ivfPqFoldBatch")
       if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
       val bdir = new java.io.File(s"$tableDir/codebooks")
       if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
@@ -970,8 +984,13 @@ object VectorStreams {
     val codes = pinned("codes")
       .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
     // coarse prune BEFORE the kernel scan (cand scales with corpus
-    // size — AQE picks broadcast vs shuffle, as in the raw serve)
-    val scored0 = codes.join(cand, Seq("cand_id"))
+    // size — AQE picks broadcast vs shuffle, as in the raw serve).
+    // Checkpointed: the frame feeds BOTH the LUT pair-scoping distinct
+    // and the kernel scan, and Catalyst does not dedupe identical
+    // subtrees — without the cut, the corpus-side code scan and the
+    // probe ranking would execute twice per serve (|cand| rows: the
+    // coarse prune bounds it, so the materialization is probe-sized)
+    val scored0 = codes.join(cand, Seq("cand_id")).localCheckpoint(true)
     // LUTs only for the (query, home-cell) pairs candidates realize
     val pairs = scored0.select(col("query_id"), col("cell")).distinct()
     val qres = probes.select(col("vec_id").as("query_id"), col("embedding"))

@@ -31,17 +31,9 @@ object EmbSoak {
     val nVecs = args.headOption.map(_.toLong).getOrElse(2000000L)
     // deterministic pseudo-floats in [-1, 1] at 1e-3 granularity: the
     // 1e-6 quantization is exact on them, so closed forms are exact
-    val vecs = spark.range(0, nVecs)
-      .select(col("id").as("vec_id"), (col("id") % 8).as("label"),
-        expr("""transform(sequence(0, 63), d ->
-          CAST((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D AS FLOAT))""")
-          .as("embedding"))
-      .repartition(64)
-      .localCheckpoint(true)
+    val vecs = SoakCorpus.flat(spark, nVecs)
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import SoakCorpus.timed
 
     // one-pass operator result
     val (onePass, wOne) = timed {

@@ -39,27 +39,12 @@ object IvfPqSoak {
     val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
     val (ivfK, nprobe, nAssign, pqM, pqSub, pqKs) = (64, 4, 2, 8, 8, 16)
     // front-loaded deterministic corpus (the MrlSoak/SqSoak generator)
-    val vecs = spark.range(0, nVecs)
-      .select(col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), d ->
-          CAST(((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D)
-               / (1.0D + d / 8.0D) AS FLOAT))""")
-          .as("embedding"))
-      .repartition(64)
-      .localCheckpoint(true)
+    val vecs = SoakCorpus.frontLoaded(spark, nVecs)
     val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def rank4(df: DataFrame): Set[(Long, Long, Long, Int)] = df
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length()
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      walk(new java.io.File(p))
-    }
+    import SoakCorpus.timed
+    def rank4(df: DataFrame) = SoakCorpus.rank4Long(df)
+    import SoakCorpus.dirBytes
 
     // models train ONCE on the corpus head (the standing-store pinning
     // contract); every fold then assigns/encodes against them

@@ -35,21 +35,11 @@ object IvfResSoak {
     val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
     val (ivfK, nprobe, nAssign, pqM, pqSub, pqKs) = (64, 4, 2, 8, 8, 16)
     // front-loaded deterministic corpus (the IvfPqSoak generator)
-    val vecs = spark.range(0, nVecs)
-      .select(col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), d ->
-          CAST(((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D)
-               / (1.0D + d / 8.0D) AS FLOAT))""")
-          .as("embedding"))
-      .repartition(64)
-      .localCheckpoint(true)
+    val vecs = SoakCorpus.frontLoaded(spark, nVecs)
     val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def rank4(df: DataFrame): Set[(Long, Long, Long, Int)] = df
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    import SoakCorpus.timed
+    def rank4(df: DataFrame) = SoakCorpus.rank4Long(df)
 
     // one coarse quantizer for both stores; codebooks per target
     val cent = Knn.ivfTrain(vecs.filter(col("vec_id") < 65536),

@@ -43,19 +43,10 @@ object MrlSoak {
     val (dim, prefixDim, nCand, k) = (64, 16, 16, 3)
 
     // front-loaded deterministic corpus: component d ~ U[-1,1]·(1+d/8)⁻¹
-    val vecs = spark.range(0, nVecs)
-      .select(col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), d ->
-          CAST(((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D)
-               / (1.0D + d / 8.0D) AS FLOAT))""")
-          .as("embedding"))
-      .repartition(64)
-      .localCheckpoint(true)
+    val vecs = SoakCorpus.frontLoaded(spark, nVecs)
     val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import SoakCorpus.timed
     def rank4(df: DataFrame): Set[(Long, Long, Double, Int)] = df
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet

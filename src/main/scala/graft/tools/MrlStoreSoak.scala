@@ -35,19 +35,10 @@ object MrlStoreSoak {
 
     val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
     val (dim, tp, nt, prefixDim, nCand, k) = (64, 7, 16, 16, 16, 3)
-    val vecs = spark.range(0, nVecs)
-      .select(col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), d ->
-          CAST(((pmod(id * 2654435761L + d * 7919L, 2001L) - 1000L) / 1000.0D)
-               / (1.0D + d / 8.0D) AS FLOAT))""")
-          .as("embedding"))
-      .repartition(64)
-      .localCheckpoint(true)
+    val vecs = SoakCorpus.frontLoaded(spark, nVecs)
     val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import SoakCorpus.timed
     def rank4(df: DataFrame): Set[(Long, Long, Double, Int)] = df
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
@@ -74,12 +65,7 @@ object MrlStoreSoak {
       .mrlServeFromStore(spark, pinnedStore, probes, prefixDim, nCand, k)))
     val equal = raw == pruned
 
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length()
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      walk(new java.io.File(p))
-    }
+    import SoakCorpus.dirBytes
 
     println(s"""{"soak":"mrl_pruned_store","n_vecs":$nVecs,"n_queries":32,"dim":$dim,"prefix_dim":$prefixDim,"n_cand":$nCand,"wall_fold_raw":${f"$wFoldRaw%.1f"},"wall_fold_pinned":${f"$wFoldPinned%.1f"},"wall_serve_raw":${f"$wRaw%.1f"},"wall_serve_pruned":${f"$wPruned%.1f"},"vectors_bytes_raw":${dirBytes(s"$rawStore/vectors")},"vectors_bytes_pinned":${dirBytes(s"$pinnedStore/vectors")},"plans_equal":$equal}""")
     assert(equal, "pruned and raw MRL store serves diverged at soak scale")

@@ -206,6 +206,28 @@ class VectorStoreSpec extends AnyFunSuite {
         ptbl, 2L, dim, tp, nt, prefixDim = 8)
     }
     assert(e2.getMessage.contains("pinned prefix dim"))
+    // ... including the DEFAULT-argument direction (prefixDim = 0 via
+    // vectorIndexIngest's signature): a raw fold into a prefix-pinned
+    // store would write batches without p_emb/p_nrm that the pruned
+    // serve silently drops — the pin check must be unconditional
+    val e3 = intercept[IllegalArgumentException] {
+      VectorStreams.vectorFoldBatch(b0.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+        ptbl, 2L, dim, tp, nt)
+    }
+    assert(e3.getMessage.contains("pinned prefix dim"))
+    // ... and the reverse: pinning a prefix onto a store that already
+    // holds raw (un-prefixed) batches must fail, not strand them
+    val rawT = java.nio.file.Files.createTempDirectory("graft_vstore_rawpin").toString
+    VectorStreams.vectorFoldBatch(b0.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")),
+      rawT, 0L, dim, tp, nt)
+    val e4 = intercept[IllegalArgumentException] {
+      VectorStreams.vectorFoldBatch(b1.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+        rawT, 1L, dim, tp, nt, prefixDim = 16)
+    }
+    assert(e4.getMessage.contains("already has raw"))
 
     // NaN-cosine candidate (NaN components → NaN norm → NaN/NaN is NOT
     // an ANSI divide-by-zero, unlike a zero norm which throws in BOTH
