@@ -645,6 +645,25 @@ object SimilarityStreamQueries {
       .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
   }
 
+  /** The fully-compressed pipeline's refine stage: residual-ADC
+    * shortlist of 20 per query, rescored by SQ8 codes (64 one-byte
+    * codes per candidate — never the raw vector), top-3 by
+    * (sq_e6 asc, cand_id asc). Shared by `pq_ivfres_refine_topk` and
+    * its recall row. */
+  private[graft] def pqIvfResRefined(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val short = pqIvfResRanked(s, d, 20).select("query_id", "cand_id")
+    val lut = graft.operators.Sq.adcLut(
+      t(s, d, "embeddings").filter(col("vec_id") < 32),
+      "vec_id", "embedding", sqBounds(s, d))
+    val refined = sqCodes(s, d)
+      .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(broadcast(short), Seq("cand_id")) // shortlist prune BEFORE the code scan
+      .join(broadcast(lut), Seq("query_id", "dim", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("sq_e6"))
+    adcTopK(refined, 3, "sq_e6")
+  }
+
   /** Residual IVFADC, PACKED production plan: one `graft_adc_sum`
     * kernel call per surviving (query, candidate) pair over the
     * (vec_id, cell, codes) row, LUT keyed by the candidate's home
@@ -2731,19 +2750,7 @@ object SimilarityStreamQueries {
     QueryDef(
       "pq_ivfres_refine_topk",
       "residual-ADC shortlist-20 refined by SQ8 codes (no raw vectors anywhere) top-3",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val short = pqIvfResRanked(s, d, 20).select("query_id", "cand_id")
-        val lut = graft.operators.Sq.adcLut(
-          t(s, d, "embeddings").filter(col("vec_id") < 32),
-          "vec_id", "embedding", sqBounds(s, d))
-        val refined = sqCodes(s, d)
-          .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
-          .join(broadcast(short), Seq("cand_id")) // shortlist prune BEFORE the code scan
-          .join(broadcast(lut), Seq("query_id", "dim", "code"))
-          .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("sq_e6"))
-        adcTopK(refined, 3, "sq_e6")
-      },
+      (s, d) => pqIvfResRefined(s, d),
       Some(s"""WITH $dkIvfCtes,
               |$dkResCtes,
               |$dkSqCtes,
@@ -2755,6 +2762,60 @@ object SimilarityStreamQueries {
               |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
               |    GROUP BY 1, 2))
               |SELECT query_id, cand_id, sq_e6, rnk FROM rfn WHERE rnk <= 3""".stripMargin)),
+
+    // ── The refine stage's VALUE pinned as data: recall@3 of the
+    //    SQ8-refined pipeline vs exact full-dim L2 — 0.68 on this
+    //    corpus where the raw residual-ADC answer reads 0.24
+    //    (`pq_ivfres_recall`), i.e. the 64-byte refine recovers most
+    //    of the compression's recall loss while the serve still never
+    //    touches a raw vector. ──
+    QueryDef(
+      "pq_ivfres_refine_recall",
+      "recall@3 of the SQ8-refined compressed pipeline vs exact full-dim L2 top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"),
+            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
+        val exact = emb
+          .select(col("vec_id").as("cand_id"),
+            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cv"))
+          .crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("dist_e6"))
+          .transform(adcTopK(_, 3, "dist_e6"))
+          .select("query_id", "cand_id")
+        val ann = pqIvfResRefined(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |$dkSqCtes,
+              |rfn AS (SELECT query_id, cand_id, sq_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY sq_e6, cand_id) AS rnk
+              |  FROM (SELECT s.query_id, s.cand_id, sum(l.dq_e6)::BIGINT AS sq_e6
+              |    FROM (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 20) s
+              |    JOIN sqc c ON c.vec_id = s.cand_id
+              |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
+              |    GROUP BY 1, 2)),
+              |rex AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT, c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+              |SELECT b.query_id, count(a.cand_id) AS n_hits,
+              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM rex b LEFT JOIN (SELECT query_id, cand_id FROM rfn WHERE rnk <= 3) a
+              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+              |GROUP BY b.query_id""".stripMargin)),
 
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single
