@@ -240,6 +240,16 @@ class PqSpec extends AnyFunSuite {
     assert(saeRes <= saeRaw, s"residual SAE $saeRes > raw SAE $saeRaw")
   }
 
+  test("every SQ8-refined answer came from the residual-ADC 20-candidate shortlist") {
+    val short = SimilarityStreamQueries.pqIvfResRanked(spark, dir, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = q("pq_ivfres_refine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(refined.nonEmpty)
+    refined.foreach(p => assert(short.contains(p),
+      s"refined answer $p not in the residual shortlist"))
+  }
+
   test("residual estimator genuinely diverges from the raw one on the shared pair set") {
     // if the residual path accidentally fed raw vectors (e.g. the 2^20
     // centroid-scale bug this round's build caught), the two estimators
