@@ -1453,6 +1453,75 @@ object SimilarityStreamQueries {
               |SELECT query_id, cand_id, adist_e6, rnk FROM sadc WHERE rnk <= 3""".stripMargin),
       bench = true),
 
+    // ── IVF×SQ8 composition (FAISS's IndexIVFScalarQuantizer): the
+    //    trained coarse quantizer prunes the corpus to the probed
+    //    cells FIRST, and the SQ8 ADC scan touches only surviving
+    //    candidates' 1-byte codes — the cheap-quantizer analogue of
+    //    pq_ivf_adc_topk, completing the partitioning × quantization
+    //    matrix ({flat, IVF} × {sign-LSH, PQ, residual-PQ, SQ8, MRL}).
+    //    Exploded row = oracle shape; packed row = the production
+    //    graft_sq8_adc kernel plan (same SQL — integer sums). ──
+    QueryDef(
+      "sq8_ivf_adc_topk",
+      s"IVF-pruned SQ8 ADC top-3: coarse prune to $IvfProbe/$IvfK cells, 1-byte-code scan",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val lut = graft.operators.Sq.adcLut(
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d)) // keyed query_id by adcLut
+        val ranked = sqCodes(s, d)
+          .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+          .join(broadcast(ivfCandPairs(s, d)), Seq("cand_id")) // prune BEFORE the LUT scan
+          .join(broadcast(lut), Seq("query_id", "dim", "code"))
+          .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+        adcTopK(ranked, 3)
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkSqCtes,
+              |scand AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM (SELECT vec_id AS query_id, cell FROM rk
+              |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
+              |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
+              |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |sivf AS (SELECT query_id, cand_id, adist_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+              |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+              |    FROM sqc c JOIN scand cd ON cd.cand_id = c.vec_id
+              |    JOIN slut l ON l.query_id = cd.query_id AND l.dim = c.dim AND l.code = c.code
+              |    GROUP BY 1, 2))
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "sq8_ivf_adc_packed_topk",
+      "IVF-coarse-pruned PACKED SQ8 scan via graft_sq8_adc == exploded IVF-SQ8 plan",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val lut = graft.operators.Sq.adcLutPacked(
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          "vec_id", "embedding", sqBounds(s, d))
+        val ranked = sqCodesPacked(s, d)
+          .select(col("vec_id").as("cand_id"), col("codes"))
+          .join(broadcast(ivfCandPairs(s, d)), Seq("cand_id")) // prune BEFORE the kernel scan
+          .join(broadcast(lut), Seq("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+        adcTopK(ranked, 3)
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkSqCtes,
+              |scand AS (SELECT DISTINCT p.query_id, c.cand_id
+              |  FROM (SELECT vec_id AS query_id, cell FROM rk
+              |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
+              |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
+              |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
+              |sivf AS (SELECT query_id, cand_id, adist_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+              |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+              |    FROM sqc c JOIN scand cd ON cd.cand_id = c.vec_id
+              |    JOIN slut l ON l.query_id = cd.query_id AND l.dim = c.dim AND l.code = c.code
+              |    GROUP BY 1, 2))
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
+
     // ── SQ8 serving off a STANDING store: bounds trained on the
     //    corpus and pinned by the first fold, two sqFoldBatch folds
     //    (odd/even vec_ids) append the 1-byte code index, then

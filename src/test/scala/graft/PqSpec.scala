@@ -240,6 +240,20 @@ class PqSpec extends AnyFunSuite {
     assert(saeRes <= saeRaw, s"residual SAE $saeRes > raw SAE $saeRaw")
   }
 
+  test("IVF-SQ8 composition: packed kernel plan == exploded row for row, coarse prune below it") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val pp = q("sq8_ivf_adc_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_sq8_adc"), pp.toString)
+    assert(pp.toString.contains("BroadcastHashJoin"), pp.toString)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    val exploded = q("sq8_ivf_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("sq8_ivf_adc_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+  }
+
   test("every SQ8-refined answer came from the residual-ADC 20-candidate shortlist") {
     val short = SimilarityStreamQueries.pqIvfResRanked(spark, dir, 20).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
