@@ -742,6 +742,69 @@ object SimilarityStreamQueries {
     sb.toString
   }
 
+  /** DuckDB twin of the IVF×SQ8 composition, layered over
+    * [[dkIvfCtes]] (`rk`) + [[dkSqCtes]] (`sqc`/`slut`): coarse-pruned
+    * candidate pairs, then the SQ8 ADC ranking `sivf`. ONE definition
+    * serves both the exploded and packed rows (integer ADC sums are
+    * order-insensitive), so the two oracles cannot drift. */
+  private def dkSqIvfCtes: String =
+    s"""scand AS (SELECT DISTINCT p.query_id, c.cand_id
+       |  FROM (SELECT vec_id AS query_id, cell FROM rk
+       |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
+       |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
+       |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
+       |sivf AS (SELECT query_id, cand_id, adist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
+       |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
+       |    FROM sqc c JOIN scand cd ON cd.cand_id = c.vec_id
+       |    JOIN slut l ON l.query_id = cd.query_id AND l.dim = c.dim AND l.code = c.code
+       |    GROUP BY 1, 2))""".stripMargin
+
+  /** recall@3 of `ann` (query_id, cand_id) against the exact full-dim
+    * L2 top-3 — ONE spelling of the exact baseline + recall
+    * aggregation, shared by `pq_ivfres_recall` and
+    * `pq_ivfres_refine_recall` (the oracle discipline requires the
+    * floor/tie-break spelling to stay bit-identical across the
+    * family). */
+  private def recallVsExactL2(s: SparkSession, d: String,
+      ann: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
+    val exact = emb
+      .select(col("vec_id").as("cand_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("dist_e6"))
+      .transform(adcTopK(_, 3, "dist_e6"))
+      .select("query_id", "cand_id")
+    exact.join(ann.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+  }
+
+  /** The `rex` exact-baseline CTE + recall SELECT the recall rows
+    * share, parameterized by the ANN answer subquery. */
+  private def dkRecallSql(annSubquery: String): String =
+    s"""rex AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT, c.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 32) WHERE rnk <= 3)
+       |SELECT b.query_id, count(a.cand_id) AS n_hits,
+       |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+       |FROM rex b LEFT JOIN ($annSubquery) a
+       |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+       |GROUP BY b.query_id""".stripMargin
+
   /** Multi-table ANN index (vec_id, embedding, nrm, tbl, bucket). */
   private def embTables(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d + "#tables"),
@@ -1457,8 +1520,8 @@ object SimilarityStreamQueries {
     //    trained coarse quantizer prunes the corpus to the probed
     //    cells FIRST, and the SQ8 ADC scan touches only surviving
     //    candidates' 1-byte codes — the cheap-quantizer analogue of
-    //    pq_ivf_adc_topk, completing the partitioning × quantization
-    //    matrix ({flat, IVF} × {sign-LSH, PQ, residual-PQ, SQ8, MRL}).
+    //    pq_ivf_adc_topk: every quantized-code family ({PQ,
+    //    residual-PQ, SQ8}) now composes with the IVF coarse prune.
     //    Exploded row = oracle shape; packed row = the production
     //    graft_sq8_adc kernel plan (same SQL — integer sums). ──
     QueryDef(
@@ -1478,17 +1541,7 @@ object SimilarityStreamQueries {
       },
       Some(s"""WITH $dkIvfCtes,
               |$dkSqCtes,
-              |scand AS (SELECT DISTINCT p.query_id, c.cand_id
-              |  FROM (SELECT vec_id AS query_id, cell FROM rk
-              |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
-              |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
-              |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
-              |sivf AS (SELECT query_id, cand_id, adist_e6,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
-              |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
-              |    FROM sqc c JOIN scand cd ON cd.cand_id = c.vec_id
-              |    JOIN slut l ON l.query_id = cd.query_id AND l.dim = c.dim AND l.code = c.code
-              |    GROUP BY 1, 2))
+              |$dkSqIvfCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
 
     QueryDef(
@@ -1509,17 +1562,7 @@ object SimilarityStreamQueries {
       },
       Some(s"""WITH $dkIvfCtes,
               |$dkSqCtes,
-              |scand AS (SELECT DISTINCT p.query_id, c.cand_id
-              |  FROM (SELECT vec_id AS query_id, cell FROM rk
-              |        WHERE vec_id < 32 AND rn <= $IvfProbe) p
-              |  JOIN (SELECT vec_id AS cand_id, cell FROM rk WHERE rn <= $IvfAssign) c
-              |    ON c.cell = p.cell AND c.cand_id <> p.query_id),
-              |sivf AS (SELECT query_id, cand_id, adist_e6,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6, cand_id) AS rnk
-              |  FROM (SELECT cd.query_id, cd.cand_id, sum(l.dq_e6)::BIGINT AS adist_e6
-              |    FROM sqc c JOIN scand cd ON cd.cand_id = c.vec_id
-              |    JOIN slut l ON l.query_id = cd.query_id AND l.dim = c.dim AND l.code = c.code
-              |    GROUP BY 1, 2))
+              |$dkSqIvfCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
 
     // ── SQ8 serving off a STANDING store: bounds trained on the
@@ -2672,42 +2715,10 @@ object SimilarityStreamQueries {
     QueryDef(
       "pq_ivfres_recall",
       "recall@3 of RAW residual IVF-ADC (no rerank) vs exact full-dim L2 top-3 per query",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val emb = t(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 32)
-          .select(col("vec_id").as("query_id"),
-            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
-        val exact = emb
-          .select(col("vec_id").as("cand_id"),
-            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cv"))
-          .crossJoin(broadcast(q))
-          .filter(col("cand_id") =!= col("query_id"))
-          .select(col("query_id"), col("cand_id"),
-            expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("dist_e6"))
-          .transform(adcTopK(_, 3, "dist_e6"))
-          .select("query_id", "cand_id")
-        val ann = pqIvfResRanked(s, d, 3)
-          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-        exact.join(ann, Seq("query_id", "cand_id"), "left")
-          .groupBy("query_id")
-          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
-          .select(col("query_id"), col("n_hits"),
-            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
-      },
+      (s, d) => recallVsExactL2(s, d, pqIvfResRanked(s, d, 3)),
       Some(s"""WITH $dkIvfCtes,
               |$dkResCtes,
-              |rex AS (SELECT query_id, cand_id FROM (
-              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT, c.vec_id) AS rnk
-              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
-              |SELECT b.query_id, count(a.cand_id) AS n_hits,
-              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
-              |FROM rex b LEFT JOIN (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 3) a
-              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
-              |GROUP BY b.query_id""".stripMargin)),
+              |${dkRecallSql("SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 3")}""".stripMargin)),
 
     // ── The residual claim pinned as DATA: over the identical
     //    coarse-pruned pair set, sum |ADC estimate − true L2²·e6| for
@@ -2841,29 +2852,7 @@ object SimilarityStreamQueries {
     QueryDef(
       "pq_ivfres_refine_recall",
       "recall@3 of the SQ8-refined compressed pipeline vs exact full-dim L2 top-3",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val emb = t(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") < 32)
-          .select(col("vec_id").as("query_id"),
-            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qv"))
-        val exact = emb
-          .select(col("vec_id").as("cand_id"),
-            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("cv"))
-          .crossJoin(broadcast(q))
-          .filter(col("cand_id") =!= col("query_id"))
-          .select(col("query_id"), col("cand_id"),
-            expr("CAST(floor(graft_l2sq(qv, cv) * 1000000.0D) AS BIGINT)").as("dist_e6"))
-          .transform(adcTopK(_, 3, "dist_e6"))
-          .select("query_id", "cand_id")
-        val ann = pqIvfResRefined(s, d)
-          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-        exact.join(ann, Seq("query_id", "cand_id"), "left")
-          .groupBy("query_id")
-          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
-          .select(col("query_id"), col("n_hits"),
-            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
-      },
+      (s, d) => recallVsExactL2(s, d, pqIvfResRefined(s, d)),
       Some(s"""WITH $dkIvfCtes,
               |$dkResCtes,
               |$dkSqCtes,
@@ -2874,17 +2863,7 @@ object SimilarityStreamQueries {
               |    JOIN sqc c ON c.vec_id = s.cand_id
               |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
               |    GROUP BY 1, 2)),
-              |rex AS (SELECT query_id, cand_id FROM (
-              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY floor(${dkD2Full("q.embedding", "c.embedding")} * 1000000.0)::BIGINT, c.vec_id) AS rnk
-              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-              |  WHERE q.vec_id < 32) WHERE rnk <= 3)
-              |SELECT b.query_id, count(a.cand_id) AS n_hits,
-              |  round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
-              |FROM rex b LEFT JOIN (SELECT query_id, cand_id FROM rfn WHERE rnk <= 3) a
-              |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
-              |GROUP BY b.query_id""".stripMargin)),
+              |${dkRecallSql("SELECT query_id, cand_id FROM rfn WHERE rnk <= 3")}""".stripMargin)),
 
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single
