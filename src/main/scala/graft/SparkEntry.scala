@@ -69,9 +69,12 @@ object SparkEntry {
     // ANN / serving headliners (pq_ivf_adc_topk is the exploded
     // oracle-shape row; pq_ivf_adc_packed_topk is the production
     // packed-kernel plan — benched as a pair per round-12 verdict #6;
-    // pq_ivfres_packed_topk is the round-13 residual IVFADC twin)
+    // pq_ivfres_packed_topk is the round-13 residual IVFADC twin, and
+    // ivfres_serve_pinned its production serve number off the pinned
+    // store — paired per round-13 verdict #7 so the artifact carries
+    // both the train-replaying one-shot and the amortized serve)
     "pq_adc_topk", "pq_ivf_adc_topk", "pq_ivf_adc_packed_topk",
-    "pq_ivfres_packed_topk",
+    "pq_ivfres_packed_topk", "ivfres_serve_pinned",
     "nb_serve_classify",
     "txt_bm25_serve", "split_by_cluster",
     // the heaviest graph row keeps iterative-plan timing visible per round

@@ -125,8 +125,14 @@ class TopKDistinctAgg[P](k: Int)(implicit ordP: Ordering[P],
     extends Aggregator[(Double, P), Array[(Double, P)], Array[(Double, P)]] {
   private val inner = new TopKAgg[P](k)
   def zero: Array[(Double, P)] = inner.zero
+  // distinctness rides the payload ORDERING's equivalence, not ==: a
+  // payload carrying an Array field (CodeEntry) compares by reference
+  // under ==, which would silently never dedupe; every payload ordering
+  // here keys on the candidate id, which is exactly the distinctness
+  // the serving plans mean (identical for Long payloads, where equiv
+  // IS value equality)
   def reduce(buf: Array[(Double, P)], x: (Double, P)): Array[(Double, P)] =
-    if (buf.exists(_._2 == x._2)) buf else inner.reduce(buf, x)
+    if (buf.exists(e => ordP.equiv(e._2, x._2))) buf else inner.reduce(buf, x)
   def merge(a: Array[(Double, P)], b: Array[(Double, P)]): Array[(Double, P)] =
     b.foldLeft(a)(reduce)
   def finish(buf: Array[(Double, P)]): Array[(Double, P)] = buf
@@ -157,4 +163,25 @@ object TopKVecAgg {
   def apply(k: Int): TopKAgg[VecEntry] =
     new TopKAgg[VecEntry](k)(VecEntry.ordById,
       ExpressionEncoder[Array[(Double, VecEntry)]]())
+}
+
+/** Heap payload carrying a candidate's PACKED quantized codes (id,
+  * codes) alongside its shortlist score — the single-aggregation
+  * refine-at-serve shape ([[VecEntry]]'s compressed twin): the bounded
+  * heap prunes on the cheap ADC estimate and only the ≤shortlist
+  * SURVIVORS keep their rerank codes alive, so the refine stage after
+  * the aggregate is a row-local array transform (no second stateful
+  * op — streaming-legal). Ordering is by id only (ids are unique
+  * within a group), matching the (score desc, cand_id asc) tie
+  * contract; the DISTINCT variant dedupes on the same id ordering. */
+final case class CodeEntry(id: Long, codes: Array[Int])
+
+object CodeEntry {
+  implicit val ordById: Ordering[CodeEntry] = Ordering.by(_.id)
+}
+
+object TopKCodesAgg {
+  def apply(k: Int): TopKDistinctAgg[CodeEntry] =
+    new TopKDistinctAgg[CodeEntry](k)(CodeEntry.ordById,
+      ExpressionEncoder[Array[(Double, CodeEntry)]]())
 }

@@ -47,7 +47,7 @@ object CnicsQueries {
       "pipeline twice against the copy-on-write parquet store: insert run, then all-update reconcile",
       (s, _) => {
         import s.implicits._
-        val base = java.nio.file.Files.createTempDirectory("graft_pqstore").toString
+        val base = QueryDef.tempStoreDir("graft_pqstore")
         val store = new graft.sinks.ParquetFhirStore(base)
         val first = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw").run()
         val second = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw").run()
@@ -131,8 +131,7 @@ object CnicsQueries {
       (s, _) => {
         import s.implicits._
         val store = new InMemoryFhirStore
-        val mdir = java.nio.file.Files
-          .createTempDirectory("graft_incmanifest").toString
+        val mdir = QueryDef.tempStoreDir("graft_incmanifest")
         val base = CnicsFixtures.demo(s)
         val r1 = new CnicsPipeline(s, base, store, "uw")
           .runPatientsIncremental(mdir)
@@ -233,8 +232,7 @@ object CnicsQueries {
       (s, _) => {
         import s.implicits._
         val store = new InMemoryFhirStore
-        val mdir = java.nio.file.Files
-          .createTempDirectory("graft_incfull").toString
+        val mdir = QueryDef.tempStoreDir("graft_incfull")
         val base = CnicsFixtures.demo(s)
         val pipe1 = new CnicsPipeline(s, base, store, "uw")
         val r1 = pipe1.runIncremental(mdir)
@@ -306,8 +304,7 @@ object CnicsQueries {
         def d(x: String) = java.sql.Date.valueOf(x)
         def b(x: String) = x.getBytes("UTF-8")
         val store = new InMemoryFhirStore
-        val mroot = java.nio.file.Files
-          .createTempDirectory("graft_incmulti").toString
+        val mroot = QueryDef.tempStoreDir("graft_incmulti")
         val demo = CnicsFixtures.demo(s)
         val base = demo.copy(
           diagnosis = demo.diagnosis.union(Seq(

@@ -390,8 +390,8 @@ object CurationQueries {
       "eval_kappa_serve",
       "2-batch continuous-eval fold + served agreement == one-shot eval_kappa_nb",
       (s, d) => {
-        val nbDir = java.nio.file.Files.createTempDirectory("graft_kappa_nb").toString
-        val evalDir = java.nio.file.Files.createTempDirectory("graft_kappa_cm").toString
+        val nbDir = QueryDef.tempStoreDir("graft_kappa_nb")
+        val evalDir = QueryDef.tempStoreDir("graft_kappa_cm")
         val docs = t(s, d, "documents")
         graft.streaming.ModelStreams.foldNbBatch(
           docs.filter(col("doc_id") % 5 =!= 0), nbDir, 0L, labelCol = "lang")
@@ -525,7 +525,7 @@ object CurationQueries {
         graft.functions.GraftFunctions.register(s)
         val docs = t(s, d, "documents")
         val train = docs.filter(col("doc_id") % 5 =!= 0)
-        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        def tmp(p: String) = QueryDef.tempStoreDir(p)
         val (dedupDir, lmDir, nbDir, manifestDir) =
           (tmp("graft_ci_dedup"), tmp("graft_ci_lm"), tmp("graft_ci_nb"),
             tmp("graft_ci_m"))

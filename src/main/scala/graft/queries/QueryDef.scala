@@ -24,4 +24,16 @@ object QueryDef {
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     all
   }
+
+  /** Temp dir for an in-row standing store / scratch sink, reaped at
+    * JVM exit (ADVICE r13: query builders previously leaked one
+    * orphaned temp dir per invocation into /tmp across Verify/bench
+    * runs — forceDeleteOnExit registers a recursive delete with the
+    * JVM, so a run cleans up after itself while the dir stays live for
+    * the whole session, which re-invocation within one JVM requires). */
+  private[queries] def tempStoreDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(p.toFile)
+    p.toString
+  }
 }

@@ -56,6 +56,11 @@ object SimilarityStreamQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(trash)
     s.read.parquet(dest.getPath)
   }
+  // ADVICE r13: store rows allocate their temp dirs through the
+  // JVM-exit-reaped helper instead of leaking them into /tmp
+  private def tempStoreDir(prefix: String): String =
+    QueryDef.tempStoreDir(prefix)
+
   // Multi-table ANN: L tables of k planes each. The (k, L) pair is the
   // recall/cost dial: per-plane collision p = 1 - θ/π, per-table p^k,
   // union 1-(1-p^k)^L, bucket-scan fraction ≈ L/2^k of the corpus.
@@ -86,6 +91,35 @@ object SimilarityStreamQueries {
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(_.unpersist(blocking = true))
     }
+
+  // Standing stores built ONCE per (session, dataset) and deliberately
+  // NOT dropped by clearMemo: a standing store is a persisted DISK
+  // artifact — serving off an EXISTING pinned store is the measured
+  // operation of the *_serve_pinned rows (train/fold cost is
+  // ingest-time, amortized over every later serve; that production
+  // split is exactly what the bench pairing with the train-replaying
+  // one-shot rows is meant to surface — round-13 verdict #7). Nothing
+  // is served from Spark memory: every serve re-reads the pinned
+  // parquet, so cold-pass hygiene still holds for the serve itself.
+  // Temp dirs are JVM-exit reaped like every in-row store.
+  private val storeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The session's pinned residual IVFADC store (2-batch even/odd
+    * fold, models pinned on the first fold) — built on first touch,
+    * then only SERVED from ([[storeMemo]] contract). */
+  private def residualStorePinned(s: SparkSession, d: String): String =
+    storeMemo.getOrElseUpdate((s, d + "#respinned"), {
+      val base = tempStoreDir("graft_ivfrespinned")
+      val cent = ivfCentroids(s, d)
+      val books = pqResCentroids(s, d)
+      val emb = t(s, d, "embeddings")
+      Seq(0L, 1L).foreach(b =>
+        graft.streaming.VectorStreams.ivfPqResFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b), base, b, cent, books,
+          nAssign = IvfAssign, pqM = PqM, pqSub = PqSub))
+      base
+    })
 
   private def embBuckets(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
@@ -613,17 +647,21 @@ object SimilarityStreamQueries {
 
   /** (query_id, cand_id) pairs surviving the coarse prune — shared by
     * the exploded and packed residual scans (same prune as
-    * [[pqIvfAdcRanked]]). */
-  private def ivfCandPairs(s: SparkSession, d: String): DataFrame = {
-    val probes = ivfRanked(s, d)
-      .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
-      .select(col("vec_id").as("cand_id"), col("cell"))
-    probes.join(posts, Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
-  }
+    * [[pqIvfAdcRanked]]). Memoized like its sibling frames (ADVICE
+    * r13: pq_ivfres_distortion evaluates it through BOTH estimators,
+    * re-running the ivfRanked window join each time otherwise). */
+  private def ivfCandPairs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#candpairs"), {
+      val probes = ivfRanked(s, d)
+        .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
+        .select(col("vec_id").as("cand_id"), col("cell"))
+      probes.join(posts, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Residual IVFADC, exploded oracle shape: coarse prune → code rows
     * of surviving candidates joined against the per-(query, home-cell)
@@ -741,6 +779,22 @@ object SimilarityStreamQueries {
               |    GROUP BY 1, 2))""".stripMargin
     sb.toString
   }
+
+  /** DuckDB twin of the SQ8 refine stage, layered over [[dkResCtes]]
+    * (`rivfadc`) + [[dkSqCtes]] (`sqc`/`slut`): residual-ADC
+    * shortlist-20 reranked by the SQ8 codes. ONE definition serves the
+    * one-shot refine row, its recall row, and the store-served
+    * refine twins (integer ADC sums are order-insensitive, so the
+    * exploded SQ8 oracle pins the packed `graft_sq8_adc` store plan
+    * verbatim) — the four oracles cannot drift. */
+  private def dkRefineCte: String =
+    s"""rfn AS (SELECT query_id, cand_id, sq_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sq_e6, cand_id) AS rnk
+       |  FROM (SELECT s.query_id, s.cand_id, sum(l.dq_e6)::BIGINT AS sq_e6
+       |    FROM (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 20) s
+       |    JOIN sqc c ON c.vec_id = s.cand_id
+       |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
+       |    GROUP BY 1, 2))""".stripMargin
 
   /** DuckDB twin of the IVF×SQ8 composition, layered over
     * [[dkIvfCtes]] (`rk`) + [[dkSqCtes]] (`sqc`/`slut`): coarse-pruned
@@ -1220,8 +1274,7 @@ object SimilarityStreamQueries {
       "mrl_store_serve",
       s"2-batch vector-store fold + prefix-$MrlDim MRL serve == batch sim_mrl_topk",
       (s, d) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_mrlstore").toString
+        val base = tempStoreDir("graft_mrlstore")
         val emb = t(s, d, "embeddings")
         graft.streaming.VectorStreams.vectorFoldBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
@@ -1265,8 +1318,7 @@ object SimilarityStreamQueries {
       "mrl_store_serve_pruned",
       s"prefix-pinned vector store: column-pruned MRL prune + IN-pushed rescore == batch",
       (s, d) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_mrlstorep").toString
+        val base = tempStoreDir("graft_mrlstorep")
         val emb = t(s, d, "embeddings")
         graft.streaming.VectorStreams.vectorFoldBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0).select("vec_id", "embedding"),
@@ -1565,6 +1617,65 @@ object SimilarityStreamQueries {
               |$dkSqIvfCtes
               |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
 
+    // ── The standing IVF×SQ8 store (round-13 verdict #1 — the last
+    //    empty cell of the partition × quantizer store matrix): BOTH
+    //    models pin on the first fold (coarse quantizer + SQ8 bounds),
+    //    2-batch even/odd ingest appends cell-sorted posts + packed
+    //    1-byte codes, and the pinned serve coarse-prunes through the
+    //    posts before the graft_sq8_adc kernel scan. Fold ≡ rebuild is
+    //    exact (assignment and encoding are per-vector), so the oracle
+    //    is the one-shot sq8_ivf_adc_topk CTE chain verbatim. ──
+    QueryDef(
+      "sq8ivf_store_serve",
+      "standing IVF-SQ8 store: 2-batch fold + pinned coarse+bounds ADC serve == one-shot IVF-SQ8",
+      (s, d) => {
+        val base = tempStoreDir("graft_sq8ivfstore")
+        val cent = ivfCentroids(s, d)
+        val bounds = sqBounds(s, d)
+        val emb = t(s, d, "embeddings")
+        Seq(0L, 1L).foreach(b =>
+          graft.streaming.VectorStreams.sq8IvfFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            base, b, cent, bounds, nAssign = IvfAssign))
+        graft.streaming.VectorStreams.sq8IvfServeFromStore(s, base,
+            emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+            k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkSqCtes,
+              |$dkSqIvfCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
+
+    // ── The IVF×SQ8 store's STREAMING serve twin as a driver row:
+    //    row-local probe cells + row-local flat SQ8 LUT (the broadcast
+    //    reconstruction grid transformed per probe — no groupBy on the
+    //    probe side) + coarse-pruned packed graft_sq8_adc scan + ONE
+    //    payload-distinct heap. Streamed == batch is MemoryStream-
+    //    tested in VectorStoreSpec; this row pins the plan's
+    //    arithmetic against the same one-shot IVF-SQ8 SQL. ──
+    QueryDef(
+      "sq8ivf_serve_stream",
+      "IVF-SQ8 store streaming-serve plan (row-local cells+LUT, packed kernel) == one-shot IVF-SQ8",
+      (s, d) => {
+        val base = tempStoreDir("graft_sq8ivfstream")
+        val cent = ivfCentroids(s, d)
+        val bounds = sqBounds(s, d)
+        val emb = t(s, d, "embeddings")
+        Seq(0L, 1L).foreach(b =>
+          graft.streaming.VectorStreams.sq8IvfFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            base, b, cent, bounds, nAssign = IvfAssign))
+        graft.streaming.VectorStreams.sq8IvfServeStreamFromStore(s, base,
+            emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+            k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "adist_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkSqCtes,
+              |$dkSqIvfCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM sivf WHERE rnk <= 3""".stripMargin)),
+
     // ── SQ8 serving off a STANDING store: bounds trained on the
     //    corpus and pinned by the first fold, two sqFoldBatch folds
     //    (odd/even vec_ids) append the 1-byte code index, then
@@ -1577,8 +1688,7 @@ object SimilarityStreamQueries {
       "sq8_store_serve",
       "2-batch SQ8 store fold + pinned-bounds ADC serve == batch sq8_adc_topk",
       (s, d) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_sq8store").toString
+        val base = tempStoreDir("graft_sq8store")
         val emb = t(s, d, "embeddings")
         val bounds = graft.operators.Sq.train(emb, "embedding")
         graft.streaming.VectorStreams.sqFoldBatch(
@@ -1605,7 +1715,7 @@ object SimilarityStreamQueries {
       "sq8_serve_stream",
       "SQ8 store streaming-serve plan (row-local LUT, packed kernel, one heap) == batch ADC",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_sq8stream").toString
+        val base = tempStoreDir("graft_sq8stream")
         val emb = t(s, d, "embeddings")
         val bounds = graft.operators.Sq.train(emb, "embedding")
         graft.streaming.VectorStreams.sqFoldBatch(
@@ -1667,7 +1777,7 @@ object SimilarityStreamQueries {
       "hybrid_rrf_ann_lexdense",
       "RRF fusion of BM25 top-10 with a standing-store MRL ANN top-10 dense arm, top-5 per query",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_hybridann").toString
+        val base = tempStoreDir("graft_hybridann")
         val emb = t(s, d, "embeddings")
         // prefix-pinned folds: the dense arm runs the production
         // I/O-pruned MRL serve (column-pruned cheap pass + IN-pushed
@@ -1856,7 +1966,7 @@ object SimilarityStreamQueries {
       "emb_stats_serve",
       "2-batch embedding-stats fold + served dispersion == one-shot emb_dispersion_by_label",
       (s, d) => {
-        val tbl = java.nio.file.Files.createTempDirectory("graft_embstats_q").toString
+        val tbl = tempStoreDir("graft_embstats_q")
         val emb = t(s, d, "embeddings")
         graft.streaming.VectorStreams.embStatsFoldBatch(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0), tbl, 0L)
@@ -2323,7 +2433,7 @@ object SimilarityStreamQueries {
       "ivf_store_serve",
       "standing IVF store: 2-batch fold + pinned-quantizer serve == one-shot IVF search",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+        val base = tempStoreDir("graft_ivfstore")
         val cent = ivfCentroids(s, d)
         val emb = t(s, d, "embeddings")
         graft.streaming.VectorStreams.ivfFoldBatch(
@@ -2361,7 +2471,7 @@ object SimilarityStreamQueries {
       "ivf_serve_stream",
       "IVF store streaming-serve plan (row-local probe cells, one heap) == one-shot IVF",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+        val base = tempStoreDir("graft_ivfstream")
         val cent = ivfCentroids(s, d)
         val emb = t(s, d, "embeddings")
         graft.streaming.VectorStreams.ivfFoldBatch(
@@ -2598,7 +2708,7 @@ object SimilarityStreamQueries {
       "ivfpq_store_serve",
       "standing IVF-PQ store: 2-batch fold + pinned-model ADC serve == one-shot IVF-ADC",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfpqstore").toString
+        val base = tempStoreDir("graft_ivfpqstore")
         val cent = ivfCentroids(s, d)
         val books = pqCentroids(s, d)
         val emb = t(s, d, "embeddings")
@@ -2628,7 +2738,7 @@ object SimilarityStreamQueries {
       "ivfpq_serve_stream",
       "IVF-PQ store streaming-serve plan (row-local cells+LUT, packed kernel) == one-shot IVF-ADC",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfpqstream").toString
+        val base = tempStoreDir("graft_ivfpqstream")
         val cent = ivfCentroids(s, d)
         val books = pqCentroids(s, d)
         val emb = t(s, d, "embeddings")
@@ -2773,7 +2883,7 @@ object SimilarityStreamQueries {
       "ivfres_store_serve",
       "standing residual IVF-PQ store: 2-batch fold + pinned-model serve == one-shot IVFADC",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfresstore").toString
+        val base = tempStoreDir("graft_ivfresstore")
         val cent = ivfCentroids(s, d)
         val books = pqResCentroids(s, d)
         val emb = t(s, d, "embeddings")
@@ -2801,7 +2911,7 @@ object SimilarityStreamQueries {
       "ivfres_serve_stream",
       "residual store streaming-serve plan (row-local per-pair ADC) == one-shot IVFADC",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivfresstream").toString
+        val base = tempStoreDir("graft_ivfresstream")
         val cent = ivfCentroids(s, d)
         val books = pqResCentroids(s, d)
         val emb = t(s, d, "embeddings")
@@ -2834,13 +2944,7 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkIvfCtes,
               |$dkResCtes,
               |$dkSqCtes,
-              |rfn AS (SELECT query_id, cand_id, sq_e6,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY sq_e6, cand_id) AS rnk
-              |  FROM (SELECT s.query_id, s.cand_id, sum(l.dq_e6)::BIGINT AS sq_e6
-              |    FROM (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 20) s
-              |    JOIN sqc c ON c.vec_id = s.cand_id
-              |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
-              |    GROUP BY 1, 2))
+              |$dkRefineCte
               |SELECT query_id, cand_id, sq_e6, rnk FROM rfn WHERE rnk <= 3""".stripMargin)),
 
     // ── The refine stage's VALUE pinned as data: recall@3 of the
@@ -2856,14 +2960,103 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkIvfCtes,
               |$dkResCtes,
               |$dkSqCtes,
-              |rfn AS (SELECT query_id, cand_id, sq_e6,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY sq_e6, cand_id) AS rnk
-              |  FROM (SELECT s.query_id, s.cand_id, sum(l.dq_e6)::BIGINT AS sq_e6
-              |    FROM (SELECT query_id, cand_id FROM rivfadc WHERE rnk <= 20) s
-              |    JOIN sqc c ON c.vec_id = s.cand_id
-              |    JOIN slut l ON l.query_id = s.query_id AND l.dim = c.dim AND l.code = c.code
-              |    GROUP BY 1, 2)),
+              |$dkRefineCte,
               |${dkRecallSql("SELECT query_id, cand_id FROM rfn WHERE rnk <= 3")}""".stripMargin)),
+
+    // ── REFINE-AT-SERVE off the pinned standing stores (round-13
+    //    verdict #2 — the production FAISS IndexRefine shape): the
+    //    residual store answers the ADC shortlist, the SQ8 store's
+    //    packed codes rerank it through graft_sq8_adc, each store's
+    //    version pin resolved ONCE (the torn-model rule). Fold ≡
+    //    rebuild on both stores makes the oracle the one-shot
+    //    pq_ivfres_refine_topk CTE chain verbatim. ──
+    QueryDef(
+      "ivfres_refine_store_serve",
+      "refine-at-serve off pinned stores: residual-ADC shortlist-20 + SQ8-store rerank == one-shot refine",
+      (s, d) => {
+        val resBase = tempStoreDir("graft_refres")
+        val sqBase = tempStoreDir("graft_refsq")
+        val cent = ivfCentroids(s, d)
+        val books = pqResCentroids(s, d)
+        val bounds = sqBounds(s, d)
+        val emb = t(s, d, "embeddings")
+        Seq(0L, 1L).foreach { b =>
+          graft.streaming.VectorStreams.ivfPqResFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b), resBase, b, cent, books,
+            nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+          graft.streaming.VectorStreams.sqFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            sqBase, b, bounds)
+        }
+        graft.streaming.VectorStreams.ivfResRefineServeFromStore(
+            s, resBase, sqBase, emb.filter(col("vec_id") < 32),
+            shortlist = 20, k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "sq_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |$dkSqCtes,
+              |$dkRefineCte
+              |SELECT query_id, cand_id, sq_e6, rnk FROM rfn WHERE rnk <= 3""".stripMargin)),
+
+    // ── The refine pipeline's STREAMING twin as a driver row — ONE
+    //    stateful operator end to end: the shortlist heap CARRIES each
+    //    survivor's SQ8 codes in its payload (TopKCodesAgg — the
+    //    embedding-carrying mrlServe heap compressed to codes), and the
+    //    rerank is a row-local graft_sq8_adc per survivor + comparator
+    //    sort. Streamed == batch is MemoryStream-tested in
+    //    VectorStoreSpec; this row pins the arithmetic against the
+    //    same one-shot refine SQL. ──
+    QueryDef(
+      "ivfres_refine_serve_stream",
+      "streaming refine-at-serve (codes-carrying shortlist heap, row-local SQ8 rerank) == one-shot refine",
+      (s, d) => {
+        val resBase = tempStoreDir("graft_refresstream")
+        val sqBase = tempStoreDir("graft_refsqstream")
+        val cent = ivfCentroids(s, d)
+        val books = pqResCentroids(s, d)
+        val bounds = sqBounds(s, d)
+        val emb = t(s, d, "embeddings")
+        Seq(0L, 1L).foreach { b =>
+          graft.streaming.VectorStreams.ivfPqResFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b), resBase, b, cent, books,
+            nAssign = IvfAssign, pqM = PqM, pqSub = PqSub)
+          graft.streaming.VectorStreams.sqFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            sqBase, b, bounds)
+        }
+        graft.streaming.VectorStreams.ivfResRefineServeStreamFromStore(
+            s, resBase, sqBase, emb.filter(col("vec_id") < 32),
+            shortlist = 20, k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "sq_e6", "rnk")
+      },
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes,
+              |$dkSqCtes,
+              |$dkRefineCte
+              |SELECT query_id, cand_id, sq_e6, rnk FROM rfn WHERE rnk <= 3""".stripMargin)),
+
+    // ── The PRODUCTION residual serve number (round-13 verdict #7):
+    //    pq_ivfres_packed_topk replays codebook training in-query (its
+    //    wall is the training CTE chain), so the bench artifact pairs
+    //    it with this row — serving off the session's EXISTING pinned
+    //    store, where training/fold happened once at ingest. The store
+    //    is disk-pinned (storeMemo, not cleared between bench passes —
+    //    deliberately: re-folding per pass would measure ingest, not
+    //    the serve); the serve itself re-reads the pinned parquet every
+    //    invocation, so the timing is an honest cold serve. ──
+    QueryDef(
+      "ivfres_serve_pinned",
+      "residual IVFADC serve off the session's existing pinned store (ingest amortized) == one-shot",
+      (s, d) => graft.streaming.VectorStreams.ivfPqResServeFromStore(
+          s, residualStorePinned(s, d),
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          k = 3, nprobe = IvfProbe)
+        .select("query_id", "cand_id", "adist_e6", "rnk"),
+      Some(s"""WITH $dkIvfCtes,
+              |$dkResCtes
+              |SELECT query_id, cand_id, adist_e6, rnk FROM rivfadc WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── Embedding near-dup: multi-table LSH candidates (collide in ANY
     //    of the L tables ⇒ candidate, far higher recall than a single

@@ -94,7 +94,7 @@ object SourceSinkQueries {
       "a6_crosswalk_lastwins",
       "crosswalk CSV load + per-field last-wins merge incl. literal-NULL quirks",
       (s, _) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_xwalk")
+        val tmp = java.nio.file.Paths.get(QueryDef.tempStoreDir("graft_xwalk"))
         val f = tmp.resolve("xwalk.csv")
         java.nio.file.Files.writeString(f,
           "hmrn,umrn,SitePatientId\nH1,U1,p1\nNULL,U2,p2\nH3,NULL,p1\nH9,U9,NULL\n")
@@ -118,8 +118,7 @@ object SourceSinkQueries {
       "patient-id list file write+read: quote escaping and the colon-truncation quirk",
       (s, _) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_ids").toString + "/ids"
+        val tmp = QueryDef.tempStoreDir("graft_ids") + "/ids"
         val src = Seq(("uw", "p-1"), ("uw", "o'brien"), ("sea", "a:b"))
           .toDF("site", "id")
         CnicsCsv.writePatientIdList(src, "site", "id", tmp)

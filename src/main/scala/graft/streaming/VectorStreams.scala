@@ -324,9 +324,21 @@ object VectorStreams {
       .select(col("query_id"), explode(expr("transform(ptk, e -> e._2)")).as("cand_id"))
   }
 
+  /** Cap on the survivor-id IN push of [[mrlServeFromStore]]'s pruned
+    * path: the id list rides the driver and every task binary, so its
+    * size is a CONTRACT, not a convention (round-13 verdict — the
+    * `MaxAsofStaticRows` discipline applied here). |Q|·nCand ids is
+    * well under this for any sane probe batch; above it the serve
+    * falls back to pruning the rescore scan with a LEFT SEMI join on
+    * the survivor frame (same rows, no driver round-trip, no pushed
+    * IN — row-group pruning is lost but correctness and boundedness
+    * are not). 2²⁰ longs ≈ 8 MB of filter literals. */
+  val MaxMrlInPush: Int = 1 << 20
+
   def mrlServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, prefixDim: Int, nCand: Int,
-      k: Int, version: Option[String] = None): DataFrame = {
+      k: Int, version: Option[String] = None,
+      maxInPush: Int = MaxMrlInPush): DataFrame = {
     val pinned = pinnedReader(spark, tableDir, version)
     val pdFile = new java.io.File(s"$tableDir/PREFIX_DIM")
     val storedPd =
@@ -346,11 +358,21 @@ object VectorStreams {
         .localCheckpoint(true)
       val surv = mrlPrunedSurvivors(pinned("vectors"), q, nCand)
         .localCheckpoint(true) // |Q|·nCand rows; read by ids + the join
-      // probe-batch-bounded survivor ids → IN-pushed rescore scan
-      val ids = surv.select("cand_id").distinct().collect().map(_.getLong(0))
+      // probe-batch-bounded survivor ids → IN-pushed rescore scan; the
+      // bound is ENFORCED, not assumed: an oversized batch falls back
+      // to a left-semi prune (see MaxMrlInPush) instead of hauling an
+      // unbounded literal list through the driver
+      val ids = surv.select("cand_id").distinct()
+        .limit(maxInPush + 1).collect().map(_.getLong(0))
       val topk = udaf(graft.functions.TopKAgg.longs(k))
-      pinned("vectors").select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-        .filter(col("cand_id").isin(ids.map(Long.box): _*))
+      val scanned = pinned("vectors")
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      val pruned =
+        if (ids.length <= maxInPush)
+          scanned.filter(col("cand_id").isin(ids.map(Long.box): _*))
+        else scanned.join(surv.select("cand_id").distinct(), Seq("cand_id"),
+          "left_semi")
+      pruned
         .withColumn("c_fn", VectorFunctions.norm("c_emb"))
         .join(broadcast(surv), Seq("cand_id"))
         .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_fn"))),
@@ -669,14 +691,17 @@ object VectorStreams {
       val pinnedCent = spark.read.parquet(cdir.getPath)
       val pinnedBooks = spark.read.parquet(bdir.getPath)
       // the PQ geometry is a property of the STORE: once codebooks are
-      // pinned, every fold derives (m, subDim) from their shape — the
-      // caller's pqM/pqSub only ever shape the FIRST fold (where they
-      // must of course match the codebooks being written), so a later
-      // ingest can never silently encode a batch under a different
-      // layout than the index
+      // pinned, every fold derives (m, subDim) from their shape — and
+      // the caller's pqM/pqSub must AGREE with it (ADVICE r13: silently
+      // ignoring them would let a caller believe a mismatched geometry
+      // was honored), so a later ingest can never encode a batch under
+      // a different layout than the index
       val shape = pinnedBooks.agg(max(col("m")).as("mx"),
         max(size(col("cw"))).as("sd")).head()
       val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+      require(pqM == m && pqSub == subDim,
+        s"ivfPqFoldBatch: store $tableDir pins PQ geometry (m=$m, subDim=$subDim); " +
+          s"fold asked for (pqM=$pqM, pqSub=$pqSub)")
       val ranked = graft.operators.Knn
         .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
         .filter(col("rn") <= nAssign)
@@ -902,10 +927,14 @@ object VectorStreams {
       if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
       val pinnedCent = spark.read.parquet(cdir.getPath)
       val pinnedBooks = spark.read.parquet(bdir.getPath)
-      // geometry off the pinned codebook shape (ivfPqFoldBatch rule)
+      // geometry off the pinned codebook shape; callers' pqM/pqSub must
+      // agree with it (the ivfPqFoldBatch rule)
       val shape = pinnedBooks.agg(max(col("m")).as("mx"),
         max(size(col("cw"))).as("sd")).head()
       val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+      require(pqM == m && pqSub == subDim,
+        s"ivfPqResFoldBatch: store $tableDir pins PQ geometry (m=$m, subDim=$subDim); " +
+          s"fold asked for (pqM=$pqM, pqSub=$pqSub)")
       val ranked = graft.operators.Knn
         .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
         .filter(col("rn") <= nAssign)
@@ -954,7 +983,12 @@ object VectorStreams {
     * LUT. LUTs are built ONLY for the (query, home-cell) pairs that
     * actually occur among candidates — bounded by min(K, |cand|) per
     * query, never the full |Q|·K grid — and keyed by the composite
-    * qc = query_id·K + cell (cells are seed ids < K). Oracle-pinned by
+    * qc = query_id·kCells + cell, where kCells = max(cell)+1 is
+    * derived ONCE from the pinned centroid frame and shared by both
+    * sides of the qc join (never hardcode the training-time K on one
+    * side — the multiplier is a property of the pinned model, and the
+    * key is collision-free because cell < kCells by construction).
+    * Oracle-pinned by
     * `ivfres_store_serve` against the one-shot `pq_ivfres_topk` CTE
     * chain (fold ≡ rebuild: both models pinned, assignment and
     * encoding per-vector).
@@ -1093,6 +1127,172 @@ object VectorStreams {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** REFINE-AT-SERVE off the pinned standing stores (FAISS's
+    * IndexRefine as a serve-time composition, round-13 verdict #2):
+    * the residual store answers the cheap ADC SHORTLIST
+    * ([[ivfPqResServeFromStore]], `shortlist` per query), and the SQ8
+    * store's packed codes RERANK just those survivors through the
+    * codegen'd `graft_sq8_adc` kernel — the serve never touches a raw
+    * vector (8 residual-PQ bytes + dim SQ8 bytes per candidate read,
+    * out of 4·dim raw bytes).
+    *
+    * Torn-model rule (round 9): each store's version pin resolves
+    * ONCE — the residual serve resolves `resVersion` internally, and
+    * the rerank reads codes + bounds under ONE `sqVersion` resolution —
+    * so a concurrent fold's CURRENT swing can never pair a shortlist
+    * from one version with rerank codes from another.
+    *
+    * Oracle-pinned by `ivfres_refine_store_serve` against the one-shot
+    * `pq_ivfres_refine_topk` CTE chain (fold ≡ rebuild on both stores;
+    * integer ADC sums are order-insensitive so the exploded SQ8 oracle
+    * applies to the packed kernel verbatim).
+    *
+    * Output: (query_id, cand_id, sq_e6, rnk). */
+  def ivfResRefineServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      resDir: String, sqDir: String, probes: DataFrame,
+      shortlist: Int, k: Int, nprobe: Int,
+      resVersion: Option[String] = None,
+      sqVersion: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireResidual(resDir, expect = true, "ivfResRefineServeFromStore")
+    val short = ivfPqResServeFromStore(spark, resDir, probes, shortlist,
+        nprobe, resVersion)
+      .select("query_id", "cand_id")
+    val pinnedSq = pinnedReader(spark, sqDir, sqVersion)
+    val bounds = spark.read.parquet(s"$sqDir/bounds")
+    val lut = graft.operators.Sq.adcLutPacked(probes.select("vec_id", "embedding"),
+      "vec_id", "embedding", bounds)
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    // shortlist prune BEFORE the code scan: |Q|·shortlist rows,
+    // broadcast over the pinned packed index
+    pinnedSq("codes").select(col("vec_id").as("cand_id"), col("codes"))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("sq_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("sq_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("sq_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** STREAMING refine-at-serve — [[ivfResRefineServeFromStore]] made
+    * streaming-legal with ONE stateful operator, which needs two moves:
+    *
+    *   - the shortlist heap CARRIES each survivor's SQ8 rerank codes in
+    *     its payload ([[graft.functions.TopKCodesAgg]], the
+    *     [[mrlServe]] embedding-carrying-heap pattern compressed to
+    *     codes): the cheap residual-ADC estimate prunes, and only the
+    *     ≤shortlist survivors keep their dim bytes of rerank state
+    *     alive past the aggregate;
+    *   - the rerank is then ROW-LOCAL: each survivor's codes score in
+    *     one `graft_sq8_adc` call against the probe's flat SQ8 LUT
+    *     (built row-locally from the broadcast reconstruction grid —
+    *     the [[sq8ServeStreamFromStore]] projection — and carried
+    *     through the aggregate via first()), followed by a comparator
+    *     `array_sort` + `slice` (sq_e6 asc, cand_id asc — BIGINTs, no
+    *     NaN arm needed).
+    *
+    * The shortlist stage is [[ivfPqResServeStreamFromStore]]'s per-pair
+    * row-local residual ADC verbatim (the stated no-LUT streaming
+    * tradeoff), so streamed == batch-refine row for row over the same
+    * pinned versions (equivalence-tested; oracle-pinned by
+    * `ivfres_refine_serve_stream`).
+    *
+    * Output: (query_id, cand_id, sq_e6, rnk); update mode. */
+  def ivfResRefineServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      resDir: String, sqDir: String, probeStream: DataFrame,
+      shortlist: Int, k: Int, nprobe: Int,
+      resVersion: Option[String] = None,
+      sqVersion: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requireResidual(resDir, expect = true, "ivfResRefineServeStreamFromStore")
+    val pinnedRes = pinnedReader(spark, resDir, resVersion)
+    val pinnedSq = pinnedReader(spark, sqDir, sqVersion)
+    val cent = spark.read.parquet(s"$resDir/centroids")
+    val books = spark.read.parquet(s"$resDir/codebooks")
+    val bounds = spark.read.parquet(s"$sqDir/bounds")
+    val shape = books.agg(max(col("m")).as("mx"),
+      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+    val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
+    val ksEff = shape.getLong(2).toInt + 1
+    val kCells = (cent.agg(max(col("cell"))).head().getLong(0) + 1).toInt
+    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    // broadcast one-row grids: centroids (residual arithmetic),
+    // codewords (residual ADC), SQ8 reconstructions (rerank LUT)
+    val cgrid = spark.range(kCells).select(col("id").as("cell"))
+      .join(cent.select(col("cell"), col("cw")), Seq("cell"), "left")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(cell, cw))), x -> x.cw)")
+        .as("cgrid"))
+    val booksGrid = books.select(col("m")).distinct()
+      .withColumn("code", explode(expr(s"sequence(0, ${ksEff - 1})")))
+      .join(books.select(col("m"), col("cell").as("code"), col("cw")),
+        Seq("m", "code"), "left")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, cw))), x -> x.cw)")
+        .as("cws"))
+    val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
+      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+         |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
+         |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
+         |              * (mx_arr[i div 256] - mn_arr[i div 256])
+         |  END)""".stripMargin).as("recon"))
+    val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
+      .crossJoin(broadcast(reconArr))
+      .withColumn("lut", expr(
+        """transform(recon, (r, i) ->
+          |  CAST(floor((CAST(q_emb[i div 256] AS DOUBLE) - r)
+          |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
+      .drop("recon", "q_norm")
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val posts = pinnedRes("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val rcodes = pinnedRes("codes")
+      .select(col("vec_id").as("cand_id"), col("cell").as("home"), col("codes"))
+    val scodes = pinnedSq("codes")
+      .select(col("vec_id").as("cand_id"), col("codes").as("sqcodes"))
+    val heap = udaf(graft.functions.TopKCodesAgg(shortlist))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(rcodes, Seq("cand_id"))
+      .crossJoin(broadcast(cgrid))
+      .crossJoin(broadcast(booksGrid))
+      // per-pair residual ADC (ivfPqResServeStreamFromStore verbatim)
+      .withColumn("adist_e6", expr(
+        s"""aggregate(sequence(0, ${pqM - 1}), 0L, (acc, mi) ->
+           |  acc + CASE
+           |    WHEN element_at(cws, mi * $ksEff + element_at(codes, mi + 1) + 1) IS NULL
+           |      THEN ${graft.operators.Pq.DeadCellSentinel}L
+           |    ELSE CAST(floor(graft_l2sq(
+           |      transform(sequence(1, $pqSub), j ->
+           |        CAST(element_at(q_emb, mi * $pqSub + j) AS DOUBLE)
+           |          - element_at(element_at(cgrid, CAST(home + 1 AS INT)), mi * $pqSub + j) / 1048576.0D),
+           |      element_at(cws, mi * $ksEff + element_at(codes, mi + 1) + 1))
+           |      * 1000000.0D) AS BIGINT)
+           |  END)""".stripMargin))
+      .join(scodes, Seq("cand_id"))
+      .groupBy("query_id")
+      .agg(heap((-col("adist_e6")).cast("double"),
+          struct(col("cand_id").as("id"), col("sqcodes").as("codes"))).as("stk"),
+        first(col("lut")).as("lut"))
+      // row-local rerank of the ≤shortlist survivors: one kernel call
+      // each, then a BIGINT comparator sort — no second stateful op
+      .select(col("query_id"), posexplode(expr(
+        s"""slice(array_sort(
+           |  transform(stk, e -> struct(
+           |    graft_sq8_adc(e._2.codes, lut) AS sq_e6,
+           |    e._2.id AS cand_id)),
+           |  (a, b) -> CASE
+           |    WHEN a.sq_e6 < b.sq_e6 THEN -1 WHEN a.sq_e6 > b.sq_e6 THEN 1
+           |    WHEN a.cand_id < b.cand_id THEN -1
+           |    WHEN a.cand_id > b.cand_id THEN 1 ELSE 0 END),
+           |1, $k)""".stripMargin)).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        col("e.sq_e6").as("sq_e6"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   // ─────────────────── SQ8 standing store ───────────────────
 
   /** One SQ8-store micro-batch fold: the per-dimension quantizer
@@ -1123,6 +1323,12 @@ object VectorStreams {
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("codes", "vectors")) { _ =>
       val spark = batch.sparkSession
+      // layout guard (the PREFIX_DIM discipline): a flat-SQ8 fold into
+      // an IVF-SQ8 store would append codes/vectors batches WITHOUT
+      // their posts/ partition — the coarse-pruned serve would then
+      // silently never surface those vectors. Refuse loudly instead.
+      require(!new java.io.File(s"$tableDir/centroids").exists(),
+        s"sqFoldBatch: $tableDir carries an IVF coarse quantizer — use sq8IvfFoldBatch")
       val bdir = new java.io.File(s"$tableDir/bounds")
       if (!bdir.exists())
         bounds.write.mode("overwrite").parquet(bdir.getPath)
@@ -1229,6 +1435,178 @@ object VectorStreams {
     val topk = udaf(graft.functions.TopKAgg.longs(k))
     q.join(pinned("codes").select(col("vec_id").as("cand_id"), col("codes")),
         col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  // ─────────────────── IVF×SQ8 standing store ───────────────────
+
+  /** One IVF×SQ8-store micro-batch fold (FAISS's
+    * IndexIVFScalarQuantizer as a standing store) — the last cell of
+    * the partition × quantizer store matrix (IVF×PQ and residual-IVF×PQ
+    * have fold/serve/stream forms; flat SQ8 has [[sqFoldBatch]]; this
+    * is the coarse-pruned SQ8 form). Both models pin on the first
+    * fold: the coarse quantizer lands in `centroids/`, the
+    * per-dimension quantizer bounds in `bounds/`; every later batch is
+    * assigned and encoded against them, so fold ≡ rebuild is exact
+    * (assignment and encoding are per-vector). Layout per batch
+    * (append-only, O(batch) fold I/O):
+    *
+    *   - `posts/batch=N/`   — (vec_id, cell): coarse postings
+    *     (`nAssign`-replicated), cell-sorted for row-group pruning;
+    *   - `codes/batch=N/`   — (vec_id, codes array<int>): the PACKED
+    *     SQ8 index, one row per vector (dim 1-byte codes — what the
+    *     codegen'd `graft_sq8_adc` kernel scans);
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm) once per
+    *     vector: the exact-rerank side;
+    *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
+    *
+    * Same crash/replay contract as every store fold;
+    * [[forgetVectors]]'s table discovery already spans
+    * posts/codes/vectors. */
+  def sq8IvfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      centroids: DataFrame, bounds: DataFrame, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("posts", "vectors", "codes")) { _ =>
+      val spark = batch.sparkSession
+      val cdir = new java.io.File(s"$tableDir/centroids")
+      // layout guard (mirror of the sqFoldBatch guard): folding the
+      // coarse-pruned layout ONTO an existing flat-SQ8 store would
+      // leave the earlier batches without posts — the pruned serve
+      // would silently drop them while the store looks healthy
+      require(cdir.exists() || !new java.io.File(s"$tableDir/CURRENT").exists(),
+        s"sq8IvfFoldBatch: $tableDir already has flat (un-posted) SQ8 batches — " +
+          "use sqFoldBatch, or rebuild under the coarse-pruned layout")
+      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      val bdir = new java.io.File(s"$tableDir/bounds")
+      if (!bdir.exists()) bounds.write.mode("overwrite").parquet(bdir.getPath)
+      val pinnedCent = spark.read.parquet(cdir.getPath)
+      val pinnedBounds = spark.read.parquet(bdir.getPath)
+      val ranked = graft.operators.Knn
+        .ivfRank(batch.select("vec_id", "embedding"), pinnedCent, "vec_id", "embedding")
+        .filter(col("rn") <= nAssign)
+        .localCheckpoint(true)
+      ranked.select(col("vec_id"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+      graft.operators.Sq.encodePacked(batch.select("vec_id", "embedding"),
+          "vec_id", "embedding", pinnedBounds)
+        .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
+    }
+
+  /** IVF×SQ8 INDEX-at-ingest — see [[sq8IvfFoldBatch]]. */
+  def sq8IvfIngest(vecStream: DataFrame, tableDir: String,
+      centroids: DataFrame, bounds: DataFrame, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sq8IvfFoldBatch(batch.toDF(), tableDir, id, centroids, bounds,
+          nAssign, compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** IVF-pruned SQ8-ADC top-k from a standing [[sq8IvfIngest]] store,
+    * pinned to `version` (default CURRENT): probe cells against the
+    * pinned quantizer, coarse-prune candidates through the pinned
+    * posts, and score ONLY those candidates' packed code rows through
+    * the codegen'd `graft_sq8_adc` kernel against the broadcast flat
+    * per-query LUT (built off the pinned bounds) — the scan touches
+    * ≈ nprobe·nAssign/K of the 4×-compressed code index. Ranking is
+    * the bounded heap by (adist_e6 asc, cand_id asc) — exactly the
+    * batch `sq8_ivf_adc_topk` total order (oracle-pinned by
+    * `sq8ivf_store_serve`; integer ADC sums are order-insensitive so
+    * the exploded-form oracle applies verbatim).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk). */
+  def sq8IvfServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val bounds = spark.read.parquet(s"$tableDir/bounds")
+    val probeCells = graft.operators.Knn
+      .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probeCells
+      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val lut = graft.operators.Sq.adcLutPacked(probes.select("vec_id", "embedding"),
+      "vec_id", "embedding", bounds)
+    val topk = udaf(graft.functions.TopKAgg.longs(k))
+    // coarse prune BEFORE the kernel scan (cand scales with corpus
+    // size — AQE picks broadcast vs shuffle, the ivfPqServeFromStore
+    // discipline); only the probe-batch-bounded flat LUT (dim·256
+    // longs per probe) is always broadcast
+    pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
+      .join(cand, Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
+      .groupBy("query_id")
+      .agg(topk((-col("adist_e6")).cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        (-col("e._1")).cast("long").as("adist_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** STREAMING IVF-pruned SQ8 serving off the standing
+    * [[sq8IvfIngest]] store — [[sq8IvfServeFromStore]] with every
+    * probe-side stage made row-local, leaving ONE stateful operator:
+    * probe cells rank via [[ivfProbeCellsRowLocal]] (the ivfRank
+    * window is stream-illegal), each probe transforms the broadcast
+    * query-independent reconstruction array into its flat SQ8 LUT
+    * (the [[sq8ServeStreamFromStore]] projection — no groupBy on the
+    * stream), candidates coarse-prune through the pinned posts and
+    * score their packed code row in one `graft_sq8_adc` call, and the
+    * payload-distinct bounded heap ranks (a candidate reached through
+    * several probed cells carries one identical integer sum).
+    *
+    * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
+  def sq8IvfServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val bounds = spark.read.parquet(s"$tableDir/bounds")
+    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
+      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+         |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
+         |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
+         |              * (mx_arr[i div 256] - mn_arr[i div 256])
+         |  END)""".stripMargin).as("recon"))
+    val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
+      .crossJoin(broadcast(reconArr))
+      // row-local flat LUT: Sq.adcLut's arithmetic verbatim per slot
+      .withColumn("lut", expr(
+        """transform(recon, (r, i) ->
+          |  CAST(floor((CAST(q_emb[i div 256] AS DOUBLE) - r)
+          |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
+      .drop("recon", "q_emb", "q_norm")
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val codes = pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(codes, Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
         expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
       .groupBy("query_id")

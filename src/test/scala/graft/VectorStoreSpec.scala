@@ -694,6 +694,260 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(!bp.contains("CartesianProduct"))
   }
 
+  test("IVF-SQ8 store: 2-batch ingest + both serves == one-shot IVF-SQ8; layout guards; forget spans codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val (k, nprobe, nAssign) = (3, 4, 2)
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val bounds = graft.operators.Sq.train(emb, "embedding").localCheckpoint(true)
+
+    // one-shot IVF-SQ8 over candPred-restricted posts (the
+    // sq8_ivf_adc_topk shape, parameterized for the forget comparator)
+    def oneShot(candPred: org.apache.spark.sql.Column) = {
+      val ranked = Knn.ivfRank(emb, cent, "vec_id", "embedding").localCheckpoint(true)
+      val probesC = ranked.filter(col("vec_id") < 32 && col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+      val posts = ranked.filter(col("rn") <= nAssign && candPred)
+        .select(col("vec_id").as("cand_id"), col("cell"))
+      val cand = probesC.join(posts, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+      val codes = graft.operators.Sq.encode(emb, "vec_id", "embedding", bounds)
+        .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      val lut = graft.operators.Sq.adcLut(emb.filter(col("vec_id") < 32),
+        "vec_id", "embedding", bounds)
+      codes.join(cand, Seq("cand_id"))
+        .join(lut, Seq("query_id", "dim", "code"))
+        .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("adist_e6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist_e6"), col("cand_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
+          col("adist_e6").cast("double"))
+    }
+    def rank4(df: org.apache.spark.sql.DataFrame) =
+      ranking(df.select(col("query_id"), col("rnk").cast("long"),
+        col("cand_id"), col("adist_e6").cast("double")))
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_sq8ivf_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.sq8IvfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tbl, cent, bounds, nAssign)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+
+    val probes = emb.filter(col("vec_id") < 32)
+    val expected = ranking(oneShot(lit(true)))
+    assert(rank4(VectorStreams.sq8IvfServeFromStore(spark, tbl, probes, k, nprobe))
+      === expected)
+    assert(expected.nonEmpty)
+
+    // STREAMING serve twin: row-local probe cells + row-local SQ8 LUT
+    // == the batch serve, on a batch frame and via MemoryStream
+    assert(rank4(VectorStreams.sq8IvfServeStreamFromStore(
+      spark, tbl, probes, k, nprobe)) === expected)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.sq8IvfServeStreamFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), k, nprobe)
+    val sq2 = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_sq8ivfserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq2.processAllAvailable()
+        rank4(spark.table("graft_sq8ivfserve_test"))
+      } finally sq2.stop()
+    assert(streamed === expected)
+
+    // layout guards: a flat-SQ8 fold must refuse the coarse-pruned
+    // store (its batches would have no posts), and the coarse-pruned
+    // fold must refuse an existing flat store
+    val eFlat = intercept[IllegalArgumentException] {
+      VectorStreams.sqFoldBatch(emb.select("vec_id", "embedding"), tbl, 2L, bounds) }
+    assert(eFlat.getMessage.contains("coarse quantizer"))
+    val flatTbl = java.nio.file.Files.createTempDirectory("graft_sq8ivf_flat").toString
+    VectorStreams.sqFoldBatch(emb.select("vec_id", "embedding"), flatTbl, 0L, bounds)
+    val eIvf = intercept[IllegalArgumentException] {
+      VectorStreams.sq8IvfFoldBatch(emb.select("vec_id", "embedding"),
+        flatTbl, 1L, cent, bounds, nAssign) }
+    assert(eIvf.getMessage.contains("flat"))
+
+    // forget spans posts + codes + vectors: no ghost candidates
+    val cands = expected.map(_._3).toSeq.distinct
+    val doomed = Seq(cands.find(_ % 2 == 0).get, cands.find(_ % 2 == 1).get)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
+    assert(rewritten === 6) // posts + vectors + codes, one partition per batch
+    val after = rank4(VectorStreams.sq8IvfServeFromStore(
+      spark, tbl, probes.filter(!col("vec_id").isin(doomed: _*)), k, nprobe))
+    val expSurv = ranking(oneShot(!col("vec_id").isin(doomed: _*)))
+      .filterNot(r => doomed.contains(r._1))
+    assert(after === expSurv)
+    assert(!after.exists(r => doomed.contains(r._3)))
+
+    // plan gates: packed kernel + bounded heap, candidate prune below
+    // the kernel scan, no cartesian
+    val bp = VectorStreams.sq8IvfServeFromStore(spark, tbl,
+      probes.filter(!col("vec_id").isin(doomed: _*)), k, nprobe)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("graft_sq8_adc"), bp.take(800))
+    assert(bp.contains("ObjectHashAggregate"), bp.take(800))
+    assert(!bp.contains("CartesianProduct"))
+    // the store's code table is packed: ONE row per vector
+    val storedCodes = spark.read.parquet(s"$tbl/codes")
+    assert(storedCodes.schema.fieldNames.toSet === Set("vec_id", "codes", "batch"))
+    assert(storedCodes.count() === storedCodes.select("vec_id").distinct().count())
+  }
+
+  test("refine-at-serve off pinned stores == one-shot refine; streaming twin single-stateful-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val (shortlist, k, nprobe, nAssign, pqM, pqSub) = (20, 3, 4, 2, 8, 8)
+    val resid = "zip_with(embedding, cw, (a, b) -> CAST(a AS DOUBLE) - b / 1048576.0D)"
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val res = Knn.ivfRank(emb, cent, "vec_id", "embedding").filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .join(broadcast(cent.select(col("cell"), col("cw"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"), expr(resid).as("rvec"))
+      .localCheckpoint(true)
+    val rsubs = graft.operators.Pq.subviews(res, "vec_id", "rvec", pqM, pqSub)
+      .localCheckpoint(true)
+    val books = graft.operators.Pq.train(rsubs, "vec_id", 16, 2).localCheckpoint(true)
+    val bounds = graft.operators.Sq.train(emb, "embedding").localCheckpoint(true)
+
+    val resTbl = java.nio.file.Files.createTempDirectory("graft_refres_spec").toString
+    val sqTbl = java.nio.file.Files.createTempDirectory("graft_refsq_spec").toString
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      val bdf = b.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      VectorStreams.ivfPqResFoldBatch(bdf, resTbl, id, cent, books, nAssign, pqM, pqSub)
+      VectorStreams.sqFoldBatch(bdf, sqTbl, id, bounds)
+    }
+
+    // one-shot composed refine: residual-ADC shortlist off the store
+    // (already pinned == one-shot by the residual-store spec), exact
+    // SQ8 rerank via the exploded codes ⋈ LUT join — the
+    // pq_ivfres_refine_topk shape
+    val probes = emb.filter(col("vec_id") < 32)
+    val short = VectorStreams.ivfPqResServeFromStore(
+        spark, resTbl, probes, shortlist, nprobe)
+      .select("query_id", "cand_id")
+    val lut = graft.operators.Sq.adcLut(probes, "vec_id", "embedding", bounds)
+    val expected = ranking(graft.operators.Sq.encode(emb, "vec_id", "embedding", bounds)
+      .select(col("vec_id").as("cand_id"), col("dim"), col("code"))
+      .join(short, Seq("cand_id"))
+      .join(lut, Seq("query_id", "dim", "code"))
+      .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("sq_e6"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sq_e6"), col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long"), col("cand_id"),
+        col("sq_e6").cast("double")))
+    assert(expected.nonEmpty)
+
+    def rank4(df: org.apache.spark.sql.DataFrame) =
+      ranking(df.select(col("query_id"), col("rnk").cast("long"),
+        col("cand_id"), col("sq_e6").cast("double")))
+    assert(rank4(VectorStreams.ivfResRefineServeFromStore(
+      spark, resTbl, sqTbl, probes, shortlist, k, nprobe)) === expected)
+
+    // STREAMING twin: the codes-carrying heap + row-local rerank == the
+    // batch refine, on a batch frame and via MemoryStream
+    assert(rank4(VectorStreams.ivfResRefineServeStreamFromStore(
+      spark, resTbl, sqTbl, probes, shortlist, k, nprobe)) === expected)
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val sout = VectorStreams.ivfResRefineServeStreamFromStore(spark, resTbl, sqTbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      shortlist, k, nprobe)
+    val sq2 = sout.writeStream.outputMode("update")
+      .format("memory").queryName("graft_refine_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq2.processAllAvailable()
+        rank4(spark.table("graft_refine_test"))
+      } finally sq2.stop()
+    assert(streamed === expected)
+
+    // plan gates — batch: BOTH kernels in one serve (residual
+    // graft_adc_sum shortlist + graft_sq8_adc rerank), bounded heaps,
+    // no cartesian; stream: single stateful aggregate (the rerank is
+    // row-local, never a second shuffle)
+    val bp = VectorStreams.ivfResRefineServeFromStore(
+        spark, resTbl, sqTbl, probes, shortlist, k, nprobe)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("graft_adc_sum"), bp.take(800))
+    assert(bp.contains("graft_sq8_adc"), bp.take(800))
+    assert(!bp.contains("CartesianProduct"))
+    val sp = sout.queryExecution.analyzed.toString
+    assert(!sp.contains("CartesianProduct"))
+
+    // a raw (non-residual) store must be refused loudly
+    intercept[IllegalArgumentException] {
+      VectorStreams.ivfResRefineServeFromStore(
+        spark, sqTbl, sqTbl, probes, shortlist, k, nprobe) }
+
+    // geometry contract (ADVICE r13): a fold whose pqM/pqSub disagree
+    // with the pinned codebook shape fails loudly instead of silently
+    // deriving geometry from the store
+    val eGeom = intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqResFoldBatch(emb, resTbl, 2L, cent, books,
+        nAssign, pqM = 4, pqSub = 16) }
+    assert(eGeom.getMessage.contains("pins PQ geometry"))
+    val rawTbl = java.nio.file.Files.createTempDirectory("graft_geom_raw").toString
+    VectorStreams.ivfPqFoldBatch(emb, rawTbl, 0L, cent, books, nAssign, pqM, pqSub)
+    val eGeom2 = intercept[IllegalArgumentException] {
+      VectorStreams.ivfPqFoldBatch(emb, rawTbl, 1L, cent, books,
+        nAssign, pqM = 4, pqSub = 16) }
+    assert(eGeom2.getMessage.contains("pins PQ geometry"))
+  }
+
+  test("MRL pruned serve IN-push contract: oversized survivor list falls back to left-semi, rows identical") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_mrlinpush").toString
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      VectorStreams.vectorFoldBatch(b.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+        tbl, id, dim, tp, nt, prefixDim = 16)
+    }
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val probes = emb.filter(col("vec_id") < 32)
+    val pushed = VectorStreams.mrlServeFromStore(spark, tbl, probes, 16, 16, 3)
+    // maxInPush = 1 forces the fallback: same rows, no IN filter pushed
+    val fallback = VectorStreams.mrlServeFromStore(spark, tbl, probes, 16, 16, 3,
+      maxInPush = 1)
+    assert(rank4(fallback) === rank4(pushed))
+    assert(rank4(fallback).nonEmpty)
+    val fplan = fallback.queryExecution.executedPlan.toString
+    assert(!fplan.contains("In(vec_id") && !fplan.contains("vec_id IN"),
+      "fallback path must not carry the IN push")
+    assert(fplan.contains("LeftSemi"), fplan.take(800))
+  }
+
   test("embedding-stats store: 2-batch fold == one-shot; unlearn == survivors; signed s1 passes tripwire") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
