@@ -122,6 +122,34 @@ object Bench {
       names.map(n => n -> materialize(n))
     }
 
+    // Quiet-window gate (round-13 verdict #3: three straight rounds
+    // published contended artifacts — the driver's sweep JVMs and
+    // co-tenants were still draining when the passes started). Before
+    // any measured pass, wait — bounded — for the host 1-minute load
+    // to decay below a threshold; on a 32-CPU box a load of a few
+    // means another JVM is actively burning cores and every wall this
+    // run records would be inflated uniformly. The wait is bounded
+    // (default 300 s, SPARK_GRAFT_BENCH_QUIET_WAIT to override / 0 to
+    // disable) so a permanently busy box degrades to today's behavior;
+    // the observed wait and the load at measurement start are recorded
+    // in the artifact so a hot capture stays self-diagnosing.
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val quietWaitMax = sys.env.get("SPARK_GRAFT_BENCH_QUIET_WAIT")
+      .map(_.toInt).getOrElse(300)
+    val quietLoadMax = 4.0
+    var quietWaited = 0
+    while (quietWaited < quietWaitMax && load1() > quietLoadMax) {
+      System.err.println(s"[bench] host load1=${load1()} > $quietLoadMax — " +
+        s"waiting for a quiet window (${quietWaited}s/${quietWaitMax}s)")
+      Thread.sleep(10000)
+      quietWaited += 10
+    }
+    val loadAtStart = load1()
+
     materialize("q1_pricing_summary") // warm-up (codegen, classloading)
 
     // Recorded per-query bests (flat {"name": sec} JSON, committed);
@@ -242,7 +270,7 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -260,6 +288,6 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }
