@@ -125,18 +125,53 @@ object Pq {
     * slots per subspace ([[DeadCellSentinel]] where dead); the kernel
     * additionally asserts numElements == m·ks. `ks` is the codebook
     * width the index was TRAINED with (a property of the model, which
-    * is why it's a parameter and not inferred from surviving cells). */
+    * is why it's a parameter and not inferred from surviving cells).
+    *
+    * `sentinel` is metric-directional: for MIN-distance ranking (L2
+    * ADC) the default +2⁵⁰ makes a foreign code DOMINATE the sum so it
+    * can never silently win; a MAX-score ranking (inner-product ADC)
+    * must pass −[[DeadCellSentinel]] instead — there the failure mode
+    * is a dead slot WINNING, so the sentinel has to bury it. */
   def adcLutFlat(querySubs: DataFrame, idCol: String,
-      codebooks: DataFrame, ks: Int): DataFrame = {
-    val base = adcLut(querySubs, idCol, codebooks)
+      codebooks: DataFrame, ks: Int,
+      sentinel: Long = DeadCellSentinel): DataFrame =
+    flatten(adcLut(querySubs, idCol, codebooks), idCol, ks, sentinel)
+
+  /** [[adcLutFlat]]'s densify+pack tail over an ALREADY-BUILT long-form
+    * LUT (idCol, m, code, dq_e6) — shared by the L2 and inner-product
+    * LUT builders so the slot alignment discipline has one spelling. */
+  def flatten(base: DataFrame, idCol: String, ks: Int,
+      sentinel: Long): DataFrame =
     base.select(col(idCol), col("m")).distinct()
       .withColumn("code", explode(expr(s"sequence(0, ${ks - 1})")))
       .join(base, Seq(idCol, "m", "code"), "left")
       .select(col(idCol), col("m"), col("code"),
-        coalesce(col("dq_e6"), lit(DeadCellSentinel)).as("dq_e6"))
+        coalesce(col("dq_e6"), lit(sentinel)).as("dq_e6"))
       .groupBy(idCol)
       .agg(expr(
         "transform(array_sort(collect_list(struct(m, code, dq_e6))), x -> x.dq_e6)")
         .as("lut"))
+
+  /** INNER-PRODUCT ADC lookup table (the METRIC_INNER_PRODUCT face of
+    * [[adcLut]], for maximum-inner-product search): (idCol, m, code,
+    * dq_e6) where dq_e6 = floor(dot(sub, cw)·1e6) — the e6-floored
+    * exact sequential-fold dot of the query's m-th subvector to each
+    * codeword. The candidate's ADC estimate Σ_m dq_e6 approximates
+    * dot(q, recon(c)) and ranks DESC (ties cand_id asc): same
+    * order-insensitive BIGINT-sum discipline as the distance LUT, so
+    * the oracle replays bit-exact. */
+  def ipLut(querySubs: DataFrame, idCol: String, codebooks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(querySubs.sparkSession)
+    querySubs.join(broadcast(codebooks), Seq("m"))
+      .select(col(idCol), col("m"), col("cell").as("code"),
+        expr("CAST(floor(graft_dot_d(sub, cw) * 1000000.0D) AS BIGINT)").as("dq_e6"))
   }
+
+  /** Per-query FLAT inner-product LUT — [[ipLut]] densified and packed
+    * for the `graft_adc_sum` kernel scan. Dead slots carry
+    * −[[DeadCellSentinel]]: under DESC ranking a foreign code must
+    * LOSE unmissably, the mirror of the distance LUT's +2⁵⁰. */
+  def ipLutFlat(querySubs: DataFrame, idCol: String,
+      codebooks: DataFrame, ks: Int): DataFrame =
+    flatten(ipLut(querySubs, idCol, codebooks), idCol, ks, -DeadCellSentinel)
 }

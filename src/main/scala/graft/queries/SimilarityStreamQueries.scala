@@ -374,18 +374,20 @@ object SimilarityStreamQueries {
   }
 
   /** Bounded-heap top-k by (score desc, cand_id asc) over BIGINT
-    * int8-dot scores — the [[adcTopK]] twin for descending integer
-    * scores (int8 dots are ≤ 64·127² ≈ 1.03e6, exact in double, so
-    * the heap's double score round-trips the long losslessly).
-    * Output: (query_id, cand_id, score, rnk). */
-  private def int8TopK(scored: DataFrame, keep: Int): DataFrame = {
+    * scores — the [[adcTopK]] twin for descending integer scores
+    * (int8 dots ≤ 64·127² ≈ 1.03e6 and e6-floored unit-vector inner
+    * products ≤ 64e6 are both exact in double, so the heap's double
+    * score round-trips the long losslessly).
+    * Output: (query_id, cand_id, <scoreCol>, rnk). */
+  private def int8TopK(scored: DataFrame, keep: Int,
+      scoreCol: String = "score"): DataFrame = {
     val topk = udaf(graft.functions.TopKAgg.longs(keep))
     scored
       .groupBy("query_id")
-      .agg(topk(col("score").cast("double"), col("cand_id")).as("tk"))
+      .agg(topk(col(scoreCol).cast("double"), col("cand_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e._2").as("cand_id"),
-        col("e._1").cast("long").as("score"),
+        col("e._1").cast("long").as(scoreCol),
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
@@ -544,6 +546,27 @@ object SimilarityStreamQueries {
        |    FROM padc s JOIN pv q ON q.vec_id = s.query_id
        |    JOIN pv c ON c.vec_id = s.cand_id AND c.m = q.m
        |    GROUP BY 1, 2)) WHERE rnk <= 3)""".stripMargin
+
+  // DuckDB-side sequential double dot over one PqSub-wide subvector
+  // (same fold order as graft_dot_d ⇒ bit-identical doubles).
+  private def dkDotSub(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of the INNER-PRODUCT ADC chain over [[dkPqCtes]]
+    * (`pv`/`p$PqIters`/`pcode`): per-query (m, code) inner-product LUT
+    * (`iplut`, e6-floored exact subvector·codeword dots) → BIGINT-
+    * summed DESC ranking (`ipadc`). ONE definition serves the exploded
+    * and packed rows (integer sums are order-insensitive). */
+  private def dkIpCtes: String =
+    s"""iplut AS (SELECT q.vec_id AS query_id, c.m, c.cell AS code,
+       |    floor(${dkDotSub("q.sub", "c.cw")} * 1000000.0)::BIGINT AS dq_e6
+       |  FROM pv q JOIN p$PqIters c ON c.m = q.m WHERE q.vec_id < 32),
+       |ipadc AS (SELECT query_id, cand_id, ip_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+       |  FROM (SELECT l.query_id, pc.vec_id AS cand_id, sum(l.dq_e6)::BIGINT AS ip_e6
+       |    FROM pcode pc JOIN iplut l ON l.m = pc.m AND l.code = pc.code
+       |    WHERE pc.vec_id <> l.query_id GROUP BY 1, 2))""".stripMargin
 
   // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
   // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
@@ -2796,6 +2819,108 @@ object SimilarityStreamQueries {
               |FROM pex b LEFT JOIN ivfrr a
               |  ON a.query_id = b.query_id AND a.cand_id = b.cand_id
               |GROUP BY b.query_id""".stripMargin)),
+
+    // ── MAXIMUM-INNER-PRODUCT search over the SAME PQ index (FAISS's
+    //    METRIC_INNER_PRODUCT): the ADC estimate Σ_m dot(q_m, cw_m)
+    //    approximates dot(q, recon(c)) and ranks DESC — retrieval for
+    //    recommender/two-tower embeddings, where score = ⟨user, item⟩
+    //    and norms CARRY MEANING (cosine/L2 would erase the popularity
+    //    component a trained item norm encodes). Same e6-floored
+    //    order-insensitive BIGINT-sum discipline; exploded row =
+    //    oracle shape, packed row = the graft_adc_sum kernel plan
+    //    (dead LUT slots carry −2⁵⁰ — under DESC ranking a foreign
+    //    code must LOSE unmissably, the mirror of the distance LUT's
+    //    +2⁵⁰). No IVF composition: the cosine-trained coarse
+    //    quantizer does not bound inner products (a far-but-huge-norm
+    //    candidate can win MIPS from an unprobed cell), so composing
+    //    them would be silently lossy in a way recall can't gate —
+    //    norm-aware partitioning is the correct future lever. ──
+    QueryDef(
+      "pq_ip_adc_topk",
+      "max-inner-product ADC top-3 over the PQ code index (desc BIGINT e6 dot sums)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val lut = graft.operators.Pq.ipLut(
+            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d))
+          .withColumnRenamed("vec_id", "query_id")
+        val scored = pqCodes(s, d)
+          .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+          .join(broadcast(lut), Seq("m", "code"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("ip_e6"))
+        int8TopK(scored, 3, "ip_e6")
+      },
+      Some(s"""WITH ${dkPqCtes()},
+              |$dkIpCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM ipadc WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "pq_ip_adc_packed_topk",
+      "packed-codes MIPS ADC top-3 via the graft_adc_sum kernel == exploded plan",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val lut = graft.operators.Pq.ipLutFlat(
+            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d), PqKs)
+          .withColumnRenamed("vec_id", "query_id")
+        val scored = pqCodesPacked(s, d)
+          .select(col("vec_id").as("cand_id"), col("codes"))
+          .crossJoin(broadcast(lut))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            expr(s"graft_adc_sum(codes, lut, $PqKs)").as("ip_e6"))
+        int8TopK(scored, 3, "ip_e6")
+      },
+      Some(s"""WITH ${dkPqCtes()},
+              |$dkIpCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM ipadc WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "pq_ip_recall",
+      "recall@3 of MIPS-ADC search vs the exact full-dim inner-product top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val lut = graft.operators.Pq.ipLut(
+            pqSubs(s, d).filter(col("vec_id") < 32), "vec_id", pqCentroids(s, d))
+          .withColumnRenamed("vec_id", "query_id")
+        val ann = int8TopK(pqCodes(s, d)
+            .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+            .join(broadcast(lut), Seq("m", "code"))
+            .filter(col("cand_id") =!= col("query_id"))
+            .groupBy("query_id", "cand_id").agg(sum("dq_e6").as("ip_e6")), 3, "ip_e6")
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id")
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH ${dkPqCtes()},
+              |$dkIpCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |ip3 AS (SELECT query_id, cand_id FROM ipadc WHERE rnk <= 3)
+              |SELECT x.query_id, count(s.cand_id) AS n_hits,
+              |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xip x LEFT JOIN ip3 s
+              |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+              |GROUP BY x.query_id""".stripMargin)),
 
     // ── RESIDUAL IVF×PQ (FAISS IVFADC, Jégou et al. 2011 §III): the
     //    codes quantize vec − home-centroid, so the same m×ks budget

@@ -365,6 +365,55 @@ class PqSpec extends AnyFunSuite {
     assert(packed.nonEmpty)
   }
 
+  test("MIPS ADC: packed kernel plan == exploded row for row; exact MIPS order genuinely differs from L2") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val pp = q("pq_ip_adc_packed_topk").queryExecution.sparkPlan
+    assert(pp.toString.contains("graft_adc_sum"), pp.toString)
+    assert(pp.collect { case w: WindowExec => w }.isEmpty, pp.toString)
+    assert(pp.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, pp.toString)
+    val exploded = q("pq_ip_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val packed = q("pq_ip_adc_packed_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(packed === exploded)
+    assert(packed.nonEmpty)
+    // every estimate is a sum of m LIVE LUT entries — the −2⁵⁰ dead
+    // sentinel can never leak into a ranking built against the same
+    // codebooks the codes were encoded with
+    assert(packed.forall(_._3 > -(1L << 49)), "dead-slot sentinel leaked into a MIPS sum")
+    // the metric is genuinely different: MIPS top-3 ids diverge from
+    // the L2-ADC top-3 for at least one query on this corpus (norms
+    // vary, so the dot and the distance order can't coincide everywhere)
+    val l2 = q("pq_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed.map(r => (r._1, r._2)) != l2,
+      "MIPS ranking coincides with L2 everywhere — metric plumbing suspect")
+  }
+
+  test("ipLutFlat buries dead codebook cells under DESC ranking (sentinel = −2⁵⁰)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ks = 4
+    val books = Seq(
+      (0, 0L, Seq(0.0, 0.0)), (0, 2L, Seq(1.0, 1.0)), (0, 3L, Seq(2.0, 2.0)),
+      (1, 1L, Seq(0.5, 0.5)), (1, 2L, Seq(1.5, 1.5)))
+      .toDF("m", "cell", "cw")
+    val vecs = Seq((0L, Seq(0.1f, 0.1f, 0.6f, 0.6f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val subs = graft.operators.Pq.subviews(vecs, "vec_id", "embedding", 2, 2)
+    val lutRows = graft.operators.Pq.ipLutFlat(subs, "vec_id", books, ks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(lutRows(0L).length === 2 * ks)
+    // dead slots carry the NEGATED sentinel (must LOSE under desc);
+    // live slots carry real e6 dots
+    assert(lutRows(0L)(1) === -graft.operators.Pq.DeadCellSentinel)
+    assert(lutRows(0L)(ks + 0) === -graft.operators.Pq.DeadCellSentinel)
+    assert(lutRows(0L)(ks + 3) === -graft.operators.Pq.DeadCellSentinel)
+    assert(lutRows(0L)(2) > -graft.operators.Pq.DeadCellSentinel)
+  }
+
   test("packed PQ scan: graft_adc_sum kernel, no window, == exploded ADC row for row") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
