@@ -645,13 +645,28 @@ case class LshTableBucket(emb: Expression, tbl: Expression, dim: Int, nPlanes: I
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any, t: Any): Any =
-    LshTableBucket.bucket(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      dim, nPlanes, t.asInstanceOf[Number].longValue())
+  // the embedding child may be array<float> (the parquet corpus) or
+  // array<double> (derived vectors — e.g. the ALSH-augmented MIPS
+  // frame, computed in double); a float component widens to the SAME
+  // double either way, so the two paths differ only in the accessor
+  private def isDoubleArr: Boolean = emb.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any, t: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val tl = t.asInstanceOf[Number].longValue()
+    if (isDoubleArr) LshTableBucket.bucketD(arr, dim, nPlanes, tl)
+    else LshTableBucket.bucket(arr, dim, nPlanes, tl)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDoubleArr) "bucketD" else "bucket"
     defineCodeGen(ctx, ev,
-      (a, t) => s"graft.functions.LshTableBucket.bucket($a, $dim, $nPlanes, (long)$t)")
+      (a, t) => s"graft.functions.LshTableBucket.$fn($a, $dim, $nPlanes, (long)$t)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LshTableBucket =
@@ -669,6 +684,28 @@ object LshTableBucket {
       while (i < dim) {
         val w = ((((tbl * nPlanes + j) * dim + i) + 1) * 2654435761L) % 1000003L - 501501L
         s += emb.getFloat(i).toDouble * w.toDouble
+        i += 1
+      }
+      if (s >= 0) acc += (1L << j)
+      j += 1
+    }
+    acc
+  }
+
+  /** [[bucket]] over an array<double> child — identical arithmetic
+    * (the float path widens each component to double before the
+    * multiply, so a float array and its exact double image hash to
+    * the same bucket; spec-pinned). */
+  def bucketD(emb: org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int, nPlanes: Int, tbl: Long): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val w = ((((tbl * nPlanes + j) * dim + i) + 1) * 2654435761L) % 1000003L - 501501L
+        s += emb.getDouble(i) * w.toDouble
         i += 1
       }
       if (s >= 0) acc += (1L << j)

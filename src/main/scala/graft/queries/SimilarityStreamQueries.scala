@@ -568,6 +568,113 @@ object SimilarityStreamQueries {
        |    FROM pcode pc JOIN iplut l ON l.m = pc.m AND l.code = pc.code
        |    WHERE pc.vec_id <> l.query_id GROUP BY 1, 2))""".stripMargin
 
+  /** ALSH-augmented corpus bucket table (vec_id, tbl, bucket) — the
+    * SIMPLE-LSH reduction (Neyshabur & Srebro 2015) that makes MIPS
+    * composable with a prune SOUNDLY: items map to the UNIT sphere via
+    * x → [x/M ; √(1 − ‖x/M‖²)] (M = max corpus norm), queries to
+    * [q ; 0] (sign-LSH buckets are scale-invariant, so q needs no
+    * normalization), and then cos(q', x') is MONOTONE in ⟨q, x⟩ — the
+    * augmented-space cosine-ANN candidates ARE MIPS candidates, which
+    * the raw cosine-trained IVF prune can never guarantee (a
+    * far-but-huge-norm item wins MIPS from an unprobed cell). All
+    * arithmetic is double with the shared sequential folds, so the
+    * oracle replays the buckets bit-exact. Memoized per (session,
+    * dataset) like every index frame. */
+  private def alshBuckets(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#alshb"), {
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+        .head().getDouble(0)
+      emb.select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double") / lit(m)).as("sc"))
+        .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+        // the max-norm vector's s2 can exceed 1 by float rounding:
+        // clamp the augmented slot to 0 (spelled identically in SQL)
+        .withColumn("ea", expr(
+          "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+        .withColumn("tbl", explode(expr(s"sequence(0, ${NTables - 1})")))
+        .withColumn("bucket", expr(graft.functions.VectorFunctions
+          .lshBucketTableSql("ea", Dim + 1, TPlanes, "tbl")))
+        .select("vec_id", "tbl", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** MIPS top-3 through the ALSH prune: augmented-space multi-table
+    * LSH candidates (hot-bucket capped), then an exact-⟨q,x⟩ rescore
+    * of ONLY the candidates (e6-floored BIGINT, desc heap). */
+  private def mipsAlshTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val ids = graft.operators.Dedup.dropHotBuckets(alshBuckets(s, d),
+      Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, "mips_alsh")
+    val q = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), expr(
+        "array_append(transform(embedding, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE))")
+        .as("ea"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${NTables - 1})")))
+      .withColumn("bucket", expr(graft.functions.VectorFunctions
+        .lshBucketTableSql("ea", Dim + 1, TPlanes, "tbl")))
+      .select("query_id", "tbl", "bucket")
+    val cand = q
+      .join(ids.select(col("vec_id").as("cand_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val ed = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+    val scored = cand
+      .join(broadcast(ed.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))), Seq("query_id"))
+      .join(ed.select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb")), Seq("cand_id"))
+      .withColumn("ip_e6",
+        expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+    int8TopK(scored, 3, "ip_e6")
+  }
+
+  /** DuckDB twin of the ALSH chain — CTE chain ending in `amips`
+    * (query_id, cand_id, ip_e6, rnk): max norm (`mm`) → scaled corpus
+    * (`sca`) → unit-sphere augmentation (`caug`, clamped slot) →
+    * zero-slot query augmentation (`qaug`) → 65-dim multi-table
+    * buckets both sides (the dkTables weight stream at dim 65) →
+    * hot-bucket cap → distinct candidates → exact-dot desc ranking. */
+  private def dkAlshCtes: String = {
+    val dimA = Dim + 1
+    def bucketOf(src: String) =
+      s"""(SELECT vec_id, tbl,
+         |  list_reduce(list_prepend(0::BIGINT, range(0, $TPlanes)), (acc, j) -> acc +
+         |    CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $dimA),
+         |      i -> ea[(i + 1)::INT]::DOUBLE *
+         |        ((((((tbl * $TPlanes + j) * $dimA + i) + 1) * 2654435761) % 1000003) - 501501)::DOUBLE)),
+         |      (s2, x) -> s2 + x) >= 0
+         |    THEN (1::BIGINT << j::INT) ELSE 0 END) AS bucket
+         |  FROM (SELECT vec_id, ea, unnest(range(0, $NTables)) AS tbl FROM $src))"""
+    s"""mm AS (SELECT max(${dkNorm("embedding")}) AS mnorm FROM embeddings),
+       |sca AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE / mnorm) AS sc
+       |  FROM embeddings CROSS JOIN mm),
+       |caug AS (SELECT vec_id, list_append(sc,
+       |    CASE WHEN s2 >= 1.0 THEN 0.0::DOUBLE ELSE sqrt(1.0 - s2) END) AS ea
+       |  FROM (SELECT vec_id, sc, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, ${Dim + 1}), i -> sc[i]::DOUBLE * sc[i]::DOUBLE)),
+       |    (x, y) -> x + y) AS s2 FROM sca)),
+       |qaug AS (SELECT vec_id, list_append(list_transform(embedding, v -> v::DOUBLE),
+       |    0.0::DOUBLE) AS ea
+       |  FROM embeddings WHERE vec_id < 32),
+       |cbk AS ${bucketOf("caug")},
+       |qbk AS ${bucketOf("qaug")},
+       |ccap AS (SELECT * FROM cbk
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+       |acand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM qbk q JOIN ccap c ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |    AND c.vec_id <> q.vec_id),
+       |amips AS (SELECT query_id, cand_id, ip_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+       |  FROM (SELECT a.query_id, a.cand_id,
+       |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
+       |    FROM acand a JOIN embeddings q ON q.vec_id = a.query_id
+       |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
+  }
+
   // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
   // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
   // probed cells, then the ADC code-sum restricted to those candidates,
@@ -2919,6 +3026,62 @@ object SimilarityStreamQueries {
               |SELECT x.query_id, count(s.cand_id) AS n_hits,
               |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
               |FROM xip x LEFT JOIN ip3 s
+              |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+              |GROUP BY x.query_id""".stripMargin)),
+
+    // ── MIPS WITH a sound prune — the SIMPLE-LSH/ALSH reduction
+    //    (Neyshabur & Srebro 2015): items lift to the unit sphere
+    //    (x → [x/M ; √(1−‖x/M‖²)], M = max corpus norm), queries get a
+    //    zero slot, and cosine in the lifted space is MONOTONE in
+    //    ⟨q, x⟩ — so the existing multi-table sign-LSH machinery
+    //    becomes a CORRECT MIPS candidate generator (the thing the
+    //    cosine-trained IVF prune structurally is not, per the
+    //    pq_ip_adc_topk note). Candidates rescore by exact dot; the
+    //    recall row pins the quality against exact MIPS. ──
+    QueryDef(
+      "mips_alsh_topk",
+      "MIPS top-3 via the ALSH unit-sphere lift: 65-dim LSH candidates + exact-dot rescore",
+      (s, d) => mipsAlshTopK(s, d),
+      Some(s"""WITH $dkAlshCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "mips_alsh_recall",
+      "recall@3 of ALSH-pruned MIPS vs the exact full-scan inner-product top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val ann = mipsAlshTopK(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id")
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |alsh3 AS (SELECT query_id, cand_id FROM amips WHERE rnk <= 3)
+              |SELECT x.query_id, count(s.cand_id) AS n_hits,
+              |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xip x LEFT JOIN alsh3 s
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
 

@@ -43,7 +43,17 @@ object Sq8IvfSoak {
 
     val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
     val (ivfK, nprobe, nAssign, pqM, pqSub, pqKs) = (64, 4, 2, 8, 8, 16)
-    val vecs = SoakCorpus.frontLoaded(spark, nVecs)
+    // arg 2 picks the corpus shape: "front" (default — the clustered
+    // regime real embeddings live in) or "flat" (near-isotropic, the
+    // ADVERSARIAL case for a coarse prune: cells explain little
+    // variance, so this is where the recall cost of pruning shows)
+    val shape = args.drop(1).headOption.getOrElse("front")
+    val vecs = shape match {
+      case "front" => SoakCorpus.frontLoaded(spark, nVecs)
+      case "flat" => SoakCorpus.flat(spark, nVecs).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      case other => sys.error(s"unknown corpus shape '$other' (front|flat)")
+    }
     val probes = vecs.filter(col("vec_id") < 32).localCheckpoint(true)
 
     import SoakCorpus.timed
@@ -135,7 +145,7 @@ object Sq8IvfSoak {
     }
     val refineEqual = refined == inline
 
-    println(s"""{"soak":"sq8ivf_store","n_vecs":$nVecs,"n_queries":32,"dim":64,"ivf_k":$ivfK,"nprobe":$nprobe,"n_assign":$nAssign,"wall_fold":${f"$wFold%.1f"},"wall_flat_serve":${f"$wFlat%.1f"},"wall_pruned_serve":${f"$wPruned%.1f"},"pruned_vs_flat_recall3":${f"$recall%.3f"},"subset_invariant":$subsetOk,"wall_fold_refine_stores":${f"$wFoldRef%.1f"},"wall_refine_serve":${f"$wRefine%.1f"},"wall_refine_inline":${f"$wInline%.1f"},"refine_equal":$refineEqual}""")
+    println(s"""{"soak":"sq8ivf_store","corpus":"$shape","n_vecs":$nVecs,"n_queries":32,"dim":64,"ivf_k":$ivfK,"nprobe":$nprobe,"n_assign":$nAssign,"wall_fold":${f"$wFold%.1f"},"wall_flat_serve":${f"$wFlat%.1f"},"wall_pruned_serve":${f"$wPruned%.1f"},"pruned_vs_flat_recall3":${f"$recall%.3f"},"subset_invariant":$subsetOk,"wall_fold_refine_stores":${f"$wFoldRef%.1f"},"wall_refine_serve":${f"$wRefine%.1f"},"wall_refine_inline":${f"$wInline%.1f"},"refine_equal":$refineEqual}""")
     assert(subsetOk, "pruned serve found a closer neighbor than the full scan — impossible for a subset scan")
     assert(refineEqual, "store-composed refine diverged from the inline composition at soak scale")
     spark.stop()

@@ -414,6 +414,60 @@ class PqSpec extends AnyFunSuite {
     assert(lutRows(0L)(2) > -graft.operators.Pq.DeadCellSentinel)
   }
 
+  test("ALSH lift: unit-norm items, scale-invariant query buckets, lifted-cosine order == dot order") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    // double-array buckets == float-array buckets on exactly-
+    // representable components (the bucketD contract)
+    val vf = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f))).toDF("vec_id", "e")
+      .select(col("vec_id"), col("e").cast("array<float>").as("ef"),
+        expr("transform(e, v -> CAST(v AS DOUBLE))").as("ed"))
+    val bb = vf.select(
+      expr("graft_lsh_bucket(ef, 3L, 4, 7)").as("bf"),
+      expr("graft_lsh_bucket(ed, 3L, 4, 7)").as("bd")).head()
+    assert(bb.getLong(0) === bb.getLong(1))
+    // the lift puts every item ON the unit sphere (up to fp rounding)
+    val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+    val lifted = emb.select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double") / lit(m)).as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .withColumn("anorm", expr("sqrt(graft_dot_d(ea, ea))"))
+    val norms = lifted.select("anorm").collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9),
+      s"lifted norms stray from 1: ${norms.filter(n => math.abs(n - 1.0) >= 1e-9).take(3).mkString(",")}")
+    // monotonicity (the reduction's theorem, checked on data): for one
+    // query, ordering candidates by lifted cosine == ordering by raw
+    // inner product
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("qd"))
+      .head().getSeq[Double](0).toArray
+    val rows = lifted.filter(col("vec_id") > 0).limit(20)
+      .join(emb.withColumnRenamed("embedding", "raw"), Seq("vec_id"))
+      .select(col("vec_id"), col("ea"),
+        expr("transform(raw, v -> CAST(v AS DOUBLE))").as("rd"))
+      .collect()
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val scored = rows.map { r =>
+      val ea = r.getSeq[Double](1).toArray
+      val rd = r.getSeq[Double](2).toArray
+      val dot = qv.indices.map(i => qv(i) * rd(i)).sum
+      // lifted cosine: ⟨[q;0], x'⟩ / ‖q‖ (x' is unit)
+      val lcos = qv.indices.map(i => qv(i) * ea(i)).sum / qn
+      (dot, lcos)
+    }
+    val byDot = scored.sortBy(-_._1).map(_._2).toSeq
+    assert(byDot === byDot.sorted.reverse, "lifted cosine is not monotone in the inner product")
+    // the registered rows agree end to end (nonempty, bounded ranks)
+    val alsh = q("mips_alsh_topk").collect()
+    assert(alsh.nonEmpty && alsh.forall(_.getInt(3) <= 3))
+  }
+
   test("packed PQ scan: graft_adc_sum kernel, no window, == exploded ADC row for row") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
