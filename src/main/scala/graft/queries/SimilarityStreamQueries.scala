@@ -3085,6 +3085,22 @@ object SimilarityStreamQueries {
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
 
+    // ── The MIPS family's ONLINE twin: the ALSH lift served through
+    //    the streaming plan (probe-side zero-slot augmentation + bucket
+    //    is a pure projection, capped lifted index broadcast-joins,
+    //    exact-dot rescore, ONE payload-distinct heap). Streamed ==
+    //    batch is MemoryStream-tested in VectorStoreSpec; this row pins
+    //    the plan's arithmetic against the same dkAlshCtes chain. ──
+    QueryDef(
+      "mips_alsh_serve_stream",
+      "streaming MIPS serve via the ALSH lift (projection probe side, one heap) == batch ALSH",
+      (s, d) => graft.streaming.VectorStreams.mipsAlshServe(
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          t(s, d, "embeddings"), Dim, TPlanes, NTables, 3)
+        .select("query_id", "cand_id", "ip_e6", "rnk"),
+      Some(s"""WITH $dkAlshCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
+
     // ── RESIDUAL IVF×PQ (FAISS IVFADC, Jégou et al. 2011 §III): the
     //    codes quantize vec − home-centroid, so the same m×ks budget
     //    spends all its precision on the within-cell geometry the

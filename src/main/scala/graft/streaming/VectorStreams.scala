@@ -466,6 +466,66 @@ object VectorStreams {
       prefixDim, nCand, k)
   }
 
+  /** STREAMING MIPS serving via the ALSH unit-sphere lift — the
+    * maximum-inner-product member of the online-serve family
+    * ([[annServe]] cosine, [[fingerprintServe]] hamming, …). The
+    * STATIC corpus lifts once per micro-batch plan (x → [x/M ;
+    * √(1−‖x/M‖²)], M = max corpus norm read once at plan build — a
+    * metadata-sized driver action, the model-pinning precedent) and
+    * its capped 65-dim buckets broadcast-join the probe stream; the
+    * probe side is a pure projection (zero-slot augmentation + the
+    * scale-invariant sign-LSH bucket — no normalization needed), the
+    * exact ⟨q, x⟩ rescore joins the once-per-vector corpus row, and
+    * ranking is the payload-distinct bounded heap (a candidate
+    * colliding in several tables carries one identical dot). Ties
+    * (ip_e6 desc, cand_id asc) match the batch `mips_alsh_topk` row
+    * for row (equivalence-tested; oracle-pinned by
+    * `mips_alsh_serve_stream`).
+    *
+    * Output: (query_id, cand_id, ip_e6, rnk); update mode. */
+  def mipsAlshServe(probeStream: DataFrame, corpus: DataFrame,
+      dim: Int, nPlanes: Int, nTables: Int, k: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val m = corpus.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
+    val lifted = corpus
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double") / lit(m)).as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket", expr(
+        VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val cand = Dedup.dropHotBuckets(lifted, Seq("tbl", "bucket"),
+        maxBucket, "mipsAlshServe")
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val cvec = corpus.select(col("vec_id").as("cand_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
+    val q = probeStream
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("q_emb"))
+      .withColumn("ea", expr("array_append(q_emb, CAST(0.0 AS DOUBLE))"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket", expr(
+        VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
+      .drop("ea")
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    q.join(broadcast(cand), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(cvec, Seq("cand_id"))
+      .withColumn("ip_e6",
+        expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+      .groupBy("query_id")
+      .agg(topk(col("ip_e6").cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        col("e._1").cast("long").as("ip_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   // ───────────────────── IVF standing store ─────────────────────
 
   /** One IVF-store micro-batch fold (the [[ivfIndexIngest]] body,

@@ -920,6 +920,37 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(eGeom2.getMessage.contains("pins PQ geometry"))
   }
 
+  test("streaming MIPS serve via the ALSH lift == batch mips_alsh_topk, row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("ip_e6"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val expected = rank4(SparkEntry.queries("mips_alsh_topk")(spark, d))
+    assert(expected.nonEmpty)
+    // batch probes through the streaming-serve plan
+    assert(rank4(VectorStreams.mipsAlshServe(
+      emb.filter(col("vec_id") < 32), emb, dim, tp, nt, 3)) === expected)
+    // streamed probes (MemoryStream, update mode): one stateful op
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val out = VectorStreams.mipsAlshServe(
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      emb, dim, tp, nt, 3)
+    val sq = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_mipsserve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        rank4(spark.table("graft_mipsserve_test"))
+      } finally sq.stop()
+    assert(streamed === expected)
+  }
+
   test("MRL pruned serve IN-push contract: oversized survivor list falls back to left-semi, rows identical") {
     import spark.implicits._
     val emb = graft.sources.Tables(spark, d, "embeddings")
