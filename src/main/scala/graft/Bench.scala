@@ -38,8 +38,13 @@ import scala.jdk.CollectionConverters._
   * tracks the quietest observation of each query ever made.
   *
   * The stdout line is self-diagnosing: it carries cpu_total, gc_total,
-  * the median wall/recorded-best ratio, and a derived contended flag,
-  * so a hot-host artifact reads as such without BASELINE.md exegesis.
+  * the median wall/recorded-best ratio, and two derived flags —
+  * `contended` (walls uniformly above the bests AND the host was busy
+  * at pass start) vs `ratchet_drift` (same inflation on a VERIFIABLY
+  * idle host: the all-time-min registry has drifted out of
+  * steady-state reach — a registry property, not an environment
+  * event; see the round-14 calibration at isInflated) — so a hot-host
+  * artifact reads as such without BASELINE.md exegesis.
   * The per-round default benches the CORE set (SparkEntry.
   * benchCoreNames — the baselined queries + headliners); set
   * SPARK_GRAFT_BENCH_SET=all for the full registry (round-close
@@ -140,7 +145,11 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val quietWaitMax = sys.env.get("SPARK_GRAFT_BENCH_QUIET_WAIT")
       .map(_.toInt).getOrElse(300)
-    val quietLoadMax = 4.0
+    // 2.5 on a 32-CPU box: sbt's own compile phase leaves a load ghost
+    // that 4.0 walked straight through (round-14 calibration — the
+    // first gated run started at load1 3.76 and still read contended)
+    val quietLoadMax = sys.env.get("SPARK_GRAFT_BENCH_QUIET_LOAD")
+      .map(_.toDouble).getOrElse(2.5)
     var quietWaited = 0
     while (quietWaited < quietWaitMax && load1() > quietLoadMax) {
       System.err.println(s"[bench] host load1=${load1()} > $quietLoadMax — " +
@@ -216,11 +225,27 @@ object Bench {
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     }
-    def isContended(rs: Seq[(String, Timing)]): Boolean = {
+    // "Inflated" = walls sit uniformly above the recorded bests with GC
+    // flat. Round-14 calibration separated its two CAUSES: with the
+    // host VERIFIABLY idle at pass start (load1 1.22 on 32 CPUs after
+    // the quiet gate) the median still read 1.455, clustering with
+    // r13's 1.374 and an idle 1.376 — while the genuinely-busy r12 box
+    // read 1.689. A >1.3 median therefore only means "busy co-tenant"
+    // when the host actually WAS busy (load above the quiet threshold
+    // at start); on an idle host it means the min-of-14-rounds ratchet
+    // has drifted out of steady-state reach (bests captured in rare
+    // quiet/thermal windows) — published as `ratchet_drift`, a registry
+    // property, not an environment event. The retry protocol keys on
+    // the RATIO either way (a retry is how idle-host inflation got
+    // falsified in the first place; cheap relative to a wrong flag).
+    def isInflated(rs: Seq[(String, Timing)]): Boolean = {
       val w = rs.map(_._2.wall).filter(_ >= 0).sum
       val g = rs.map(_._2.gc).filter(_ >= 0).sum
       medianRatio(rs) > 1.3 && w > 0 && g < 0.1 * w
     }
+    val hostBusyAtStart = loadAtStart > quietLoadMax
+    def isContended(rs: Seq[(String, Timing)]): Boolean =
+      isInflated(rs) && hostBusyAtStart
     // Quiet-box retry protocol (round-12 verdict #5): when the run
     // still reads as contended after the min-of-passes merge, re-queue
     // the >1.5×-of-recorded-best rows (cold, bounded rounds, linear
@@ -235,18 +260,18 @@ object Bench {
       .map(_.toInt).getOrElse(3)
     var retryRounds = 0
     var noHotRows = false
-    while (isContended(results) && retryRounds < maxRetries && !noHotRows) {
+    while (isInflated(results) && retryRounds < maxRetries && !noHotRows) {
       val hot = results.collect {
         case (n, t) if t.wall >= 0 && recordedBest.get(n).exists(t.wall > 1.5 * _) => n
       }
       if (hot.isEmpty) {
-        System.err.println(s"[bench] contended (median_vs_best=" +
+        System.err.println(s"[bench] inflated (median_vs_best=" +
           s"${fmt(medianRatio(results))}) but no row exceeds 1.5× its " +
           "recorded best: nothing to re-run")
         noHotRows = true
       } else {
         retryRounds += 1
-        System.err.println(s"[bench] contended (median_vs_best=${fmt(medianRatio(results))}); " +
+        System.err.println(s"[bench] inflated (median_vs_best=${fmt(medianRatio(results))}); " +
           s"retry round $retryRounds/$maxRetries over ${hot.size} hot rows " +
           s"after ${15 * retryRounds}s backoff: ${hot.mkString(", ")}")
         Thread.sleep(15000L * retryRounds)
@@ -260,6 +285,7 @@ object Bench {
     }
     val medianVsBest = medianRatio(results)
     val contended = isContended(results)
+    val ratchetDrift = isInflated(results) && !hostBusyAtStart
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     val cpuTotal = results.map(_._2.cpu).filter(_ >= 0).sum
     val gcTotal = results.map(_._2.gc).filter(_ >= 0).sum
@@ -270,7 +296,7 @@ object Bench {
     // becomes unparseable. Stdout carries exactly one SHORT line with
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},"cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"ratchet_drift":$ratchetDrift,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -288,6 +314,6 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"ratchet_drift":$ratchetDrift,"retry_rounds":$retryRounds,"no_hot_rows":$noHotRows,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"queries":${jm(results, _.wall)},"sf":${if (sfDir.contains("sf")) sfDir.substring(sfDir.lastIndexOf("sf") + 2) else "0.1"}}""")
   }
 }
