@@ -3101,6 +3101,67 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkAlshCtes
               |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
 
+    // ── The ALSH family's STANDING STORE: the max corpus norm M is
+    //    the pinned model (MAX_NORM, first-fold pin — the bounds/
+    //    centroids precedent), 2-batch even/odd ingest appends lifted
+    //    65-dim buckets + once-per-vector vectors, pinned serve ==
+    //    one-shot ALSH (fold ≡ rebuild: M pinned from the full corpus
+    //    exactly as the oracle's mm CTE computes it; lifting is
+    //    per-vector). Completes the store matrix for the MIPS family. ──
+    QueryDef(
+      "mips_alsh_store_serve",
+      "standing ALSH store: 2-batch fold under pinned MAX_NORM + MIPS serve == one-shot ALSH",
+      (s, d) => {
+        val base = tempStoreDir("graft_alshstore")
+        val emb = t(s, d, "embeddings")
+        val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+          .head().getDouble(0)
+        Seq(0L, 1L).foreach(b =>
+          graft.streaming.VectorStreams.mipsAlshFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            base, b, m, Dim, TPlanes, NTables))
+        graft.streaming.VectorStreams.mipsAlshServeFromStore(s, base,
+            emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+            Dim, TPlanes, NTables, 3)
+          .select("query_id", "cand_id", "ip_e6", "rnk")
+      },
+      Some(s"""WITH $dkAlshCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
+
+    // ── The ALSH store's retrain gate — the norm member of the drift
+    //    family (cells/codes/bounds/residual/…): share of a new batch's
+    //    norms EXCEEDING the pinned MAX_NORM (exactly the vectors whose
+    //    lifted slot clamps to 0 — direction preserved, unit-norm
+    //    property lost, MIPS monotonicity degrading). Baseline M =
+    //    even vec_ids (the first-fold pin), batch = odd; round-half-up
+    //    ppm BIGINT, drift flag at >5%. One aggregate — 1 row out at
+    //    any corpus size. ──
+    QueryDef(
+      "profile_drift_norm",
+      "pinned-MAX_NORM drift gate: ppm of a new batch's norms above the pin, flag at >5%",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .agg(max(graft.functions.VectorFunctions.norm("embedding")).as("mx"))
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select(graft.functions.VectorFunctions.norm("embedding").as("nrm"))
+          .crossJoin(broadcast(base))
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("nrm") > col("mx"), 1L).otherwise(0L)).as("n_oob"))
+          .select(col("n_batch"), col("n_oob"),
+            expr("(2000000 * n_oob + n_batch) div (2 * n_batch)").as("oob_ppm"),
+            (col("n_oob") * lit(20L) > col("n_batch")).as("drifted"))
+      },
+      Some(s"""WITH b AS (SELECT max(${dkNorm("embedding")}) AS mx
+              |  FROM embeddings WHERE vec_id % 2 = 0),
+              |agg AS (SELECT count(*)::BIGINT AS n_batch,
+              |    sum(CASE WHEN ${dkNorm("embedding")} > mx THEN 1 ELSE 0 END)::BIGINT AS n_oob
+              |  FROM embeddings CROSS JOIN b WHERE vec_id % 2 = 1)
+              |SELECT n_batch, n_oob,
+              |  ((2000000 * n_oob + n_batch) // (2 * n_batch))::BIGINT AS oob_ppm,
+              |  n_oob * 20 > n_batch AS drifted
+              |FROM agg""".stripMargin)),
+
     // ── RESIDUAL IVF×PQ (FAISS IVFADC, Jégou et al. 2011 §III): the
     //    codes quantize vec − home-centroid, so the same m×ks budget
     //    spends all its precision on the within-cell geometry the

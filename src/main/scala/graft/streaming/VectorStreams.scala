@@ -167,6 +167,11 @@ object VectorStreams {
       prefixDim: Int = 0): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("buckets", "vectors")) { _ =>
+      // layout guard (mirror of mipsAlshFoldBatch's): raw buckets hash
+      // the raw floats, an ALSH store's buckets hash the 65-dim lift —
+      // same schema, incompatible numbers
+      require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
+        s"vectorFoldBatch: $tableDir is an ALSH (lifted) store — use mipsAlshFoldBatch")
       val tabled = graft.operators.Knn.withLshTables(
           batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
         .localCheckpoint(true)
@@ -514,6 +519,128 @@ object VectorStreams {
       .drop("ea")
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     q.join(broadcast(cand), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(cvec, Seq("cand_id"))
+      .withColumn("ip_e6",
+        expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+      .groupBy("query_id")
+      .agg(topk(col("ip_e6").cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        col("e._1").cast("long").as("ip_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  // ─────────────────── ALSH (MIPS) standing store ───────────────────
+
+  /** One ALSH-store micro-batch fold — the standing-store form of the
+    * MIPS family ([[mipsAlshServe]]'s lift persisted): the max corpus
+    * norm M is the store's pinned MODEL (written to `MAX_NORM` by the
+    * first fold — the PREFIX_DIM/bounds pinning precedent; retraining
+    * M is a rebuild event, `profile_drift_norm` is the gate that says
+    * when), every batch lifts against the PINNED M and appends:
+    *
+    *   - `buckets/batch=N/` — (vec_id, tbl, bucket): 65-dim lifted
+    *     sign-LSH postings;
+    *   - `vectors/batch=N/` — (vec_id, embedding, nrm) once per
+    *     vector: the exact-dot rescore side;
+    *   - `v<N>/stats` — 1-row n_vecs under the atomic CURRENT pin.
+    *
+    * A later batch CAN carry norms above the pinned M: the lift clamps
+    * the augmented slot to 0, so the item's direction is preserved and
+    * serving degrades gracefully (its lifted vector is merely no
+    * longer unit — the standard pinned-model drift story, observable
+    * through the drift gate, never a crash). Fold ≡ rebuild is exact
+    * when M is pinned from the same corpus the oracle computes it on
+    * (assignment is per-vector). Same crash/replay contract as every
+    * store fold; [[forgetVectors]] spans buckets/vectors already. */
+  def mipsAlshFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("buckets", "vectors")) { _ =>
+      graft.functions.GraftFunctions.register(batch.sparkSession)
+      val mn = new java.io.File(s"$tableDir/MAX_NORM")
+      // the raw-LSH store pins no norm model; refuse cross-layout folds
+      // (raw buckets hash the raw floats, lifted buckets hash the
+      // 65-dim double lift — same schema, incompatible numbers)
+      require(mn.exists() || !new java.io.File(s"$tableDir/CURRENT").exists(),
+        s"mipsAlshFoldBatch: $tableDir already has raw (unlifted) LSH batches — " +
+          "use vectorFoldBatch, or rebuild under the ALSH layout")
+      val pinnedM =
+        if (mn.exists()) java.nio.file.Files.readString(mn.toPath).trim.toDouble
+        else {
+          java.nio.file.Files.writeString(mn.toPath, maxNorm.toString)
+          maxNorm
+        }
+      val lifted = batch.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", VectorFunctions.norm("embedding"))
+        .withColumn("sc",
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            v => v.cast("double") / lit(pinnedM)))
+        .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+        .withColumn("ea", expr(
+          "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+        .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+        .withColumn("bucket", expr(
+          VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
+        .localCheckpoint(true)
+      lifted.select(col("vec_id"), col("tbl"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
+      lifted.filter(col("tbl") === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    }
+
+  /** ALSH INDEX-at-ingest — see [[mipsAlshFoldBatch]]. */
+  def mipsAlshIngest(vecStream: DataFrame, tableDir: String,
+      maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
+      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mipsAlshFoldBatch(batch.toDF(), tableDir, id, maxNorm, dim, nPlanes,
+          nTables, compactEvery, vacuumKeep)
+        ()
+      }
+      .start()
+
+  /** MIPS top-k from a standing [[mipsAlshIngest]] store, pinned to
+    * `version` (default CURRENT). `probes` may be batch or streaming —
+    * the probe side is a pure projection (zero-slot augmentation + the
+    * scale-invariant 65-dim bucket; M is never needed on the query
+    * side), the capped pinned buckets join on (tbl, bucket), exact
+    * ⟨q, x⟩ rescores against the once-per-vector `vectors` table, and
+    * the payload-distinct bounded heap ranks by (ip_e6 desc, cand_id
+    * asc) — the batch `mips_alsh_topk` total order row for row
+    * (oracle-pinned by `mips_alsh_store_serve`).
+    *
+    * Output: (query_id, cand_id, ip_e6, rnk). */
+  def mipsAlshServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame,
+      dim: Int, nPlanes: Int, nTables: Int, k: Int,
+      maxBucket: Int = Dedup.MaxBucket,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
+      s"mipsAlshServeFromStore: $tableDir carries raw (unlifted) LSH buckets — " +
+        "use searchVectorStore")
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cand = Dedup.dropHotBuckets(pinned("buckets"),
+        Seq("tbl", "bucket"), maxBucket, "mipsAlshServeFromStore")
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val cvec = pinned("vectors").select(col("vec_id").as("cand_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
+    val q = probes
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("q_emb"))
+      .withColumn("ea", expr("array_append(q_emb, CAST(0.0 AS DOUBLE))"))
+      .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket", expr(
+        VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
+      .drop("ea")
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    q.join(cand, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(cvec, Seq("cand_id"))
       .withColumn("ip_e6",

@@ -951,6 +951,63 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("ALSH store: streamed 2-batch ingest + pinned serve == batch ALSH; raw/lifted layout guards; forget") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_alsh_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.mipsAlshIngest(
+      mem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      tbl, m, dim, tp, nt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+    assert(Lakehouse.readCurrent(spark, tbl, "stats").head().getLong(0)
+      === rows.size.toLong)
+
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("ip_e6"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val probes = emb.filter(col("vec_id") < 32)
+    val expected = rank4(SparkEntry.queries("mips_alsh_topk")(spark, d))
+    assert(expected.nonEmpty)
+    assert(rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3)) === expected)
+
+    // layout guards: raw and lifted stores refuse each other's folds,
+    // and the raw search refuses... the MIPS serve refuses a raw store
+    val eRaw = intercept[IllegalArgumentException] {
+      VectorStreams.vectorFoldBatch(emb, tbl, 2L, dim, tp, nt) }
+    assert(eRaw.getMessage.contains("ALSH"))
+    val rawTbl = java.nio.file.Files.createTempDirectory("graft_alsh_raw").toString
+    VectorStreams.vectorFoldBatch(emb, rawTbl, 0L, dim, tp, nt)
+    val eLift = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, rawTbl, 1L, m, dim, tp, nt) }
+    assert(eLift.getMessage.contains("unlifted"))
+    val eServe = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshServeFromStore(spark, rawTbl, probes, dim, tp, nt, 3) }
+    assert(eServe.getMessage.contains("unlifted"))
+
+    // forget spans the lifted buckets: no ghost MIPS candidates
+    val doomed = Seq(expected.map(_._2).head)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
+    assert(rewritten === 2) // one buckets + one vectors partition
+    val after = rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes.filter(!col("vec_id").isin(doomed: _*)), dim, tp, nt, 3))
+    assert(!after.exists(r => doomed.contains(r._2)))
+  }
+
   test("MRL pruned serve IN-push contract: oversized survivor list falls back to left-semi, rows identical") {
     import spark.implicits._
     val emb = graft.sources.Tables(spark, d, "embeddings")
