@@ -15,6 +15,22 @@ import graft.operators.Dedup
   */
 object VectorStreams {
 
+  /** Atomic model-pin write: temp file + ATOMIC_MOVE, the CURRENT-swing
+    * discipline applied to pin files. A plain in-place write can crash
+    * mid-way and leave a TRUNCATED but still-parseable value (e.g.
+    * "12" from "12.75") that every later fold silently adopts,
+    * producing buckets inconsistent with earlier batches (ADVICE
+    * r14). */
+  private def atomicWritePin(path: java.nio.file.Path, value: String): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, value)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** Enrich a stream of `(id, embedding)` query vectors with their
     * top-k cosine neighbors from a STATIC multi-table sign-LSH index.
     *
@@ -196,7 +212,7 @@ object VectorStreams {
         require(!new java.io.File(s"$tableDir/CURRENT").exists(),
           s"store $tableDir already has raw (un-prefixed) batches; " +
             s"cannot pin prefix dim $prefixDim onto them")
-        java.nio.file.Files.writeString(pd.toPath, prefixDim.toString)
+        atomicWritePin(pd.toPath, prefixDim.toString)
       }
       val vecs =
         if (prefixDim <= 0) vecs0
@@ -549,14 +565,31 @@ object VectorStreams {
     * A later batch CAN carry norms above the pinned M: the lift clamps
     * the augmented slot to 0, so the item's direction is preserved and
     * serving degrades gracefully (its lifted vector is merely no
-    * longer unit — the standard pinned-model drift story, observable
-    * through the drift gate, never a crash). Fold ≡ rebuild is exact
-    * when M is pinned from the same corpus the oracle computes it on
-    * (assignment is per-vector). Same crash/replay contract as every
-    * store fold; [[forgetVectors]] spans buckets/vectors already. */
+    * longer unit — the standard pinned-model drift story). That
+    * degradation is now OBSERVED AT THE FOLD, not just by the standing
+    * `profile_drift_norm` query nothing consumed (r14 verdict #4):
+    * every fold records a 1-row `drift/batch=N` table — (n_batch,
+    * n_oob, oob_ppm, drifted) with the profile query's exact
+    * round-half-up ppm arithmetic and >5% flag — and REFUSES the batch
+    * loudly (the [[graft.operators.Scd2]] loud-precondition precedent)
+    * when the out-of-pin share exceeds `maxDriftPpm` (default 20%):
+    * past that, so much of the store no longer sits on the unit sphere
+    * that the MIPS-monotonicity argument is void and the right move is
+    * [[rebuildAlshStore]], which re-pins M and relifts. A later fold
+    * must also pass the SAME `maxNorm` the store pinned — a caller
+    * holding a recomputed different M must not believe it was honored
+    * while buckets hash under the stale pin (ADVICE r14; the
+    * pqM/pqSub geometry-agreement rule).
+    *
+    * Fold ≡ rebuild is exact when M is pinned from the same corpus the
+    * oracle computes it on (assignment is per-vector). Same
+    * crash/replay contract as every store fold; [[forgetVectors]]
+    * spans buckets/vectors already (`drift` is per-batch evidence, not
+    * per-vector state — forget leaves it). */
   def mipsAlshFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      maxDriftPpm: Long = 200000L): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("buckets", "vectors")) { _ =>
       graft.functions.GraftFunctions.register(batch.sparkSession)
@@ -568,12 +601,20 @@ object VectorStreams {
         s"mipsAlshFoldBatch: $tableDir already has raw (unlifted) LSH batches — " +
           "use vectorFoldBatch, or rebuild under the ALSH layout")
       val pinnedM =
-        if (mn.exists()) java.nio.file.Files.readString(mn.toPath).trim.toDouble
-        else {
-          java.nio.file.Files.writeString(mn.toPath, maxNorm.toString)
+        if (mn.exists()) {
+          val p = java.nio.file.Files.readString(mn.toPath).trim.toDouble
+          require(maxNorm == p,
+            s"mipsAlshFoldBatch: store $tableDir pins MAX_NORM $p; fold passed " +
+              s"$maxNorm — a disagreeing M means the caller retrained the norm " +
+              "model, which is a REBUILD event (rebuildAlshStore), not a fold")
+          p
+        } else {
+          atomicWritePin(mn.toPath, maxNorm.toString)
           maxNorm
         }
-      val lifted = batch.select(col("vec_id"), col("embedding"))
+      // per-vector frame (norm + lift) checkpointed BEFORE the ×nTables
+      // explode — drift stats and the vectors table both read it once
+      val normed = batch.select(col("vec_id"), col("embedding"))
         .withColumn("nrm", VectorFunctions.norm("embedding"))
         .withColumn("sc",
           org.apache.spark.sql.functions.transform(col("embedding"),
@@ -581,26 +622,75 @@ object VectorStreams {
         .withColumn("s2", expr("graft_dot_d(sc, sc)"))
         .withColumn("ea", expr(
           "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+        .localCheckpoint(true)
+      // fold-side drift gate: ONE metadata-sized aggregate over the
+      // batch (never the store), the profile_drift_norm arithmetic
+      val drift = normed
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("nrm") > lit(pinnedM), 1L).otherwise(0L)).as("n_oob"))
+        .select(col("n_batch"), col("n_oob"),
+          when(col("n_batch") === 0L, 0L)
+            .otherwise(expr("(2000000 * n_oob + n_batch) div (2 * n_batch)"))
+            .as("oob_ppm"),
+          (col("n_oob") * lit(20L) > col("n_batch")).as("drifted"))
+        .localCheckpoint(true)
+      val dRow = drift.head()
+      require(dRow.getLong(2) <= maxDriftPpm,
+        s"mipsAlshFoldBatch: ${dRow.getLong(1)}/${dRow.getLong(0)} batch norms " +
+          s"(${dRow.getLong(2)} ppm) exceed the pinned MAX_NORM $pinnedM — above " +
+          s"the $maxDriftPpm ppm ceiling the lift is no longer near-unit and the " +
+          "MIPS prune is unsound; re-pin M via rebuildAlshStore")
+      drift.write.mode("overwrite").parquet(s"$tableDir/drift/batch=$id")
+      val lifted = normed
         .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
         .withColumn("bucket", expr(
           VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
-        .localCheckpoint(true)
       lifted.select(col("vec_id"), col("tbl"), col("bucket"))
         .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
-      lifted.filter(col("tbl") === 0)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+      normed.select(col("vec_id"), col("embedding"), col("nrm"))
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
+
+  /** Re-pin the ALSH store's norm model and relift every vector — the
+    * REBUILD event the fold-side drift gate (and `profile_drift_norm`)
+    * points at when ingested norms have outgrown the pinned M. Reads
+    * the CURRENT-pinned `vectors` table (materialized eagerly before
+    * the swap so a crash never strands a half-read source), recomputes
+    * M as the store-wide max norm, folds everything as one batch 0
+    * into a fresh sibling directory under the new pin, and bak-swaps
+    * it into place (the [[graft.sinks.ParquetFhirStore]] copy-on-write
+    * swap discipline — readers racing the swap see the old consistent
+    * store). Returns the re-pinned M. Serve-after-rebuild equals a
+    * from-scratch store built under the same M (spec-pinned). */
+  def rebuildAlshStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, dim: Int, nPlanes: Int, nTables: Int): Double = {
+    val pinned = pinnedReader(spark, tableDir, None)
+    val vecs = pinned("vectors").select("vec_id", "embedding")
+      .localCheckpoint(true) // survives the source dir swap below
+    val newM = vecs.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
+    val fresh = tableDir + ".rebuild"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
+    mipsAlshFoldBatch(vecs, fresh, 0L, newM, dim, nPlanes, nTables)
+    val old = new java.io.File(tableDir)
+    val bak = new java.io.File(tableDir + ".bak")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    require(old.renameTo(bak), s"rebuildAlshStore: cannot stage $tableDir aside")
+    require(new java.io.File(fresh).renameTo(old),
+      s"rebuildAlshStore: cannot swap rebuilt store into $tableDir")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    newM
+  }
 
   /** ALSH INDEX-at-ingest — see [[mipsAlshFoldBatch]]. */
   def mipsAlshIngest(vecStream: DataFrame, tableDir: String,
       maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      maxDriftPpm: Long = 200000L): org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         mipsAlshFoldBatch(batch.toDF(), tableDir, id, maxNorm, dim, nPlanes,
-          nTables, compactEvery, vacuumKeep)
+          nTables, compactEvery, vacuumKeep, maxDriftPpm)
         ()
       }
       .start()

@@ -1100,4 +1100,65 @@ class VectorStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must be numeric"))
   }
+
+  test("ALSH fold drift gate: disagreeing M refused, drifted batch recorded/refused, rebuild re-pins") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    // odd ids scaled ×2: EVERY norm lands above the even-side pin
+    val odd2 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v * 2.0 AS FLOAT))").as("embedding"))
+      .localCheckpoint(true)
+    val mEven = even.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_alsh_drift").toString
+    VectorStreams.mipsAlshFoldBatch(even, tbl, 0L, mEven, dim, tp, nt)
+    // in-pin fold records a clean drift row
+    val d0 = spark.read.parquet(s"$tbl/drift/batch=0").head()
+    assert(d0.getLong(1) === 0L && d0.getLong(2) === 0L && !d0.getBoolean(3))
+
+    // ADVICE r14: a fold passing a RECOMPUTED different M must fail
+    // loudly, not silently hash under the stale pin
+    val eM = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(odd2, tbl, 1L, mEven * 2.0, dim, tp, nt) }
+    assert(eM.getMessage.contains("pins MAX_NORM"))
+
+    // 100% out-of-pin batch: above the default 20% ceiling -> refused
+    val eDrift = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(odd2, tbl, 1L, mEven, dim, tp, nt) }
+    assert(eDrift.getMessage.contains("rebuildAlshStore"))
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v0")) // store untouched
+
+    // ceiling raised: the batch folds (clamped lift), the drift row
+    // carries the evidence (1,000,000 ppm, drifted flag set)
+    VectorStreams.mipsAlshFoldBatch(odd2, tbl, 1L, mEven, dim, tp, nt,
+      maxDriftPpm = 1000000L)
+    val d1 = spark.read.parquet(s"$tbl/drift/batch=1").head()
+    assert(d1.getLong(1) === d1.getLong(0) && d1.getLong(2) === 1000000L
+      && d1.getBoolean(3))
+
+    // rebuild re-pins M to the store-wide max and restores the unit-
+    // sphere lift: serve-after-rebuild == a from-scratch store
+    val newM = VectorStreams.rebuildAlshStore(spark, tbl, dim, tp, nt)
+    val corpus = even.unionByName(odd2).localCheckpoint(true)
+    val mAll = corpus.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+    assert(newM === mAll)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tbl/MAX_NORM")).trim.toDouble === newM)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_alsh_scratch").toString
+    VectorStreams.mipsAlshFoldBatch(corpus, scratch, 0L, mAll, dim, tp, nt)
+    val probes = emb.filter(col("vec_id") < 32)
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("ip_e6"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rebuilt = rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3))
+    assert(rebuilt.nonEmpty)
+    assert(rebuilt === rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, scratch, probes, dim, tp, nt, 3)))
+  }
 }
