@@ -600,15 +600,10 @@ object SimilarityStreamQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** MIPS top-3 through the ALSH prune: augmented-space multi-table
-    * LSH candidates (hot-bucket capped), then an exact-⟨q,x⟩ rescore
-    * of ONLY the candidates (e6-floored BIGINT, desc heap). */
-  private def mipsAlshTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val emb = t(s, d, "embeddings")
-    val ids = graft.operators.Dedup.dropHotBuckets(alshBuckets(s, d),
-      Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, "mips_alsh")
-    val q = emb.filter(col("vec_id") < 32)
+  /** Zero-slot-augmented query buckets for the ALSH chain:
+    * (query_id, tbl, bucket) for probes vec_id < 32. */
+  private def alshQueryBuckets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") < 32)
       .select(col("vec_id").as("query_id"), expr(
         "array_append(transform(embedding, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE))")
         .as("ea"))
@@ -616,7 +611,17 @@ object SimilarityStreamQueries {
       .withColumn("bucket", expr(graft.functions.VectorFunctions
         .lshBucketTableSql("ea", Dim + 1, TPlanes, "tbl")))
       .select("query_id", "tbl", "bucket")
-    val cand = q
+
+  /** Shared ALSH tail: capped corpus buckets joined to the given query
+    * bucket frame, distinct candidates, exact-⟨q,x⟩ rescore of ONLY
+    * the candidates (e6-floored BIGINT, desc heap, top-3). */
+  private def mipsAlshRescoreTopK(s: SparkSession, d: String,
+      qBuckets: DataFrame, tag: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val ids = graft.operators.Dedup.dropHotBuckets(alshBuckets(s, d),
+      Seq("tbl", "bucket"), graft.operators.Dedup.MaxBucket, tag)
+    val cand = qBuckets
       .join(ids.select(col("vec_id").as("cand_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -631,6 +636,29 @@ object SimilarityStreamQueries {
         expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
     int8TopK(scored, 3, "ip_e6")
   }
+
+  /** MIPS top-3 through the ALSH prune: augmented-space multi-table
+    * LSH candidates (hot-bucket capped), then an exact-⟨q,x⟩ rescore
+    * of ONLY the candidates (e6-floored BIGINT, desc heap). */
+  private def mipsAlshTopK(s: SparkSession, d: String): DataFrame =
+    mipsAlshRescoreTopK(s, d, alshQueryBuckets(s, d), "mips_alsh")
+
+  /** Multi-PROBE MIPS top-3 (the round-5 Lv et al. lever applied to
+    * the LIFTED buckets — the recall lever mips_alsh_recall's 0.385
+    * left unexercised, r14 verdict #3): each query probes its home
+    * bucket PLUS every 1-bit-flip bucket per table — near neighbors one
+    * hyperplane away in the AUGMENTED space are still found, at the
+    * SAME table count. Probe expansion is query-side only (×(TPlanes+1)
+    * narrow rows); the capped corpus postings, the distinct-candidate
+    * join and the exact-dot rescore are the single-probe plan
+    * unchanged. */
+  private def mipsAlshTopKProbe(s: SparkSession, d: String): DataFrame =
+    mipsAlshRescoreTopK(s, d,
+      alshQueryBuckets(s, d).select(col("query_id"), col("tbl"),
+        explode(expr(s"array_union(array(bucket), " +
+          s"transform(sequence(0, ${TPlanes - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+          .as("bucket")),
+      "mips_alsh_probe")
 
   /** DuckDB twin of the ALSH chain — CTE chain ending in `amips`
     * (query_id, cand_id, ip_e6, rnk): max norm (`mm`) → scaled corpus
@@ -674,6 +702,25 @@ object SimilarityStreamQueries {
        |    FROM acand a JOIN embeddings q ON q.vec_id = a.query_id
        |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
   }
+
+  /** Multi-probe extension of [[dkAlshCtes]] (appended after it):
+    * query buckets expand to home + every 1-bit flip (`qpb`, the
+    * sim_probe_recall probes CTE at dim 65), then the same capped
+    * candidate join (`pcand`) and exact-dot desc ranking (`pmips`). */
+  private def dkAlshProbeCtes: String =
+    s"""qpb AS (SELECT query_id, tbl,
+       |    unnest(list_append(list_transform(range(0, $TPlanes),
+       |      j -> xor(bucket, (1::BIGINT << j))), bucket)) AS bucket
+       |  FROM (SELECT vec_id AS query_id, tbl, bucket FROM qbk)),
+       |pcand AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+       |  FROM qpb p JOIN ccap c ON c.tbl = p.tbl AND c.bucket = p.bucket
+       |    AND c.vec_id <> p.query_id),
+       |pmips AS (SELECT query_id, cand_id, ip_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+       |  FROM (SELECT a.query_id, a.cand_id,
+       |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
+       |    FROM pcand a JOIN embeddings q ON q.vec_id = a.query_id
+       |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
 
   // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
   // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
@@ -3084,6 +3131,114 @@ object SimilarityStreamQueries {
               |FROM xip x LEFT JOIN alsh3 s
               |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
               |GROUP BY x.query_id""".stripMargin)),
+
+    // ── Multi-PROBE MIPS (r14 verdict #3): the round-5 multi-probe
+    //    precedent (home bucket + all 1-bit flips, which took cosine
+    //    sign-LSH recall 0.302 → 0.635 at fixed table count) applied to
+    //    the 65-dim LIFTED buckets — same NTables, same QUALIFY-
+    //    mirrored hot-bucket cap, probe expansion on the query side
+    //    only. ──
+    QueryDef(
+      "mips_alsh_probe_topk",
+      "multi-probe MIPS top-3: home + 1-bit-flip lifted buckets per table, exact-dot rescore",
+      (s, d) => mipsAlshTopKProbe(s, d),
+      Some(s"""WITH $dkAlshCtes,
+              |$dkAlshProbeCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM pmips WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "mips_alsh_probe_recall",
+      "recall@3 of multi-probe ALSH MIPS vs the exact full-scan inner-product top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val ann = mipsAlshTopKProbe(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id")
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkAlshProbeCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |palsh3 AS (SELECT query_id, cand_id FROM pmips WHERE rnk <= 3)
+              |SELECT x.query_id, count(s.cand_id) AS n_hits,
+              |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xip x LEFT JOIN palsh3 s
+              |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+              |GROUP BY x.query_id""".stripMargin)),
+
+    // ── The multi-probe LIFT pinned as DATA: over the identical exact
+    //    inner-product top-3, total hits of the raw single-probe chain
+    //    vs the probe-expanded chain. Candidate sets are supersets, so
+    //    probe_hits >= raw_hits up to boundary ties — whichever way the
+    //    fixture lands, both engines compute the identical booleans. ──
+    QueryDef(
+      "mips_alsh_probe_lift",
+      "multi-probe MIPS recall lift over single-probe, pinned as exact hit counts",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id").localCheckpoint(true)
+        val rawH = exact.join(mipsAlshTopK(s, d).select("query_id", "cand_id"),
+            Seq("query_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("raw_hits"))
+        val probeH = exact.join(mipsAlshTopKProbe(s, d).select("query_id", "cand_id"),
+            Seq("query_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("probe_hits"))
+        rawH.crossJoin(probeH)
+          .select(col("raw_hits"), col("probe_hits"),
+            (col("probe_hits") >= col("raw_hits")).as("no_regression"),
+            (col("probe_hits") > col("raw_hits")).as("lifted"))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkAlshProbeCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |r AS (SELECT count(*)::BIGINT AS raw_hits FROM xip x
+              |  JOIN (SELECT query_id, cand_id FROM amips WHERE rnk <= 3) a
+              |    ON a.query_id = x.query_id AND a.cand_id = x.cand_id),
+              |p AS (SELECT count(*)::BIGINT AS probe_hits FROM xip x
+              |  JOIN (SELECT query_id, cand_id FROM pmips WHERE rnk <= 3) b
+              |    ON b.query_id = x.query_id AND b.cand_id = x.cand_id)
+              |SELECT raw_hits, probe_hits,
+              |  probe_hits >= raw_hits AS no_regression,
+              |  probe_hits > raw_hits AS lifted
+              |FROM r CROSS JOIN p""".stripMargin)),
 
     // ── The MIPS family's ONLINE twin: the ALSH lift served through
     //    the streaming plan (probe-side zero-slot augmentation + bucket

@@ -705,12 +705,21 @@ object VectorStreams {
     * asc) — the batch `mips_alsh_topk` total order row for row
     * (oracle-pinned by `mips_alsh_store_serve`).
     *
+    * `multiProbe = true` additionally probes every 1-bit-flip bucket
+    * per table (the round-5 Lv et al. lever on the LIFTED space — the
+    * `mips_alsh_probe_topk` chain): probe expansion is a query-side
+    * projection (×(nPlanes+1) narrow rows), the pinned postings and
+    * the rescore are untouched, and a candidate colliding through
+    * several probes carries one identical dot into the payload-
+    * distinct heap.
+    *
     * Output: (query_id, cand_id, ip_e6, rnk). */
   def mipsAlshServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame,
       dim: Int, nPlanes: Int, nTables: Int, k: Int,
       maxBucket: Int = Dedup.MaxBucket,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      multiProbe: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"mipsAlshServeFromStore: $tableDir carries raw (unlifted) LSH buckets — " +
@@ -721,7 +730,7 @@ object VectorStreams {
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
     val cvec = pinned("vectors").select(col("vec_id").as("cand_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
-    val q = probes
+    val qHome = probes
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("q_emb"))
       .withColumn("ea", expr("array_append(q_emb, CAST(0.0 AS DOUBLE))"))
@@ -729,6 +738,12 @@ object VectorStreams {
       .withColumn("bucket", expr(
         VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
       .drop("ea")
+    val q =
+      if (!multiProbe) qHome
+      else qHome.select(col("query_id"), col("q_emb"), col("tbl"),
+        explode(expr(s"array_union(array(bucket), " +
+          s"transform(sequence(0, ${nPlanes - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+          .as("bucket"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     q.join(cand, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))

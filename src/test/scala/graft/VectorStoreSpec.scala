@@ -985,6 +985,13 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(rank4(VectorStreams.mipsAlshServeFromStore(
       spark, tbl, probes, dim, tp, nt, 3)) === expected)
 
+    // multi-probe serve off the same pinned store == the batch
+    // probe-expanded chain row for row
+    val expectedProbe = rank4(SparkEntry.queries("mips_alsh_probe_topk")(spark, d))
+    assert(expectedProbe.nonEmpty)
+    assert(rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3, multiProbe = true)) === expectedProbe)
+
     // layout guards: raw and lifted stores refuse each other's folds,
     // and the raw search refuses... the MIPS serve refuses a raw store
     val eRaw = intercept[IllegalArgumentException] {
