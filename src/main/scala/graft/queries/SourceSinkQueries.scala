@@ -60,6 +60,62 @@ object SourceSinkQueries {
              | ('store', 'Patient', 'count', 2)
              |) t(phase, resource_type, action, n)""".stripMargin)),
 
+    // ── The reference's AIDBOX store flavor (cnics_to_fhir.py:196-213)
+    //    over the real wire: the fixture server requires a client-
+    //    credentials bearer token on every call. Pinned as data: a
+    //    wrong secret aborts the job at store construction (the
+    //    reference quit()s), an unauthenticated store fails LOUDLY on
+    //    its first read (never a silently-empty snapshot — that would
+    //    reconcile the whole store away), and the correctly-authed
+    //    pipeline runs end to end with exactly ONE token fetch (JVM-
+    //    cached across every executor-side snapshot/bundle request). ──
+    QueryDef(
+      "cnics_http_auth_audit",
+      "aidbox-flavor OAuth e2e: client-credentials token + bearer pipeline; wrong/absent creds fail loudly",
+      (s, _) => {
+        import s.implicits._
+        val srv = new graft.sinks.FhirFixtureServer(authSecret = Some("s3cret"))
+        val port = srv.start()
+        try {
+          val base = s"http://localhost:$port"
+          def authFor(secret: String) = new graft.sinks.ClientCredentialsAuth(
+            s"$base/auth/token", "client-cnics-crud", secret, maxRetries = 2)
+          // wrong secret: the construction-time token fetch aborts
+          val wrongAborted =
+            try { new graft.sinks.HttpFhirStore(base, auth = Some(authFor("wrong"))); 0L }
+            catch { case _: IllegalStateException => 1L }
+          // absent auth: the first read 401s loudly (count + cursor
+          // fallback = 2 unauthorized hits), never an empty frame
+          val bare = new graft.sinks.HttpFhirStore(base, maxRetries = 2)
+          val bareFailedLoud =
+            try { bare.snapshot(s, "Patient").count(); 0L }
+            catch { case _: IllegalStateException => 1L }
+          val store = new graft.sinks.HttpFhirStore(base,
+            auth = Some(authFor("s3cret")))
+          val audit = new CnicsPipeline(s, CnicsFixtures.demo(s), store, "uw").run()
+          val rows = audit.toSeq.map { case ((rt, a), n) => ("run", rt, a, n) } ++ Seq(
+            ("auth", "token", "fetched", srv.tokenFetches.get().toLong),
+            ("auth", "token", "rejected", srv.tokenRejects.get().toLong),
+            ("auth", "request", "unauthorized", srv.unauthorized.get().toLong),
+            ("auth", "job", "wrong_secret_aborted", wrongAborted),
+            ("auth", "job", "unauthenticated_failed_loud", bareFailedLoud),
+            ("store", "Patient", "count", srv.count("Patient")))
+          rows.toDF("phase", "resource_type", "action", "n")
+        } finally srv.stop()
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('run', 'Patient', 'insert', CAST(2 AS BIGINT)), ('run', 'Patient', 'update', 0), ('run', 'Patient', 'delete', 0),
+             | ('run', 'Condition', 'insert', 2), ('run', 'Condition', 'update', 0), ('run', 'Condition', 'delete', 0),
+             | ('run', 'MedicationRequest', 'insert', 1), ('run', 'MedicationRequest', 'update', 0), ('run', 'MedicationRequest', 'delete', 0),
+             | ('run', 'Observation', 'insert', 3), ('run', 'Observation', 'update', 0), ('run', 'Observation', 'delete', 0),
+             | ('auth', 'token', 'fetched', 1),
+             | ('auth', 'token', 'rejected', 1),
+             | ('auth', 'request', 'unauthorized', 2),
+             | ('auth', 'job', 'wrong_secret_aborted', 1),
+             | ('auth', 'job', 'unauthenticated_failed_loud', 1),
+             | ('store', 'Patient', 'count', 2)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── A5: the reference's real standard-code CSV lists, loaded by
     //    the quote-stripping single-column reader the pipeline uses
     //    (cnics_to_fhir.py:190-193). Counts pinned from the files as

@@ -21,20 +21,41 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *    isolation filter) and `subject=` reference scoping;
   *  - optional `failFirstPost`: the FIRST bundle POST is rejected with
   *    a 500 exactly once, so the sink's bounded-retry wrapper (F14)
-  *    is exercised — and counted — on the driver's gate.
+  *    is exercised — and counted — on the driver's gate;
+  *  - optional `authSecret`: the server becomes an Aidbox-shaped
+  *    auth-fronted store (reference flavor, cnics_to_fhir.py:196-213):
+  *    `POST /auth/token?grant_type=client_credentials&client_id=…&
+  *    client_secret=…` issues `{"access_token": …}` when the secret
+  *    matches (401 + tokenRejects otherwise), and EVERY other request
+  *    must carry `Authorization: Bearer <current token>` or is 401'd
+  *    (+ unauthorized). [[revokeToken]] invalidates the current token
+  *    so the sink's bounded 401-refresh path can be exercised
+  *    deterministically.
   *
   * State is a ConcurrentHashMap keyed `/<Type>/<id>`; everything is
   * deterministic given the same request set, which is what lets the
   * e2e audit row pin its counters as a literal oracle.
   */
-final class FhirFixtureServer(failFirstPost: Boolean = false) {
+final class FhirFixtureServer(failFirstPost: Boolean = false,
+    authSecret: Option[String] = None) {
 
   val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val posts = new java.util.concurrent.atomic.AtomicInteger(0)
   val gets = new java.util.concurrent.atomic.AtomicInteger(0)
   val rejectedPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tokenFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tokenRejects = new java.util.concurrent.atomic.AtomicInteger(0)
+  val unauthorized = new java.util.concurrent.atomic.AtomicInteger(0)
+  // token generations: the valid bearer is "graft-token-<generation>";
+  // revokeToken() bumps the generation, so outstanding tokens expire
+  @volatile private var tokenGeneration = 1
   private val firstRejected = new java.util.concurrent.atomic.AtomicBoolean(false)
   private var server: HttpServer = _
+
+  /** Expire the currently issued token (Aidbox tokens are short-lived);
+    * the next authenticated request 401s until a fresh token is
+    * fetched. */
+  def revokeToken(): Unit = tokenGeneration += 1
   // subject.reference -> stored paths, maintained on every PUT/DELETE so
   // a cascade delete touches only the deleted patient's children (a full
   // store re-parse per DELETE turns a 12.5k-delete delta into minutes —
@@ -79,12 +100,42 @@ final class FhirFixtureServer(failFirstPost: Boolean = false) {
     private val mapper = new ObjectMapper()
 
     def handle(ex: HttpExchange): Unit = try {
-      ex.getRequestMethod match {
+      if (ex.getRequestURI.getPath == "/auth/token") handleToken(ex)
+      else if (!authorized(ex)) {
+        unauthorized.incrementAndGet()
+        reply(ex, 401, """{"resourceType":"OperationOutcome","issue":[{"code":"login"}]}""")
+      } else ex.getRequestMethod match {
         case "POST" => handlePost(ex)
         case "GET"  => handleGet(ex)
         case _      => reply(ex, 405, "{}")
       }
     } catch { case _: Throwable => reply(ex, 500, "{}") }
+
+    private def authorized(ex: HttpExchange): Boolean = authSecret.isEmpty || {
+      val h = ex.getRequestHeaders.getFirst("Authorization")
+      h != null && h == s"Bearer graft-token-$tokenGeneration"
+    }
+
+    /** Aidbox-shaped token endpoint: client credentials as URL params
+      * over an empty POST body (the reference's requests.post(params=…)
+      * wire shape, cnics_to_fhir.py:205-207). */
+    private def handleToken(ex: HttpExchange): Unit = {
+      val params = Option(ex.getRequestURI.getRawQuery).toSeq
+        .flatMap(_.split("&")).map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, "UTF-8") }
+        .toMap
+      val ok = ex.getRequestMethod == "POST" &&
+        params.get("grant_type").contains("client_credentials") &&
+        authSecret.exists(params.get("client_secret").contains(_))
+      if (ok) {
+        tokenFetches.incrementAndGet()
+        reply(ex, 200, s"""{"access_token":"graft-token-$tokenGeneration","token_type":"Bearer"}""")
+      } else {
+        tokenRejects.incrementAndGet()
+        reply(ex, 401, """{"error":"invalid_client"}""")
+      }
+    }
 
     private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
       val b = body.getBytes("UTF-8")

@@ -244,6 +244,79 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
   }
 }
 
+/** Client-credentials OAuth for auth-fronted FHIR stores — the
+  * reference's `aidbox` store flavor (cnics_to_fhir.py:196-213): one
+  * POST `?grant_type=client_credentials&client_id=…&client_secret=…`
+  * to the auth endpoint (credentials as URL params over an empty body —
+  * the reference's `requests.post(params=…)` wire shape), the
+  * `access_token` parsed from the JSON reply, and `Authorization:
+  * Bearer <token>` on every subsequent store call. A failed fetch
+  * THROWS — the reference `quit()`s ("Unable to query FHIR server for
+  * auth token"); a 4xx is a credential problem and fails immediately
+  * (retrying cannot fix it), 5xx/connect errors get the store's
+  * bounded-retry treatment.
+  *
+  * Scale shape: tokens cache PER JVM (companion map keyed on
+  * (url, client, secret)), so the driver fetches once at store
+  * construction (fail-fast, before any pipeline work) and each
+  * executor JVM fetches once on first use instead of once per task;
+  * a 401 mid-run triggers ONE bounded [[refresh]] (tokens expire)
+  * before the request is failed for real. */
+final class ClientCredentialsAuth(tokenUrl: String, clientId: String,
+    clientSecret: String, maxRetries: Int = 5) extends Serializable {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  private def key = (tokenUrl, clientId, clientSecret)
+
+  def token(c: HttpClient): String =
+    ClientCredentialsAuth.cache.getOrElseUpdate(key, fetch(c))
+
+  /** Drop the cached token and fetch a fresh one — the 401 path. */
+  def refresh(c: HttpClient): String = {
+    val t = fetch(c)
+    ClientCredentialsAuth.cache.put(key, t)
+    t
+  }
+
+  private def fetch(c: HttpClient): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val u = s"$tokenUrl?grant_type=client_credentials" +
+      s"&client_id=${enc(clientId)}&client_secret=${enc(clientSecret)}"
+    val req = HttpRequest.newBuilder(java.net.URI.create(u))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.noBody()).build()
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      try {
+        val r = c.send(req, HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() < 400) {
+          val tok = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(r.body()).path("access_token").asText(null)
+          if (tok != null && tok.nonEmpty) return tok
+          last = new IllegalStateException(
+            s"auth reply from $tokenUrl carries no access_token")
+        } else if (r.statusCode() < 500) {
+          throw new IllegalStateException(
+            s"unable to fetch FHIR auth token: HTTP ${r.statusCode()} from $tokenUrl")
+        } else last = new RuntimeException(s"HTTP ${r.statusCode()}")
+      } catch {
+        case e: IllegalStateException => throw e
+        case e: Throwable => last = e
+      }
+      attempt += 1
+      Thread.sleep(200L * attempt)
+    }
+    throw new IllegalStateException(
+      s"unable to fetch FHIR auth token from $tokenUrl", last)
+  }
+}
+
+object ClientCredentialsAuth {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), String]
+}
+
 /** HTTP-backed store: the production sink/source.
   *
   * Scale design (vs the reference's single-threaded driver loop with
@@ -259,10 +332,19 @@ class ParquetFhirStore(baseDir: String) extends FhirStore with Serializable {
   *    stores with no search total the fallback walks a slim
   *    `_elements=id` cursor (ids only on the driver) and fans the
   *    resource fetch out as `?_id=a,b,c` shard batches.
+  *  - `auth` (the reference's `aidbox` flavor) puts `Authorization:
+  *    Bearer` on every request, driver- and executor-side; the token
+  *    is fetched ONCE at construction so wrong credentials abort the
+  *    job before any pipeline work (the reference's quit()), and an
+  *    unauthorized response is ALWAYS a loud failure — a swallowed
+  *    401 would parse as an EMPTY store and make the reconcile
+  *    classify every source row as insertable and every store row as
+  *    a deletable orphan.
   * Driver never touches row data.
   */
 class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
-    pageSize: Int = 1000, idBatch: Int = 100)
+    pageSize: Int = 1000, idBatch: Int = 100,
+    auth: Option[ClientCredentialsAuth] = None)
     extends FhirStore with Serializable {
 
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
@@ -270,15 +352,41 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
 
   private def client(): HttpClient = HttpClient.newHttpClient()
 
-  private def send(c: HttpClient, req: HttpRequest): HttpResponse[String] = {
+  // fail-fast at job start (cnics_to_fhir.py:211-213): bad credentials
+  // must abort before any pipeline work, not 401 mid-reconcile
+  auth.foreach(_.token(client()))
+
+  /** Bounded-retry send. The request is supplied as a BUILDER thunk so
+    * each attempt can re-stamp the Authorization header — after a 401
+    * triggers the single bounded token refresh, the retried request
+    * must carry the NEW token, which an immutable prebuilt request
+    * cannot. 401/403 semantics: one refresh when auth is configured,
+    * then loud failure (never returned to a caller that would parse
+    * the error body as an empty page). */
+  private def send(c: HttpClient, mk: () => HttpRequest.Builder): HttpResponse[String] = {
     var attempt = 0
+    var refreshed = false
     var last: Throwable = null
     while (attempt < maxRetries) {
+      val b = mk()
+      auth.foreach(a => b.header("Authorization", "Bearer " + a.token(c)))
       try {
-        val r = c.send(req, HttpResponse.BodyHandlers.ofString())
-        if (r.statusCode() < 500) return r
-        last = new RuntimeException(s"HTTP ${r.statusCode()}")
-      } catch { case e: Throwable => last = e }
+        val r = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() == 401 && auth.isDefined && !refreshed) {
+          auth.get.refresh(c)
+          refreshed = true
+          last = new IllegalStateException(s"HTTP 401 (token refreshed once)")
+        } else if (r.statusCode() == 401 || r.statusCode() == 403)
+          throw new IllegalStateException(
+            s"unauthorized (HTTP ${r.statusCode()}) from $baseUrl — " +
+              (if (auth.isDefined) "token refresh did not help"
+               else "store requires auth but none is configured"))
+        else if (r.statusCode() < 500) return r
+        else last = new RuntimeException(s"HTTP ${r.statusCode()}")
+      } catch {
+        case e: IllegalStateException => throw e
+        case e: Throwable => last = e
+      }
       attempt += 1
       Thread.sleep(200L * attempt)
     }
@@ -306,8 +414,8 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
       java.net.URLEncoder.encode(s + "|", "UTF-8")).getOrElse("")
     val total: Long =
       try {
-        val r = send(c, HttpRequest.newBuilder(
-          URI.create(s"$baseUrl/$resourceType?_summary=count&_format=json$idq")).GET().build())
+        val r = send(c, () => HttpRequest.newBuilder(
+          URI.create(s"$baseUrl/$resourceType?_summary=count&_format=json$idq")).GET())
         val t = mapper.readTree(r.body()).path("total")
         if (t.isNumber) t.asLong() else -1L
       } catch { case _: Throwable => -1L }
@@ -332,8 +440,8 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
           // static store. Pinning the order is a requirement of this
           // parallel pager; servers that cannot sort should take the
           // sequential cursor fallback instead.
-          val r = send(pc, HttpRequest.newBuilder(URI.create(
-            s"$url/$resourceType?_count=$ps&_offset=$off&_sort=_id&_format=json$idq")).GET().build())
+          val r = send(pc, () => HttpRequest.newBuilder(URI.create(
+            s"$url/$resourceType?_count=$ps&_offset=$off&_sort=_id&_format=json$idq")).GET())
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           pm.readTree(r.body()).path("entry").forEach { e =>
             val res = e.path("resource")
@@ -373,7 +481,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
     // shard fetches below need no re-scoping (their ids came from it)
     var url = s"$baseUrl/$resourceType?_elements=id&_count=${math.max(1, pageSize)}&_format=json$idq"
     while (url != null) {
-      val r = send(c, HttpRequest.newBuilder(URI.create(url)).GET().build())
+      val r = send(c, () => HttpRequest.newBuilder(URI.create(url)).GET())
       val root = mapper.readTree(r.body())
       root.path("entry").forEach { e =>
         val id = e.path("resource").path("id").asText(null)
@@ -406,7 +514,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
           // otherwise entries past the first page vanish silently
           var u = s"$base/$rt?_id=${g.mkString(",")}&_count=${g.size}&_format=json"
           while (u != null) {
-            val r = send(pc, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val r = send(pc, () => HttpRequest.newBuilder(URI.create(u)).GET())
             val root = pm.readTree(r.body())
             root.path("entry").forEach { e =>
               val res = e.path("resource")
@@ -443,7 +551,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           var u = s"$url/$resourceType?subject=Patient/$sid&_count=1000&_format=json"
           while (u != null) {
-            val r = send(c, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val r = send(c, () => HttpRequest.newBuilder(URI.create(u)).GET())
             val root = mapper.readTree(r.body())
             root.path("entry").forEach { e =>
               val res = e.path("resource")
@@ -487,7 +595,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
           val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
           var u = s"$url/$resourceType?identifier=$tokens&_count=1000&_format=json"
           while (u != null) {
-            val r = send(c, HttpRequest.newBuilder(URI.create(u)).GET().build())
+            val r = send(c, () => HttpRequest.newBuilder(URI.create(u)).GET())
             val root = mapper.readTree(r.body())
             root.path("entry").forEach { e =>
               val res = e.path("resource")
@@ -517,6 +625,7 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
     val url = baseUrl
     val retries = maxRetries
     val bsz = math.max(1, bundleSize)
+    val bearer = auth // local capture: the write closure ships no `this`
     import org.apache.spark.sql.Encoders
     val counts = actions.select("key", "id", "json", "merge_action")
       .mapPartitions { rows =>
@@ -541,17 +650,25 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
               sb.append(s"""{"resource":$json,"request":{"method":"PUT","url":"$resourceType/$id"}}""")
           }
           sb.append("]}")
-          val req = HttpRequest.newBuilder(URI.create(url))
-            .header("Content-Type", "application/fhir+json;charset=utf-8")
-            .POST(HttpRequest.BodyPublishers.ofString(sb.toString)).build()
           var attempt = 0
           var done = false
+          var refreshed = false
           var last: Throwable = null
           while (!done && attempt < retries) {
+            // built per attempt: a 401-triggered token refresh must
+            // re-stamp the Authorization header on the retried bundle
+            val b = HttpRequest.newBuilder(URI.create(url))
+              .header("Content-Type", "application/fhir+json;charset=utf-8")
+              .POST(HttpRequest.BodyPublishers.ofString(sb.toString))
+            bearer.foreach(a => b.header("Authorization", "Bearer " + a.token(c)))
             try {
-              val resp = c.send(req, HttpResponse.BodyHandlers.ofString())
+              val resp = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
               if (resp.statusCode() < 400) done = true
-              else last = new RuntimeException(
+              else if (resp.statusCode() == 401 && bearer.isDefined && !refreshed) {
+                bearer.get.refresh(c)
+                refreshed = true
+                last = new RuntimeException("HTTP 401 (token refreshed once)")
+              } else last = new RuntimeException(
                 s"HTTP ${resp.statusCode()} for bundle of ${batch.size} $resourceType")
             } catch { case e: Throwable => last = e }
             if (!done) { attempt += 1; Thread.sleep(200L * attempt) }
@@ -563,5 +680,34 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
     counts.groupBy("_1").agg(sum("_2").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+}
+
+object HttpFhirStore {
+  /** The reference's store-flavor dispatch (cnics_to_fhir.py:195-213):
+    * `FhirStore=hapi` → unauthenticated `HapiFhirUrl`; `FhirStore=
+    * aidbox` → `AidboxFhirUrl` behind client-credentials auth against
+    * `AidboxAuthUrl`, with the reference's fixed client id
+    * (`client-cnics-crud`, py:204) and the secret from secrets.ini
+    * `[FHIR] AidboxAuthPw`. Settings values are quote-stripped by
+    * [[graft.config.IniConfig]] exactly like the reference's
+    * `.strip('"')`. Construction fail-fasts on the token fetch (the
+    * reference `quit()`s). */
+  def fromSettings(settingsText: String, secretsText: String): HttpFhirStore = {
+    val opt = graft.config.IniConfig.parse(settingsText)
+      .getOrElse("Options", Map.empty)
+    def req(k: String): String =
+      opt.getOrElse(k, sys.error(s"settings [Options] missing $k"))
+    req("FhirStore") match {
+      case "hapi" => new HttpFhirStore(req("HapiFhirUrl"))
+      case "aidbox" =>
+        val secret = graft.config.IniConfig.parse(secretsText)
+          .getOrElse("FHIR", Map.empty)
+          .getOrElse("AidboxAuthPw", sys.error("secrets [FHIR] missing AidboxAuthPw"))
+        new HttpFhirStore(req("AidboxFhirUrl"),
+          auth = Some(new ClientCredentialsAuth(
+            req("AidboxAuthUrl"), "client-cnics-crud", secret)))
+      case other => sys.error(s"unknown FhirStore flavor '$other' (hapi|aidbox)")
+    }
   }
 }

@@ -86,4 +86,77 @@ class SourceSinkQueriesSpec extends AnyFunSuite {
       assert(srv.data.containsKey("/Condition/cond-2"))
     } finally srv.stop()
   }
+  test("cnics_http_auth_audit: bearer pipeline, wrong/absent creds loud, one token fetch") {
+    val rows = run("cnics_http_auth_audit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(rows(("run", "Patient", "insert")) === 2L)
+    assert(rows(("auth", "token", "fetched")) === 1L)
+    assert(rows(("auth", "token", "rejected")) === 1L)
+    assert(rows(("auth", "job", "wrong_secret_aborted")) === 1L)
+    assert(rows(("auth", "job", "unauthenticated_failed_loud")) === 1L)
+    assert(rows(("store", "Patient", "count")) === 2L)
+  }
+
+  test("bearer 401-refresh: a revoked token is refreshed ONCE mid-run, then fails for real") {
+    import spark.implicits._
+    val srv = new graft.sinks.FhirFixtureServer(authSecret = Some("pw"))
+    val port = srv.start()
+    try {
+      val base = s"http://localhost:$port"
+      val store = new graft.sinks.HttpFhirStore(base, maxRetries = 3,
+        auth = Some(new graft.sinks.ClientCredentialsAuth(
+          s"$base/auth/token", "client-cnics-crud", "pw")))
+      val acts = Seq(("k1", "pat-1",
+        """{"resourceType":"Patient","id":"pat-1","identifier":[{"system":"s-uw","value":"k1"}]}""",
+        "insert"))
+        .toDF("key", "id", "json", "merge_action").coalesce(1)
+      // revoke the cached token: the next bundle POST 401s, the sink
+      // refreshes once (tokenFetches 1 -> 2) and the retry succeeds
+      srv.revokeToken()
+      val counts = store.applyActions("Patient", acts)
+      assert(counts("insert") === 1L)
+      assert(srv.tokenFetches.get() === 2)
+      assert(srv.count("Patient") === 1L)
+
+      // the GET path refreshes too: revoke again, snapshot 401s once,
+      // refreshes (tokenFetches 2 -> 3) and the retried read succeeds
+      srv.revokeToken()
+      assert(store.snapshot(spark, "Patient").collect()
+        .map(_.getString(0)).toSet === Set("k1"))
+      assert(srv.tokenFetches.get() === 3)
+    } finally srv.stop()
+  }
+
+  test("HttpFhirStore.fromSettings dispatches the reference store flavors") {
+    val srv = new graft.sinks.FhirFixtureServer(authSecret = Some("aidbox-pw"))
+    val port = srv.start()
+    try {
+      val base = s"http://localhost:$port"
+      // aidbox flavor: auth wired from settings + secrets, fail-fast fetch
+      graft.sinks.HttpFhirStore.fromSettings(
+        s"""[Options]
+           |FhirStore = "aidbox"
+           |AidboxFhirUrl = "$base"
+           |AidboxAuthUrl = "$base/auth/token"
+           |""".stripMargin,
+        "[FHIR]\nAidboxAuthPw = \"aidbox-pw\"\n")
+      assert(srv.tokenFetches.get() === 1)
+      // wrong secret aborts construction (the reference quit())
+      intercept[IllegalStateException] {
+        graft.sinks.HttpFhirStore.fromSettings(
+          s"""[Options]
+             |FhirStore = "aidbox"
+             |AidboxFhirUrl = "$base"
+             |AidboxAuthUrl = "$base/auth/token"
+             |""".stripMargin,
+          "[FHIR]\nAidboxAuthPw = \"nope\"\n")
+      }
+      // unknown flavor is a loud config error
+      intercept[RuntimeException] {
+        graft.sinks.HttpFhirStore.fromSettings(
+          "[Options]\nFhirStore = \"vista\"\n", "")
+      }
+    } finally srv.stop()
+  }
 }
