@@ -121,6 +121,24 @@ object SimilarityStreamQueries {
       base
     })
 
+  /** The session's pinned ALSH (MIPS) store — 2-batch even/odd fold
+    * under the full-corpus MAX_NORM pin, built on first touch, then
+    * only SERVED from ([[storeMemo]] contract; the residualStorePinned
+    * precedent applied to the MIPS family so its production serve
+    * wall-clock is benched per round, r14 verdict #6). */
+  private def alshStorePinned(s: SparkSession, d: String): String =
+    storeMemo.getOrElseUpdate((s, d + "#alshpinned"), {
+      val base = tempStoreDir("graft_alshpinned")
+      val emb = t(s, d, "embeddings")
+      val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+        .head().getDouble(0)
+      Seq(0L, 1L).foreach(b =>
+        graft.streaming.VectorStreams.mipsAlshFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+          base, b, m, Dim, TPlanes, NTables))
+      base
+    })
+
   private def embBuckets(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
       Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
@@ -3282,6 +3300,24 @@ object SimilarityStreamQueries {
       },
       Some(s"""WITH $dkAlshCtes
               |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
+
+    // ── The MIPS family's BENCHED production serve: answers off the
+    //    session's pinned standing store (fold amortized at ingest,
+    //    the ivfres_serve_pinned pairing discipline) — the serve
+    //    re-reads the pinned parquet every invocation, so the timing
+    //    is an honest cold serve. ──
+    QueryDef(
+      "mips_alsh_serve_pinned",
+      "MIPS serve off the session's existing pinned ALSH store (ingest amortized) == one-shot ALSH",
+      (s, d) => graft.streaming.VectorStreams.mipsAlshServeFromStore(
+          s, alshStorePinned(s, d),
+          t(s, d, "embeddings").filter(col("vec_id") < 32)
+            .select("vec_id", "embedding"),
+          Dim, TPlanes, NTables, 3)
+        .select("query_id", "cand_id", "ip_e6", "rnk"),
+      Some(s"""WITH $dkAlshCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── The ALSH store's retrain gate — the norm member of the drift
     //    family (cells/codes/bounds/residual/…): share of a new batch's
