@@ -3274,6 +3274,21 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkAlshCtes
               |SELECT query_id, cand_id, ip_e6, rnk FROM amips WHERE rnk <= 3""".stripMargin)),
 
+    // ── Multi-probe through the ONLINE serve: probe expansion is a
+    //    stream-legal projection, so the plan keeps its single
+    //    stateful aggregation — the probe lever in all three family
+    //    forms (one-shot, online, standing store). ──
+    QueryDef(
+      "mips_alsh_probe_serve_stream",
+      "streaming multi-probe MIPS serve == batch probe-expanded ALSH chain",
+      (s, d) => graft.streaming.VectorStreams.mipsAlshServe(
+          t(s, d, "embeddings").filter(col("vec_id") < 32),
+          t(s, d, "embeddings"), Dim, TPlanes, NTables, 3, multiProbe = true)
+        .select("query_id", "cand_id", "ip_e6", "rnk"),
+      Some(s"""WITH $dkAlshCtes,
+              |$dkAlshProbeCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM pmips WHERE rnk <= 3""".stripMargin)),
+
     // ── The ALSH family's STANDING STORE: the max corpus norm M is
     //    the pinned model (MAX_NORM, first-fold pin — the bounds/
     //    centroids precedent), 2-batch even/odd ingest appends lifted

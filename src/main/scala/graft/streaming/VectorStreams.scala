@@ -503,10 +503,16 @@ object VectorStreams {
     * for row (equivalence-tested; oracle-pinned by
     * `mips_alsh_serve_stream`).
     *
+    * `multiProbe = true` additionally probes every 1-bit-flip bucket
+    * per table (the `mips_alsh_probe_topk` chain) — the expansion is
+    * a stream-legal projection (explode), so the plan keeps its single
+    * stateful aggregation.
+    *
     * Output: (query_id, cand_id, ip_e6, rnk); update mode. */
   def mipsAlshServe(probeStream: DataFrame, corpus: DataFrame,
       dim: Int, nPlanes: Int, nTables: Int, k: Int,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket,
+      multiProbe: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val m = corpus.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
     val lifted = corpus
@@ -525,7 +531,7 @@ object VectorStreams {
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
     val cvec = corpus.select(col("vec_id").as("cand_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
-    val q = probeStream
+    val qHome = probeStream
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("q_emb"))
       .withColumn("ea", expr("array_append(q_emb, CAST(0.0 AS DOUBLE))"))
@@ -533,6 +539,12 @@ object VectorStreams {
       .withColumn("bucket", expr(
         VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
       .drop("ea")
+    val q =
+      if (!multiProbe) qHome
+      else qHome.select(col("query_id"), col("q_emb"), col("tbl"),
+        explode(expr(s"array_union(array(bucket), " +
+          s"transform(sequence(0, ${nPlanes - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+          .as("bucket"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     q.join(broadcast(cand), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))

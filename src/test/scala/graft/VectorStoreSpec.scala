@@ -949,6 +949,24 @@ class VectorStoreSpec extends AnyFunSuite {
         rank4(spark.table("graft_mipsserve_test"))
       } finally sq.stop()
     assert(streamed === expected)
+
+    // multi-probe through the online serve: streamed == the batch
+    // probe-expanded chain (the probe explode is a stream-legal
+    // projection; the plan keeps its single stateful aggregation)
+    val expectedProbe = rank4(SparkEntry.queries("mips_alsh_probe_topk")(spark, d))
+    val pmem2 = MemoryStream[(Long, Seq[Float])]
+    val out2 = VectorStreams.mipsAlshServe(
+      pmem2.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      emb, dim, tp, nt, 3, multiProbe = true)
+    val sq2 = out2.writeStream.outputMode("update")
+      .format("memory").queryName("graft_mipsprobe_test").start()
+    val streamedProbe =
+      try {
+        pmem2.addData(rows.filter(_._1 < 32): _*); sq2.processAllAvailable()
+        rank4(spark.table("graft_mipsprobe_test"))
+      } finally sq2.stop()
+    assert(streamedProbe === expectedProbe)
   }
 
   test("ALSH store: streamed 2-batch ingest + pinned serve == batch ALSH; raw/lifted layout guards; forget") {
