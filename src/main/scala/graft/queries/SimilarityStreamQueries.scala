@@ -661,6 +661,86 @@ object SimilarityStreamQueries {
   private def mipsAlshTopK(s: SparkSession, d: String): DataFrame =
     mipsAlshRescoreTopK(s, d, alshQueryBuckets(s, d), "mips_alsh")
 
+  /** The LIFTED corpus (vec_id, ea: array<double>) — the unit-sphere
+    * embedding the ALSH buckets hash; exposed directly so the
+    * lifted-IVF family can train/assign on the same arrays. */
+  private def alshLifted(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#alshlift"), {
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+        .head().getDouble(0)
+      emb.select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double") / lit(m)).as("sc"))
+        .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+        .withColumn("ea", expr(
+          "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+        .select("vec_id", "ea")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Coarse quantizer trained ON THE LIFT (65-dim) — the norm-aware
+    * partitioning the `pq_ip_adc_topk` note names as the correct MIPS
+    * lever: lifted cosine is monotone in ⟨q,x⟩, so a cosine-trained
+    * IVF over the LIFTED vectors is a MIPS-sound coarse prune (FAISS's
+    * IndexIVF + METRIC_INNER_PRODUCT shape), unlike the same quantizer
+    * trained on the raw vectors (where a far-but-huge-norm winner
+    * hides in an unprobed cell). Same deterministic integer-quantized
+    * Lloyd as every IVF surface ([[Knn.ivfTrain]] is double-safe). */
+  private def liftedIvfCentroids(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d + "#mipsivfcent"), {
+      Knn.ivfTrain(alshLifted(s, d), "vec_id", "ea", IvfK, IvfIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  // rank a lifted frame (vec_id, ea: array<double>) against the lifted
+  // centroids — graft_dot_d throughout (Knn.ivfRank's norm reads FLOAT
+  // elements and would mis-read a double array's bytes)
+  private def liftedIvfRank(frame: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    frame
+      .withColumn("nrm", expr("sqrt(graft_dot_d(ea, ea))"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(expr("graft_dot_d(ea, cw)") / (col("nrm") * col("cn")), 8))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .select(col("vec_id"), col("cell"), col("rn"))
+  }
+
+  /** MIPS top-3 through the LIFTED-IVF prune: corpus posted to its
+    * `IvfAssign` best lifted cells, queries (zero-slot lift) probe
+    * their `IvfProbe` best cells, candidates rescore by exact raw
+    * ⟨q,x⟩ — the partition-based MIPS candidate generator beside the
+    * hash-based ALSH one. */
+  private def mipsIvfLiftedTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val cent = liftedIvfCentroids(s, d)
+    val posts = liftedIvfRank(alshLifted(s, d), cent)
+      .filter(col("rn") <= IvfAssign)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val qlift = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), expr(
+        "array_append(transform(embedding, v -> CAST(v AS DOUBLE)), CAST(0.0 AS DOUBLE))")
+        .as("ea"))
+    val probes = liftedIvfRank(qlift, cent)
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probes.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val ed = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+    val scored = cand
+      .join(broadcast(ed.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))), Seq("query_id"))
+      .join(ed.select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb")), Seq("cand_id"))
+      .withColumn("ip_e6",
+        expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+    int8TopK(scored, 3, "ip_e6")
+  }
+
   /** Multi-PROBE MIPS top-3 (the round-5 Lv et al. lever applied to
     * the LIFTED buckets — the recall lever mips_alsh_recall's 0.385
     * left unexercised, r14 verdict #3): each query probes its home
@@ -739,6 +819,59 @@ object SimilarityStreamQueries {
        |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
        |    FROM pcand a JOIN embeddings q ON q.vec_id = a.query_id
        |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
+
+  /** Lifted-IVF extension of [[dkAlshCtes]] (appended after it): the
+    * [[dkIvfCtes]] trained-k-means chain replayed over the LIFTED
+    * `caug` table at dim 65 (`lqv` → `lc0` → `la_r`/`lc_r` Lloyd
+    * rounds → corpus ranking `lrk`), the zero-slot query lift `qaug`
+    * ranked against the final centroids (`lqr`), then probed-cell
+    * candidates rescored by exact raw dot (`livf`). Centroid means
+    * divide exact BIGINT sums of the 2²⁰-quantized lifted components,
+    * so every double is bit-identical to Spark's. */
+  private def dkLiftedIvfCtes: String = {
+    val dimA = Dim + 1
+    def dotA(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dimA + 1}), " +
+        s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+    val sb = new StringBuilder
+    sb ++= s"""lqv AS (SELECT vec_id, ea, sqrt(${dotA("ea", "ea")}) AS nrm,
+              |  list_transform(ea, v -> floor(v::DOUBLE * 1048576.0 + 0.5)::BIGINT) AS qemb
+              |  FROM caug),
+              |lc0 AS (SELECT vec_id AS cell, ea AS cw, sqrt(${dotA("ea", "ea")}) AS cn
+              |  FROM caug WHERE vec_id < $IvfK)""".stripMargin
+    for (r <- 1 to IvfIters) {
+      sb ++= s""",
+                |la$r AS (SELECT vec_id, qemb, cell FROM (
+                |  SELECT v.vec_id, v.qemb, c.cell, row_number() OVER (PARTITION BY v.vec_id
+                |    ORDER BY round(${dotA("v.ea", "c.cw")} / (v.nrm * c.cn), 8) DESC, c.cell) AS rn
+                |  FROM lqv v CROSS JOIN lc${r - 1} c) WHERE rn = 1),
+                |lc$r AS (SELECT cell, cw, sqrt(${dotA("cw", "cw")}) AS cn FROM (
+                |  SELECT cell, list(w ORDER BY i) AS cw FROM (
+                |    SELECT cell, i, sum(qvv)::DOUBLE / count(*)::DOUBLE AS w FROM (
+                |      SELECT cell, unnest(qemb) AS qvv, unnest(range(1, ${dimA + 1})) AS i FROM la$r)
+                |    GROUP BY cell, i) GROUP BY cell))""".stripMargin
+    }
+    sb ++= s""",
+              |lrk AS (SELECT v.vec_id, c.cell,
+              |  row_number() OVER (PARTITION BY v.vec_id
+              |    ORDER BY round(${dotA("v.ea", "c.cw")} / (v.nrm * c.cn), 8) DESC, c.cell) AS rn
+              |  FROM lqv v CROSS JOIN lc$IvfIters c),
+              |lqr AS (SELECT v.vec_id, c.cell,
+              |  row_number() OVER (PARTITION BY v.vec_id
+              |    ORDER BY round(${dotA("v.ea", "c.cw")} / (sqrt(${dotA("v.ea", "v.ea")}) * c.cn), 8) DESC, c.cell) AS rn
+              |  FROM qaug v CROSS JOIN lc$IvfIters c),
+              |livf AS (SELECT query_id, cand_id, ip_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+              |  FROM (SELECT a.query_id, a.cand_id,
+              |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
+              |    FROM (SELECT DISTINCT p.vec_id AS query_id, x.vec_id AS cand_id
+              |          FROM (SELECT vec_id, cell FROM lqr WHERE rn <= $IvfProbe) p
+              |          JOIN (SELECT vec_id, cell FROM lrk WHERE rn <= $IvfAssign) x
+              |            ON x.cell = p.cell AND x.vec_id <> p.vec_id) a
+              |    JOIN embeddings q ON q.vec_id = a.query_id
+              |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
+    sb.toString
+  }
 
   // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
   // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
@@ -3257,6 +3390,93 @@ object SimilarityStreamQueries {
               |  probe_hits >= raw_hits AS no_regression,
               |  probe_hits > raw_hits AS lifted
               |FROM r CROSS JOIN p""".stripMargin)),
+
+    // ── LIFTED-IVF MIPS — the norm-aware PARTITIONING the
+    //    pq_ip_adc_topk note names as the correct coarse-prune lever
+    //    (FAISS IndexIVF + METRIC_INNER_PRODUCT): train the standard
+    //    deterministic IVF on the 65-dim LIFT, where cosine order ==
+    //    inner-product order, so probing the query's nearest lifted
+    //    cells is a MIPS-sound candidate generator — the partition-
+    //    based sibling of the hash-based ALSH prune. A huge-norm
+    //    far-direction winner lifts near the unit sphere's "equator"
+    //    away from the augmented axis and gets its own cells, instead
+    //    of hiding in an unprobed raw-space cell. ──
+    QueryDef(
+      "mips_ivf_lifted_topk",
+      "MIPS top-3 via IVF trained on the unit-sphere lift: probed lifted cells + exact-dot rescore",
+      (s, d) => mipsIvfLiftedTopK(s, d),
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM livf WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "mips_ivf_lifted_recall",
+      "recall@3 of lifted-IVF MIPS vs the exact full-scan inner-product top-3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, d, "embeddings")
+        val ann = mipsIvfLiftedTopK(s, d)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id")
+        exact.join(ann, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |livf3 AS (SELECT query_id, cand_id FROM livf WHERE rnk <= 3)
+              |SELECT x.query_id, count(s.cand_id) AS n_hits,
+              |  round(count(s.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xip x LEFT JOIN livf3 s
+              |  ON s.query_id = x.query_id AND s.cand_id = x.cand_id
+              |GROUP BY x.query_id""".stripMargin)),
+
+    // ── The lifted-IVF family's STANDING STORE: both models pin on
+    //    the first fold (MAX_NORM + the 65-dim quantizer), 2-batch
+    //    even/odd ingest appends cell-sorted lifted posts + raw
+    //    vectors, and the pinned serve — row-local probe cells, so the
+    //    SAME function serves batch and streaming probes — equals the
+    //    one-shot lifted-IVF chain (fold ≡ rebuild: assignment is
+    //    per-vector against pinned models). ──
+    QueryDef(
+      "mips_ivf_store_serve",
+      "standing lifted-IVF store: 2-batch fold under pinned M + quantizer, MIPS serve == one-shot",
+      (s, d) => {
+        val base = tempStoreDir("graft_mipsivfstore")
+        val emb = t(s, d, "embeddings")
+        val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+          .head().getDouble(0)
+        Seq(0L, 1L).foreach(b =>
+          graft.streaming.VectorStreams.mipsIvfFoldBatch(
+            emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+            base, b, liftedIvfCentroids(s, d), m, nAssign = IvfAssign))
+        graft.streaming.VectorStreams.mipsIvfServeFromStore(s, base,
+            emb.filter(col("vec_id") < 32).select("vec_id", "embedding"),
+            k = 3, nprobe = IvfProbe)
+          .select("query_id", "cand_id", "ip_e6", "rnk")
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM livf WHERE rnk <= 3""".stripMargin)),
 
     // ── The MIPS family's ONLINE twin: the ALSH lift served through
     //    the streaming plan (probe-side zero-slot augmentation + bucket

@@ -561,6 +561,65 @@ object VectorStreams {
 
   // ─────────────────── ALSH (MIPS) standing store ───────────────────
 
+  /** Resolve a lifted store's MAX_NORM model pin: first caller writes
+    * it (atomically), later callers must AGREE — a disagreeing M means
+    * the caller retrained the norm model, which is a REBUILD event,
+    * not a fold (ADVICE r14; the pqM/pqSub geometry-agreement rule). */
+  private def resolveMaxNormPin(tableDir: String, maxNorm: Double,
+      what: String): Double = {
+    val mn = new java.io.File(s"$tableDir/MAX_NORM")
+    if (mn.exists()) {
+      val p = java.nio.file.Files.readString(mn.toPath).trim.toDouble
+      require(maxNorm == p,
+        s"$what: store $tableDir pins MAX_NORM $p; fold passed $maxNorm — a " +
+          "disagreeing M means the caller retrained the norm model, which is " +
+          "a REBUILD event (rebuildAlshStore), not a fold")
+      p
+    } else {
+      atomicWritePin(mn.toPath, maxNorm.toString)
+      maxNorm
+    }
+  }
+
+  /** Per-vector SIMPLE-LSH lift of a batch under the pinned M —
+    * (vec_id, embedding, nrm, sc, s2, ea), eagerly checkpointed so the
+    * drift gate, postings and vectors writes all read it once. */
+  private def liftedBatch(batch: DataFrame, pinnedM: Double): DataFrame =
+    batch.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorFunctions.norm("embedding"))
+      .withColumn("sc",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double") / lit(pinnedM)))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .localCheckpoint(true)
+
+  /** Fold-side norm drift gate (r14 verdict #4): ONE metadata-sized
+    * aggregate over the batch (never the store) with the
+    * profile_drift_norm arithmetic, recorded as `drift/batch=N` and
+    * REFUSED above `maxDriftPpm` — past that the lift is no longer
+    * near-unit and the MIPS-monotonicity argument is void. */
+  private def liftNormDriftGate(normed: DataFrame, tableDir: String,
+      id: Long, pinnedM: Double, maxDriftPpm: Long, what: String): Unit = {
+    val drift = normed
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("nrm") > lit(pinnedM), 1L).otherwise(0L)).as("n_oob"))
+      .select(col("n_batch"), col("n_oob"),
+        when(col("n_batch") === 0L, 0L)
+          .otherwise(expr("(2000000 * n_oob + n_batch) div (2 * n_batch)"))
+          .as("oob_ppm"),
+        (col("n_oob") * lit(20L) > col("n_batch")).as("drifted"))
+      .localCheckpoint(true)
+    val dRow = drift.head()
+    require(dRow.getLong(2) <= maxDriftPpm,
+      s"$what: ${dRow.getLong(1)}/${dRow.getLong(0)} batch norms " +
+        s"(${dRow.getLong(2)} ppm) exceed the pinned MAX_NORM $pinnedM — above " +
+        s"the $maxDriftPpm ppm ceiling the lift is no longer near-unit and the " +
+        "MIPS prune is unsound; re-pin M via rebuildAlshStore")
+    drift.write.mode("overwrite").parquet(s"$tableDir/drift/batch=$id")
+  }
+
   /** One ALSH-store micro-batch fold — the standing-store form of the
     * MIPS family ([[mipsAlshServe]]'s lift persisted): the max corpus
     * norm M is the store's pinned MODEL (written to `MAX_NORM` by the
@@ -612,47 +671,15 @@ object VectorStreams {
       require(mn.exists() || !new java.io.File(s"$tableDir/CURRENT").exists(),
         s"mipsAlshFoldBatch: $tableDir already has raw (unlifted) LSH batches — " +
           "use vectorFoldBatch, or rebuild under the ALSH layout")
-      val pinnedM =
-        if (mn.exists()) {
-          val p = java.nio.file.Files.readString(mn.toPath).trim.toDouble
-          require(maxNorm == p,
-            s"mipsAlshFoldBatch: store $tableDir pins MAX_NORM $p; fold passed " +
-              s"$maxNorm — a disagreeing M means the caller retrained the norm " +
-              "model, which is a REBUILD event (rebuildAlshStore), not a fold")
-          p
-        } else {
-          atomicWritePin(mn.toPath, maxNorm.toString)
-          maxNorm
-        }
+      require(!new java.io.File(s"$tableDir/posts").exists(),
+        s"mipsAlshFoldBatch: $tableDir is a lifted-IVF (posts) store — " +
+          "use mipsIvfFoldBatch")
+      val pinnedM = resolveMaxNormPin(tableDir, maxNorm, "mipsAlshFoldBatch")
       // per-vector frame (norm + lift) checkpointed BEFORE the ×nTables
       // explode — drift stats and the vectors table both read it once
-      val normed = batch.select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", VectorFunctions.norm("embedding"))
-        .withColumn("sc",
-          org.apache.spark.sql.functions.transform(col("embedding"),
-            v => v.cast("double") / lit(pinnedM)))
-        .withColumn("s2", expr("graft_dot_d(sc, sc)"))
-        .withColumn("ea", expr(
-          "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
-        .localCheckpoint(true)
-      // fold-side drift gate: ONE metadata-sized aggregate over the
-      // batch (never the store), the profile_drift_norm arithmetic
-      val drift = normed
-        .agg(count(lit(1)).as("n_batch"),
-          sum(when(col("nrm") > lit(pinnedM), 1L).otherwise(0L)).as("n_oob"))
-        .select(col("n_batch"), col("n_oob"),
-          when(col("n_batch") === 0L, 0L)
-            .otherwise(expr("(2000000 * n_oob + n_batch) div (2 * n_batch)"))
-            .as("oob_ppm"),
-          (col("n_oob") * lit(20L) > col("n_batch")).as("drifted"))
-        .localCheckpoint(true)
-      val dRow = drift.head()
-      require(dRow.getLong(2) <= maxDriftPpm,
-        s"mipsAlshFoldBatch: ${dRow.getLong(1)}/${dRow.getLong(0)} batch norms " +
-          s"(${dRow.getLong(2)} ppm) exceed the pinned MAX_NORM $pinnedM — above " +
-          s"the $maxDriftPpm ppm ceiling the lift is no longer near-unit and the " +
-          "MIPS prune is unsound; re-pin M via rebuildAlshStore")
-      drift.write.mode("overwrite").parquet(s"$tableDir/drift/batch=$id")
+      val normed = liftedBatch(batch, pinnedM)
+      liftNormDriftGate(normed, tableDir, id, pinnedM, maxDriftPpm,
+        "mipsAlshFoldBatch")
       val lifted = normed
         .withColumn("tbl", explode(expr(s"sequence(0, ${nTables - 1})")))
         .withColumn("bucket", expr(
@@ -736,6 +763,9 @@ object VectorStreams {
     require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"mipsAlshServeFromStore: $tableDir carries raw (unlifted) LSH buckets — " +
         "use searchVectorStore")
+    require(!new java.io.File(s"$tableDir/posts").exists(),
+      s"mipsAlshServeFromStore: $tableDir is a lifted-IVF (posts) store — " +
+        "use mipsIvfServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
     val cand = Dedup.dropHotBuckets(pinned("buckets"),
         Seq("tbl", "bucket"), maxBucket, "mipsAlshServeFromStore")
@@ -803,6 +833,11 @@ object VectorStreams {
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors")) { _ =>
       val spark = batch.sparkSession
+      // layout guard (the raw-vs-ALSH discipline): a MAX_NORM pin means
+      // the store's postings are LIFTED-space assignments — same schema,
+      // incompatible cells
+      require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
+        s"ivfFoldBatch: $tableDir is a lifted (MIPS) IVF store — use mipsIvfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
       if (!cdir.exists())
         centroids.write.mode("overwrite").parquet(cdir.getPath)
@@ -852,6 +887,9 @@ object VectorStreams {
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
+      s"ivfServeFromStore: $tableDir is a lifted (MIPS) IVF store — " +
+        "use mipsIvfServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val probeCells = graft.operators.Knn
@@ -928,6 +966,9 @@ object VectorStreams {
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
+      s"ivfServeStreamFromStore: $tableDir is a lifted (MIPS) IVF store — " +
+        "use mipsIvfServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
@@ -946,6 +987,144 @@ object VectorStreams {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
+  }
+
+  // ─────────────── lifted-IVF (MIPS) standing store ───────────────
+
+  /** One lifted-IVF-store micro-batch fold — the PARTITION-based MIPS
+    * store beside the hash-based [[mipsAlshFoldBatch]] (FAISS IndexIVF
+    * + METRIC_INNER_PRODUCT as a standing store): the coarse quantizer
+    * is trained ON THE 65-dim LIFT (lifted cosine is monotone in
+    * ⟨q,x⟩, so probing nearest lifted cells is a MIPS-sound candidate
+    * generator — a huge-norm far-direction winner gets its own
+    * equatorial cells instead of hiding in an unprobed raw-space
+    * cell). TWO pinned models, both first-fold pins: `MAX_NORM` (the
+    * lift — agreement required on later folds, drift-gated per batch,
+    * [[rebuildAlshStore]]-class retrain events) and `centroids/` (the
+    * 65-dim quantizer). Layout per batch (append-only, O(batch) fold
+    * I/O): `posts/batch=N` (vec_id, cell) top-`nAssign` LIFTED cells,
+    * cell-sorted for row-group pruning; `vectors/batch=N` (vec_id,
+    * embedding RAW, nrm) — the exact-dot rescore side; `drift/batch=N`
+    * the norm-gate evidence row. Mutual layout guards with the
+    * raw-IVF store (same schema, incompatible cell numbers). */
+  def mipsIvfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      centroids: DataFrame, maxNorm: Double, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      maxDriftPpm: Long = 200000L): Unit =
+    commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
+        Seq("posts", "vectors")) { _ =>
+      val spark = batch.sparkSession
+      graft.functions.GraftFunctions.register(spark)
+      require(new java.io.File(s"$tableDir/MAX_NORM").exists() ||
+          !new java.io.File(s"$tableDir/CURRENT").exists(),
+        s"mipsIvfFoldBatch: $tableDir already has raw (unlifted) IVF batches — " +
+          "use ivfFoldBatch, or rebuild under the lifted layout")
+      require(!new java.io.File(s"$tableDir/buckets").exists(),
+        s"mipsIvfFoldBatch: $tableDir is an ALSH (buckets) store — " +
+          "use mipsAlshFoldBatch")
+      val pinnedM = resolveMaxNormPin(tableDir, maxNorm, "mipsIvfFoldBatch")
+      val cdir = new java.io.File(s"$tableDir/centroids")
+      if (!cdir.exists())
+        centroids.write.mode("overwrite").parquet(cdir.getPath)
+      val cent = spark.read.parquet(cdir.getPath) // the store's quantizer
+      val normed = liftedBatch(batch, pinnedM)
+      liftNormDriftGate(normed, tableDir, id, pinnedM, maxDriftPpm,
+        "mipsIvfFoldBatch")
+      // batch-local ranking against the pinned lifted centroids:
+      // O(batch·K) through a batch-partitioned window, never the corpus
+      import org.apache.spark.sql.expressions.Window
+      val ranked = normed
+        .withColumn("lnrm", expr("sqrt(graft_dot_d(ea, ea))"))
+        .crossJoin(broadcast(cent))
+        .withColumn("csim",
+          round(expr("graft_dot_d(ea, cw)") / (col("lnrm") * col("cn")), 8))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") <= nAssign)
+        .localCheckpoint(true)
+      ranked.select(col("vec_id"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
+    }
+
+  /** Lifted-IVF INDEX-at-ingest — see [[mipsIvfFoldBatch]]. */
+  def mipsIvfIngest(vecStream: DataFrame, tableDir: String,
+      centroids: DataFrame, maxNorm: Double, nAssign: Int = 1,
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      maxDriftPpm: Long = 200000L): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mipsIvfFoldBatch(batch.toDF(), tableDir, id, centroids, maxNorm,
+          nAssign, compactEvery, vacuumKeep, maxDriftPpm)
+        ()
+      }
+      .start()
+
+  /** MIPS top-k from a standing [[mipsIvfIngest]] store, pinned to
+    * `version` (default CURRENT). `probes` may be batch or streaming:
+    * the probe side is ROW-LOCAL end to end — zero-slot lift (a pure
+    * projection; sign/cosine ranking is scale-invariant so M is never
+    * needed on the query side), then the probe's `nprobe` best lifted
+    * cells via a comparator array_sort over the broadcast centroid
+    * array (the [[ivfProbeCellsRowLocal]] shape at dim 65 — the batch
+    * window is stream-illegal) — leaving exactly ONE stateful
+    * operator, the payload-distinct bounded heap. Candidates from the
+    * pinned posts rescore by exact raw ⟨q,x⟩ (e6-floored BIGINT desc,
+    * ties cand_id asc) — the `mips_ivf_lifted_topk` total order row
+    * for row when the store pins the same quantizer/M (oracle-pinned
+    * by `mips_ivf_store_serve` / `mips_ivf_serve_stream`).
+    *
+    * Output: (query_id, cand_id, ip_e6, rnk). */
+  def mipsIvfServeFromStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      version: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
+      s"mipsIvfServeFromStore: $tableDir carries raw (unlifted) IVF postings — " +
+        "use ivfServeFromStore")
+    val pinned = pinnedReader(spark, tableDir, version)
+    val cent = spark.read.parquet(s"$tableDir/centroids")
+    val centArr = cent.groupBy()
+      .agg(expr("array_sort(collect_list(struct(cell, cw, cn)))").as("cents"))
+    val pc = probes
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("q_emb"))
+      .withColumn("ea", expr("array_append(q_emb, CAST(0.0 AS DOUBLE))"))
+      .withColumn("q_lnrm", expr("sqrt(graft_dot_d(ea, ea))"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("q_emb"), expr(
+        s"""transform(slice(array_sort(
+           |  transform(cents, c -> struct(
+           |    round(graft_dot_d(ea, c.cw) / (q_lnrm * c.cn), 8) AS csim,
+           |    c.cell AS cell)),
+           |  (a, b) -> CASE
+           |    WHEN (isnan(a.csim) AND isnan(b.csim)) OR a.csim = b.csim THEN
+           |      CASE WHEN a.cell < b.cell THEN -1
+           |           WHEN a.cell > b.cell THEN 1 ELSE 0 END
+           |    WHEN isnan(a.csim) THEN -1
+           |    WHEN isnan(b.csim) THEN 1
+           |    WHEN a.csim > b.csim THEN -1 ELSE 1 END),
+           |1, $nprobe), e -> e.cell)""".stripMargin).as("cells"))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val cvec = pinned("vectors").select(col("vec_id").as("cand_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    pc.join(posts, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(cvec, Seq("cand_id"))
+      .withColumn("ip_e6",
+        expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)"))
+      .groupBy("query_id")
+      .agg(topk(col("ip_e6").cast("double"), col("cand_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("cand_id"),
+        col("e._1").cast("long").as("ip_e6"),
+        (col("pos") + 1).cast("int").as("rnk"))
   }
 
   // ─────────────────── IVF×PQ standing store ───────────────────

@@ -1126,6 +1126,99 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be numeric"))
   }
 
+  test("lifted-IVF MIPS store: streamed ingest + pinned serve == one-shot; streamed probes; layout guards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+    // the same lift + quantizer the query layer trains (IvfK=16, 3 rounds)
+    val lifted = emb
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v AS DOUBLE) / ${m}D)").as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .select("vec_id", "ea")
+    val cent = Knn.ivfTrain(lifted, "vec_id", "ea", 16, 3).localCheckpoint(true)
+
+    val tbl = java.nio.file.Files.createTempDirectory("graft_mipsivf_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStreams.mipsIvfIngest(
+      mem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      tbl, cent, m, nAssign = 2)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(Lakehouse.currentVersion(spark, tbl).contains("v1"))
+    } finally q.stop()
+
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("ip_e6"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val probes = emb.filter(col("vec_id") < 32)
+    val expected = rank4(SparkEntry.queries("mips_ivf_lifted_topk")(spark, d))
+    assert(expected.nonEmpty)
+    assert(rank4(VectorStreams.mipsIvfServeFromStore(
+      spark, tbl, probes, k = 3, nprobe = 4)) === expected)
+
+    // streamed probes through the SAME serve (row-local probe cells —
+    // no window): one stateful heap, == batch
+    val pmem = MemoryStream[(Long, Seq[Float])]
+    val out = VectorStreams.mipsIvfServeFromStore(spark, tbl,
+      pmem.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      k = 3, nprobe = 4)
+    val sq = out.writeStream.outputMode("update")
+      .format("memory").queryName("graft_mipsivf_serve_test").start()
+    val streamed =
+      try {
+        pmem.addData(rows.filter(_._1 < 32): _*); sq.processAllAvailable()
+        rank4(spark.table("graft_mipsivf_serve_test"))
+      } finally sq.stop()
+    assert(streamed === expected)
+    assert(!out.queryExecution.analyzed.toString.contains("CartesianProduct"))
+
+    // layout guards: raw IVF fold/serve refuse the lifted store; the
+    // lifted fold refuses a raw IVF store; ALSH and lifted-IVF stores
+    // refuse each other despite both pinning MAX_NORM
+    val eRawFold = intercept[IllegalArgumentException] {
+      VectorStreams.ivfFoldBatch(emb, tbl, 2L, cent) }
+    assert(eRawFold.getMessage.contains("lifted"))
+    val eRawServe = intercept[IllegalArgumentException] {
+      VectorStreams.ivfServeFromStore(spark, tbl, probes, 3, 4) }
+    assert(eRawServe.getMessage.contains("lifted"))
+    val eAlshServe = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshServeFromStore(spark, tbl, probes, dim, tp, nt, 3) }
+    assert(eAlshServe.getMessage.contains("lifted-IVF"))
+    val eAlshFold = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, tbl, 2L, m, dim, tp, nt) }
+    assert(eAlshFold.getMessage.contains("lifted-IVF"))
+    val rawTbl = java.nio.file.Files.createTempDirectory("graft_mipsivf_raw").toString
+    VectorStreams.ivfFoldBatch(emb, rawTbl, 0L,
+      Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3))
+    val eLiftFold = intercept[IllegalArgumentException] {
+      VectorStreams.mipsIvfFoldBatch(emb, rawTbl, 1L, cent, m) }
+    assert(eLiftFold.getMessage.contains("unlifted"))
+    val eLiftServe = intercept[IllegalArgumentException] {
+      VectorStreams.mipsIvfServeFromStore(spark, rawTbl, probes, 3, 4) }
+    assert(eLiftServe.getMessage.contains("unlifted"))
+
+    // forget spans posts + vectors: no ghost MIPS candidates
+    val doomed = Seq(expected.map(_._2).head)
+    val rewritten = VectorStreams.forgetVectors(spark, tbl, doomed)
+    assert(rewritten === 2)
+    val after = rank4(VectorStreams.mipsIvfServeFromStore(
+      spark, tbl, probes.filter(!col("vec_id").isin(doomed: _*)), k = 3, nprobe = 4))
+    assert(!after.exists(r => doomed.contains(r._2)))
+  }
+
   test("ALSH fold drift gate: disagreeing M refused, drifted batch recorded/refused, rebuild re-pins") {
     import spark.implicits._
     val emb = graft.sources.Tables(spark, d, "embeddings")
