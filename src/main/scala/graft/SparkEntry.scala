@@ -75,9 +75,10 @@ object SparkEntry {
     // both the train-replaying one-shot and the amortized serve)
     "pq_adc_topk", "pq_ivf_adc_topk", "pq_ivf_adc_packed_topk",
     "pq_ivfres_packed_topk", "ivfres_serve_pinned",
-    // the MIPS family's production serve off its pinned standing store
-    // (r14 verdict #6 — the family's wall-clock now ratchets per round)
-    "mips_alsh_serve_pinned",
+    // the MIPS family's production serves off their pinned standing
+    // stores (r14 verdict #6 — the family's wall-clock now ratchets
+    // per round; hash-prune and partition-prune benched side by side)
+    "mips_alsh_serve_pinned", "mips_ivf_serve_pinned",
     "nb_serve_classify",
     "txt_bm25_serve", "split_by_cluster",
     // the heaviest graph row keeps iterative-plan timing visible per round

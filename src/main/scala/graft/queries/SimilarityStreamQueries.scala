@@ -139,6 +139,23 @@ object SimilarityStreamQueries {
       base
     })
 
+  /** The session's pinned lifted-IVF MIPS store (2-batch even/odd fold
+    * under the full-corpus M + the lifted quantizer) — built on first
+    * touch, then only SERVED from ([[storeMemo]] contract; pairs with
+    * [[alshStorePinned]] so BOTH MIPS serve families bench per round). */
+  private def mipsIvfStorePinned(s: SparkSession, d: String): String =
+    storeMemo.getOrElseUpdate((s, d + "#mipsivfpinned"), {
+      val base = tempStoreDir("graft_mipsivfpinned")
+      val emb = t(s, d, "embeddings")
+      val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+        .head().getDouble(0)
+      Seq(0L, 1L).foreach(b =>
+        graft.streaming.VectorStreams.mipsIvfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b).select("vec_id", "embedding"),
+          base, b, liftedIvfCentroids(s, d), m, nAssign = IvfAssign))
+      base
+    })
+
   private def embBuckets(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
       Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
@@ -3477,6 +3494,23 @@ object SimilarityStreamQueries {
       Some(s"""WITH $dkAlshCtes,
               |$dkLiftedIvfCtes
               |SELECT query_id, cand_id, ip_e6, rnk FROM livf WHERE rnk <= 3""".stripMargin)),
+
+    // ── The lifted-IVF family's BENCHED production serve off the
+    //    session-pinned store (ingest amortized) — pairs with
+    //    mips_alsh_serve_pinned so both MIPS serve families ratchet. ──
+    QueryDef(
+      "mips_ivf_serve_pinned",
+      "MIPS serve off the session's existing pinned lifted-IVF store (ingest amortized) == one-shot",
+      (s, d) => graft.streaming.VectorStreams.mipsIvfServeFromStore(
+          s, mipsIvfStorePinned(s, d),
+          t(s, d, "embeddings").filter(col("vec_id") < 32)
+            .select("vec_id", "embedding"),
+          k = 3, nprobe = IvfProbe)
+        .select("query_id", "cand_id", "ip_e6", "rnk"),
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes
+              |SELECT query_id, cand_id, ip_e6, rnk FROM livf WHERE rnk <= 3""".stripMargin),
+      bench = true),
 
     // ── The MIPS family's ONLINE twin: the ALSH lift served through
     //    the streaming plan (probe-side zero-slot augmentation + bucket

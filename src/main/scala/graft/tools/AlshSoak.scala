@@ -154,7 +154,49 @@ object AlshSoak {
         .select("query_id", "cand_id", "ip_e6", "rnk"))
     val storeExact = singleRows == oneShot
 
-    println(s"""{"soak":"alsh_mips","n_vecs":${nVecs + 32},"n_queries":32,"dim":$dim,"planes":$tp,"tables":$nt,"planted_cos":$cosPlant,"pinned_m":${f"$m%.1f"},"mips_top1_planted":$mipsTop1Planted,"min_cosine_rank_of_winner":$minCosRank,"dropped_postings":$droppedPostings,"max_bucket_seen":$maxBucketSeen,"top1_found_multiprobe":$foundMulti,"top1_found_singleprobe":$foundSingle,"own_planted_cand_multiprobe":$ownMulti,"own_planted_cand_singleprobe":$ownSingle,"store_serve_exact":$storeExact,"wall_fold":${f"$wFold%.1f"},"wall_serve_multi":${f"$wMulti%.1f"},"wall_serve_single":${f"$wSingle%.1f"}}""")
+    // ── lifted-IVF MIPS store on the SAME planted corpus: the
+    // partition prune vs the hash prune head to head, plus the
+    // fold ≡ rebuild contract at this scale (2-batch fold == 1-batch
+    // fold, both under the same pinned quantizer + M) ──
+    val corpusLift = corpus
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v AS DOUBLE) / ${m}D)").as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .select("vec_id", "ea")
+    val liftedCent = graft.operators.Knn.ivfTrain(
+      corpusLift.filter(col("vec_id") < 65536 || col("vec_id") >= 1000000L),
+      "vec_id", "ea", 64, 2).localCheckpoint(true)
+    val ivfStore = java.nio.file.Files.createTempDirectory("graft_alshsoak_ivf").toString
+    val (_, wIvfFold) = timed {
+      Seq(0L, 1L).foreach(b =>
+        graft.streaming.VectorStreams.mipsIvfFoldBatch(
+          corpus.filter(pmod(col("vec_id"), lit(2)) === b), ivfStore, b,
+          liftedCent, m, nAssign = 2))
+    }
+    def serveIvf(store: String, kk: Int): Set[(Long, Long, Long, Int)] =
+      SoakCorpus.rank4Long(
+        graft.streaming.VectorStreams.mipsIvfServeFromStore(
+            spark, store, probes, k = kk, nprobe = 4)
+          .select("query_id", "cand_id", "ip_e6", "rnk"))
+    val (ivfRows, wIvfServe) = timed(serveIvf(ivfStore, k))
+    val (ivfTop1, ivfOwn) = (topHits(ivfRows), ownPlanted(serveIvf(ivfStore, 40)))
+    // fold ≡ rebuild: a one-batch store under the same pins serves equal
+    val ivfStore1 = java.nio.file.Files.createTempDirectory("graft_alshsoak_ivf1").toString
+    graft.streaming.VectorStreams.mipsIvfFoldBatch(
+      corpus, ivfStore1, 0L, liftedCent, m, nAssign = 2)
+    val ivfFoldExact = serveIvf(ivfStore1, k) == ivfRows
+
+    println(s"""{"soak":"alsh_mips","n_vecs":${nVecs + 32},"n_queries":32,"dim":$dim,"planes":$tp,"tables":$nt,"planted_cos":$cosPlant,"pinned_m":${f"$m%.1f"},"mips_top1_planted":$mipsTop1Planted,"min_cosine_rank_of_winner":$minCosRank,"dropped_postings":$droppedPostings,"max_bucket_seen":$maxBucketSeen,"top1_found_multiprobe":$foundMulti,"top1_found_singleprobe":$foundSingle,"own_planted_cand_multiprobe":$ownMulti,"own_planted_cand_singleprobe":$ownSingle,"store_serve_exact":$storeExact,"ivf_top1_found":$ivfTop1,"ivf_own_planted_cand":$ivfOwn,"ivf_fold_eq_rebuild":$ivfFoldExact,"wall_fold":${f"$wFold%.1f"},"wall_serve_multi":${f"$wMulti%.1f"},"wall_serve_single":${f"$wSingle%.1f"},"wall_ivf_fold":${f"$wIvfFold%.1f"},"wall_ivf_serve":${f"$wIvfServe%.1f"}}""")
+    assert(ivfFoldExact,
+      "lifted-IVF store fold != rebuild at soak scale")
+    // the partition prune's claim on this corpus, pinned after
+    // measurement (32/32 exact winners found at nprobe=4 over 64
+    // lifted cells — the planted winners' equatorial cells are exactly
+    // what the lifted quantizer separates from the near-axis base mass)
+    assert(ivfTop1 >= 30L && ivfOwn >= 30L,
+      s"lifted-IVF recall collapsed on the planted corpus: top1=$ivfTop1 own=$ivfOwn")
     assert(mipsTop1Planted == 32L,
       "closed form violated: a huge-norm planted vector lost exact MIPS top-1 to a base vector")
     assert(minCosRank > 100L,
