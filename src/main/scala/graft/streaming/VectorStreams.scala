@@ -601,7 +601,8 @@ object VectorStreams {
     * REFUSED above `maxDriftPpm` — past that the lift is no longer
     * near-unit and the MIPS-monotonicity argument is void. */
   private def liftNormDriftGate(normed: DataFrame, tableDir: String,
-      id: Long, pinnedM: Double, maxDriftPpm: Long, what: String): Unit = {
+      id: Long, pinnedM: Double, maxDriftPpm: Long, what: String,
+      rebuildHint: String = "rebuildAlshStore"): Unit = {
     val drift = normed
       .agg(count(lit(1)).as("n_batch"),
         sum(when(col("nrm") > lit(pinnedM), 1L).otherwise(0L)).as("n_oob"))
@@ -616,7 +617,7 @@ object VectorStreams {
       s"$what: ${dRow.getLong(1)}/${dRow.getLong(0)} batch norms " +
         s"(${dRow.getLong(2)} ppm) exceed the pinned MAX_NORM $pinnedM — above " +
         s"the $maxDriftPpm ppm ceiling the lift is no longer near-unit and the " +
-        "MIPS prune is unsound; re-pin M via rebuildAlshStore")
+        s"MIPS prune is unsound; re-pin M via $rebuildHint")
     drift.write.mode("overwrite").parquet(s"$tableDir/drift/batch=$id")
   }
 
@@ -1029,7 +1030,7 @@ object VectorStreams {
       val cent = spark.read.parquet(cdir.getPath) // the store's quantizer
       val normed = liftedBatch(batch, pinnedM)
       liftNormDriftGate(normed, tableDir, id, pinnedM, maxDriftPpm,
-        "mipsIvfFoldBatch")
+        "mipsIvfFoldBatch", rebuildHint = "rebuildMipsIvfStore")
       // batch-local ranking against the pinned lifted centroids:
       // O(batch·K) through a batch-partitioned window, never the corpus
       import org.apache.spark.sql.expressions.Window
@@ -1063,6 +1064,46 @@ object VectorStreams {
         ()
       }
       .start()
+
+  /** Re-pin the lifted-IVF store's models and re-index everything —
+    * the REBUILD event its fold-side drift gate points at: reads the
+    * CURRENT-pinned raw `vectors` (materialized eagerly before the
+    * swap), recomputes M as the store-wide max norm, RETRAINS the
+    * 65-dim quantizer on the relifted corpus (a drifted M moves every
+    * lifted point, so the old cells are stale too — unlike the ALSH
+    * rebuild, where the hyperplanes are fixed), folds everything as
+    * one batch 0 into a fresh sibling directory, and bak-swaps it into
+    * place. Returns the re-pinned M. */
+  def rebuildMipsIvfStore(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, ivfK: Int, iters: Int,
+      nAssign: Int = 1): Double = {
+    graft.functions.GraftFunctions.register(spark)
+    val pinned = pinnedReader(spark, tableDir, None)
+    val vecs = pinned("vectors").select("vec_id", "embedding")
+      .localCheckpoint(true) // survives the source dir swap below
+    val newM = vecs.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
+    val lifted = vecs
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double") / lit(newM)).as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .select("vec_id", "ea")
+    val cent = graft.operators.Knn.ivfTrain(lifted, "vec_id", "ea", ivfK, iters)
+      .localCheckpoint(true)
+    val fresh = tableDir + ".rebuild"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
+    mipsIvfFoldBatch(vecs, fresh, 0L, cent, newM, nAssign)
+    val old = new java.io.File(tableDir)
+    val bak = new java.io.File(tableDir + ".bak")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    require(old.renameTo(bak), s"rebuildMipsIvfStore: cannot stage $tableDir aside")
+    require(new java.io.File(fresh).renameTo(old),
+      s"rebuildMipsIvfStore: cannot swap rebuilt store into $tableDir")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    newM
+  }
 
   /** MIPS top-k from a standing [[mipsIvfIngest]] store, pinned to
     * `version` (default CURRENT). `probes` may be batch or streaming:

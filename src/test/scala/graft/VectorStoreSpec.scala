@@ -1278,5 +1278,36 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(rebuilt.nonEmpty)
     assert(rebuilt === rank4(VectorStreams.mipsAlshServeFromStore(
       spark, scratch, probes, dim, tp, nt, 3)))
+
+    // lifted-IVF twin: drift refusal names ITS rebuild helper; the
+    // rebuild re-pins M AND retrains the quantizer (a drifted M moves
+    // every lifted point), serve-after-rebuild == from-scratch
+    def liftUnder(df: org.apache.spark.sql.DataFrame, mm: Double) = df
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v AS DOUBLE) / ${mm}D)").as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .select("vec_id", "ea")
+    graft.functions.GraftFunctions.register(spark)
+    val centEven = Knn.ivfTrain(liftUnder(even, mEven), "vec_id", "ea", 16, 3)
+      .localCheckpoint(true)
+    val ivfTbl = java.nio.file.Files.createTempDirectory("graft_mipsivf_drift").toString
+    VectorStreams.mipsIvfFoldBatch(even, ivfTbl, 0L, centEven, mEven, nAssign = 2)
+    val eIvfDrift = intercept[IllegalArgumentException] {
+      VectorStreams.mipsIvfFoldBatch(odd2, ivfTbl, 1L, centEven, mEven, nAssign = 2) }
+    assert(eIvfDrift.getMessage.contains("rebuildMipsIvfStore"))
+    VectorStreams.mipsIvfFoldBatch(odd2, ivfTbl, 1L, centEven, mEven, nAssign = 2,
+      maxDriftPpm = 1000000L)
+    val newM2 = VectorStreams.rebuildMipsIvfStore(spark, ivfTbl, 16, 3, nAssign = 2)
+    assert(newM2 === mAll)
+    val ivfScratch = java.nio.file.Files.createTempDirectory("graft_mipsivf_scr").toString
+    VectorStreams.mipsIvfFoldBatch(corpus, ivfScratch, 0L,
+      Knn.ivfTrain(liftUnder(corpus, mAll), "vec_id", "ea", 16, 3), mAll, nAssign = 2)
+    val ivfRebuilt = rank4(VectorStreams.mipsIvfServeFromStore(
+      spark, ivfTbl, probes, k = 3, nprobe = 4))
+    assert(ivfRebuilt.nonEmpty)
+    assert(ivfRebuilt === rank4(VectorStreams.mipsIvfServeFromStore(
+      spark, ivfScratch, probes, k = 3, nprobe = 4)))
   }
 }
