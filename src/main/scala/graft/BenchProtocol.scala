@@ -57,13 +57,18 @@ object BenchProtocol {
     if (ratios.size < minRows) -1.0 else median(ratios)
   }
 
-  /** Rows exceeding `factor`× their reference — the per-query
-    * regression tripwire. A 2× slowdown of ONE query trips its row
-    * here even when the run's median is clean. */
+  /** Rows exceeding `factor`× their reference AND `minExcessSec` of
+    * absolute excess — the per-query regression tripwire. A 2×
+    * slowdown of ONE query trips its row here even when the run's
+    * median is clean; a sub-second row jittering 120 ms over a 0.24 s
+    * steady does NOT (the r15 all-set bootstrap run listed 13 such
+    * rows — relative thresholds alone are meaningless at walls this
+    * small, where scheduler noise is a fixed cost). */
   def hotRows(walls: Seq[(String, Double)], ref: Map[String, Double],
-      factor: Double = 1.5): Seq[String] =
+      factor: Double = 1.5, minExcessSec: Double = 0.25): Seq[String] =
     walls.collect {
-      case (n, w) if w >= 0 && ref.get(n).exists(w > factor * _) => n
+      case (n, w) if w >= 0 &&
+        ref.get(n).exists(r => w > factor * r && w - r > minExcessSec) => n
     }
 
   /** Append this run's walls to the steady observations, keeping the

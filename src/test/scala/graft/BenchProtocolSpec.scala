@@ -53,4 +53,16 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(hotRows(Seq("a" -> 1.49, "b" -> 1.51), steady) === Seq("b"))
     assert(hotRows(Seq("a" -> -1.0), steady).isEmpty) // failed wall never hot
   }
+
+  test("sub-second jitter never reads as a hot row (absolute-excess floor)") {
+    // a 0.24s row spiking to 0.36s is 1.5x relative but 120ms absolute
+    // — scheduler noise, not a regression (the r15 all-set bootstrap
+    // run listed 13 such rows before the floor existed)
+    val steady = Map("tiny" -> 0.24, "big" -> 2.0)
+    assert(hotRows(Seq("tiny" -> 0.37), steady).isEmpty)
+    // a real 2x regression of a substantial row still trips
+    assert(hotRows(Seq("big" -> 4.0), steady) === Seq("big"))
+    // and a tiny row that regresses by a REAL margin trips too
+    assert(hotRows(Seq("tiny" -> 0.60), steady) === Seq("tiny"))
+  }
 }
