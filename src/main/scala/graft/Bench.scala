@@ -159,12 +159,24 @@ object Bench {
     // first gated run started at load1 3.76 and still read contended)
     val quietLoadMax = sys.env.get("SPARK_GRAFT_BENCH_QUIET_LOAD")
       .map(_.toDouble).getOrElse(2.5)
+    // r15 verdict #8: the gate wants a quiet WINDOW, not one lucky
+    // sample — the r15 run squeaked in at load1 2.48 minutes after a
+    // load-6 spike and read a uniform ~1.1× over steady. Require TWO
+    // consecutive under-threshold samples 30 s apart (load1 is a
+    // 1-minute EWMA: a decaying spike still moves meaningfully over
+    // 30 s, so a freshly-vacated box must prove it STAYS quiet); the
+    // wait stays bounded by quietWaitMax, so a permanently busy box
+    // degrades to today's behavior.
     var quietWaited = 0
-    while (quietWaited < quietWaitMax && load1() > quietLoadMax) {
-      System.err.println(s"[bench] host load1=${load1()} > $quietLoadMax — " +
-        s"waiting for a quiet window (${quietWaited}s/${quietWaitMax}s)")
-      Thread.sleep(10000)
-      quietWaited += 10
+    var okStreak = if (load1() <= quietLoadMax) 1 else 0
+    while (quietWaited < quietWaitMax && okStreak < 2) {
+      val step = if (okStreak == 1) 30 else 10
+      System.err.println(s"[bench] host load1=${load1()} (threshold " +
+        s"$quietLoadMax, quiet streak $okStreak/2) — waiting " +
+        s"(${quietWaited}s/${quietWaitMax}s)")
+      Thread.sleep(step * 1000L)
+      quietWaited += step
+      okStreak = if (load1() <= quietLoadMax) okStreak + 1 else 0
     }
     val loadAtStart = load1()
 
@@ -205,10 +217,20 @@ object Bench {
     // the third sample either clears or confirms): still cold — the
     // memo clear makes each re-run rebuild its index frames from
     // parquet.
+    // ADVICE r15: the regression half of the flag shares hotRows'
+    // full definition (1.5× factor AND the 0.25 s absolute-excess
+    // floor) so sub-second jitter rows don't earn extra cold samples
+    // the tripwire itself would never act on — one definition, two
+    // call sites.
+    val hotOfMin = BenchProtocol.hotRows(
+      pass1.zip(pass2).collect {
+        case ((n, a), (_, b)) if a.wall >= 0 && b.wall >= 0 =>
+          n -> math.min(a.wall, b.wall)
+      }, refTime).toSet
     val flagged = pass1.zip(pass2).collect {
       case ((n, a), (_, b)) if a.wall >= 0 && b.wall >= 0 &&
           (math.max(a.wall, b.wall) > 2.0 * math.min(a.wall, b.wall) ||
-            refTime.get(n).exists(math.min(a.wall, b.wall) > 1.5 * _)) => n
+            hotOfMin(n)) => n
     }
     val pass3: Seq[(String, Timing)] =
       if (flagged.isEmpty) Seq.empty
@@ -289,6 +311,32 @@ object Bench {
         }
       }
     }
+    // r15 verdict #5 (tiny-row tripwire band): rows >1.5× steady but
+    // UNDER the 0.25 s excess floor — where the floor makes hotRows
+    // blind — get ONE cold re-sample at pass end and trip only on
+    // 2-consecutive confirmation (a 120 ms jitter on a 0.3 s row
+    // clears; a persistent 1.7× regression does not). The re-sample
+    // merges into the published minimums like every extra sample.
+    val banded = BenchProtocol.bandRows(wallSeq(results), refTime)
+    val bandConfirmed: Seq[String] =
+      if (banded.isEmpty) Seq.empty
+      else {
+        System.err.println(s"[bench] re-sampling ${banded.size} " +
+          s"band rows (over 1.5× steady, under the excess floor): " +
+          banded.mkString(", "))
+        graft.queries.TextDedupQueries.clearMemo(spark)
+        graft.queries.SimilarityStreamQueries.clearMemo(spark)
+        val orig = results.toMap
+        val re = banded.map(n => n -> materialize(n)).toMap
+        val confirmed = banded.filter { n =>
+          re.get(n).exists(r => refTime.get(n).exists(ref =>
+            BenchProtocol.confirmBand(orig(n).wall, r.wall, ref)))
+        }
+        results = results.map { case (n, t) =>
+          n -> re.get(n).filter(r => r.wall >= 0 && r.wall < t.wall).getOrElse(t)
+        }
+        confirmed
+      }
     // ADVICE r14: re-sample the host load AFTER the passes — a
     // co-tenant that starts mid-run inflates walls without showing in
     // the start sample; the run is contended if the host was busy at
@@ -298,19 +346,27 @@ object Bench {
     // read 4.67 on an idle box) — give our own contribution a bounded
     // decay window (the JVM is idle now; τ≈60 s, so 8→2.5 needs ~70 s)
     // and only a load that REFUSES to decay means a live co-tenant.
+    // ADVICE r15: the decay wait only matters when the end sample can
+    // still change an outcome — on the canonical scale (it gates the
+    // steady append) with an idle-at-start host; a non-canonical run
+    // never writes steady, and a busy-at-start run is already
+    // host-busy, so both skip straight to the sample.
     var endWaited = 0
-    while (endWaited < 180 && load1() > quietLoadMax) {
-      Thread.sleep(10000)
-      endWaited += 10
-    }
+    if (canonicalSf && loadAtStart <= quietLoadMax)
+      while (endWaited < 180 && load1() > quietLoadMax) {
+        Thread.sleep(10000)
+        endWaited += 10
+      }
     val loadAtEnd = load1()
     val hostBusy = loadAtStart > quietLoadMax || loadAtEnd > quietLoadMax
     val medianVsBest = vsBest(results)
     val medianVsSteady = vsSteady(results)
     // surviving per-query regressions: >1.5× steady AFTER the retry
     // protocol — visible even when the run's median is clean (the 2×
-    // single-query tripwire, spec-pinned in BenchProtocolSpec)
-    val hotAfter = BenchProtocol.hotRows(wallSeq(results), refTime)
+    // single-query tripwire, spec-pinned in BenchProtocolSpec) — plus
+    // the 2-consecutive-confirmed band rows (r15 verdict #5)
+    val hotAfter = (BenchProtocol.hotRows(wallSeq(results), refTime) ++
+      bandConfirmed).distinct
     val contended = isInflated(results) && hostBusy
     // steady-clean but far above the all-time bests: a bench_best
     // registry property (rare quiet/thermal minima), informational
@@ -326,10 +382,11 @@ object Bench {
     // the published minimums; the sidecar keeps the contention evidence
     // (wall ≫ cpu/32, inflated cpu on unchanged queries) reviewable.
     val hotJson = hotAfter.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bandJson = banded.map("\"" + _ + "\"").mkString("[", ",", "]")
     // no_hot_rows is the FINAL state (every row within 1.5× steady),
     // not just the retry loop's nothing-hot exit — `hot_rows` lists
     // the survivors when false
-    val diagnostics = s""""cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_steady":${fmt(medianVsSteady)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"ratchet_drift":$ratchetDrift,"retry_rounds":$retryRounds,"no_hot_rows":${noHotRows || hotAfter.isEmpty},"hot_rows":$hotJson,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"load1_at_end":${fmt(loadAtEnd)}"""
+    val diagnostics = s""""cpu_total":${fmt(cpuTotal)},"gc_total":${fmt(gcTotal)},"median_vs_steady":${fmt(medianVsSteady)},"median_vs_best":${fmt(medianVsBest)},"contended":$contended,"ratchet_drift":$ratchetDrift,"retry_rounds":$retryRounds,"no_hot_rows":${noHotRows || hotAfter.isEmpty},"hot_rows":$hotJson,"band_rows":$bandJson,"quiet_wait_sec":$quietWaited,"load1_at_start":${fmt(loadAtStart)},"load1_at_end":${fmt(loadAtEnd)}"""
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_set":"$benchSet","queries":${jm(results, _.wall)},"cpu_sec":${jm(results, _.cpu)},"gc_sec":${jm(results, _.gc)},"queries_pass1":${jm(pass1, _.wall)},"queries_pass2":${jm(pass2, _.wall)},"queries_pass3":${jm(pass3, _.wall)},$diagnostics,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),

@@ -71,6 +71,31 @@ object BenchProtocol {
         ref.get(n).exists(r => w > factor * r && w - r > minExcessSec) => n
     }
 
+  /** Rows over `factor`× their reference but UNDER the absolute-excess
+    * floor — the band [[hotRows]]'s noise floor makes blind for
+    * sub-half-second rows (r15 verdict watch item: a 0.3 s steady can
+    * sit at 0.54 s untripped). These are not hot yet: each gets ONE
+    * cold re-sample at pass end and trips only on 2-consecutive
+    * confirmation ([[confirmBand]]) — a one-off scheduler jitter
+    * clears on the re-sample, a persistent 1.7× regression of a 0.3 s
+    * row does not. */
+  def bandRows(walls: Seq[(String, Double)], ref: Map[String, Double],
+      factor: Double = 1.5, minExcessSec: Double = 0.25): Seq[String] =
+    walls.collect {
+      case (n, w) if w >= 0 &&
+        ref.get(n).exists(r => w > factor * r && w - r <= minExcessSec) => n
+    }
+
+  /** 2-consecutive confirmation for a [[bandRows]] candidate: trips
+    * iff BOTH the original wall and its re-sample exceed `factor`×
+    * the reference (no absolute floor — the band exists because the
+    * floor is blind here; two independent samples agreeing is the
+    * jitter defense instead). */
+  def confirmBand(original: Double, resample: Double, ref: Double,
+      factor: Double = 1.5): Boolean =
+    ref > 0 && original > factor * ref &&
+      resample >= 0 && resample > factor * ref
+
   /** Append this run's walls to the steady observations, keeping the
     * most recent `keep` per query (oldest dropped, new appended LAST).
     * Call ONLY for quiet-gated canonical-scale runs. */

@@ -269,7 +269,7 @@ final class ClientCredentialsAuth(tokenUrl: String, clientId: String,
   private def key = (tokenUrl, clientId, clientSecret)
 
   def token(c: HttpClient): String =
-    ClientCredentialsAuth.cache.getOrElseUpdate(key, fetch(c))
+    ClientCredentialsAuth.cache.computeIfAbsent(key, _ => fetch(c))
 
   /** Drop the cached token and fetch a fresh one — the 401 path. */
   def refresh(c: HttpClient): String = {
@@ -280,6 +280,12 @@ final class ClientCredentialsAuth(tokenUrl: String, clientId: String,
 
   private def fetch(c: HttpClient): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // Deliberate wire-parity tradeoff (cnics_to_fhir.py:196-213): the
+    // reference sends the credentials as URL params over an empty
+    // body, and the Aidbox endpoint it talks to expects exactly that —
+    // but query strings are commonly logged by proxies/servers, so the
+    // secret can land in access logs. An RFC 6749 §2.3.1 form body is
+    // the hardening move if the server ever accepts it.
     val u = s"$tokenUrl?grant_type=client_credentials" +
       s"&client_id=${enc(clientId)}&client_secret=${enc(clientSecret)}"
     val req = HttpRequest.newBuilder(java.net.URI.create(u))
@@ -313,8 +319,14 @@ final class ClientCredentialsAuth(tokenUrl: String, clientId: String,
 }
 
 object ClientCredentialsAuth {
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), String]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate:
+  // the latter may evaluate the fetch MORE THAN ONCE under a
+  // concurrent first use (ADVICE r15 — an executor thundering herd
+  // would fire duplicate token POSTs and break the "one fetch per
+  // JVM" pin); computeIfAbsent runs the mapping function at most once
+  // per key, with racers blocking on the winner.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), String]()
 }
 
 /** HTTP-backed store: the production sink/source.

@@ -83,6 +83,44 @@ object VectorStreams {
         col("e._2").as("cand_id"), col("e._1").as("cosine"))
   }
 
+  /** Swap a freshly rebuilt store into place via two directory
+    * renames. NOT atomic (ADVICE r15): a crash between the renames
+    * leaves `tableDir` missing with the old consistent store stranded
+    * under `tableDir.bak` — [[recoverBakSwap]], run by every
+    * reader/fold entry, restores it on next touch, so the DURABLE
+    * contract is "old consistent store until the swap completes". A
+    * reader RACING the two-rename window on a live JVM can still
+    * observe the missing directory and fail ("no CURRENT pointer");
+    * rebuilds are single-writer ops events, so the documented
+    * discipline is: don't serve a store while rebuilding it in place
+    * (rebuild a copy and repoint, or accept the transient failure). */
+  private def bakSwapInto(tableDir: String, fresh: String, what: String): Unit = {
+    val old = new java.io.File(tableDir)
+    val bak = new java.io.File(tableDir + ".bak")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    require(old.renameTo(bak), s"$what: cannot stage $tableDir aside")
+    require(new java.io.File(fresh).renameTo(old),
+      s"$what: cannot swap rebuilt store into $tableDir")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+  }
+
+  /** Startup recovery for a [[bakSwapInto]] crash window: if the store
+    * directory is missing but `tableDir.bak` exists, the JVM died
+    * between the two swap renames — restore the old consistent store
+    * and discard any half-staged `.rebuild` sibling (a crashed rebuild
+    * must be re-run from its entry point, never resumed). No-op in
+    * every healthy state ({dir present} or {nothing at all}). */
+  private def recoverBakSwap(tableDir: String): Unit = {
+    val dir = new java.io.File(tableDir)
+    val bak = new java.io.File(tableDir + ".bak")
+    if (!dir.exists() && bak.exists()) {
+      require(bak.renameTo(dir),
+        s"recoverBakSwap: cannot restore $tableDir from its .bak stage")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tableDir + ".rebuild"))
+    }
+  }
+
   /** The ONE store-fold commit discipline every vector store shares
     * (LSH, IVF, IVF×PQ): replay guard on CURRENT (a committed batch id
     * is a no-op), the fold's batch-partition writes, optional pre-swing
@@ -94,6 +132,7 @@ object VectorStreams {
       compactEvery: Int, vacuumKeep: Int, compactTables: Seq[String])
       (writeBatchTables: Option[String] => Unit): Unit = {
     val spark = batch.sparkSession
+    recoverBakSwap(tableDir)
     val cur = new java.io.File(s"$tableDir/CURRENT")
     val ver: Option[String] =
       if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
@@ -126,6 +165,7 @@ object VectorStreams {
     * racing a concurrent fold's swing. */
   private def pinnedReader(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, version: Option[String]): String => DataFrame = {
+    recoverBakSwap(tableDir)
     val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
       .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
     t => graft.operators.Lakehouse.readCurrentAppend(spark, tableDir, t, Some(ver))
@@ -204,7 +244,10 @@ object VectorStreams {
       // leaves earlier batches unreadable by the pruned plan. Both
       // directions must fail loudly at fold time.
       val pd = new java.io.File(s"$tableDir/PREFIX_DIM")
-      if (pd.exists()) {
+      // the pin binds only once a fold COMMITTED (ADVICE r15 — see
+      // resolveMaxNormPin): a crashed first fold's PREFIX_DIM may be
+      // re-pinned by the retry, never silently enforced against it
+      if (pd.exists() && new java.io.File(s"$tableDir/CURRENT").exists()) {
         val pinnedPd = java.nio.file.Files.readString(pd.toPath).trim.toInt
         require(pinnedPd == prefixDim,
           s"store $tableDir pinned prefix dim $pinnedPd; fold asked for $prefixDim")
@@ -213,6 +256,10 @@ object VectorStreams {
           s"store $tableDir already has raw (un-prefixed) batches; " +
             s"cannot pin prefix dim $prefixDim onto them")
         atomicWritePin(pd.toPath, prefixDim.toString)
+      } else if (pd.exists()) {
+        // retry reverted to the raw layout: drop the stale pin so the
+        // committed store doesn't advertise columns its batches lack
+        java.nio.file.Files.delete(pd.toPath)
       }
       val vecs =
         if (prefixDim <= 0) vecs0
@@ -564,11 +611,19 @@ object VectorStreams {
   /** Resolve a lifted store's MAX_NORM model pin: first caller writes
     * it (atomically), later callers must AGREE — a disagreeing M means
     * the caller retrained the norm model, which is a REBUILD event,
-    * not a fold (ADVICE r14; the pqM/pqSub geometry-agreement rule). */
+    * not a fold (ADVICE r14; the pqM/pqSub geometry-agreement rule).
+    *
+    * The pin only BINDS once a fold has committed (CURRENT exists): a
+    * MAX_NORM left by a first fold that the drift gate refused (or
+    * that crashed pre-swing) is stale evidence, not a model, and is
+    * OVERWRITTEN — otherwise a retry with a corrected M would fail the
+    * agreement `require` while the prescribed recovery (rebuild) fails
+    * on the missing CURRENT, wedging the store with no previous
+    * consistent state to fall back to (ADVICE r15). */
   private def resolveMaxNormPin(tableDir: String, maxNorm: Double,
       what: String): Double = {
     val mn = new java.io.File(s"$tableDir/MAX_NORM")
-    if (mn.exists()) {
+    if (mn.exists() && new java.io.File(s"$tableDir/CURRENT").exists()) {
       val p = java.nio.file.Files.readString(mn.toPath).trim.toDouble
       require(maxNorm == p,
         s"$what: store $tableDir pins MAX_NORM $p; fold passed $maxNorm — a " +
@@ -711,13 +766,7 @@ object VectorStreams {
     val fresh = tableDir + ".rebuild"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
     mipsAlshFoldBatch(vecs, fresh, 0L, newM, dim, nPlanes, nTables)
-    val old = new java.io.File(tableDir)
-    val bak = new java.io.File(tableDir + ".bak")
-    org.apache.commons.io.FileUtils.deleteQuietly(bak)
-    require(old.renameTo(bak), s"rebuildAlshStore: cannot stage $tableDir aside")
-    require(new java.io.File(fresh).renameTo(old),
-      s"rebuildAlshStore: cannot swap rebuilt store into $tableDir")
-    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    bakSwapInto(tableDir, fresh, "rebuildAlshStore")
     newM
   }
 
@@ -761,6 +810,9 @@ object VectorStreams {
       version: Option[String] = None,
       multiProbe: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    recoverBakSwap(tableDir) // before the layout guards: in the swap
+    // crash window every pin lives under .bak, and the guard would
+    // misread the store as raw
     require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"mipsAlshServeFromStore: $tableDir carries raw (unlifted) LSH buckets — " +
         "use searchVectorStore")
@@ -832,7 +884,7 @@ object VectorStreams {
       centroids: DataFrame, nAssign: Int = 1,
       compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
-        Seq("posts", "vectors")) { _ =>
+        Seq("posts", "vectors")) { ver =>
       val spark = batch.sparkSession
       // layout guard (the raw-vs-ALSH discipline): a MAX_NORM pin means
       // the store's postings are LIFTED-space assignments — same schema,
@@ -840,7 +892,10 @@ object VectorStreams {
       require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
         s"ivfFoldBatch: $tableDir is a lifted (MIPS) IVF store — use mipsIvfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
-      if (!cdir.exists())
+      // centroids bind only once a fold committed (ADVICE r15 — see
+      // resolveMaxNormPin): a crashed first fold's quantizer is stale
+      // evidence a retry may replace, never a silent pin
+      if (!cdir.exists() || ver.isEmpty)
         centroids.write.mode("overwrite").parquet(cdir.getPath)
       val pinned = spark.read.parquet(cdir.getPath) // the store's quantizer, not the caller's frame
       val ranked = graft.operators.Knn
@@ -1013,7 +1068,7 @@ object VectorStreams {
       compactEvery: Int = 0, vacuumKeep: Int = 2,
       maxDriftPpm: Long = 200000L): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
-        Seq("posts", "vectors")) { _ =>
+        Seq("posts", "vectors")) { ver =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
       require(new java.io.File(s"$tableDir/MAX_NORM").exists() ||
@@ -1025,7 +1080,11 @@ object VectorStreams {
           "use mipsAlshFoldBatch")
       val pinnedM = resolveMaxNormPin(tableDir, maxNorm, "mipsIvfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
-      if (!cdir.exists())
+      // like MAX_NORM, the quantizer only binds once a fold COMMITTED:
+      // centroids left by a refused/crashed first fold are overwritten
+      // so a retry with a retrained quantizer isn't silently hashed
+      // under the stale one (ADVICE r15)
+      if (!cdir.exists() || ver.isEmpty)
         centroids.write.mode("overwrite").parquet(cdir.getPath)
       val cent = spark.read.parquet(cdir.getPath) // the store's quantizer
       val normed = liftedBatch(batch, pinnedM)
@@ -1095,13 +1154,7 @@ object VectorStreams {
     val fresh = tableDir + ".rebuild"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
     mipsIvfFoldBatch(vecs, fresh, 0L, cent, newM, nAssign)
-    val old = new java.io.File(tableDir)
-    val bak = new java.io.File(tableDir + ".bak")
-    org.apache.commons.io.FileUtils.deleteQuietly(bak)
-    require(old.renameTo(bak), s"rebuildMipsIvfStore: cannot stage $tableDir aside")
-    require(new java.io.File(fresh).renameTo(old),
-      s"rebuildMipsIvfStore: cannot swap rebuilt store into $tableDir")
-    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    bakSwapInto(tableDir, fresh, "rebuildMipsIvfStore")
     newM
   }
 
@@ -1124,6 +1177,8 @@ object VectorStreams {
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
       version: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    recoverBakSwap(tableDir) // before the layout guard (see
+    // mipsAlshServeFromStore)
     require(new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"mipsIvfServeFromStore: $tableDir carries raw (unlifted) IVF postings — " +
         "use ivfServeFromStore")
@@ -1200,7 +1255,7 @@ object VectorStreams {
       nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
       compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
-        Seq("posts", "vectors", "codes")) { _ =>
+        Seq("posts", "vectors", "codes")) { ver =>
       val spark = batch.sparkSession
       val cdir = new java.io.File(s"$tableDir/centroids")
       // UNCONDITIONAL (not gated on centroids existing): a residual
@@ -1209,9 +1264,14 @@ object VectorStreams {
       // raw fold routed here must refuse it rather than hijack the
       // marker-carrying store with raw codes (no-op on a fresh dir)
       requireResidual(tableDir, expect = false, "ivfPqFoldBatch")
-      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      // models bind only once a fold committed (ADVICE r15 — see
+      // resolveMaxNormPin): a crashed first fold's centroids/codebooks
+      // are stale evidence a retry may replace, never a silent pin
+      if (!cdir.exists() || ver.isEmpty)
+        centroids.write.mode("overwrite").parquet(cdir.getPath)
       val bdir = new java.io.File(s"$tableDir/codebooks")
-      if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
+      if (!bdir.exists() || ver.isEmpty)
+        codebooks.write.mode("overwrite").parquet(bdir.getPath)
       val pinnedCent = spark.read.parquet(cdir.getPath)
       val pinnedBooks = spark.read.parquet(bdir.getPath)
       // the PQ geometry is a property of the STORE: once codebooks are
@@ -1446,9 +1506,15 @@ object VectorStreams {
       if (!mk.exists())
         java.nio.file.Files.write(mk.toPath,
           "residual".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      // models bind only once a fold committed (ADVICE r15 — see
+      // resolveMaxNormPin): a crashed first fold's models may be
+      // replaced by the retry, never silently adopted
+      val committed = new java.io.File(s"$tableDir/CURRENT").exists()
+      if (!cdir.exists() || !committed)
+        centroids.write.mode("overwrite").parquet(cdir.getPath)
       val bdir = new java.io.File(s"$tableDir/codebooks")
-      if (!bdir.exists()) codebooks.write.mode("overwrite").parquet(bdir.getPath)
+      if (!bdir.exists() || !committed)
+        codebooks.write.mode("overwrite").parquet(bdir.getPath)
       val pinnedCent = spark.read.parquet(cdir.getPath)
       val pinnedBooks = spark.read.parquet(bdir.getPath)
       // geometry off the pinned codebook shape; callers' pqM/pqSub must
@@ -1854,7 +1920,9 @@ object VectorStreams {
       require(!new java.io.File(s"$tableDir/centroids").exists(),
         s"sqFoldBatch: $tableDir carries an IVF coarse quantizer — use sq8IvfFoldBatch")
       val bdir = new java.io.File(s"$tableDir/bounds")
-      if (!bdir.exists())
+      // bounds bind only once a fold committed (ADVICE r15 — see
+      // resolveMaxNormPin)
+      if (!bdir.exists() || !new java.io.File(s"$tableDir/CURRENT").exists())
         bounds.write.mode("overwrite").parquet(bdir.getPath)
       // the store's own pinned quantizer, not the caller's frame
       val pinned = spark.read.parquet(bdir.getPath)
@@ -2008,9 +2076,14 @@ object VectorStreams {
       require(cdir.exists() || !new java.io.File(s"$tableDir/CURRENT").exists(),
         s"sq8IvfFoldBatch: $tableDir already has flat (un-posted) SQ8 batches — " +
           "use sqFoldBatch, or rebuild under the coarse-pruned layout")
-      if (!cdir.exists()) centroids.write.mode("overwrite").parquet(cdir.getPath)
+      // models bind only once a fold committed (ADVICE r15 — see
+      // resolveMaxNormPin)
+      val committed = new java.io.File(s"$tableDir/CURRENT").exists()
+      if (!cdir.exists() || !committed)
+        centroids.write.mode("overwrite").parquet(cdir.getPath)
       val bdir = new java.io.File(s"$tableDir/bounds")
-      if (!bdir.exists()) bounds.write.mode("overwrite").parquet(bdir.getPath)
+      if (!bdir.exists() || !committed)
+        bounds.write.mode("overwrite").parquet(bdir.getPath)
       val pinnedCent = spark.read.parquet(cdir.getPath)
       val pinnedBounds = spark.read.parquet(bdir.getPath)
       val ranked = graft.operators.Knn

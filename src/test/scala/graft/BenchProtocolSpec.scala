@@ -54,6 +54,28 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(hotRows(Seq("a" -> -1.0), steady).isEmpty) // failed wall never hot
   }
 
+  test("band rows: a persistent 1.7x regression of a 0.3s row trips; a one-off 120ms jitter doesn't") {
+    // r15 verdict #5: the excess floor makes hotRows blind to
+    // regressions of sub-half-second rows — a 0.3s steady at 0.51s is
+    // 1.7x but only 0.21s of excess. Such rows land in the BAND and
+    // trip only on 2-consecutive confirmation.
+    val steady = Map("tiny" -> 0.3, "big" -> 2.0)
+    val walls = Seq("tiny" -> 0.51, "big" -> 2.1)
+    assert(hotRows(walls, steady).isEmpty) // floor keeps it out of hot
+    assert(bandRows(walls, steady) === Seq("tiny")) // but it IS banded
+    // persistent: the re-sample confirms → trips
+    assert(confirmBand(0.51, 0.52, 0.3))
+    // one-off jitter: the re-sample comes back clean → clears
+    assert(!confirmBand(0.51, 0.32, 0.3))
+    // a failed re-sample can never confirm
+    assert(!confirmBand(0.51, -1.0, 0.3))
+    // rows past the excess floor are HOT, not banded (one row, one bucket)
+    assert(bandRows(Seq("tiny" -> 0.60), steady).isEmpty)
+    assert(hotRows(Seq("tiny" -> 0.60), steady) === Seq("tiny"))
+    // rows under the factor are neither
+    assert(bandRows(Seq("tiny" -> 0.40), steady).isEmpty)
+  }
+
   test("sub-second jitter never reads as a hot row (absolute-excess floor)") {
     // a 0.24s row spiking to 0.36s is 1.5x relative but 120ms absolute
     // — scheduler noise, not a regression (the r15 all-set bootstrap

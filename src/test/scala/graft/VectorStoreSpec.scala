@@ -1310,4 +1310,65 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(ivfRebuilt === rank4(VectorStreams.mipsIvfServeFromStore(
       spark, ivfScratch, probes, k = 3, nprobe = 4)))
   }
+
+  test("a refused first fold never wedges the store; .bak swap crash recovers on next touch") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val mAll = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+
+    // ALSH: the first fold under an absurd M writes the pin, then the
+    // drift gate refuses the batch — the retry with the corrected M
+    // must REBIND the pin (ADVICE r15: pre-fix, the agreement require
+    // failed and the prescribed rebuild threw 'no CURRENT pointer',
+    // wedging the store)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_alsh_ff").toString
+    intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, tbl, 0L, 0.001, dim, tp, nt) }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tbl/MAX_NORM")))
+    assert(Lakehouse.currentVersion(spark, tbl).isEmpty) // nothing committed
+    VectorStreams.mipsAlshFoldBatch(emb, tbl, 0L, mAll, dim, tp, nt)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tbl/MAX_NORM")).trim.toDouble === mAll)
+    assert(Lakehouse.currentVersion(spark, tbl) === Some("v0"))
+    // once a fold COMMITTED the pin binds again
+    val e = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, tbl, 1L, mAll * 2.0, dim, tp, nt) }
+    assert(e.getMessage.contains("pins MAX_NORM"))
+
+    // lifted-IVF twin: the retry's RETRAINED quantizer replaces the
+    // refused attempt's centroids instead of silently hashing under
+    // the stale ones
+    def lift(mm: Double) = emb
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(v AS DOUBLE) / ${mm}D)").as("sc"))
+      .withColumn("s2", expr("graft_dot_d(sc, sc)"))
+      .withColumn("ea", expr(
+        "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
+      .select("vec_id", "ea")
+    val ivfTbl = java.nio.file.Files.createTempDirectory("graft_mipsivf_ff").toString
+    val cent16 = Knn.ivfTrain(lift(0.001), "vec_id", "ea", 16, 3).localCheckpoint(true)
+    intercept[IllegalArgumentException] {
+      VectorStreams.mipsIvfFoldBatch(emb, ivfTbl, 0L, cent16, 0.001, nAssign = 2) }
+    val cent8 = Knn.ivfTrain(lift(mAll), "vec_id", "ea", 8, 3).localCheckpoint(true)
+    VectorStreams.mipsIvfFoldBatch(emb, ivfTbl, 0L, cent8, mAll, nAssign = 2)
+    assert(spark.read.parquet(s"$ivfTbl/centroids").count() === 8L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ivfTbl/MAX_NORM")).trim.toDouble === mAll)
+
+    // bak-swap crash window (ADVICE r15): tableDir missing, .bak holds
+    // the old consistent store, a half-staged .rebuild lingers — the
+    // next reader restores the store and discards the half-rebuild
+    val dirF = new java.io.File(tbl)
+    val bakF = new java.io.File(tbl + ".bak")
+    assert(dirF.renameTo(bakF))
+    new java.io.File(tbl + ".rebuild").mkdirs()
+    val probes = emb.filter(col("vec_id") < 8)
+    val served = VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3)
+    assert(served.count() > 0)
+    assert(dirF.exists() && !bakF.exists()
+      && !new java.io.File(tbl + ".rebuild").exists())
+  }
 }
