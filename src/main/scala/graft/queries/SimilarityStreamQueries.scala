@@ -156,6 +156,29 @@ object SimilarityStreamQueries {
       base
     })
 
+  /** The session's pinned lifted-IVF MIPS store WITH candidate
+    * attributes (r15 verdict #1 — filtered ANN): same fold as
+    * [[mipsIvfStorePinned]] plus two declared attr columns — `label`
+    * (the fixture's ~10%-per-value metadata, `label < 5` ≈ 50%
+    * selectivity) and `b100` = vec_id % 100 (`b100 = 0` ≈ 1%) — so the
+    * pre-filter and over-fetch serve strategies have a store to
+    * filter, and attrstats to estimate selectivity from. */
+  private def mipsIvfAttrStorePinned(s: SparkSession, d: String): String =
+    storeMemo.getOrElseUpdate((s, d + "#mipsivfattr"), {
+      val base = tempStoreDir("graft_mipsivfattr")
+      val emb = t(s, d, "embeddings")
+        .withColumn("b100", pmod(col("vec_id"), lit(100)).cast("int"))
+      val m = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+        .head().getDouble(0)
+      Seq(0L, 1L).foreach(b =>
+        graft.streaming.VectorStreams.mipsIvfFoldBatch(
+          emb.filter(pmod(col("vec_id"), lit(2)) === b)
+            .select("vec_id", "embedding", "label", "b100"),
+          base, b, liftedIvfCentroids(s, d), m, nAssign = IvfAssign,
+          attrCols = Seq("label", "b100")))
+      base
+    })
+
   private def embBuckets(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
       Knn.withLshBucket(t(s, d, "embeddings"), "embedding", Dim, NPlanes)
@@ -890,6 +913,39 @@ object SimilarityStreamQueries {
     sb.toString
   }
 
+  /** FILTERED variant of [[dkLiftedIvfCtes]]'s final `livf` CTE —
+    * layered over its `lqr`/`lrk`: candidates additionally inner-join
+    * embeddings as `m` under `pred` (the predicate-survivor prune the
+    * pre-filter serve applies below its candidate join), so `$name` is
+    * the lifted-IVF MIPS ranking over ONLY the predicate's survivors.
+    * Exact filtered brute force is [[dkMipsExactFiltered]]. */
+  private def dkLiftedIvfFiltered(name: String, pred: String,
+      nprobe: Int = IvfProbe): String =
+    s"""$name AS (SELECT query_id, cand_id, ip_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+       |  FROM (SELECT a.query_id, a.cand_id,
+       |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
+       |    FROM (SELECT DISTINCT p.vec_id AS query_id, x.vec_id AS cand_id
+       |          FROM (SELECT vec_id, cell FROM lqr WHERE rn <= $nprobe) p
+       |          JOIN (SELECT vec_id, cell FROM lrk WHERE rn <= $IvfAssign) x
+       |            ON x.cell = p.cell AND x.vec_id <> p.vec_id
+       |          JOIN embeddings m ON m.vec_id = x.vec_id AND ($pred)) a
+       |    JOIN embeddings q ON q.vec_id = a.query_id
+       |    JOIN embeddings c ON c.vec_id = a.cand_id))""".stripMargin
+
+  /** Exact MIPS top-3 (e6-floored ⟨q,x⟩ desc, cand_id asc) over ONLY
+    * the predicate's survivors — the filtered-recall rows' ground
+    * truth (`c` is the candidate side the predicate constrains). */
+  private def dkMipsExactFiltered(name: String, pred: String): String =
+    s"""$name AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+       |      c.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings c
+       |    ON c.vec_id <> q.vec_id AND ($pred)
+       |  WHERE q.vec_id < 32) WHERE rnk <= 3)""".stripMargin
+
   // DuckDB twin of the IVF×PQ composition, layered over dkIvfCtes
   // (`rk`) + dkPqCtes (`pv`/`p$PqIters`/`pcode`): candidate pairs from
   // probed cells, then the ADC code-sum restricted to those candidates,
@@ -1575,6 +1631,34 @@ object SimilarityStreamQueries {
               |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
               |FROM scored
               |QUALIFY rnk <= 5""".stripMargin),
+      bench = true),
+
+    // ── FILTERED top-k, exact baseline (r15 verdict #1): the
+    //    production RAG shape — "top-k among vectors WHERE <metadata
+    //    predicate>" — as brute force over the predicate's survivors.
+    //    The predicate prunes the CANDIDATE side below the score join
+    //    (Catalyst pushes it into the parquet scan), queries are
+    //    unconstrained; this is the ground truth the filtered ANN
+    //    serves (mips_ivf_filtered_*) measure against. ──
+    QueryDef(
+      "sim_filtered_topk",
+      "predicate-constrained exact cosine top-3: brute force over label<5 survivors",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Knn.bruteForceTopK(emb.filter(col("vec_id") < 32),
+          emb.filter(col("label") < 5), "vec_id", "embedding", 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, ${dkNorm("embedding")} AS qn
+              |  FROM embeddings WHERE vec_id < 32),
+              |c AS (SELECT vec_id AS cand_id, embedding AS ce, ${dkNorm("embedding")} AS cn
+              |  FROM embeddings WHERE label < 5),
+              |scored AS (SELECT query_id, cand_id,
+              |  round(${dkDot("qe", "ce")} / (qn * cn), 8) AS cosine
+              |  FROM q CROSS JOIN c WHERE query_id <> cand_id)
+              |SELECT query_id, cand_id, cosine,
+              |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              |FROM scored
+              |QUALIFY rnk <= 3""".stripMargin),
       bench = true),
 
     // ── Matryoshka (MRL) truncated-dimension search: score-prune on
@@ -3511,6 +3595,167 @@ object SimilarityStreamQueries {
               |$dkLiftedIvfCtes
               |SELECT query_id, cand_id, ip_e6, rnk FROM livf WHERE rnk <= 3""".stripMargin),
       bench = true),
+
+    // ── FILTERED MIPS serve (r15 verdict #1): predicate-constrained
+    //    top-k off the standing attr store, BOTH standard strategies —
+    //    the PRE-FILTER plan (predicate on the vectors scan, survivor
+    //    semi-join below the candidate join, survivors-only rescore)
+    //    and the adaptive OVER-FETCH POST-FILTER (k′ = k/selectivity
+    //    from the store's attrstats histogram, bounded retry) — must
+    //    agree exactly; the returned rows are the pre-filter plan's,
+    //    oracled against the lifted-IVF CTE restricted to survivors. ──
+    QueryDef(
+      "mips_ivf_filtered_serve",
+      "filtered MIPS off the pinned attr store: pre-filter == adaptive over-fetch post-filter",
+      (s, d) => {
+        val base = mipsIvfAttrStorePinned(s, d)
+        val probes = t(s, d, "embeddings").filter(col("vec_id") < 32)
+          .select("vec_id", "embedding")
+        val pre = graft.streaming.VectorStreams.mipsIvfServeFromStore(
+            s, base, probes, k = 3, nprobe = IvfProbe,
+            predicate = Some("label < 5"))
+          .select("query_id", "cand_id", "ip_e6", "rnk")
+        val post = graft.streaming.VectorStreams.mipsIvfServeOverfetch(
+            s, base, probes, k = 3, nprobe = IvfProbe,
+            predicate = "label < 5")
+          .select("query_id", "cand_id", "ip_e6", "rnk")
+        // the strategy-equivalence adjudication is distributed
+        // (exceptAll on k-bounded frames), the verdict a 1-row action
+        require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+          "mips_ivf_filtered_serve: pre-filter and over-fetch post-filter " +
+            "strategies disagree — the bounded retry's completeness " +
+            "guarantee is broken")
+        pre
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes,
+              |${dkLiftedIvfFiltered("livf50", "m.label < 5")}
+              |SELECT query_id, cand_id, ip_e6, rnk FROM livf50 WHERE rnk <= 3""".stripMargin),
+      bench = true),
+
+    // ── Filtered-serve RECALL at the two canonical selectivities
+    //    (≈50%: label < 5 → 254/500; ≈1%: vec_id%100 = 0 → 5/500) vs
+    //    exact filtered brute force — the filtered analogue of
+    //    mips_ivf_lifted_recall, pinning how much the coarse prune
+    //    gives up when the predicate thins the probed cells, AND the
+    //    standard counter-move: widening nprobe when the predicate is
+    //    selective (the (sel 1%, np 8) row) buys the recall back at a
+    //    cost that is still survivor-bounded. ──
+    QueryDef(
+      "mips_ivf_filtered_recall",
+      "recall@3 of the pre-filtered lifted-IVF serve vs exact filtered MIPS, sel ~50%/~1%, probe-widened",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = mipsIvfAttrStorePinned(s, d)
+        val emb = t(s, d, "embeddings")
+        val probes = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+        val ed = emb.select(col("vec_id"), col("label"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        def recallAt(selPct: Int, np: Int, servePred: String,
+            exactCand: DataFrame): DataFrame = {
+          val ann = graft.streaming.VectorStreams.mipsIvfServeFromStore(
+              s, base, probes, k = 3, nprobe = np,
+              predicate = Some(servePred))
+            .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+          val exact = int8TopK(exactCand
+            .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+              .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+            .filter(col("query_id") =!= col("cand_id"))
+            .withColumn("ip_e6",
+              expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+            3, "ip_e6")
+            .select("query_id", "cand_id")
+          exact.join(ann, Seq("query_id", "cand_id"), "left")
+            .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_k"))
+            .select(lit(selPct).as("sel_pct"), lit(np).as("np"),
+              col("n_hits"), col("n_k"),
+              round(col("n_hits").cast("double") / col("n_k"), 4).as("recall"))
+        }
+        val c50 = ed.filter(col("label") < 5)
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+        val c1 = ed.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+        recallAt(50, IvfProbe, "label < 5", c50)
+          .unionByName(recallAt(1, IvfProbe, "vec_id % 100 = 0", c1))
+          .unionByName(recallAt(1, 2 * IvfProbe, "vec_id % 100 = 0", c1))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes,
+              |${dkLiftedIvfFiltered("livf50", "m.label < 5")},
+              |${dkLiftedIvfFiltered("livf1", "m.vec_id % 100 = 0")},
+              |${dkLiftedIvfFiltered("livf1w", "m.vec_id % 100 = 0", 2 * IvfProbe)},
+              |${dkMipsExactFiltered("xf50", "c.label < 5")},
+              |${dkMipsExactFiltered("xf1", "c.vec_id % 100 = 0")},
+              |r50 AS (SELECT 50 AS sel_pct, $IvfProbe AS np, count(a.cand_id) AS n_hits,
+              |  count(*) AS n_k, round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |  FROM xf50 x LEFT JOIN (SELECT query_id, cand_id FROM livf50 WHERE rnk <= 3) a
+              |    ON a.query_id = x.query_id AND a.cand_id = x.cand_id),
+              |r1 AS (SELECT 1 AS sel_pct, $IvfProbe AS np, count(a.cand_id) AS n_hits,
+              |  count(*) AS n_k, round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |  FROM xf1 x LEFT JOIN (SELECT query_id, cand_id FROM livf1 WHERE rnk <= 3) a
+              |    ON a.query_id = x.query_id AND a.cand_id = x.cand_id),
+              |r1w AS (SELECT 1 AS sel_pct, ${2 * IvfProbe} AS np, count(a.cand_id) AS n_hits,
+              |  count(*) AS n_k, round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |  FROM xf1 x LEFT JOIN (SELECT query_id, cand_id FROM livf1w WHERE rnk <= 3) a
+              |    ON a.query_id = x.query_id AND a.cand_id = x.cand_id)
+              |SELECT * FROM r50 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r1w""".stripMargin)),
+
+    // ── The lifted-IVF OPERATING CURVE (r15 verdict #4): recall@3 at
+    //    nprobe ∈ {1, 2, 4, 8} vs the exact MIPS top-3, pinned as data
+    //    (the sim_probe_recall precedent) — the when-to-dial guidance
+    //    COVERAGE.md's MIPS family note reads from. ──
+    QueryDef(
+      "mips_ivf_probe_recall",
+      "lifted-IVF MIPS recall@3 operating curve at nprobe in {1,2,4,8}",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = mipsIvfStorePinned(s, d)
+        val emb = t(s, d, "embeddings")
+        val probes = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+        val ed = emb.select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb_d"))
+        val exact = int8TopK(ed
+          .select(col("vec_id").as("cand_id"), col("emb_d").as("c_emb"))
+          .crossJoin(broadcast(ed.filter(col("vec_id") < 32)
+            .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))))
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("ip_e6",
+            expr("CAST(floor(graft_dot_d(q_emb, c_emb) * 1000000.0D) AS BIGINT)")),
+          3, "ip_e6")
+          .select("query_id", "cand_id").localCheckpoint(true)
+        Seq(1, 2, 4, 8).map { np =>
+          val ann = graft.streaming.VectorStreams.mipsIvfServeFromStore(
+              s, base, probes, k = 3, nprobe = np)
+            .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+          exact.join(ann, Seq("query_id", "cand_id"), "left")
+            .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_k"))
+            .select(lit(np).as("nprobe"), col("n_hits"), col("n_k"),
+              round(col("n_hits").cast("double") / col("n_k"), 4).as("recall"))
+        }.reduce(_.unionByName(_))
+      },
+      Some(s"""WITH $dkAlshCtes,
+              |$dkLiftedIvfCtes,
+              |xip AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT DESC,
+              |      c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 32) WHERE rnk <= 3),
+              |${Seq(1, 2, 4, 8).map(np => s"""lv$np AS (SELECT query_id, cand_id, ip_e6,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY ip_e6 DESC, cand_id) AS rnk
+              |  FROM (SELECT a.query_id, a.cand_id,
+              |      floor(${dkDotD("q.embedding", "c.embedding")} * 1000000.0)::BIGINT AS ip_e6
+              |    FROM (SELECT DISTINCT p.vec_id AS query_id, x.vec_id AS cand_id
+              |          FROM (SELECT vec_id, cell FROM lqr WHERE rn <= $np) p
+              |          JOIN (SELECT vec_id, cell FROM lrk WHERE rn <= $IvfAssign) x
+              |            ON x.cell = p.cell AND x.vec_id <> p.vec_id) a
+              |    JOIN embeddings q ON q.vec_id = a.query_id
+              |    JOIN embeddings c ON c.vec_id = a.cand_id))""").mkString(",\n")}
+              |${Seq(1, 2, 4, 8).map(np => s"""SELECT $np AS nprobe, count(a.cand_id) AS n_hits,
+              |  count(*) AS n_k, round(count(a.cand_id)::DOUBLE / count(*), 4) AS recall
+              |FROM xip x LEFT JOIN (SELECT query_id, cand_id FROM lv$np WHERE rnk <= 3) a
+              |  ON a.query_id = x.query_id AND a.cand_id = x.cand_id""").mkString("\nUNION ALL\n")}""".stripMargin)),
 
     // ── The MIPS family's ONLINE twin: the ALSH lift served through
     //    the streaming plan (probe-side zero-slot augmentation + bucket

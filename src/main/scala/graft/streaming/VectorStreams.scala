@@ -121,6 +121,67 @@ object VectorStreams {
     }
   }
 
+  // ─────────── candidate attributes (filtered serving) ───────────
+
+  /** Resolve a store's ATTR_COLS metadata pin (r15 verdict #1 —
+    * filtered ANN): the attribute layout is a STORE property exactly
+    * like PREFIX_DIM — a fold writing batches without the pinned
+    * columns would leave the filtered serve dropping (or failing
+    * analysis on) those batches' rows, so both directions fail loudly
+    * at fold time; and like every model pin it binds only once a fold
+    * has COMMITTED. */
+  private def resolveAttrColsPin(tableDir: String, attrCols: Seq[String],
+      what: String): Unit = {
+    val f = new java.io.File(s"$tableDir/ATTR_COLS")
+    val committed = new java.io.File(s"$tableDir/CURRENT").exists()
+    if (f.exists() && committed) {
+      val p = java.nio.file.Files.readString(f.toPath).trim
+      val want = attrCols.mkString(",")
+      require(p == want,
+        s"$what: store $tableDir pins attr columns [$p]; fold passed [$want] — " +
+          "the attribute layout is a store property (rebuild to change it)")
+    } else if (attrCols.nonEmpty) {
+      require(!committed,
+        s"$what: $tableDir already has attr-less batches; cannot pin attr " +
+          s"columns [${attrCols.mkString(",")}] onto them")
+      atomicWritePin(f.toPath, attrCols.mkString(","))
+    } else if (f.exists()) {
+      // retry reverted to the attr-less layout: drop the stale pin
+      java.nio.file.Files.delete(f.toPath)
+    }
+  }
+
+  /** The attr columns a store was folded with (empty for attr-less
+    * stores) — what a rebuild must carry through. */
+  private def pinnedAttrCols(tableDir: String): Seq[String] = {
+    val f = new java.io.File(s"$tableDir/ATTR_COLS")
+    if (f.exists())
+      java.nio.file.Files.readString(f.toPath).trim
+        .split(",").toSeq.filter(_.nonEmpty)
+    else Nil
+  }
+
+  /** Per-batch attribute-value histogram `attrstats/batch=N` —
+    * (attr…, cnt) over the batch's DISTINCT attribute combinations.
+    * This is the serve-time SELECTIVITY estimator for the over-fetch
+    * post-filter strategy: a predicate over the declared attrs is
+    * answered against these metadata-sized rows (sum of matching cnt /
+    * n_vecs), never against the corpus. The cardinality cap is the
+    * contract that keeps it metadata-sized — attr columns are
+    * LOW-cardinality metadata (lang, source, label, date bucket), not
+    * ids. Forgotten vectors are NOT subtracted (the histogram is an
+    * estimator; the bounded-retry serve corrects any estimate). */
+  private def writeAttrStats(batch: DataFrame, tableDir: String, id: Long,
+      attrCols: Seq[String], what: String): Unit = if (attrCols.nonEmpty) {
+    val stats = batch.groupBy(attrCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val m = stats.count()
+    require(m <= 65536,
+      s"$what: batch $id carries $m distinct attribute combinations — attr " +
+        "columns must be low-cardinality metadata (<= 65536 combos per batch)")
+    stats.write.mode("overwrite").parquet(s"$tableDir/attrstats/batch=$id")
+  }
+
   /** The ONE store-fold commit discipline every vector store shares
     * (LSH, IVF, IVF×PQ): replay guard on CURRENT (a committed batch id
     * is a no-op), the fold's batch-partition writes, optional pre-swing
@@ -220,7 +281,7 @@ object VectorStreams {
   def vectorFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       dim: Int, nPlanes: Int, nTables: Int,
       compactEvery: Int = 0, vacuumKeep: Int = 2,
-      prefixDim: Int = 0): Unit =
+      prefixDim: Int = 0, attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("buckets", "vectors")) { _ =>
       // layout guard (mirror of mipsAlshFoldBatch's): raw buckets hash
@@ -228,13 +289,16 @@ object VectorStreams {
       // same schema, incompatible numbers
       require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
         s"vectorFoldBatch: $tableDir is an ALSH (lifted) store — use mipsAlshFoldBatch")
+      resolveAttrColsPin(tableDir, attrCols, "vectorFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "vectorFoldBatch")
       val tabled = graft.operators.Knn.withLshTables(
-          batch.select("vec_id", "embedding"), "embedding", dim, nPlanes, nTables)
+          batch.select(("vec_id" +: "embedding" +: attrCols).map(col): _*),
+          "embedding", dim, nPlanes, nTables)
         .localCheckpoint(true)
       tabled.select(col("vec_id"), col("tbl"), col("bucket"))
         .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
       val vecs0 = tabled.filter(col("tbl") === 0)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .select((Seq("vec_id", "embedding", "nrm") ++ attrCols).map(col): _*)
       // the prefix layout is a STORE property checked UNCONDITIONALLY:
       // a default-argument (prefixDim = 0) fold into a prefix-pinned
       // store would write batches WITHOUT p_emb/p_nrm — the pruned
@@ -317,13 +381,21 @@ object VectorStreams {
       tableDir: String, probes: DataFrame,
       dim: Int, nPlanes: Int, nTables: Int, k: Int,
       maxBucket: Int = Dedup.MaxBucket,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
-    val cand = Dedup.dropHotBuckets(pinned("buckets"),
+    // pre-filter (see mipsIvfServeFromStore): survivors prune the
+    // postings below the cap and the candidate join — filtered serve ≡
+    // serving a survivors-only store
+    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
+      .getOrElse(pinned("vectors"))
+    val bkts = if (predicate.isEmpty) pinned("buckets")
+      else pinned("buckets").join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+    val cand = Dedup.dropHotBuckets(bkts,
         Seq("tbl", "bucket"), maxBucket, "searchVectorStore")
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
-    val vecs = pinned("vectors")
+    val vecs = keep
     val q = probes
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("q_norm", VectorFunctions.norm("q_emb"))
@@ -639,8 +711,9 @@ object VectorStreams {
   /** Per-vector SIMPLE-LSH lift of a batch under the pinned M —
     * (vec_id, embedding, nrm, sc, s2, ea), eagerly checkpointed so the
     * drift gate, postings and vectors writes all read it once. */
-  private def liftedBatch(batch: DataFrame, pinnedM: Double): DataFrame =
-    batch.select(col("vec_id"), col("embedding"))
+  private def liftedBatch(batch: DataFrame, pinnedM: Double,
+      attrCols: Seq[String] = Nil): DataFrame =
+    batch.select(("vec_id" +: "embedding" +: attrCols).map(col): _*)
       .withColumn("nrm", VectorFunctions.norm("embedding"))
       .withColumn("sc",
         org.apache.spark.sql.functions.transform(col("embedding"),
@@ -716,7 +789,7 @@ object VectorStreams {
   def mipsAlshFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
       compactEvery: Int = 0, vacuumKeep: Int = 2,
-      maxDriftPpm: Long = 200000L): Unit =
+      maxDriftPpm: Long = 200000L, attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("buckets", "vectors")) { _ =>
       graft.functions.GraftFunctions.register(batch.sparkSession)
@@ -731,9 +804,11 @@ object VectorStreams {
         s"mipsAlshFoldBatch: $tableDir is a lifted-IVF (posts) store — " +
           "use mipsIvfFoldBatch")
       val pinnedM = resolveMaxNormPin(tableDir, maxNorm, "mipsAlshFoldBatch")
+      resolveAttrColsPin(tableDir, attrCols, "mipsAlshFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "mipsAlshFoldBatch")
       // per-vector frame (norm + lift) checkpointed BEFORE the ×nTables
       // explode — drift stats and the vectors table both read it once
-      val normed = liftedBatch(batch, pinnedM)
+      val normed = liftedBatch(batch, pinnedM, attrCols)
       liftNormDriftGate(normed, tableDir, id, pinnedM, maxDriftPpm,
         "mipsAlshFoldBatch")
       val lifted = normed
@@ -742,7 +817,7 @@ object VectorStreams {
           VectorFunctions.lshBucketTableSql("ea", dim + 1, nPlanes, "tbl")))
       lifted.select(col("vec_id"), col("tbl"), col("bucket"))
         .write.mode("overwrite").parquet(s"$tableDir/buckets/batch=$id")
-      normed.select(col("vec_id"), col("embedding"), col("nrm"))
+      normed.select((Seq("vec_id", "embedding", "nrm") ++ attrCols).map(col): _*)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
 
@@ -760,12 +835,15 @@ object VectorStreams {
   def rebuildAlshStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, dim: Int, nPlanes: Int, nTables: Int): Double = {
     val pinned = pinnedReader(spark, tableDir, None)
-    val vecs = pinned("vectors").select("vec_id", "embedding")
+    val attrs = pinnedAttrCols(tableDir) // an attr store rebuilds WITH its attrs
+    val vecs = pinned("vectors")
+      .select(("vec_id" +: "embedding" +: attrs).map(col): _*)
       .localCheckpoint(true) // survives the source dir swap below
     val newM = vecs.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
     val fresh = tableDir + ".rebuild"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
-    mipsAlshFoldBatch(vecs, fresh, 0L, newM, dim, nPlanes, nTables)
+    mipsAlshFoldBatch(vecs, fresh, 0L, newM, dim, nPlanes, nTables,
+      attrCols = attrs)
     bakSwapInto(tableDir, fresh, "rebuildAlshStore")
     newM
   }
@@ -774,12 +852,13 @@ object VectorStreams {
   def mipsAlshIngest(vecStream: DataFrame, tableDir: String,
       maxNorm: Double, dim: Int, nPlanes: Int, nTables: Int,
       compactEvery: Int = 0, vacuumKeep: Int = 2,
-      maxDriftPpm: Long = 200000L): org.apache.spark.sql.streaming.StreamingQuery =
+      maxDriftPpm: Long = 200000L,
+      attrCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         mipsAlshFoldBatch(batch.toDF(), tableDir, id, maxNorm, dim, nPlanes,
-          nTables, compactEvery, vacuumKeep, maxDriftPpm)
+          nTables, compactEvery, vacuumKeep, maxDriftPpm, attrCols)
         ()
       }
       .start()
@@ -808,7 +887,8 @@ object VectorStreams {
       dim: Int, nPlanes: Int, nTables: Int, k: Int,
       maxBucket: Int = Dedup.MaxBucket,
       version: Option[String] = None,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     recoverBakSwap(tableDir) // before the layout guards: in the swap
     // crash window every pin lives under .bak, and the guard would
@@ -820,10 +900,18 @@ object VectorStreams {
       s"mipsAlshServeFromStore: $tableDir is a lifted-IVF (posts) store — " +
         "use mipsIvfServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
-    val cand = Dedup.dropHotBuckets(pinned("buckets"),
+    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
+      .getOrElse(pinned("vectors"))
+    // pre-filter (see mipsIvfServeFromStore): survivors prune the
+    // postings BELOW the hot-bucket cap and the candidate join, so the
+    // cap counts SURVIVOR postings — filtered serve ≡ serving a store
+    // that holds only the survivors (bucket assignment is per-vector)
+    val bkts = if (predicate.isEmpty) pinned("buckets")
+      else pinned("buckets").join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+    val cand = Dedup.dropHotBuckets(bkts,
         Seq("tbl", "bucket"), maxBucket, "mipsAlshServeFromStore")
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
-    val cvec = pinned("vectors").select(col("vec_id").as("cand_id"),
+    val cvec = keep.select(col("vec_id").as("cand_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
     val qHome = probes
       .select(col("vec_id").as("query_id"),
@@ -1066,7 +1154,7 @@ object VectorStreams {
   def mipsIvfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, maxNorm: Double, nAssign: Int = 1,
       compactEvery: Int = 0, vacuumKeep: Int = 2,
-      maxDriftPpm: Long = 200000L): Unit =
+      maxDriftPpm: Long = 200000L, attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors")) { ver =>
       val spark = batch.sparkSession
@@ -1079,6 +1167,8 @@ object VectorStreams {
         s"mipsIvfFoldBatch: $tableDir is an ALSH (buckets) store — " +
           "use mipsAlshFoldBatch")
       val pinnedM = resolveMaxNormPin(tableDir, maxNorm, "mipsIvfFoldBatch")
+      resolveAttrColsPin(tableDir, attrCols, "mipsIvfFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "mipsIvfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
       // like MAX_NORM, the quantizer only binds once a fold COMMITTED:
       // centroids left by a refused/crashed first fold are overwritten
@@ -1087,7 +1177,7 @@ object VectorStreams {
       if (!cdir.exists() || ver.isEmpty)
         centroids.write.mode("overwrite").parquet(cdir.getPath)
       val cent = spark.read.parquet(cdir.getPath) // the store's quantizer
-      val normed = liftedBatch(batch, pinnedM)
+      val normed = liftedBatch(batch, pinnedM, attrCols)
       liftNormDriftGate(normed, tableDir, id, pinnedM, maxDriftPpm,
         "mipsIvfFoldBatch", rebuildHint = "rebuildMipsIvfStore")
       // batch-local ranking against the pinned lifted centroids:
@@ -1106,7 +1196,7 @@ object VectorStreams {
         .repartition(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
       ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .select((Seq("vec_id", "embedding", "nrm") ++ attrCols).map(col): _*)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
 
@@ -1114,12 +1204,13 @@ object VectorStreams {
   def mipsIvfIngest(vecStream: DataFrame, tableDir: String,
       centroids: DataFrame, maxNorm: Double, nAssign: Int = 1,
       compactEvery: Int = 0, vacuumKeep: Int = 2,
-      maxDriftPpm: Long = 200000L): org.apache.spark.sql.streaming.StreamingQuery =
+      maxDriftPpm: Long = 200000L,
+      attrCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         mipsIvfFoldBatch(batch.toDF(), tableDir, id, centroids, maxNorm,
-          nAssign, compactEvery, vacuumKeep, maxDriftPpm)
+          nAssign, compactEvery, vacuumKeep, maxDriftPpm, attrCols)
         ()
       }
       .start()
@@ -1138,7 +1229,9 @@ object VectorStreams {
       nAssign: Int = 1): Double = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, None)
-    val vecs = pinned("vectors").select("vec_id", "embedding")
+    val attrs = pinnedAttrCols(tableDir) // an attr store rebuilds WITH its attrs
+    val vecs = pinned("vectors")
+      .select(("vec_id" +: "embedding" +: attrs).map(col): _*)
       .localCheckpoint(true) // survives the source dir swap below
     val newM = vecs.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
     val lifted = vecs
@@ -1153,7 +1246,7 @@ object VectorStreams {
       .localCheckpoint(true)
     val fresh = tableDir + ".rebuild"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
-    mipsIvfFoldBatch(vecs, fresh, 0L, cent, newM, nAssign)
+    mipsIvfFoldBatch(vecs, fresh, 0L, cent, newM, nAssign, attrCols = attrs)
     bakSwapInto(tableDir, fresh, "rebuildMipsIvfStore")
     newM
   }
@@ -1172,10 +1265,24 @@ object VectorStreams {
     * for row when the store pins the same quantizer/M (oracle-pinned
     * by `mips_ivf_store_serve` / `mips_ivf_serve_stream`).
     *
+    * `predicate` (a SQL boolean expression over the store's pinned
+    * attr columns and/or `vec_id`) turns the serve into FILTERED MIPS
+    * by the PRE-FILTER strategy (r15 verdict #1 — the production
+    * "top-k WHERE lang='en'" shape): the predicate evaluates on the
+    * `vectors` table scan (pushed into parquet where the expression
+    * allows), survivor ids left-semi-prune the postings BELOW the
+    * probe-cell candidate join, and the rescore side reads only
+    * survivors — no full-corpus rescore. Equivalent to serving a store
+    * that holds only the predicate's survivors (assignment is
+    * per-vector, so postings are unchanged by membership — spec-
+    * pinned). The over-fetch POST-FILTER alternative is
+    * [[mipsIvfServeOverfetch]].
+    *
     * Output: (query_id, cand_id, ip_e6, rnk). */
   def mipsIvfServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     recoverBakSwap(tableDir) // before the layout guard (see
     // mipsAlshServeFromStore)
@@ -1206,8 +1313,16 @@ object VectorStreams {
            |    WHEN a.csim > b.csim THEN -1 ELSE 1 END),
            |1, $nprobe), e -> e.cell)""".stripMargin).as("cells"))
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
-    val cvec = pinned("vectors").select(col("vec_id").as("cand_id"),
+    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
+      .getOrElse(pinned("vectors"))
+    val posts0 = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    // pre-filter: survivor ids prune the postings BELOW the candidate
+    // join, so non-matching vectors never reach the probe-cell join or
+    // the rescore (the filter itself sits on the vectors scan)
+    val posts = if (predicate.isEmpty) posts0
+      else posts0.join(keep.select(col("vec_id").as("cand_id")),
+        Seq("cand_id"), "left_semi")
+    val cvec = keep.select(col("vec_id").as("cand_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     pc.join(posts, Seq("cell"))
@@ -1222,6 +1337,120 @@ object VectorStreams {
         col("e._1").cast("long").as("ip_e6"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  // ────────── over-fetch POST-FILTER serving (filtered ANN) ──────────
+
+  /** Adaptive over-fetch POST-FILTER strategy for predicate-
+    * constrained top-k (r15 verdict #1 — the second standard filtered-
+    * ANN strategy beside the pre-filter): serve UNFILTERED with
+    * k′ = k/selectivity·safety, apply the predicate to the k′ results,
+    * keep the top k survivors; any query whose heap came back FULL
+    * (fetched == k′) with fewer than k survivors may be missing
+    * matches, so k′ grows `grow`× and the serve retries — bounded: the
+    * final retry fetches every candidate (still candidate-bounded by
+    * the probed cells, never a full-corpus rescore), so the result
+    * EQUALS the pre-filter strategy's (spec- and oracle-pinned).
+    *
+    * Selectivity comes from the store's STATS frames, never a corpus
+    * scan: `attrstats` (per-batch attribute-value histograms, pinned
+    * metadata-cardinality) answers the predicate over its distinct
+    * value combos, `v<N>/stats` gives n_vecs — both metadata-sized
+    * reads. When to prefer which strategy: post-filter wins at HIGH
+    * selectivity (≈50%: one cheap unfiltered serve, no semi-join);
+    * pre-filter wins at LOW selectivity (≈1%: the postings prune makes
+    * every downstream stage 100× smaller, while post-filter would need
+    * k′ ≈ 100k). */
+  private def serveOverfetchFiltered(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, k: Int, predicate: String, version: Option[String],
+      what: String, safety: Double, grow: Int, maxRetries: Int)(
+      serveAt: (Int, Option[String]) => DataFrame): DataFrame = {
+    recoverBakSwap(tableDir)
+    val ver = version.orElse(graft.operators.Lakehouse.currentVersion(spark, tableDir))
+      .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
+    val pinned = pinnedReader(spark, tableDir, Some(ver))
+    require(new java.io.File(s"$tableDir/ATTR_COLS").exists(),
+      s"$what: $tableDir pins no attr columns — the over-fetch strategy " +
+        "needs the store's attrstats for its selectivity estimate (fold with " +
+        "attrCols, or use the pre-filter predicate)")
+    // metadata-sized driver reads: 1-row n_vecs + the predicate's mass
+    // over the attrstats histogram (never a corpus scan)
+    val n = graft.operators.Lakehouse.readVersion(spark, tableDir, ver, "stats")
+      .head().getLong(0)
+    val surv = pinned("attrstats").filter(expr(predicate))
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    require(surv > 0,
+      s"$what: predicate '$predicate' matches no attrstats mass in $tableDir — " +
+        "an empty result is almost always a predicate typo; use the " +
+        "pre-filter path if empty is genuinely expected")
+    val nCap = math.min(n, Int.MaxValue.toLong).toInt
+    // vec_id stays visible so predicates mixing attrs with vec_id
+    // evaluate exactly as on the pre-filter path
+    val attrs = pinned("vectors").drop("embedding", "nrm")
+      .withColumn("cand_id", col("vec_id"))
+    val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
+    var kP = math.max(k.toLong,
+      math.min(nCap.toLong, math.ceil(k.toDouble * n / surv * safety).toLong)).toInt
+    var attempt = 0
+    var out: DataFrame = null
+    while (out == null) {
+      val res = serveAt(kP, Some(ver)).localCheckpoint(true)
+      val filt = res.join(attrs, Seq("cand_id")).filter(expr(predicate))
+      // a query may be missing matches ONLY if its heap was full: a
+      // 1-row adjudication aggregate, not a per-query driver loop
+      val short = res.groupBy(col("query_id")).agg(count(lit(1)).as("fetched"))
+        .join(filt.groupBy(col("query_id")).agg(count(lit(1)).as("kept")),
+          Seq("query_id"), "left")
+        .na.fill(0L, Seq("kept"))
+        .filter(col("kept") < k && col("fetched") >= kP)
+        .agg(count(lit(1))).head().getLong(0)
+      if (short == 0L || kP >= nCap || attempt >= maxRetries)
+        out = filt
+          .groupBy("query_id")
+          .agg(topk(col("ip_e6").cast("double"), col("cand_id")).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("query_id"), col("e._2").as("cand_id"),
+            col("e._1").cast("long").as("ip_e6"),
+            (col("pos") + 1).cast("int").as("rnk"))
+      else {
+        attempt += 1
+        // the LAST retry fetches every candidate — completeness beats
+        // another bounded guess once the estimate has missed twice
+        kP = if (attempt >= maxRetries) nCap
+          else math.min(nCap.toLong, kP.toLong * grow).toInt
+      }
+    }
+    out
+  }
+
+  /** Filtered MIPS off a lifted-IVF store by over-fetch post-filter —
+    * see [[serveOverfetchFiltered]]; the pre-filter twin is
+    * [[mipsIvfServeFromStore]]'s `predicate`. Batch probes only (the
+    * adaptive loop is a driver decision; streaming probes take the
+    * pre-filter path, which is a pure plan). */
+  def mipsIvfServeOverfetch(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
+      predicate: String, version: Option[String] = None,
+      safety: Double = 2.0, grow: Int = 4, maxRetries: Int = 2): DataFrame =
+    serveOverfetchFiltered(spark, tableDir, k, predicate, version,
+      "mipsIvfServeOverfetch", safety, grow, maxRetries)(
+      (kP, ver) => mipsIvfServeFromStore(spark, tableDir, probes, kP, nprobe, ver))
+
+  /** Filtered MIPS off an ALSH store by over-fetch post-filter — see
+    * [[serveOverfetchFiltered]]. NOTE the cap asymmetry: the
+    * UNFILTERED inner serve caps hot buckets on the full postings, the
+    * pre-filter path caps on survivor postings, so under a degenerate
+    * (capped) bucket the two strategies may legitimately differ — on
+    * cap-free stores they are equal (spec-pinned). */
+  def mipsAlshServeOverfetch(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, probes: DataFrame,
+      dim: Int, nPlanes: Int, nTables: Int, k: Int,
+      predicate: String, maxBucket: Int = Dedup.MaxBucket,
+      version: Option[String] = None, multiProbe: Boolean = false,
+      safety: Double = 2.0, grow: Int = 4, maxRetries: Int = 2): DataFrame =
+    serveOverfetchFiltered(spark, tableDir, k, predicate, version,
+      "mipsAlshServeOverfetch", safety, grow, maxRetries)(
+      (kP, ver) => mipsAlshServeFromStore(spark, tableDir, probes, dim,
+        nPlanes, nTables, kP, maxBucket, ver, multiProbe))
 
   // ─────────────────── IVF×PQ standing store ───────────────────
 

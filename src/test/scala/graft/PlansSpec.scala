@@ -665,4 +665,37 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("coalesced"), p)
   }
 
+  test("filtered MIPS pre-filter: predicate on the vectors scans, survivor semi-join BELOW the candidate join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val qe = graft.SparkEntry.queries("mips_ivf_filtered_serve")(
+      TestSpark.spark, "/root/testdata/sf0.001").queryExecution
+    // (a) the predicate reaches EVERY scan of the store's vectors
+    // table — no full-corpus rescore: the rescore side reads only
+    // predicate survivors
+    val vecScans = qe.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("/vectors")) => f
+    }
+    assert(vecScans.nonEmpty, qe.sparkPlan.toString)
+    vecScans.foreach { f =>
+      assert(f.metadata.get("PushedFilters").exists(_.contains("LessThan(label,5)")),
+        s"vectors scan without the pushed predicate:\n$f")
+    }
+    // (b) the survivor semi-join prunes the postings BELOW the
+    // probe-cell candidate join: an Inner join sits above a LeftSemi,
+    // and no Inner join hides below that semi
+    val joins = qe.sparkPlan.collect { case j: BaseJoinExec => j }
+    val semis = joins.filter(_.joinType == LeftSemi)
+    assert(semis.nonEmpty, qe.sparkPlan.toString)
+    assert(joins.exists(j => j.joinType == Inner &&
+      j.collect { case x: BaseJoinExec if x.joinType == LeftSemi => x }.nonEmpty),
+      s"survivor semi-join does not sit below the candidate join:\n${qe.sparkPlan}")
+    semis.foreach { sj =>
+      assert(sj.collect { case x: BaseJoinExec if x.joinType == Inner => x }.isEmpty,
+        s"candidate join sits BELOW the survivor semi-join (post-join filter):\n${qe.sparkPlan}")
+    }
+  }
+
 }

@@ -1311,6 +1311,93 @@ class VectorStoreSpec extends AnyFunSuite {
       spark, ivfScratch, probes, k = 3, nprobe = 4)))
   }
 
+  test("filtered serving: pre-filter == survivors-only store; over-fetch == pre-filter; attr pins guard") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .withColumn("b2", pmod(col("vec_id"), lit(2)).cast("int"))
+      .localCheckpoint(true)
+    val mAll = emb.agg(max(graft.functions.VectorFunctions.norm("embedding")))
+      .head().getDouble(0)
+    val surv = emb.filter(col("label") < 5).localCheckpoint(true)
+    val probes = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    def rank4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("ip_e6"), col("rnk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // ALSH attr store vs a store holding ONLY the survivors: the
+    // pre-filter serve (filter below the hot-bucket cap and the
+    // candidate join) must be indistinguishable from the smaller store
+    val attrs = Seq("label", "b2")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_alsh_attr").toString
+    VectorStreams.mipsAlshFoldBatch(emb, tbl, 0L, mAll, dim, tp, nt, attrCols = attrs)
+    val tblS = java.nio.file.Files.createTempDirectory("graft_alsh_surv").toString
+    VectorStreams.mipsAlshFoldBatch(surv, tblS, 0L, mAll, dim, tp, nt, attrCols = attrs)
+    val fPre = rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3, predicate = Some("label < 5")))
+    assert(fPre.nonEmpty)
+    assert(fPre === rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tblS, probes, dim, tp, nt, 3)))
+    // over-fetch post-filter == pre-filter (cap-free: the documented
+    // asymmetry is that the unfiltered inner serve caps FULL postings)
+    val big = 1 << 20
+    assert(rank4(VectorStreams.mipsAlshServeFromStore(spark, tbl, probes,
+        dim, tp, nt, 3, maxBucket = big, predicate = Some("label < 5"))) ===
+      rank4(VectorStreams.mipsAlshServeOverfetch(spark, tbl, probes,
+        dim, tp, nt, 3, "label < 5", maxBucket = big)))
+    // a predicate over BOTH attrs exercises the attrstats estimator's
+    // multi-column histogram
+    assert(rank4(VectorStreams.mipsAlshServeFromStore(spark, tbl, probes,
+        dim, tp, nt, 3, maxBucket = big,
+        predicate = Some("label < 5 AND b2 = 0"))) ===
+      rank4(VectorStreams.mipsAlshServeOverfetch(spark, tbl, probes,
+        dim, tp, nt, 3, "label < 5 AND b2 = 0", maxBucket = big)))
+
+    // cosine (raw LSH) store: same survivors-only equivalence
+    val ctbl = java.nio.file.Files.createTempDirectory("graft_cos_attr").toString
+    VectorStreams.vectorFoldBatch(emb, ctbl, 0L, dim, tp, nt, attrCols = Seq("label"))
+    val ctblS = java.nio.file.Files.createTempDirectory("graft_cos_surv").toString
+    VectorStreams.vectorFoldBatch(surv.drop("b2"), ctblS, 0L, dim, tp, nt,
+      attrCols = Seq("label"))
+    def rankC(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val cPre = rankC(VectorStreams.searchVectorStore(
+      spark, ctbl, probes, dim, tp, nt, 3, predicate = Some("label < 5")))
+    assert(cPre.nonEmpty)
+    assert(cPre === rankC(VectorStreams.searchVectorStore(
+      spark, ctblS, probes, dim, tp, nt, 3)))
+
+    // attr pins guard the layout both ways once a fold committed
+    val eA = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, tbl, 1L, mAll, dim, tp, nt,
+        attrCols = Seq("label")) }
+    assert(eA.getMessage.contains("pins attr columns"))
+    val eB = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshFoldBatch(emb, tbl, 1L, mAll, dim, tp, nt) }
+    assert(eB.getMessage.contains("pins attr columns"))
+    // over-fetch refuses an attr-less store (no attrstats to estimate from)
+    val noAttr = java.nio.file.Files.createTempDirectory("graft_alsh_noattr").toString
+    VectorStreams.mipsAlshFoldBatch(emb.drop("label", "b2"), noAttr, 0L, mAll, dim, tp, nt)
+    val eC = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshServeOverfetch(spark, noAttr, probes,
+        dim, tp, nt, 3, "label < 5") }
+    assert(eC.getMessage.contains("pins no attr columns"))
+    // ... and a no-mass predicate loudly instead of returning empty
+    val eD = intercept[IllegalArgumentException] {
+      VectorStreams.mipsAlshServeOverfetch(spark, tbl, probes,
+        dim, tp, nt, 3, "label = 99") }
+    assert(eD.getMessage.contains("matches no attrstats mass"))
+
+    // rebuild carries the attr layout through (pin + columns + stats)
+    VectorStreams.rebuildAlshStore(spark, tbl, dim, tp, nt)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tbl/ATTR_COLS")).trim === "label,b2")
+    assert(rank4(VectorStreams.mipsAlshServeFromStore(
+      spark, tbl, probes, dim, tp, nt, 3, predicate = Some("label < 5"))) === fPre)
+    assert(rank4(VectorStreams.mipsAlshServeOverfetch(spark, tbl, probes,
+      dim, tp, nt, 3, "label < 5", maxBucket = big)).nonEmpty)
+  }
+
   test("a refused first fold never wedges the store; .bak swap crash recovers on next touch") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables(spark, d, "embeddings")
