@@ -177,7 +177,8 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
   private def reconcileDetail(resourceType: String, source0: DataFrame,
       subjects: Option[DataFrame] = None,
       identifierSystem: Option[String] = None,
-      keyScope: Option[DataFrame] = None): (Map[String, Long], Seq[String]) = {
+      keyScope: Option[DataFrame] = None,
+      applySink: Option[DataFrame => Map[String, Long]] = None): (Map[String, Long], Seq[String]) = {
     // Incremental mode: both sides of the merge are key-scoped to the
     // dirty set, so unchanged keys are invisible to the classify —
     // neither writable nor deletable. Semi joins keep the scope frame
@@ -240,8 +241,11 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
             .write.mode("overwrite").parquet(s"$dir/$resourceType")
           pinned
       }
-      val counts = store.applyActions(resourceType,
-        actions.select("key", "id", "json", "merge_action"))
+      // applySink (runTransactional's deferral hook): the WRITE is
+      // handed elsewhere; reads/classify above ran normally
+      val counts = applySink
+        .getOrElse((df: DataFrame) => store.applyActions(resourceType, df))
+        .apply(actions.select("key", "id", "json", "merge_action"))
       (if (nDup > 0) counts + ("error" -> nDup) else counts, dupKeyValues)
     } finally { snapAll.unpersist(); () }
   }
@@ -555,6 +559,58 @@ class CnicsPipeline(spark: SparkSession, in: CnicsInputs, store: FhirStore, site
     if (resourceList("conditions")) add("Condition", runConditions(limit))
     if (resourceList("medicationrequests")) add("MedicationRequest", runMedications(limit))
     if (resourceList("observations")) add("Observation", runObservations(limit))
+    audit
+  }
+
+  /** SINGLE-STAGE transactional job (r15 verdict #7 — SURVEY §3.2's
+    * flagged option, opt-in beside [[run]]): the four reconciles run
+    * their reads and classifies exactly as in [[run]], but every
+    * WRITE defers into one union frame that
+    * [[graft.sinks.FhirStore.applyActionsMixed]] applies in a single
+    * pass — on [[graft.sinks.HttpFhirStore]], one distributed job of
+    * mixed-type transaction Bundles co-partitioned on the subject with
+    * parent-first ordering, so the parent→child stage barrier the
+    * sequential [[run]] imposes is GONE from the job DAG. Legal
+    * because ids are client-assigned (children reference
+    * `Patient/<deterministic id>` — no store-returned id feeds a later
+    * stage). End state == [[run]]'s (oracle-pinned by
+    * `cnics_http_tx_audit` against a strict-referential-integrity
+    * fixture server). Audit shape is [[run]]'s 12-counter map. */
+  def runTransactional(limit: Int = Int.MaxValue): Map[(String, String), Long] = {
+    val ids = cohortIds(limit)
+    val deferred = scala.collection.mutable.ListBuffer.empty[(String, DataFrame)]
+    def defer(rt: String): DataFrame => Map[String, Long] = { df =>
+      // materialized NOW (eager checkpoint): the reconcile unpersists
+      // its snapshot when it returns, and the deferred frame must
+      // survive that
+      deferred += ((rt, df.localCheckpoint(true)))
+      Map.empty
+    }
+    var audit = Map[(String, String), Long]()
+    def errs(rt: String, counts: Map[String, Long]): Unit =
+      counts.get("error").foreach { n => audit += ((rt, "error") -> n) }
+    errs("Patient", reconcileDetail("Patient", patientResources(limit),
+      identifierSystem = Some(sitePatientIdSystem),
+      applySink = Some(defer("Patient")))._1)
+    errs("Condition", reconcileDetail("Condition", conditionResources(ids),
+      Some(cohortSubjects(ids)), applySink = Some(defer("Condition")))._1)
+    errs("MedicationRequest", reconcileDetail("MedicationRequest",
+      medicationResources(ids), Some(cohortSubjects(ids)),
+      applySink = Some(defer("MedicationRequest")))._1)
+    errs("Observation", reconcileDetail("Observation",
+      observationResources(ids), Some(cohortSubjects(ids)),
+      applySink = Some(defer("Observation")))._1)
+    val union = deferred.map { case (rt, df) =>
+      df.select(lit(rt).as("resource_type"),
+        col("key"), col("id"), col("json"), col("merge_action"))
+    }.reduce(_.unionByName(_))
+    val written = store.applyActionsMixed(union)
+    // zero-filled 12-counter audit (the run() shape), plus any errors
+    deferred.map(_._1).foreach { rt =>
+      Seq("insert", "update", "delete").foreach { a =>
+        audit += ((rt, a) -> written.getOrElse((rt, a), 0L))
+      }
+    }
     audit
   }
 }

@@ -116,6 +116,79 @@ object SourceSinkQueries {
              | ('store', 'Patient', 'count', 2)
              |) t(phase, resource_type, action, n)""".stripMargin)),
 
+    // ── SINGLE-STAGE transaction write (r15 verdict #7, SURVEY §3.2's
+    //    flagged option): the pipeline's four resource types land in
+    //    ONE distributed write job of MIXED-type transaction Bundles
+    //    (subject-co-partitioned, parent-first within partitions) —
+    //    the parent→child stage barrier gone — against a fixture
+    //    server that ENFORCES referential integrity (a PUT whose
+    //    subject resolves neither in store nor bundle 400s the whole
+    //    bundle atomically). Pinned: tx run 1 inserts / run 2 updates
+    //    exactly like the two-stage run, end state byte-equal to a
+    //    control server written by the two-stage path, ZERO pipeline
+    //    bundles rejected, and a hand-built orphan-child probe bundle
+    //    IS rejected (the strict gate is real) without landing. ──
+    QueryDef(
+      "cnics_http_tx_audit",
+      "one-stage mixed-type transaction write == two-stage run on a strict-referential-integrity server",
+      (s, _) => {
+        import s.implicits._
+        val srvT = new graft.sinks.FhirFixtureServer(strictReferences = true)
+        val portT = srvT.start()
+        val srvC = new graft.sinks.FhirFixtureServer()
+        val portC = srvC.start()
+        try {
+          val storeT = new graft.sinks.HttpFhirStore(s"http://localhost:$portT", maxRetries = 2)
+          val tx1 = new CnicsPipeline(s, CnicsFixtures.demo(s), storeT, "uw").runTransactional()
+          val tx2 = new CnicsPipeline(s, CnicsFixtures.demo(s), storeT, "uw").runTransactional()
+          val pipelineRejects = srvT.refRejects.get().toLong
+          val storeC = new graft.sinks.HttpFhirStore(s"http://localhost:$portC", maxRetries = 2)
+          new CnicsPipeline(s, CnicsFixtures.demo(s), storeC, "uw").run()
+          val endStateEqual = if (srvT.data.equals(srvC.data)) 1L else 0L
+          // negative probe: an orphan child PUT must 400 atomically
+          val badBundle =
+            """{"resourceType":"Bundle","type":"transaction","entry":[
+              |{"resource":{"resourceType":"Condition","id":"bad-1",
+              |  "subject":{"reference":"Patient/nope"}},
+              | "request":{"method":"PUT","url":"Condition/bad-1"}}]}""".stripMargin
+          val c = java.net.http.HttpClient.newHttpClient()
+          val resp = c.send(
+            java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(s"http://localhost:$portT"))
+              .header("Content-Type", "application/fhir+json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(badBundle))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val probe400 = if (resp.statusCode() == 400) 1L else 0L
+          val probeNotStored =
+            if (srvT.data.containsKey("/Condition/bad-1")) 0L else 1L
+          val rows =
+            tx1.toSeq.map { case ((rt, a), n) => ("tx1", rt, a, n) } ++
+            tx2.toSeq.map { case ((rt, a), n) => ("tx2", rt, a, n) } ++ Seq(
+            ("tx", "store", "end_state_equal", endStateEqual),
+            ("tx", "ref", "pipeline_bundles_rejected", pipelineRejects),
+            ("tx", "ref", "bad_probe_400", probe400),
+            ("tx", "ref", "bad_probe_not_stored", probeNotStored),
+            ("store", "Patient", "count", srvT.count("Patient")))
+          rows.toDF("phase", "resource_type", "action", "n")
+        } finally { srvT.stop(); srvC.stop() }
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('tx1', 'Patient', 'insert', CAST(2 AS BIGINT)), ('tx1', 'Patient', 'update', 0), ('tx1', 'Patient', 'delete', 0),
+             | ('tx1', 'Condition', 'insert', 2), ('tx1', 'Condition', 'update', 0), ('tx1', 'Condition', 'delete', 0),
+             | ('tx1', 'MedicationRequest', 'insert', 1), ('tx1', 'MedicationRequest', 'update', 0), ('tx1', 'MedicationRequest', 'delete', 0),
+             | ('tx1', 'Observation', 'insert', 3), ('tx1', 'Observation', 'update', 0), ('tx1', 'Observation', 'delete', 0),
+             | ('tx2', 'Patient', 'insert', 0), ('tx2', 'Patient', 'update', 2), ('tx2', 'Patient', 'delete', 0),
+             | ('tx2', 'Condition', 'insert', 0), ('tx2', 'Condition', 'update', 2), ('tx2', 'Condition', 'delete', 0),
+             | ('tx2', 'MedicationRequest', 'insert', 0), ('tx2', 'MedicationRequest', 'update', 1), ('tx2', 'MedicationRequest', 'delete', 0),
+             | ('tx2', 'Observation', 'insert', 0), ('tx2', 'Observation', 'update', 3), ('tx2', 'Observation', 'delete', 0),
+             | ('tx', 'store', 'end_state_equal', 1),
+             | ('tx', 'ref', 'pipeline_bundles_rejected', 0),
+             | ('tx', 'ref', 'bad_probe_400', 1),
+             | ('tx', 'ref', 'bad_probe_not_stored', 1),
+             | ('store', 'Patient', 'count', 2)
+             |) t(phase, resource_type, action, n)""".stripMargin)),
+
     // ── A5: the reference's real standard-code CSV lists, loaded by
     //    the quote-stripping single-column reader the pipeline uses
     //    (cnics_to_fhir.py:190-193). Counts pinned from the files as

@@ -22,6 +22,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *  - optional `failFirstPost`: the FIRST bundle POST is rejected with
   *    a 500 exactly once, so the sink's bounded-retry wrapper (F14)
   *    is exercised — and counted — on the driver's gate;
+  *  - optional `strictReferences`: PUT entries whose subject.reference
+  *    resolves neither in the store nor within the same bundle 400 the
+  *    WHOLE bundle before anything applies (HAPI-style referential
+  *    integrity under FHIR transaction semantics) — the tripwire that
+  *    proves the single-stage mixed-type write's parent-first bundle
+  *    ordering ([[HttpFhirStore.applyActionsMixed]]);
   *  - optional `authSecret`: the server becomes an Aidbox-shaped
   *    auth-fronted store (reference flavor, cnics_to_fhir.py:196-213):
   *    `POST /auth/token?grant_type=client_credentials&client_id=…&
@@ -37,12 +43,21 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * e2e audit row pin its counters as a literal oracle.
   */
 final class FhirFixtureServer(failFirstPost: Boolean = false,
-    authSecret: Option[String] = None) {
+    authSecret: Option[String] = None,
+    strictReferences: Boolean = false) {
 
   val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val posts = new java.util.concurrent.atomic.AtomicInteger(0)
   val gets = new java.util.concurrent.atomic.AtomicInteger(0)
   val rejectedPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+  // strictReferences rejections: bundles whose PUT entries carry a
+  // subject.reference that resolves neither in the store nor within
+  // the bundle itself (FHIR transaction semantics: references are
+  // resolved against the bundle AS A WHOLE, then the store) — the
+  // server 400s the bundle ATOMICALLY, store untouched. This is what
+  // makes the single-stage mixed-type write path's parent-first
+  // ordering a TESTED contract instead of a convention.
+  val refRejects = new java.util.concurrent.atomic.AtomicInteger(0)
   val tokenFetches = new java.util.concurrent.atomic.AtomicInteger(0)
   val tokenRejects = new java.util.concurrent.atomic.AtomicInteger(0)
   val unauthorized = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -153,6 +168,37 @@ final class FhirFixtureServer(failFirstPost: Boolean = false,
         return
       }
       val bundle = mapper.readTree(body)
+      // strict mode: verify BEFORE applying (transaction atomicity) —
+      // every PUT's subject.reference must resolve in the store, or in
+      // this bundle's own PUTs, and not be deleted by this bundle
+      if (strictReferences) {
+        val puts = scala.collection.mutable.Set[String]()
+        val dels = scala.collection.mutable.Set[String]()
+        bundle.path("entry").forEach { e =>
+          val target = "/" + e.path("request").path("url").asText().split("\\?")(0)
+          e.path("request").path("method").asText() match {
+            case "PUT" => puts += target; ()
+            case "DELETE" => dels += target; ()
+            case _ => ()
+          }
+        }
+        var bad: String = null
+        bundle.path("entry").forEach { e =>
+          if (e.path("request").path("method").asText() == "PUT") {
+            val subj = e.path("resource").path("subject").path("reference").asText("")
+            if (subj.nonEmpty) {
+              val p = "/" + subj
+              if (dels.contains(p) || (!puts.contains(p) && !data.containsKey(p)))
+                bad = subj
+            }
+          }
+        }
+        if (bad != null) {
+          refRejects.incrementAndGet()
+          reply(ex, 400, s"""{"resourceType":"OperationOutcome","issue":[{"code":"processing","diagnostics":"unresolvable reference $bad"}]}""")
+          return
+        }
+      }
       bundle.path("entry").forEach { e =>
         val req = e.path("request")
         val rawUrl = req.path("url").asText()

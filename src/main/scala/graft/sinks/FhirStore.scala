@@ -52,6 +52,29 @@ trait FhirStore {
         Seq("key"), "left_semi")
 
   def applyActions(resourceType: String, actions: DataFrame): Map[String, Long]
+
+  /** Mixed-type SINGLE-STAGE write (r15 verdict #7): `actions` carries
+    * every resource type of the job at once — (resource_type, key, id,
+    * json, merge_action) — and the store applies them in one pass,
+    * returning counts keyed (resource_type, action). Client-assigned
+    * ids make this legal: children reference `Patient/<deterministic
+    * id>`, so no store-returned id feeds a later stage.
+    *
+    * Default (scan-based stores without a transaction endpoint):
+    * per-type [[applyActions]] in parent-first order — same end state,
+    * still sequential per type. [[HttpFhirStore]] overrides with true
+    * mixed-type transaction Bundles (ONE distributed write job, the
+    * parent→child stage barrier gone). The distinct-type collect is a
+    * ≤#resource-types driver read, not a data collect. */
+  def applyActionsMixed(actions: DataFrame): Map[(String, String), Long] = {
+    val types = actions.select("resource_type").distinct()
+      .collect().map(_.getString(0))
+    types.sortBy(t => (if (t == "Patient") 0 else 1, t)).flatMap { rt =>
+      applyActions(rt, actions.filter(col("resource_type") === rt)
+        .select("key", "id", "json", "merge_action"))
+        .map { case (a, n) => (rt, a) -> n }
+    }.toMap
+  }
 }
 
 object FhirStore {
@@ -692,6 +715,95 @@ class HttpFhirStore(baseUrl: String, maxRetries: Int = 5, bundleSize: Int = 100,
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
     counts.groupBy("_1").agg(sum("_2").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** TRUE single-stage mixed-type write (r15 verdict #7, SURVEY §3.2's
+    * flagged design): every resource type's actions land in ONE
+    * distributed write job of mixed-type transaction Bundles — the
+    * parent→child stage barrier the per-type [[applyActions]]
+    * sequencing imposes is gone from the job DAG.
+    *
+    * What makes it sound on a server WITH referential integrity:
+    *  - client-assigned deterministic ids (children reference
+    *    `Patient/<id>` literally — no store-returned id dependency,
+    *    no urn:uuid indirection needed for PUT-with-id entries;
+    *    urn:uuid is the POST-create variant of the same design);
+    *  - rows CO-PARTITION on their subject (`subject.reference`,
+    *    a Patient row grouping with its own children), so a parent
+    *    and its children land in one partition;
+    *  - within a partition rows sort (subject, parent-first), so a
+    *    child's Patient entry rides the SAME bundle or an EARLIER one
+    *    of that partition — and bundles post sequentially per
+    *    partition, so by the time a child-bearing bundle arrives its
+    *    parent is either in it or already committed. The strict-
+    *    reference fixture server 400s any violation, making the
+    *    ordering a tested contract (`cnics_http_tx_audit`).
+    *
+    * Patient DELETEs keep `?_cascade=delete` (reference parity);
+    * orphan-child DELETEs may race the cascade across partitions, but
+    * deletes are idempotent and target disjoint end states. */
+  override def applyActionsMixed(actions: DataFrame): Map[(String, String), Long] = {
+    val url = baseUrl
+    val retries = maxRetries
+    val bsz = math.max(1, bundleSize)
+    val bearer = auth // local capture: the write closure ships no `this`
+    import org.apache.spark.sql.Encoders
+    val counts = actions
+      .withColumn("subject_key", coalesce(
+        get_json_object(col("json"), "$.subject.reference"),
+        concat(lit("Patient/"), col("id"))))
+      .withColumn("type_rank",
+        when(col("resource_type") === "Patient", 0).otherwise(1))
+      .repartition(col("subject_key"))
+      .sortWithinPartitions(col("subject_key"), col("type_rank"), col("id"))
+      .select("resource_type", "id", "json", "merge_action")
+      .mapPartitions { rows =>
+        val c = HttpClient.newHttpClient()
+        val byAction = scala.collection.mutable
+          .Map[(String, String), Long]().withDefaultValue(0L)
+        rows.grouped(bsz).foreach { batch =>
+          val sb = new StringBuilder("""{"resourceType":"Bundle","type":"transaction","entry":[""")
+          var first = true
+          batch.foreach { r =>
+            val (rt, id, json, act) =
+              (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+            if (!first) sb.append(',')
+            first = false
+            val cascade = if (rt == "Patient") "?_cascade=delete" else ""
+            if (act == "delete")
+              sb.append(s"""{"request":{"method":"DELETE","url":"$rt/$id$cascade"}}""")
+            else
+              sb.append(s"""{"resource":$json,"request":{"method":"PUT","url":"$rt/$id"}}""")
+          }
+          sb.append("]}")
+          var attempt = 0
+          var done = false
+          var refreshed = false
+          var last: Throwable = null
+          while (!done && attempt < retries) {
+            val b = HttpRequest.newBuilder(URI.create(url))
+              .header("Content-Type", "application/fhir+json;charset=utf-8")
+              .POST(HttpRequest.BodyPublishers.ofString(sb.toString))
+            bearer.foreach(a => b.header("Authorization", "Bearer " + a.token(c)))
+            try {
+              val resp = c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() < 400) done = true
+              else if (resp.statusCode() == 401 && bearer.isDefined && !refreshed) {
+                bearer.get.refresh(c)
+                refreshed = true
+                last = new RuntimeException("HTTP 401 (token refreshed once)")
+              } else last = new RuntimeException(
+                s"HTTP ${resp.statusCode()} for mixed bundle of ${batch.size}")
+            } catch { case e: Throwable => last = e }
+            if (!done) { attempt += 1; Thread.sleep(200L * attempt) }
+          }
+          if (!done) throw last
+          batch.foreach(r => byAction((r.getString(0), r.getString(3))) += 1L)
+        }
+        byAction.iterator.map { case ((rt, a), n) => (rt, a, n) }
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
+    counts.groupBy("_1", "_2").agg(sum("_3").as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
   }
 }
 
