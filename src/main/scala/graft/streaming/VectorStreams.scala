@@ -182,6 +182,32 @@ object VectorStreams {
     stats.write.mode("overwrite").parquet(s"$tableDir/attrstats/batch=$id")
   }
 
+  /** The filtered-serve survivor frame: the pinned `vectors` table
+    * under the predicate (evaluated on the scan — Catalyst pushes what
+    * parquet can take). Identity when no predicate. */
+  private def keepOf(pinned: String => DataFrame,
+      predicate: Option[String]): DataFrame =
+    predicate.map(p => pinned("vectors").filter(expr(p)))
+      .getOrElse(pinned("vectors"))
+
+  /** Left-semi-prune a per-vector index table (posts/codes/buckets)
+    * down to the predicate's survivors BELOW the candidate join — the
+    * pre-filter strategy's posting prune, shared by every filtered
+    * serve. No-op when no predicate. */
+  private def pruneToSurvivors(tbl: DataFrame, keep: DataFrame,
+      idCol: String, predicate: Option[String]): DataFrame =
+    if (predicate.isEmpty) tbl
+    else tbl.join(keep.select(col("vec_id").as(idCol)), Seq(idCol), "left_semi")
+
+  /** A fold's once-per-vector `vectors` rows with the declared attr
+    * columns joined back from the batch (the rank/encode pipelines
+    * drop non-embedding columns). Identity for attr-less folds. */
+  private def withBatchAttrs(vecRows: DataFrame, batch: DataFrame,
+      attrCols: Seq[String]): DataFrame =
+    if (attrCols.isEmpty) vecRows
+    else vecRows.join(batch.select(("vec_id" +: attrCols).map(col): _*),
+      Seq("vec_id"))
+
   /** The ONE store-fold commit discipline every vector store shares
     * (LSH, IVF, IVF×PQ): replay guard on CURRENT (a committed batch id
     * is a no-op), the fold's batch-partition writes, optional pre-swing
@@ -388,10 +414,8 @@ object VectorStreams {
     // pre-filter (see mipsIvfServeFromStore): survivors prune the
     // postings below the cap and the candidate join — filtered serve ≡
     // serving a survivors-only store
-    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
-      .getOrElse(pinned("vectors"))
-    val bkts = if (predicate.isEmpty) pinned("buckets")
-      else pinned("buckets").join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+    val keep = keepOf(pinned, predicate)
+    val bkts = pruneToSurvivors(pinned("buckets"), keep, "vec_id", predicate)
     val cand = Dedup.dropHotBuckets(bkts,
         Seq("tbl", "bucket"), maxBucket, "searchVectorStore")
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
@@ -478,15 +502,19 @@ object VectorStreams {
   def mrlServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, prefixDim: Int, nCand: Int,
       k: Int, version: Option[String] = None,
-      maxInPush: Int = MaxMrlInPush): DataFrame = {
+      maxInPush: Int = MaxMrlInPush,
+      predicate: Option[String] = None): DataFrame = {
     val pinned = pinnedReader(spark, tableDir, version)
+    // single-table store: the pre-filter IS a filter on the vectors
+    // scan — the cheap pass then prunes among survivors only
+    val keep = keepOf(pinned, predicate)
     val pdFile = new java.io.File(s"$tableDir/PREFIX_DIM")
     val storedPd =
       if (pdFile.exists()) java.nio.file.Files.readString(pdFile.toPath).trim.toInt
       else 0
     if (storedPd != prefixDim)
       graft.operators.Knn.mrlTopK(probes,
-        pinned("vectors").select("vec_id", "embedding"),
+        keep.select("vec_id", "embedding"),
         "vec_id", "embedding", prefixDim, nCand, k)
     else {
       graft.functions.GraftFunctions.register(spark)
@@ -496,7 +524,7 @@ object VectorStreams {
         .withColumn("q_pn", VectorFunctions.norm("q_p"))
         .withColumn("q_fn", VectorFunctions.norm("q_emb"))
         .localCheckpoint(true)
-      val surv = mrlPrunedSurvivors(pinned("vectors"), q, nCand)
+      val surv = mrlPrunedSurvivors(keep, q, nCand)
         .localCheckpoint(true) // |Q|·nCand rows; read by ids + the join
       // probe-batch-bounded survivor ids → IN-pushed rescore scan; the
       // bound is ENFORCED, not assumed: an oversized batch falls back
@@ -600,9 +628,11 @@ object VectorStreams {
     * and is therefore stream-illegal). */
   def mrlServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, prefixDim: Int, nCand: Int,
-      k: Int, version: Option[String] = None): DataFrame = {
+      k: Int, version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     val pinned = pinnedReader(spark, tableDir, version)
-    mrlServe(probeStream, pinned("vectors").select("vec_id", "embedding"),
+    mrlServe(probeStream,
+      keepOf(pinned, predicate).select("vec_id", "embedding"),
       prefixDim, nCand, k)
   }
 
@@ -900,14 +930,12 @@ object VectorStreams {
       s"mipsAlshServeFromStore: $tableDir is a lifted-IVF (posts) store — " +
         "use mipsIvfServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
-    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
-      .getOrElse(pinned("vectors"))
     // pre-filter (see mipsIvfServeFromStore): survivors prune the
     // postings BELOW the hot-bucket cap and the candidate join, so the
     // cap counts SURVIVOR postings — filtered serve ≡ serving a store
     // that holds only the survivors (bucket assignment is per-vector)
-    val bkts = if (predicate.isEmpty) pinned("buckets")
-      else pinned("buckets").join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+    val keep = keepOf(pinned, predicate)
+    val bkts = pruneToSurvivors(pinned("buckets"), keep, "vec_id", predicate)
     val cand = Dedup.dropHotBuckets(bkts,
         Seq("tbl", "bucket"), maxBucket, "mipsAlshServeFromStore")
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
@@ -970,7 +998,8 @@ object VectorStreams {
     * shared store crash contract). */
   def ivfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, nAssign: Int = 1,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors")) { ver =>
       val spark = batch.sparkSession
@@ -979,6 +1008,8 @@ object VectorStreams {
       // incompatible cells
       require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
         s"ivfFoldBatch: $tableDir is a lifted (MIPS) IVF store — use mipsIvfFoldBatch")
+      resolveAttrColsPin(tableDir, attrCols, "ivfFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "ivfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
       // centroids bind only once a fold committed (ADVICE r15 — see
       // resolveMaxNormPin): a crashed first fold's quantizer is stale
@@ -993,8 +1024,8 @@ object VectorStreams {
       ranked.select(col("vec_id"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
-      ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+      withBatchAttrs(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm")), batch, attrCols)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
 
@@ -1029,7 +1060,8 @@ object VectorStreams {
     * Output: (query_id, rnk, cand_id, cosine). */
   def ivfServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"ivfServeFromStore: $tableDir is a lifted (MIPS) IVF store — " +
@@ -1041,8 +1073,13 @@ object VectorStreams {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cell"))
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
-    val vecs = pinned("vectors")
+    // pre-filter (see mipsIvfServeFromStore): survivors prune the
+    // postings below the candidate join; rescore reads only survivors
+    val keep = keepOf(pinned, predicate)
+    val posts = pruneToSurvivors(
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keep, "cand_id", predicate)
+    val vecs = keep
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     probeCells.join(posts, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -1108,7 +1145,8 @@ object VectorStreams {
     * Output: (query_id, rnk, cand_id, cosine); update mode. */
   def ivfServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     require(!new java.io.File(s"$tableDir/MAX_NORM").exists(),
       s"ivfServeStreamFromStore: $tableDir is a lifted (MIPS) IVF store — " +
@@ -1117,8 +1155,13 @@ object VectorStreams {
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
-    val vecs = pinned("vectors")
+    // pre-filter is stream-legal: the predicate and the semi-prune sit
+    // on the BATCH (store) side of the stream-static join
+    val keep = keepOf(pinned, predicate)
+    val posts = pruneToSurvivors(
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keep, "cand_id", predicate)
+    val vecs = keep
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     pc.join(posts, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -1313,15 +1356,13 @@ object VectorStreams {
            |    WHEN a.csim > b.csim THEN -1 ELSE 1 END),
            |1, $nprobe), e -> e.cell)""".stripMargin).as("cells"))
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val keep = predicate.map(p => pinned("vectors").filter(expr(p)))
-      .getOrElse(pinned("vectors"))
-    val posts0 = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
     // pre-filter: survivor ids prune the postings BELOW the candidate
     // join, so non-matching vectors never reach the probe-cell join or
     // the rescore (the filter itself sits on the vectors scan)
-    val posts = if (predicate.isEmpty) posts0
-      else posts0.join(keep.select(col("vec_id").as("cand_id")),
-        Seq("cand_id"), "left_semi")
+    val keep = keepOf(pinned, predicate)
+    val posts = pruneToSurvivors(
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keep, "cand_id", predicate)
     val cvec = keep.select(col("vec_id").as("cand_id"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("c_emb"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
@@ -1482,7 +1523,8 @@ object VectorStreams {
   def ivfPqFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, codebooks: DataFrame,
       nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors", "codes")) { ver =>
       val spark = batch.sparkSession
@@ -1493,6 +1535,8 @@ object VectorStreams {
       // raw fold routed here must refuse it rather than hijack the
       // marker-carrying store with raw codes (no-op on a fresh dir)
       requireResidual(tableDir, expect = false, "ivfPqFoldBatch")
+      resolveAttrColsPin(tableDir, attrCols, "ivfPqFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "ivfPqFoldBatch")
       // models bind only once a fold committed (ADVICE r15 — see
       // resolveMaxNormPin): a crashed first fold's centroids/codebooks
       // are stale evidence a retry may replace, never a silent pin
@@ -1522,8 +1566,8 @@ object VectorStreams {
       ranked.select(col("vec_id"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
-      ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+      withBatchAttrs(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm")), batch, attrCols)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
       graft.operators.Pq.encodePacked(
           graft.operators.Pq.subviews(batch.select("vec_id", "embedding"),
@@ -1563,7 +1607,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def ivfPqServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(tableDir, expect = false, "ivfPqServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
@@ -1585,7 +1630,9 @@ object VectorStreams {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = probeCells
-      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .join(pruneToSurvivors( // pre-filter below the candidate join
+          pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+          keepOf(pinned, predicate), "cand_id", predicate), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
     val lut = graft.operators.Pq.adcLutFlat(
@@ -1637,7 +1684,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
   def ivfPqServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(tableDir, expect = false, "ivfPqServeStreamFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
@@ -1671,7 +1719,9 @@ object VectorStreams {
            |  END)""".stripMargin))
       .drop("cws", "q_emb", "q_norm")
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val posts = pruneToSurvivors( // batch-side pre-filter: stream-legal
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keepOf(pinned, predicate), "cand_id", predicate)
     val codes = pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     pc.join(posts, Seq("cell"))
@@ -1721,10 +1771,13 @@ object VectorStreams {
   def ivfPqResFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, codebooks: DataFrame,
       nAssign: Int = 1, pqM: Int = 8, pqSub: Int = 8,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors", "codes")) { _ =>
       val spark = batch.sparkSession
+      resolveAttrColsPin(tableDir, attrCols, "ivfPqResFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "ivfPqResFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
       val mk = residualMarker(tableDir)
       // marker BEFORE models: a first-fold crash between the two must
@@ -1762,7 +1815,8 @@ object VectorStreams {
         .repartition(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
       val home = ranked.filter(col("rn") === 1)
-      home.select(col("vec_id"), col("embedding"), col("nrm"))
+      withBatchAttrs(home.select(col("vec_id"), col("embedding"), col("nrm")),
+          batch, attrCols)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
       // residual wrt the home centroid: ivfTrain centroids live in the
       // ×2²⁰ integer-quantized space (cosine is scale-invariant),
@@ -1815,7 +1869,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def ivfPqResServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(tableDir, expect = true, "ivfPqResServeFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
@@ -1831,7 +1886,9 @@ object VectorStreams {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = probeCells
-      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .join(pruneToSurvivors( // pre-filter below the candidate join
+          pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+          keepOf(pinned, predicate), "cand_id", predicate), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
     val codes = pinned("codes")
@@ -1887,7 +1944,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
   def ivfPqResServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(tableDir, expect = true, "ivfPqResServeStreamFromStore")
     val pinned = pinnedReader(spark, tableDir, version)
@@ -1915,7 +1973,9 @@ object VectorStreams {
         .as("cws"))
     val pc = ivfProbeCellsRowLocal(probeStream, cent, nprobe)
       .withColumn("cell", explode(col("cells"))).drop("cells", "q_norm")
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val posts = pruneToSurvivors( // batch-side pre-filter: stream-legal
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keepOf(pinned, predicate), "cand_id", predicate)
     val codes = pinned("codes")
       .select(col("vec_id").as("cand_id"), col("cell").as("home"), col("codes"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
@@ -1971,11 +2031,14 @@ object VectorStreams {
       resDir: String, sqDir: String, probes: DataFrame,
       shortlist: Int, k: Int, nprobe: Int,
       resVersion: Option[String] = None,
-      sqVersion: Option[String] = None): DataFrame = {
+      sqVersion: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(resDir, expect = true, "ivfResRefineServeFromStore")
+    // the shortlist is already predicate-constrained, so the refine
+    // pass (an inner join on its cand_ids) inherits the filter
     val short = ivfPqResServeFromStore(spark, resDir, probes, shortlist,
-        nprobe, resVersion)
+        nprobe, resVersion, predicate)
       .select("query_id", "cand_id")
     val pinnedSq = pinnedReader(spark, sqDir, sqVersion)
     val bounds = spark.read.parquet(s"$sqDir/bounds")
@@ -2025,7 +2088,8 @@ object VectorStreams {
       resDir: String, sqDir: String, probeStream: DataFrame,
       shortlist: Int, k: Int, nprobe: Int,
       resVersion: Option[String] = None,
-      sqVersion: Option[String] = None): DataFrame = {
+      sqVersion: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     requireResidual(resDir, expect = true, "ivfResRefineServeStreamFromStore")
     val pinnedRes = pinnedReader(spark, resDir, resVersion)
@@ -2067,7 +2131,9 @@ object VectorStreams {
           |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
       .drop("recon", "q_norm")
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val posts = pinnedRes("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val posts = pruneToSurvivors( // batch-side pre-filter: stream-legal
+      pinnedRes("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keepOf(pinnedRes, predicate), "cand_id", predicate)
     val rcodes = pinnedRes("codes")
       .select(col("vec_id").as("cand_id"), col("cell").as("home"), col("codes"))
     val scodes = pinnedSq("codes")
@@ -2138,10 +2204,13 @@ object VectorStreams {
     * already spans codes/vectors). */
   def sqFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       bounds: DataFrame,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("codes", "vectors")) { _ =>
       val spark = batch.sparkSession
+      resolveAttrColsPin(tableDir, attrCols, "sqFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "sqFoldBatch")
       // layout guard (the PREFIX_DIM discipline): a flat-SQ8 fold into
       // an IVF-SQ8 store would append codes/vectors batches WITHOUT
       // their posts/ partition — the coarse-pruned serve would then
@@ -2158,7 +2227,7 @@ object VectorStreams {
       graft.operators.Sq.encodePacked(batch.select("vec_id", "embedding"),
           "vec_id", "embedding", pinned)
         .write.mode("overwrite").parquet(s"$tableDir/codes/batch=$id")
-      batch.select(col("vec_id"), col("embedding"))
+      batch.select(("vec_id" +: "embedding" +: attrCols).map(col): _*)
         .withColumn("nrm", VectorFunctions.norm("embedding"))
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
     }
@@ -2187,14 +2256,19 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def sq8ServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val bounds = spark.read.parquet(s"$tableDir/bounds")
     val lut = graft.operators.Sq.adcLutPacked(probes.select("vec_id", "embedding"),
       "vec_id", "embedding", bounds)
     val topk = udaf(graft.functions.TopKAgg.longs(k))
-    pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
+    // flat store: the codes scan IS the candidate set, so the
+    // pre-filter prunes it directly (no posts layer to prune below)
+    pruneToSurvivors(
+        pinned("codes").select(col("vec_id").as("cand_id"), col("codes")),
+        keepOf(pinned, predicate), "cand_id", predicate)
       .crossJoin(broadcast(lut))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
@@ -2231,7 +2305,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
   def sq8ServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, k: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val bounds = spark.read.parquet(s"$tableDir/bounds")
@@ -2254,7 +2329,9 @@ object VectorStreams {
           |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
       .select("query_id", "lut")
     val topk = udaf(graft.functions.TopKAgg.longs(k))
-    q.join(pinned("codes").select(col("vec_id").as("cand_id"), col("codes")),
+    q.join(pruneToSurvivors( // batch-side prune: stream-legal
+          pinned("codes").select(col("vec_id").as("cand_id"), col("codes")),
+          keepOf(pinned, predicate), "cand_id", predicate),
         col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         expr("graft_sq8_adc(codes, lut)").as("adist_e6"))
@@ -2293,10 +2370,13 @@ object VectorStreams {
     * posts/codes/vectors. */
   def sq8IvfFoldBatch(batch: DataFrame, tableDir: String, id: Long,
       centroids: DataFrame, bounds: DataFrame, nAssign: Int = 1,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): Unit =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit =
     commitVectorFold(batch, tableDir, id, compactEvery, vacuumKeep,
         Seq("posts", "vectors", "codes")) { _ =>
       val spark = batch.sparkSession
+      resolveAttrColsPin(tableDir, attrCols, "sq8IvfFoldBatch")
+      writeAttrStats(batch, tableDir, id, attrCols, "sq8IvfFoldBatch")
       val cdir = new java.io.File(s"$tableDir/centroids")
       // layout guard (mirror of the sqFoldBatch guard): folding the
       // coarse-pruned layout ONTO an existing flat-SQ8 store would
@@ -2322,8 +2402,8 @@ object VectorStreams {
       ranked.select(col("vec_id"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$tableDir/posts/batch=$id")
-      ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+      withBatchAttrs(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm")), batch, attrCols)
         .write.mode("overwrite").parquet(s"$tableDir/vectors/batch=$id")
       graft.operators.Sq.encodePacked(batch.select("vec_id", "embedding"),
           "vec_id", "embedding", pinnedBounds)
@@ -2358,7 +2438,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk). */
   def sq8IvfServeFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probes: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
@@ -2368,7 +2449,9 @@ object VectorStreams {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = probeCells
-      .join(pinned("posts").select(col("vec_id").as("cand_id"), col("cell")), Seq("cell"))
+      .join(pruneToSurvivors( // pre-filter below the candidate join
+          pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+          keepOf(pinned, predicate), "cand_id", predicate), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
     val lut = graft.operators.Sq.adcLutPacked(probes.select("vec_id", "embedding"),
@@ -2406,7 +2489,8 @@ object VectorStreams {
     * Output: (query_id, cand_id, adist_e6, rnk); update mode. */
   def sq8IvfServeStreamFromStore(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, probeStream: DataFrame, k: Int, nprobe: Int,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
@@ -2427,7 +2511,9 @@ object VectorStreams {
           |    * (CAST(q_emb[i div 256] AS DOUBLE) - r) * 1000000.0D) AS BIGINT))""".stripMargin))
       .drop("recon", "q_emb", "q_norm")
       .withColumn("cell", explode(col("cells"))).drop("cells")
-    val posts = pinned("posts").select(col("vec_id").as("cand_id"), col("cell"))
+    val posts = pruneToSurvivors( // batch-side pre-filter: stream-legal
+      pinned("posts").select(col("vec_id").as("cand_id"), col("cell")),
+      keepOf(pinned, predicate), "cand_id", predicate)
     val codes = pinned("codes").select(col("vec_id").as("cand_id"), col("codes"))
     val topk = udaf(graft.functions.TopKDistinctAgg.longs(k))
     pc.join(posts, Seq("cell"))

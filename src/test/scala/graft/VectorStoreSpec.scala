@@ -1398,6 +1398,106 @@ class VectorStoreSpec extends AnyFunSuite {
       dim, tp, nt, 3, "label < 5", maxBucket = big)).nonEmpty)
   }
 
+  test("filtered serving across every store family == serving a survivors-only store") {
+    // the ONE uniform contract of the pre-filter strategy: because
+    // assignment/encoding is per-vector, filtering a store's serve by
+    // a predicate must be indistinguishable from serving a store that
+    // was only ever fed the predicate's survivors — for EVERY family
+    // (raw IVF, IVF×PQ, residual, refine, flat SQ8, IVF×SQ8, MRL),
+    // with the same pinned models on both sides.
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables(spark, d, "embeddings")
+      .select("vec_id", "embedding", "label").localCheckpoint(true)
+    val surv = emb.filter(col("label") < 5).localCheckpoint(true)
+    val probes = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val pred = Some("label < 5")
+    val attrs = Seq("label")
+    val (k, nprobe, nAssign, pqM, pqSub) = (3, 4, 2, 8, 8)
+    val cent = Knn.ivfTrain(emb, "vec_id", "embedding", 16, 3).localCheckpoint(true)
+    val books = graft.operators.Pq.train(
+      graft.operators.Pq.subviews(emb, "vec_id", "embedding", pqM, pqSub),
+      "vec_id", 16, 2).localCheckpoint(true)
+    val bounds = graft.operators.Sq.train(emb, "embedding").localCheckpoint(true)
+    def dir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).map(_.toList).toSet
+
+    // raw IVF (batch serve AND the row-local stream plan over batch rows)
+    val (ivfF, ivfS) = (dir("graft_fivf"), dir("graft_fivf_s"))
+    VectorStreams.ivfFoldBatch(emb, ivfF, 0L, cent, nAssign, attrCols = attrs)
+    VectorStreams.ivfFoldBatch(surv, ivfS, 0L, cent, nAssign, attrCols = attrs)
+    val ivfFiltered = rows(VectorStreams.ivfServeFromStore(
+      spark, ivfF, probes, k, nprobe, predicate = pred))
+    assert(ivfFiltered.nonEmpty)
+    assert(ivfFiltered === rows(VectorStreams.ivfServeFromStore(
+      spark, ivfS, probes, k, nprobe)))
+    assert(ivfFiltered === rows(VectorStreams.ivfServeStreamFromStore(
+      spark, ivfF, probes, k, nprobe, predicate = pred)))
+
+    // IVF×PQ
+    val (pqF, pqS) = (dir("graft_fpq"), dir("graft_fpq_s"))
+    VectorStreams.ivfPqFoldBatch(emb, pqF, 0L, cent, books, nAssign, pqM, pqSub,
+      attrCols = attrs)
+    VectorStreams.ivfPqFoldBatch(surv, pqS, 0L, cent, books, nAssign, pqM, pqSub,
+      attrCols = attrs)
+    val pqFiltered = rows(VectorStreams.ivfPqServeFromStore(
+      spark, pqF, probes, k, nprobe, predicate = pred))
+    assert(pqFiltered.nonEmpty)
+    assert(pqFiltered === rows(VectorStreams.ivfPqServeFromStore(
+      spark, pqS, probes, k, nprobe)))
+
+    // residual IVFADC + refine-at-serve (res shortlist → SQ8 rerank)
+    val (resF, resS) = (dir("graft_fres"), dir("graft_fres_s"))
+    VectorStreams.ivfPqResFoldBatch(emb, resF, 0L, cent, books, nAssign, pqM, pqSub,
+      attrCols = attrs)
+    VectorStreams.ivfPqResFoldBatch(surv, resS, 0L, cent, books, nAssign, pqM, pqSub,
+      attrCols = attrs)
+    val resFiltered = rows(VectorStreams.ivfPqResServeFromStore(
+      spark, resF, probes, k, nprobe, predicate = pred))
+    assert(resFiltered.nonEmpty)
+    assert(resFiltered === rows(VectorStreams.ivfPqResServeFromStore(
+      spark, resS, probes, k, nprobe)))
+
+    // flat SQ8 + IVF×SQ8
+    val (sqF, sqS) = (dir("graft_fsq"), dir("graft_fsq_s"))
+    VectorStreams.sqFoldBatch(emb, sqF, 0L, bounds, attrCols = attrs)
+    VectorStreams.sqFoldBatch(surv, sqS, 0L, bounds, attrCols = attrs)
+    val sqFiltered = rows(VectorStreams.sq8ServeFromStore(
+      spark, sqF, probes, k, predicate = pred))
+    assert(sqFiltered.nonEmpty)
+    assert(sqFiltered === rows(VectorStreams.sq8ServeFromStore(
+      spark, sqS, probes, k)))
+    val (sivF, sivS) = (dir("graft_fsqi"), dir("graft_fsqi_s"))
+    VectorStreams.sq8IvfFoldBatch(emb, sivF, 0L, cent, bounds, nAssign,
+      attrCols = attrs)
+    VectorStreams.sq8IvfFoldBatch(surv, sivS, 0L, cent, bounds, nAssign,
+      attrCols = attrs)
+    val sivFiltered = rows(VectorStreams.sq8IvfServeFromStore(
+      spark, sivF, probes, k, nprobe, predicate = pred))
+    assert(sivFiltered.nonEmpty)
+    assert(sivFiltered === rows(VectorStreams.sq8IvfServeFromStore(
+      spark, sivS, probes, k, nprobe)))
+
+    // refine: filtered res-shortlist reranked over the filtered SQ8 dir
+    val refFiltered = rows(VectorStreams.ivfResRefineServeFromStore(
+      spark, resF, sqF, probes, shortlist = 8, k, nprobe, predicate = pred))
+    assert(refFiltered.nonEmpty)
+    assert(refFiltered === rows(VectorStreams.ivfResRefineServeFromStore(
+      spark, resS, sqS, probes, shortlist = 8, k, nprobe)))
+
+    // MRL prefix store (pruned path) — single-table, filter-on-scan
+    val (mrlF, mrlS) = (dir("graft_fmrl"), dir("graft_fmrl_s"))
+    VectorStreams.vectorFoldBatch(emb, mrlF, 0L, dim, tp, nt,
+      prefixDim = 16, attrCols = attrs)
+    VectorStreams.vectorFoldBatch(surv, mrlS, 0L, dim, tp, nt,
+      prefixDim = 16, attrCols = attrs)
+    val mrlFiltered = rows(VectorStreams.mrlServeFromStore(
+      spark, mrlF, probes, prefixDim = 16, nCand = 12, k, predicate = pred))
+    assert(mrlFiltered.nonEmpty)
+    assert(mrlFiltered === rows(VectorStreams.mrlServeFromStore(
+      spark, mrlS, probes, prefixDim = 16, nCand = 12, k)))
+  }
+
   test("a refused first fold never wedges the store; .bak swap crash recovers on next touch") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables(spark, d, "embeddings")
