@@ -117,7 +117,8 @@ object Lexical {
     * invisible until CURRENT swings. termstats/stats come from the
     * pinned version dir. One pointer read = one consistent snapshot. */
   def searchStore(spark: SparkSession, tableDir: String,
-      queries: DataFrame, k: Int, version: Option[String] = None): DataFrame = {
+      queries: DataFrame, k: Int, version: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
     val ver = version.orElse(Lakehouse.currentVersion(spark, tableDir))
       .getOrElse(throw new IllegalStateException(s"no CURRENT pointer under $tableDir"))
     val maxBatch = Lakehouse.versionKey(ver).map(_._1)
@@ -125,9 +126,20 @@ object Lexical {
     def pinned(t: String) =
       spark.read.parquet(s"$tableDir/$t")
         .filter(col("batch") <= maxBatch).drop("batch")
+    // FILTERED retrieval (r16 — the lexical twin of the vector stores'
+    // pre-filter): `predicate` evaluates on the per-doc `doclens` scan
+    // (whose attr columns the fold declared via `attrCols`), and the
+    // survivor ids left-semi-prune the postings BELOW the query-term
+    // join — Lucene filtered-query semantics: candidates are
+    // restricted, scoring statistics (df/avgdl/N) stay CORPUS-level,
+    // so a doc's score is identical filtered or not.
+    val dlens = predicate.map(p => pinned("doclens").filter(expr(p)))
+      .getOrElse(pinned("doclens"))
+    val posts = if (predicate.isEmpty) pinned("postings")
+      else pinned("postings").join(dlens.select("doc_id"), Seq("doc_id"), "left_semi")
     bm25TopK(
-      pinned("postings"),
-      pinned("doclens"),
+      posts,
+      dlens,
       Lakehouse.readVersion(spark, tableDir, ver, "termstats"),
       Lakehouse.readVersion(spark, tableDir, ver, "stats"),
       queries, k)
@@ -250,11 +262,19 @@ object Lexical {
     * row-for-row equal to [[bm25TopK]] over the same index
     * (equivalence-tested in LexicalSpec; score = c8-sum, single
     * double rounding on both paths). */
-  def bm25Serve(queryStream: DataFrame, impactIdx: DataFrame, k: Int): DataFrame = {
+  def bm25Serve(queryStream: DataFrame, impactIdx: DataFrame, k: Int,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     val qterms = queryStream.select(col("query_id"),
       explode(expr("array_distinct(split(qtext, ' '))")).as("term"))
     val topk = udaf(new ScoreTopKAgg(k))
-    qterms.join(impactIdx, Seq("term"))
+    // filtered online serving: the survivor-id frame prunes the
+    // impact index on the BATCH side (stream-legal), below the
+    // query-term join — scores stay corpus-level (searchStore's
+    // Lucene filtered-query semantics)
+    val idx = docFilter.map(f => impactIdx.join(
+        f.select(col(f.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(impactIdx)
+    qterms.join(idx, Seq("term"))
       .groupBy("query_id")
       .agg(topk(col("doc_id"), col("c8s")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))

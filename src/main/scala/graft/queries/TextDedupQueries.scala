@@ -721,6 +721,88 @@ object TextDedupQueries {
               |FROM scored QUALIFY rnk <= 5""".stripMargin),
       bench = true),
 
+    // ── FILTERED lexical retrieval (r16 — the BM25 twin of the
+    //    filtered-ANN family): the standing index folds document
+    //    metadata onto its per-doc doclens table (ATTR_COLS pin +
+    //    attrstats, the vector-store discipline), and searchStore's
+    //    predicate restricts CANDIDATES below the query-term join
+    //    while scoring statistics stay corpus-level — Lucene
+    //    filtered-query semantics, so a doc scores identically
+    //    filtered or not. Two selectivities (~44% lang='en', ~5%
+    //    source='src7'); the online impact-index serve with a
+    //    docFilter must reproduce the store ranking row for row. ──
+    QueryDef(
+      "bm25_filtered_topk",
+      "filtered BM25 off the standing index at ~44% and ~5% selectivity; online docFilter twin equal",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val base = QueryDef.tempStoreDir("graft_bm25attr")
+        Seq(0L, 1L).foreach(b => graft.streaming.DocStreams.indexFoldBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === b), base, b,
+          attrCols = Seq("lang", "source")))
+        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+          (2L, "fast vector scan"), (3L, "customer query filter"))
+          .toDF("query_id", "qtext")
+        def at(sel: String, pred: String) =
+          graft.operators.Lexical.searchStore(s, base, qs, 5,
+              predicate = Some(pred))
+            .withColumn("sel", lit(sel))
+            .select("sel", "query_id", "doc_id", "n_terms", "score", "rnk")
+        val out = at("lang_en", "lang = 'en'")
+          .unionByName(at("src7", "source = 'src7'"))
+        // online twin: the impact index pruned by a survivor-id frame
+        // must reproduce the store ranking (scores included)
+        val post = graft.operators.Lexical.postings(docs)
+        val dl = graft.operators.Lexical.doclens(docs)
+        val idx = graft.operators.Lexical.impactIndex(post, dl,
+          graft.operators.Lexical.termstats(post),
+          graft.operators.Lexical.corpusStats(dl))
+        val served = graft.operators.Lexical.bm25Serve(qs, idx, 5,
+            docFilter = Some(docs.filter(expr("lang = 'en'")).select("doc_id")))
+          .select("query_id", "doc_id", "rnk", "score")
+        val store = out.filter(col("sel") === "lang_en")
+          .select("query_id", "doc_id", "rnk", "score")
+        require(store.exceptAll(served).isEmpty && served.exceptAll(store).isEmpty,
+          "bm25_filtered_topk: store pre-filter and online docFilter serve disagree")
+        out
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES (0, 'spark hash join'),
+              |    (1, 'stream window agg'), (2, 'fast vector scan'),
+              |    (3, 'customer query filter')) v(query_id, qtext)),
+              |qterms AS (SELECT query_id::BIGINT AS query_id,
+              |    unnest(list_distinct(string_split(qtext, ' '))) AS term FROM qs),
+              |toks AS (SELECT doc_id, unnest($dkTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |dfc AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+              |dlen AS (SELECT doc_id, len($dkTokens)::BIGINT AS dl FROM documents),
+              |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS tot FROM dlen),
+              |contrib AS (SELECT query_id, t.doc_id,
+              |    round((round((ln(1.0::DOUBLE + (n::DOUBLE - df_cnt::DOUBLE + 0.5::DOUBLE)
+              |        / (df_cnt::DOUBLE + 0.5::DOUBLE)))::DECIMAL(18,12), 6)::DOUBLE
+              |      * ((tf::DOUBLE * 2.2::DOUBLE) / (tf::DOUBLE + 1.2::DOUBLE
+              |        * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE))))))::DECIMAL(18,12),
+              |      8)::DECIMAL(18,8) AS c8
+              |  FROM tf t JOIN qterms USING (term) JOIN dfc USING (term)
+              |    JOIN dlen ON dlen.doc_id = t.doc_id CROSS JOIN st),
+              |scored AS (SELECT query_id, doc_id, sum(c8) AS sd, count(*) AS n_terms
+              |  FROM contrib GROUP BY 1, 2)
+              |SELECT * FROM (
+              |  SELECT 'lang_en' AS sel, query_id, s.doc_id, n_terms,
+              |    round(sd::DOUBLE, 6) AS score,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sd DESC, s.doc_id) AS INT) AS rnk
+              |  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+              |    AND dd.lang = 'en') WHERE rnk <= 5
+              |UNION ALL
+              |SELECT * FROM (
+              |  SELECT 'src7' AS sel, query_id, s.doc_id, n_terms,
+              |    round(sd::DOUBLE, 6) AS score,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sd DESC, s.doc_id) AS INT) AS rnk
+              |  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+              |    AND dd.source = 'src7') WHERE rnk <= 5""".stripMargin)),
+
     // ── The SERVING index itself as a driver-visible row: every
     //    posting's precomputed BM25 contribution as a lossless
     //    1e-8-scaled BIGINT — what Lexical.bm25Serve joins online.

@@ -426,69 +426,93 @@ object DocStreams {
     * contract); an N-batch fold therefore equals the batch-built
     * index exactly — equivalence-tested in LexicalSpec. */
   def indexIngest(docStream: DataFrame, tableDir: String,
-      compactEvery: Int = 0, vacuumKeep: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val cur = new java.io.File(s"$tableDir/CURRENT")
-        val ver: Option[String] =
-          if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
-          else None
-        // Idempotent replay (the dedupIngest discipline): CURRENT
-        // already carrying this batch id means the fold committed.
-        if (!ver.exists(Lakehouse.sameBatch(_, id))) {
-          def stored(t: String): Option[DataFrame] =
-            ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
-          val docs = batch.select("doc_id", "text")
-          val post = graft.operators.Lexical.postings(docs).localCheckpoint(true)
-          val dl = graft.operators.Lexical.doclens(docs).localCheckpoint(true)
-          post.write.mode("overwrite").parquet(s"$tableDir/postings/batch=$id")
-          dl.write.mode("overwrite").parquet(s"$tableDir/doclens/batch=$id")
-          // Small-file control for the append layout: each fold leaves
-          // up to shuffle-partitions files in its batch dir, and batch
-          // dirs accumulate forever. Compact HERE — before the CURRENT
-          // swing — while batch=N is still invisible to every reader
-          // (they filter batch <= N-1), so the rewrite needs none of
-          // the copy-on-write machinery the version tables need.
-          if (compactEvery > 0) {
-            Lakehouse.compactDir(spark, s"$tableDir/postings/batch=$id")
-            Lakehouse.compactDir(spark, s"$tableDir/doclens/batch=$id")
-          }
-          val batchTs = graft.operators.Lexical.termstats(post)
-          val allTs = stored("termstats") match {
-            case None => batchTs
-            case Some(old) =>
-              old.select(col("term"), col("df_cnt").as("__old"))
-                .join(batchTs.select(col("term"), col("df_cnt").as("__new")),
-                  Seq("term"), "full_outer")
-                .select(col("term"),
-                  (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
-                    .as("df_cnt"))
-          }
-          val batchStats = graft.operators.Lexical.corpusStats(dl)
-          val allStats = stored("stats") match {
-            case None => batchStats
-            case Some(old) =>
-              old.select(col("n_docs").as("__on"), col("total_len").as("__ot"))
-                .crossJoin(batchStats)
-                .select((col("__on") + col("n_docs")).as("n_docs"),
-                  (col("__ot") + col("total_len")).as("total_len"))
-          }
-          val vdir = s"$tableDir/v$id"
-          allTs.write.mode("overwrite").parquet(s"$vdir/termstats")
-          allStats.write.mode("overwrite").parquet(s"$vdir/stats")
-          val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-          java.nio.file.Files.write(tmp.toPath,
-            s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          java.nio.file.Files.move(tmp.toPath, cur.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
-        }
+        indexFoldBatch(batch.toDF(), tableDir, id, compactEvery, vacuumKeep,
+          attrCols)
         ()
       }
       .start()
+
+  /** One lexical-index micro-batch fold (the [[indexIngest]] body,
+    * exposed for direct pipeline composition — the
+    * [[VectorStreams.vectorFoldBatch]] symmetry).
+    *
+    * `attrCols` (r16 filtered retrieval): declared document-metadata
+    * columns ride the per-doc `doclens` table under the same
+    * ATTR_COLS first-fold pin and per-batch `attrstats` histogram as
+    * the vector stores, so
+    * [[graft.operators.Lexical.searchStore]]'s `predicate` has a
+    * store-side scan to evaluate on. */
+  def indexFoldBatch(batch: DataFrame, tableDir: String, id: Long,
+      compactEvery: Int = 0, vacuumKeep: Int = 2,
+      attrCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    val ver: Option[String] =
+      if (cur.exists()) Some(java.nio.file.Files.readString(cur.toPath).trim)
+      else None
+    // Idempotent replay (the dedupIngest discipline): CURRENT
+    // already carrying this batch id means the fold committed.
+    if (!ver.exists(Lakehouse.sameBatch(_, id))) {
+      def stored(t: String): Option[DataFrame] =
+        ver.map(v => spark.read.parquet(s"$tableDir/$v/$t"))
+      VectorStreams.resolveAttrColsPin(tableDir, attrCols, "indexFoldBatch")
+      VectorStreams.writeAttrStats(batch, tableDir, id, attrCols,
+        "indexFoldBatch")
+      val docs = batch.select("doc_id", "text")
+      val post = graft.operators.Lexical.postings(docs).localCheckpoint(true)
+      val dl0 = graft.operators.Lexical.doclens(docs)
+      val dl = (if (attrCols.isEmpty) dl0
+        else dl0.join(batch.select(("doc_id" +: attrCols).map(col): _*),
+          Seq("doc_id"))).localCheckpoint(true)
+      post.write.mode("overwrite").parquet(s"$tableDir/postings/batch=$id")
+      dl.write.mode("overwrite").parquet(s"$tableDir/doclens/batch=$id")
+      // Small-file control for the append layout: each fold leaves
+      // up to shuffle-partitions files in its batch dir, and batch
+      // dirs accumulate forever. Compact HERE — before the CURRENT
+      // swing — while batch=N is still invisible to every reader
+      // (they filter batch <= N-1), so the rewrite needs none of
+      // the copy-on-write machinery the version tables need.
+      if (compactEvery > 0) {
+        Lakehouse.compactDir(spark, s"$tableDir/postings/batch=$id")
+        Lakehouse.compactDir(spark, s"$tableDir/doclens/batch=$id")
+      }
+      val batchTs = graft.operators.Lexical.termstats(post)
+      val allTs = stored("termstats") match {
+        case None => batchTs
+        case Some(old) =>
+          old.select(col("term"), col("df_cnt").as("__old"))
+            .join(batchTs.select(col("term"), col("df_cnt").as("__new")),
+              Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("__old"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+                .as("df_cnt"))
+      }
+      val batchStats = graft.operators.Lexical.corpusStats(dl0)
+      val allStats = stored("stats") match {
+        case None => batchStats
+        case Some(old) =>
+          old.select(col("n_docs").as("__on"), col("total_len").as("__ot"))
+            .crossJoin(batchStats)
+            .select((col("__on") + col("n_docs")).as("n_docs"),
+              (col("__ot") + col("total_len")).as("total_len"))
+      }
+      val vdir = s"$tableDir/v$id"
+      allTs.write.mode("overwrite").parquet(s"$vdir/termstats")
+      allStats.write.mode("overwrite").parquet(s"$vdir/stats")
+      val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        s"v$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, cur.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      maybeMaintain(spark, tableDir, id, compactEvery, vacuumKeep)
+    }
+  }
 
   /** Perceptual dedup-at-ingest for MEDIA streams — the image/audio
     * twin of [[dedupIngest]]: each micro-batch of

@@ -21,7 +21,7 @@ object VectorStreams {
     * "12" from "12.75") that every later fold silently adopts,
     * producing buckets inconsistent with earlier batches (ADVICE
     * r14). */
-  private def atomicWritePin(path: java.nio.file.Path, value: String): Unit = {
+  private[streaming] def atomicWritePin(path: java.nio.file.Path, value: String): Unit = {
     java.nio.file.Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp, value)
@@ -130,7 +130,7 @@ object VectorStreams {
     * analysis on) those batches' rows, so both directions fail loudly
     * at fold time; and like every model pin it binds only once a fold
     * has COMMITTED. */
-  private def resolveAttrColsPin(tableDir: String, attrCols: Seq[String],
+  private[streaming] def resolveAttrColsPin(tableDir: String, attrCols: Seq[String],
       what: String): Unit = {
     val f = new java.io.File(s"$tableDir/ATTR_COLS")
     val committed = new java.io.File(s"$tableDir/CURRENT").exists()
@@ -171,7 +171,7 @@ object VectorStreams {
     * LOW-cardinality metadata (lang, source, label, date bucket), not
     * ids. Forgotten vectors are NOT subtracted (the histogram is an
     * estimator; the bounded-retry serve corrects any estimate). */
-  private def writeAttrStats(batch: DataFrame, tableDir: String, id: Long,
+  private[streaming] def writeAttrStats(batch: DataFrame, tableDir: String, id: Long,
       attrCols: Seq[String], what: String): Unit = if (attrCols.nonEmpty) {
     val stats = batch.groupBy(attrCols.map(col): _*)
       .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
