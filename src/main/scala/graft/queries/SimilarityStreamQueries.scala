@@ -2245,6 +2245,100 @@ object SimilarityStreamQueries {
               |  ) WHERE rnk <= 10),
               |$dkHybridFusedSql""".stripMargin)),
 
+    // ── FILTERED hybrid retrieval (r16 capstone): the full production
+    //    RAG query — "top-k WHERE lang='en'" through BOTH arms — with
+    //    the predicate applied ARM-NATIVELY: the lexical arm prunes
+    //    the impact index by the survivor frame (bm25Serve docFilter,
+    //    corpus-level scoring kept), the dense arm is the standing
+    //    MRL store's pre-filter serve (predicate on the pinned
+    //    vectors scan; the cheap pass prunes among SURVIVORS, so the
+    //    nCand budget is spent inside the filter, not wasted on docs
+    //    the predicate will discard), and RRF fuses the two filtered
+    //    top-10s. doc_id ≡ vec_id on this corpus, so one predicate
+    //    drives both arms. ──
+    QueryDef(
+      "hybrid_rrf_filtered",
+      "predicate-constrained hybrid retrieval: filtered BM25 arm + filtered standing-store MRL arm, RRF top-5",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val pred = "lang = 'en'"
+        // lexical arm: impact index pruned to the predicate survivors
+        val post = graft.operators.Lexical.postings(docs)
+        val dl = graft.operators.Lexical.doclens(docs)
+        val idx = graft.operators.Lexical.impactIndex(post, dl,
+          graft.operators.Lexical.termstats(post),
+          graft.operators.Lexical.corpusStats(dl))
+        val qs = Seq((0L, "spark hash join"), (1L, "stream window agg"),
+          (2L, "fast vector scan"), (3L, "customer query filter"))
+          .toDF("query_id", "qtext")
+        val lex = graft.operators.Lexical.bm25Serve(qs, idx, 10,
+            docFilter = Some(docs.filter(expr(pred)).select("doc_id")))
+          .select(col("query_id"), col("doc_id"),
+            col("rnk").cast("int").as("lex_rnk"))
+        // dense arm: prefix-pinned attr store (lang folded from the
+        // documents table — doc_id ≡ vec_id), filtered MRL serve
+        val base = tempStoreDir("graft_hybridfilt")
+        val embL = emb.join(docs.select(col("doc_id").as("vec_id"),
+          col("lang")), Seq("vec_id"))
+        Seq(0L, 1L).foreach(b =>
+          graft.streaming.VectorStreams.vectorFoldBatch(
+            embL.filter(pmod(col("vec_id"), lit(2)) === b)
+              .select("vec_id", "embedding", "lang"),
+            base, b, Dim, TPlanes, NTables, prefixDim = MrlDim,
+            attrCols = Seq("lang")))
+        val dense = graft.streaming.VectorStreams.mrlServeFromStore(
+            s, base, emb.filter(col("vec_id") < 4), MrlDim, MrlCand, 10,
+            predicate = Some(pred))
+          .select(col("query_id"), col("cand_id").as("doc_id"),
+            col("rnk").cast("int").as("dense_rnk"))
+        rrfFuse(lex, dense)
+      },
+      Some(s"""WITH $dkHybridLexCtes,
+              |lexf AS (SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sd DESC, doc_id) AS INT) AS lex_rnk
+              |  FROM (SELECT query_id, c.doc_id, sum(c8) AS sd
+              |        FROM contrib c JOIN documents dd
+              |          ON dd.doc_id = c.doc_id AND dd.lang = 'en'
+              |        GROUP BY 1, 2)
+              |  QUALIFY lex_rnk <= 10),
+              |e AS (SELECT e0.vec_id, e0.embedding, e0.pn, e0.fn, dd.lang
+              |  FROM (SELECT vec_id, embedding,
+              |      ${dkNormN("embedding", MrlDim)} AS pn, ${dkNorm("embedding")} AS fn
+              |    FROM embeddings) e0
+              |  JOIN documents dd ON dd.doc_id = e0.vec_id),
+              |q AS (SELECT * FROM e WHERE vec_id < 4),
+              |prunedf AS (SELECT query_id, cand_id FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      round(${dkDotN("q.embedding", "c.embedding", MrlDim)} / (q.pn * c.pn), 8) DESC,
+              |      c.vec_id) AS prnk
+              |  FROM q CROSS JOIN e c
+              |  WHERE c.vec_id <> q.vec_id AND c.lang = 'en'
+              |  ) WHERE prnk <= $MrlCand),
+              |densef AS (SELECT query_id, cand_id AS doc_id, rnk::INT AS dense_rnk FROM (
+              |  SELECT query_id, cand_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY
+              |      round(${dkDot("q.embedding", "c.embedding")} / (q.fn * c.fn), 8) DESC,
+              |      cand_id) AS rnk
+              |  FROM prunedf JOIN e q ON q.vec_id = query_id
+              |    JOIN e c ON c.vec_id = cand_id
+              |  ) WHERE rnk <= 10),
+              |fusedf AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+              |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+              |    coalesce(l.lex_rnk, 0) AS lex_rnk,
+              |    coalesce(dn.dense_rnk, 0) AS dense_rnk,
+              |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rnk), 0.0)
+              |      + coalesce(CAST(1 AS DOUBLE) / (60 + dn.dense_rnk), 0.0), 8) AS rrf
+              |  FROM lexf l FULL OUTER JOIN densef dn
+              |    ON dn.query_id = l.query_id AND dn.doc_id = l.doc_id)
+              |SELECT query_id, doc_id, lex_rnk, dense_rnk, rrf,
+              |  CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+              |FROM fusedf QUALIFY rnk <= 5""".stripMargin)),
+
     // ── MRL quality dial as a driver row: recall@3 of the prefix-
     //    pruned search vs exact full-dim top-3, per query — the number
     //    that decides how small the cheap pass can go. ──
