@@ -283,13 +283,23 @@ object Knn {
           .as("qemb"))
       .withColumn("nrm", expr("sqrt(graft_dot_d(emb_d, emb_d))"))
       .localCheckpoint(true) // reused by every training round
+    // Argmax as a map-side-combinable MAX aggregate, not a row_number
+    // window (r17 optimization, guide §2.3): cells are distinct per
+    // vector, so max(struct(csim, -cell)) picks exactly the window's
+    // (csim desc, cell asc) head under the same Catalyst double
+    // ordering (csim is NOT negated, so NaN/-0.0 handling is
+    // untouched; the tie-break negates the integral cell instead).
+    // The partial aggregate completes on the broadcast-join side
+    // (every cell of a vector co-located), so the exchange carries one
+    // row per vector and the per-round sort disappears. `qemb` is
+    // constant per vector, so first() is exact.
     def assign(cent: DataFrame): DataFrame =
       q.crossJoin(broadcast(cent))
         .withColumn("csim", round(expr("graft_dot_d(emb_d, cw)") / (col("nrm") * col("cn")), 8))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("__vid").orderBy(col("csim").desc, col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col("__vid"), col("qemb"), col("cell"))
+        .groupBy(col("__vid"))
+        .agg(max(struct(col("csim"), (-col("cell")).as("nc"))).as("__mx"),
+          first(col("qemb")).as("qemb"))
+        .select(col("__vid"), col("qemb"), (-col("__mx.nc")).as("cell"))
     def update(a: DataFrame): DataFrame =
       a.select(col("cell"), posexplode(col("qemb")).as(Seq("i", "qv")))
         .groupBy("cell", "i")

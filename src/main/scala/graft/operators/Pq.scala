@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Product quantization as reusable operators (SURVEY.md §7.5
   * similarity search — the compressed-index family): subspace views,
@@ -48,13 +47,23 @@ object Pq {
     * output. Only the m×ks codebook checkpoints between rounds. */
   def train(subs: DataFrame, idCol: String, ks: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(subs.sparkSession)
+    // Argmin as a map-side-combinable MIN aggregate, not a row_number
+    // window (r17 optimization, guide §2.3 "aggregate before you
+    // shuffle"): cells are distinct within a (vector, subspace) group,
+    // so min(struct(dist, cell)) picks exactly the window's
+    // (dist asc, cell asc) head — same Catalyst double ordering the
+    // window sort used — while the partial aggregate completes on the
+    // broadcast-join side (every cell of a vector is co-located), so
+    // the exchange carries ONE row per (vector, subspace) and the
+    // per-round sort disappears. `qsub` is constant per group (it is
+    // a property of the vector, not the cell), so first() is exact.
     def assign(cent: DataFrame): DataFrame =
       subs.join(broadcast(cent), Seq("m"))
         .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(idCol, "m").orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col("m"), col("qsub"), col("cell"))
+        .groupBy(col(idCol), col("m"))
+        .agg(min(struct(col("dist"), col("cell"))).as("__mn"),
+          first(col("qsub")).as("qsub"))
+        .select(col(idCol), col("m"), col("qsub"), col("__mn.cell").as("cell"))
     def update(a: DataFrame): DataFrame =
       a.select(col("m"), col("cell"), posexplode(col("qsub")).as(Seq("i", "qv")))
         .groupBy("m", "cell", "i")
@@ -75,12 +84,15 @@ object Pq {
     * (idCol, m, code) — the PQ index, all a code scan ever reads. */
   def encode(subs: DataFrame, idCol: String, codebooks: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(subs.sparkSession)
+    // Same argmin-as-aggregate shape as [[train]]'s assign (r17): the
+    // min(struct) is bit-equal to the retired (dist asc, cell asc)
+    // row_number head, and the encode exchange shrinks from ks rows to
+    // one row per (vector, subspace) with no sort.
     subs.join(broadcast(codebooks), Seq("m"))
       .withColumn("dist", round(expr(d2Sql("sub", "cw")), 8))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol, "m").orderBy(col("dist"), col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("m"), col("cell").as("code"))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("dist"), col("cell"))).as("__mn"))
+      .select(col(idCol), col("m"), col("__mn.cell").as("code"))
   }
 
   /** ADC lookup table for a query batch: (idCol, m, code, dq_e6) —

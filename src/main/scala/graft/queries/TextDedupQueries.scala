@@ -38,7 +38,7 @@ object TextDedupQueries {
   // derive from the same materialization instead of re-tokenizing the
   // corpus per query (the round-1 bench re-ran the signature pipeline up
   // to 3×, and the re-run was what the contended-environment bench blew
-  // up on). The cache is bounded: two entries per (session, dataset) —
+  // up on). The cache is bounded: three entries per (session, dataset) —
   // the storage-backed analogue at scale is writing the index to a table.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
@@ -59,6 +59,24 @@ object TextDedupQueries {
   private def bandIndex(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "bands"),
       Dedup.minhashBandsFromHashes(docHashes(s, d), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The substring-window index: distinct (doc_id, h, w) per document
+    * over FULL-stride 48-char windows, with `is_b` flagging windows
+    * whose position is ≡ 0 (mod 8) — the stride-8 subset. ONE
+    * generate+hash+distinct pass, persisted (r17 optimization): the
+    * three consumers (hot-window cap, both pair-join inputs) prune
+    * different columns, so without the persist each got its own
+    * non-reusable exchange and the corpus was re-windowed per consumer
+    * (three full scans, measured). The storage-backed analogue at
+    * scale is writing the window index to a table once. */
+  private def windowIndex(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "subwin"),
+      Dedup.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          expr("graft_char_windows(text, 48, 1)").as(Seq("win_idx", "w")))
+        .groupBy(col("doc_id"), xxhash64(col("w")).as("h"), col("w"))
+        .agg(max(pmod(col("win_idx"), lit(8)) === 0).as("is_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** LSH candidates → exact-Jaccard rescore pairs (shared by the
@@ -2165,19 +2183,21 @@ object TextDedupQueries {
       "dedup_substring_windows",
       "cross-document exact substring duplication via strided 48-char window join",
       (s, d) => {
-        // CharWindows GENERATOR, not transform+explode: windows stream
-        // out of the scan lazily, so a million-char doc never
-        // materializes the ~48× intermediate array per row
-        val docs = Dedup.spread(t(s, d, "documents"))
-          .select(col("doc_id"), col("text"))
-        val wa = docs.select(col("doc_id"),
-            expr("graft_char_windows(text, 48, 1)").as(Seq("win_idx", "w")))
-          .select(col("doc_id"), xxhash64(col("w")).as("h"), col("w")).distinct()
-        val wb = docs.select(col("doc_id"),
-            expr("graft_char_windows(text, 48, 8)").as(Seq("win_idx", "w")))
-          .select(col("doc_id"), xxhash64(col("w")).as("h"), col("w")).distinct()
+        // ONE full-stride generate+hash pass (r17 optimization): the
+        // stride-8 side is a SUBSET of the full-stride windows (same
+        // 48-char substrings at positions ≡ 0 mod 8, win_idx IS the
+        // position at stride 1), so its membership folds through the
+        // same distinct aggregate as a max(is_b) flag instead of a
+        // second corpus scan — see [[windowIndex]] (CharWindows
+        // GENERATOR inside, so windows stream out of the scan lazily).
+        val wins = windowIndex(s, d)
+        val wa = wins.select("doc_id", "h", "w")
+        val wb = wins.filter(col("is_b")).select("doc_id", "h", "w")
+        // count(*) == countDistinct(doc_id) here: wa rows are already
+        // distinct per (doc_id, h, w), so the per-(h, w) doc_ids are
+        // unique — the plain count drops the count-distinct Expand.
         val hot = wa.groupBy("h", "w")
-          .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1000)
+          .agg(count(lit(1)).as("df")).filter(col("df") > 1000)
           .select("h", "w")
         // The cap must hit BOTH join inputs BEFORE the h-keyed pair
         // join: one boilerplate window shared by 10^6 docs would
