@@ -3709,13 +3709,21 @@ object SimilarityStreamQueries {
             s, base, probes, k = 3, nprobe = IvfProbe,
             predicate = Some("label < 5"))
           .select("query_id", "cand_id", "ip_e6", "rnk")
+        // Adjudication runs on eagerly-cut k-bounded COPIES (r17):
+        // exceptAll used to re-evaluate each whole serve per reference
+        // (pre 3×, post 2× — measured), so each strategy now runs once
+        // for the equivalence check; the RETURNED frame stays the
+        // uncut pre-filter plan (the plan gate reads it), adding one
+        // final evaluation at materialization. The verdict is ONE
+        // 1-row action (the symmetric difference union, not two
+        // isEmpty jobs).
+        val preC = pre.localCheckpoint(true)
         val post = graft.streaming.VectorStreams.mipsIvfServeOverfetch(
             s, base, probes, k = 3, nprobe = IvfProbe,
             predicate = "label < 5")
           .select("query_id", "cand_id", "ip_e6", "rnk")
-        // the strategy-equivalence adjudication is distributed
-        // (exceptAll on k-bounded frames), the verdict a 1-row action
-        require(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+          .localCheckpoint(true)
+        require(preC.exceptAll(post).union(post.exceptAll(preC)).isEmpty,
           "mips_ivf_filtered_serve: pre-filter and over-fetch post-filter " +
             "strategies disagree — the bounded retry's completeness " +
             "guarantee is broken")

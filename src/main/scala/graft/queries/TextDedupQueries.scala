@@ -2105,10 +2105,17 @@ object TextDedupQueries {
       "txt_sparse_cosine_pairs",
       "inverted-index sparse-TF top-20 similar pairs (df-pruned postings, integer cosine² score)",
       (s, d) => {
+        // Eager cut (r17 optimization): tf feeds FOUR consumers (norms,
+        // doc count, df table, pruned postings) whose column pruning
+        // diverges their exchanges, so without the cut the corpus was
+        // re-tokenized per consumer (two full passes measured). The
+        // frame is (doc, term)-sized — the skill's K-row checkpoint
+        // discipline; at scale this is the stored postings table.
         val tf = Dedup.stageThenSpread(t(s, d, "documents"),
             "__toks" -> expr(TextFunctions.tokensSql("text")))
           .select(col("doc_id"), explode(col("__toks")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         // norm guard: docs with n2 > MaxN2 (≈ a million tokens) leave
         // the pairing entirely — bounds every later intermediate. The
         // oversized set is pathological-by-definition (docs beyond a
@@ -2124,6 +2131,10 @@ object TextDedupQueries {
         // broadcast 1-row aggregate, not a driver collect.
         val nd = tf.select("doc_id").distinct().agg(count(lit(1)).as("__nd"))
         val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        // (`pruned` itself stays UNCUT: the df-cap plan gate asserts
+        // the cut below both self-join inputs, and a checkpoint would
+        // hide it behind a LogicalRDD; the duplicated work above the
+        // tf cut is one cheap df join per side.)
         val pruned = tf.join(dft, Seq("tok")).crossJoin(broadcast(nd))
           .filter(col("df") <= least(
             greatest(lit(50L), expr("__nd div 10")), lit(SparseCosine.MaxDf)))

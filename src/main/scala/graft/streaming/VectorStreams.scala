@@ -1414,11 +1414,15 @@ object VectorStreams {
         "needs the store's attrstats for its selectivity estimate (fold with " +
         "attrCols, or use the pre-filter predicate)")
     // metadata-sized driver reads: 1-row n_vecs + the predicate's mass
-    // over the attrstats histogram (never a corpus scan)
-    val n = graft.operators.Lakehouse.readVersion(spark, tableDir, ver, "stats")
-      .head().getLong(0)
-    val surv = pinned("attrstats").filter(expr(predicate))
-      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    // over the attrstats histogram (never a corpus scan) — ONE job for
+    // both scalars (r17: every .head() is a driver barrier; the serves
+    // fold their metadata lookups into single actions)
+    val nSurv = graft.operators.Lakehouse.readVersion(spark, tableDir, ver, "stats")
+      .select(col("n_vecs"))
+      .crossJoin(pinned("attrstats").filter(expr(predicate))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("surv")))
+      .head()
+    val (n, surv) = (nSurv.getLong(0), nSurv.getLong(1))
     require(surv > 0,
       s"$what: predicate '$predicate' matches no attrstats mass in $tableDir — " +
         "an empty result is almost always a predicate typo; use the " +
@@ -1876,11 +1880,14 @@ object VectorStreams {
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
+    // ONE metadata job for the codebook shape AND the centroid count
+    // (r17: each .head() is a driver barrier — fold them)
     val shape = books.agg(max(col("m")).as("mx"),
-      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+        max(size(col("cw"))).as("sd"), max(col("cell")).as("mc"))
+      .crossJoin(cent.agg(max(col("cell")).as("kc"))).head()
     val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
     val ksEff = shape.getLong(2).toInt + 1
-    val kCells = cent.agg(max(col("cell"))).head().getLong(0) + 1
+    val kCells = shape.getLong(3) + 1
     val probeCells = graft.operators.Knn
       .ivfRank(probes.select("vec_id", "embedding"), cent, "vec_id", "embedding")
       .filter(col("rn") <= nprobe)
@@ -1951,11 +1958,14 @@ object VectorStreams {
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val books = spark.read.parquet(s"$tableDir/codebooks")
+    // ONE metadata job for the codebook shape AND the centroid count
+    // (r17: each .head() is a driver barrier — fold them)
     val shape = books.agg(max(col("m")).as("mx"),
-      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+        max(size(col("cw"))).as("sd"), max(col("cell")).as("mc"))
+      .crossJoin(cent.agg(max(col("cell")).as("kc"))).head()
     val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
     val ksEff = shape.getLong(2).toInt + 1
-    val kCells = (cent.agg(max(col("cell"))).head().getLong(0) + 1).toInt
+    val kCells = (shape.getLong(3) + 1).toInt
     // dense grids as ONE broadcastable row each: slot cell+1 → the
     // (×2²⁰-space) centroid, slot m·ks+code+1 → the codeword (NULL if
     // the Lloyd update dropped the cell); homes always name live cells
@@ -2097,12 +2107,16 @@ object VectorStreams {
     val cent = spark.read.parquet(s"$resDir/centroids")
     val books = spark.read.parquet(s"$resDir/codebooks")
     val bounds = spark.read.parquet(s"$sqDir/bounds")
+    // ONE metadata job for codebook shape, centroid count AND SQ8 dim
+    // (r17: each .head() is a driver barrier — fold them)
     val shape = books.agg(max(col("m")).as("mx"),
-      max(size(col("cw"))).as("sd"), max(col("cell")).as("mc")).head()
+        max(size(col("cw"))).as("sd"), max(col("cell")).as("mc"))
+      .crossJoin(cent.agg(max(col("cell")).as("kc")))
+      .crossJoin(bounds.agg(max(col("dim")).as("dm"))).head()
     val (pqM, pqSub) = (shape.getInt(0) + 1, shape.getInt(1))
     val ksEff = shape.getLong(2).toInt + 1
-    val kCells = (cent.agg(max(col("cell"))).head().getLong(0) + 1).toInt
-    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    val kCells = (shape.getLong(3) + 1).toInt
+    val dim = shape.getInt(4) + 1
     // broadcast one-row grids: centroids (residual arithmetic),
     // codewords (residual ADC), SQ8 reconstructions (rerank LUT)
     val cgrid = spark.range(kCells).select(col("id").as("cell"))
