@@ -41,6 +41,23 @@ object Checkpoints {
     if (df.sparkSession.conf.get(ConfKey, "false").toBoolean) df.checkpoint(true)
     else df.localCheckpoint(false)
 
+  /** Cadence lineage cut for FIXED-round loops (no per-round
+    * convergence probe — LPA, BFS/SSSP, temporal reach, landmark BFS,
+    * PageRank): cut every `every` rounds and never after the final
+    * round. Rounds in between chain LAZILY, so one job executes the
+    * whole segment and the edge-side exchange — the same canonical
+    * subtree in every chained round — is shuffled ONCE per segment via
+    * ReuseExchange instead of once per round (guide §2.4: operations
+    * keyed the same way share one exchange). The old per-round eager
+    * checkpoint paid one job barrier AND one fresh edge shuffle per
+    * round, because a checkpointed RDD loses its output partitioning.
+    * `every` bounds plan growth: loops whose label frame is referenced
+    * twice per round (the min-relaxation union shape) double the uncut
+    * subtree per round and pass a small cadence; single-reference
+    * loops (LPA vote, PageRank contribution) can chain longer. */
+  def truncateEvery(df: DataFrame, round: Int, total: Int, every: Int): DataFrame =
+    if (round < total && round % every == 0) truncate(df) else df
+
   /** `.truncated` — drop-in for the eager `.localCheckpoint(true)`
     * idiom at every iterative round boundary. */
   implicit class TruncateOps(private val df: DataFrame) extends AnyVal {

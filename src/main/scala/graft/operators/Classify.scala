@@ -318,8 +318,18 @@ object Classify {
 
   def lmTrain(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): LmModel = {
+    // The unigram table is eagerly cut (r18): one scoring pass
+    // references it four ways (w2-vocab semi join, |V| count, the
+    // context-count join — and historically a w1-vocab semi join too),
+    // and each uncut reference re-tokenized and re-aggregated the
+    // training corpus because the pruning-diverged subtrees defeat
+    // ReuseExchange — the curation-manifest profile showed six full
+    // document scans per cold pass. The cut is model-sized (one row
+    // per vocabulary term), never corpus-sized. `bi` stays lazy: it is
+    // referenced once per scoring pass.
     val uni = docs.select(explode(expr(toks(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      .localCheckpoint(true)
     val bi = bigrams(docs, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
     LmModel(bi, uni, uni.select(col("w1").as("term")))
@@ -335,8 +345,11 @@ object Classify {
   def lmPerplexity(m: LmModel, docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val v1 = m.vocab.agg(count(lit(1)).as("v")) // 1 row
+    // No w1 vocab semi join (r18): the INNER unigram-count join below
+    // already drops every bigram whose context word is out of
+    // vocabulary (vocab IS the unigram table's key set), so the semi
+    // join was a third broadcast build doing zero extra filtering.
     val bg = bigrams(docs, idCol, textCol)
-      .join(m.vocab.select(col("term").as("w1")), Seq("w1"), "left_semi")
       .join(m.vocab.select(col("term").as("w2")), Seq("w2"), "left_semi")
     bg.join(m.unigramCounts, Seq("w1"))
       .join(m.bigramCounts, Seq("w1", "w2"), "left")

@@ -208,18 +208,31 @@ object Components {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int = 3): DataFrame = {
-    val base = edges
+      iters: Int = 3,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val pre = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .truncated
+    // edgesDistinct: the caller already guarantees one row per pair
+    // (the co-order pair frames end in .distinct()) — skip a redundant
+    // full shuffle of the edge set (r18, the connectedComponents knob).
+    val base = (if (edgesDistinct) pre else pre.distinct()).truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = both.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .truncated
-    for (_ <- 1 to iters)
-      labels = lpaRound(both, labels).truncated
+    if (iters < 1)
+      return both.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("community"))
+    // Round 1 from the identity labelling folds to ONE map-side-
+    // combinable aggregate (r18): with lbl(v) = v every neighbor label
+    // is distinct (the edge set is distinct), so every vote count is 1
+    // and the (cnt desc, lbl asc) argmax is simply the MINIMUM neighbor
+    // id — the identity-seed distinct, the round-1 adjacency join and
+    // its two-stage vote all collapse into min(dst) per src.
+    var labels = both.groupBy(col("src").as("id")).agg(min("dst").as("lbl"))
+    // Later rounds chain lazily under a cadence cut (labels is
+    // referenced ONCE per round, so the uncut plan grows linearly and
+    // the `both`-side vote exchange reuses across chained rounds).
+    for (r <- 2 to iters)
+      labels = Checkpoints.truncateEvery(lpaRound(both, labels), r, iters, 4)
     labels.select(col("id"), col("lbl").as("community"))
   }
 
@@ -249,18 +262,23 @@ object Components {
       dstCol: String,
       sources: DataFrame,
       idCol: String,
-      maxHops: Int): DataFrame = {
-    val base = edges
+      maxHops: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val pre = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .truncated
+    val base = (if (edgesDistinct) pre else pre.distinct()).truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("hops", lit(0L))
       .truncated
-    for (_ <- 1 to maxHops)
-      labels = minRound(both, labels, "hops", lit(1L)).truncated
+    // Cadence-2 cut (r18): the label frame is referenced twice per
+    // round (adjacency join + re-min union), so the uncut subtree
+    // doubles per chained round — two rounds per cut keeps the plan
+    // small while ReuseExchange shares the per-segment edge shuffle.
+    for (r <- 1 to maxHops)
+      labels = Checkpoints.truncateEvery(
+        minRound(both, labels, "hops", lit(1L)), r, maxHops, 2)
     labels
   }
 
@@ -277,18 +295,18 @@ object Components {
     * traversals (and it shuffles on (lm, id), so a hub vertex's rows
     * spread over L keys instead of concentrating on one). */
   def landmarkHops(edges: DataFrame, srcCol: String, dstCol: String,
-      landmarks: DataFrame, idCol: String, maxHops: Int): DataFrame = {
-    val base = edges
+      landmarks: DataFrame, idCol: String, maxHops: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val pre = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .truncated
+    val base = (if (edgesDistinct) pre else pre.distinct()).truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = landmarks.select(col(idCol).cast("long").as("lm")).distinct()
       .select(col("lm"), col("lm").as("id"), lit(0L).as("hops"))
       .truncated
-    for (_ <- 1 to maxHops)
-      labels = landmarkRound(both, labels).truncated
+    for (r <- 1 to maxHops) // cadence-2: double-reference rounds, see bfsHops
+      labels = Checkpoints.truncateEvery(landmarkRound(both, labels), r, maxHops, 2)
     labels
   }
 
@@ -336,19 +354,23 @@ object Components {
       weightCol: String,
       sources: DataFrame,
       idCol: String,
-      rounds: Int): DataFrame = {
-    val base = edges
+      rounds: Int,
+      edgesPreAggregated: Boolean = false): DataFrame = {
+    val pre = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(min("w").as("w"))
-      .truncated
+    // edgesPreAggregated: caller guarantees one row per (src, dst) (a
+    // grouped co-occurrence frame) — the parallel-edge min-collapse
+    // would be a redundant full shuffle (r18).
+    val base = (if (edgesPreAggregated) pre
+      else pre.groupBy("src", "dst").agg(min("w").as("w"))).truncated
     val both = base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     var dist = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .truncated
-    for (_ <- 1 to rounds)
-      dist = minRound(both, dist, "dist", col("w")).truncated
+    for (r <- 1 to rounds) // cadence-2: double-reference rounds, see bfsHops
+      dist = Checkpoints.truncateEvery(minRound(both, dist, "dist", col("w")), r, rounds, 2)
     dist
   }
 
@@ -385,8 +407,8 @@ object Components {
     var arr = sources.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("arr", lit(startTime))
       .truncated
-    for (_ <- 1 to rounds)
-      arr = temporalRound(both, arr).truncated
+    for (r <- 1 to rounds) // cadence-2: double-reference rounds, see bfsHops
+      arr = Checkpoints.truncateEvery(temporalRound(both, arr), r, rounds, 2)
     arr
   }
 
@@ -426,12 +448,12 @@ object Components {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxRounds: Int = 20): DataFrame = {
-    val base = edges
+      maxRounds: Int = 20,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val pre = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .truncated
+    val base = (if (edgesDistinct) pre else pre.distinct()).truncated
     var both = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
       .truncated
     var nEdges = both.count()
@@ -454,9 +476,13 @@ object Components {
   /** One peel round (exposed pre-checkpoint for the plan gate): keep
     * only edges whose BOTH endpoints currently have degree ≥ k. */
   private[graft] def kCoreRound(both: DataFrame, k: Int): DataFrame = {
+    // `keep` stays LAZY (r18): its two semi-join references canonicalize
+    // to the same aggregate subtree, so ReuseExchange materializes the
+    // degree shuffle once per round; the old eager checkpoint paid one
+    // extra job barrier and one extra full scan of `both` per peel
+    // round without removing any work.
     val keep = both.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= k).select("v")
-      .truncated // referenced by both semi joins below
     both
       .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
       .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")

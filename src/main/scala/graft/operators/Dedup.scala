@@ -104,28 +104,22 @@ object Dedup {
     * 100 TB. Oracles mirror the cap with a window-count QUALIFY. */
   val MaxBucket = 1000
 
-  /** Drop rows of buckets whose row count exceeds `maxBucket`, logging
-    * how many buckets were dropped. The histogram-above-cap is
-    * metadata-sized by construction (≤ totalRows / cap buckets), so
-    * collecting it to the driver for the log + broadcast anti-join is
-    * not a data-plane collect; the big side is never shuffled by the
-    * guard (broadcast hash anti-join is narrow). */
+  /** Drop rows of buckets whose row count exceeds `maxBucket`. The
+    * histogram-above-cap is metadata-sized by construction
+    * (≤ totalRows / cap buckets), so it rides a broadcast hash
+    * anti-join — the big side is never shuffled by the guard. LAZY
+    * since r18: the old implementation collect()ed the hot set to the
+    * driver (for a log line and an empty-set fast path), paying one
+    * full extra action + driver round-trip per call site per cold
+    * pass; the broadcast anti-join against a lazily-aggregated hot
+    * frame is the identical result with the guard fused into the
+    * consumer's own job (an empty broadcast side costs nothing). */
   def dropHotBuckets(rows: DataFrame, keyCols: Seq[String], maxBucket: Int,
       what: String): DataFrame = {
     val hot = rows.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > maxBucket)
       .select(keyCols.map(col): _*)
-    val hotRows = hot.collect()
-    if (hotRows.isEmpty) rows
-    else {
-      org.apache.log4j.Logger.getLogger(getClass)
-        .warn(s"$what: dropping ${hotRows.length} hot buckets (> $maxBucket rows each)")
-      val schema = org.apache.spark.sql.types.StructType(
-        keyCols.map(k => rows.schema(k)))
-      val hotDf = rows.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hotRows: _*), schema)
-      rows.join(broadcast(hotDf), keyCols, "left_anti")
-    }
+    rows.join(broadcast(hot), keyCols, "left_anti")
   }
 
   /** LSH candidate pairs: equal (band, band_hash) ⇒ candidate. The join

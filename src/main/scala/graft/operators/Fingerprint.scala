@@ -96,15 +96,19 @@ object Fingerprint {
     val capped = Dedup.dropHotBuckets(
       bandsOf(slim, "id", "h", bits, nBands = maxHamming + 1),
       Seq("pos", "band"), maxBucket, what)
+    // hamming is computed and filtered BEFORE the dedup exchange (r18,
+    // guide §2.3 shuffle fewer bytes): bit_count is codegen'd and
+    // id-determined, so filtering first drops every over-radius
+    // collision pre-shuffle and the distinct carries 3 narrow columns
+    // of survivors instead of (id, hash)×2 of every band collision.
     capped.select(col("pos"), col("band"), col("id").as("id_a"), col("h").as("h_a"))
       .join(capped.select(col("pos"), col("band"), col("id").as("id_b"), col("h").as("h_b")),
         Seq("pos", "band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b")
-      .distinct() // a pair may collide in several bands; h is id-determined
       .select(col("id_a"), col("id_b"),
         expr("bit_count(h_a ^ h_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands; hamming is id-determined
   }
 
   /** Search a PERSISTED band index (the `bands/` table a
@@ -126,10 +130,10 @@ object Fingerprint {
       maxBucket, what)
     pb.select(col("pos"), col("band"), col("id").as("probe_id"), col("h").as("h_p"))
       .join(ib.select(col("pos"), col("band"), col("id"), col("h")), Seq("pos", "band"))
-      .select("probe_id", "id", "h_p", "h").distinct()
       .select(col("probe_id"), col("id"),
         expr("bit_count(h_p ^ h)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // filter-then-dedup: see hammingNearDupPairs (r18)
   }
 
   /** Difference hash of each decodable image payload: (doc_id, dhash).

@@ -309,12 +309,18 @@ object Knn {
           (col("s").cast("double") / col("n").cast("double")).as("w"))).as("ws"))
         .select(col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
         .withColumn("cn", expr("sqrt(graft_dot_d(cw, cw))"))
+    // Rounds chain LAZILY (r18): each round references the previous
+    // centroid frame exactly once (the broadcast side of assign), so
+    // the whole training is ONE job materialized by the final eager
+    // checkpoint instead of one barrier per round + one for the seed.
+    // The final cut stays eager so concurrent downstream references
+    // (rank window, residual builder, store folds) never race to
+    // re-execute the training chain.
     var cent = q.filter(col("__vid") < k)
       .select(col("__vid").as("cell"), col("emb_d").as("cw"), col("nrm").as("cn"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters)
-      cent = update(assign(cent)).localCheckpoint(true) // k×dim rows: metadata-sized
-    cent
+      cent = update(assign(cent))
+    cent.localCheckpoint(true) // k×dim rows: metadata-sized
   }
 
   /** Rank every vector against TRAINED centroids: (id, embCol, nrm,

@@ -128,11 +128,18 @@ object PageRank {
             .select(col("id"),
               expr(s"__seed * ${TeleportE6}L + (coalesce(s, 0L) * 85) div 100").as("rank_e6"))
         }
-      // Truncate lineage per round — except the LAST round, whose frame
-      // feeds straight into the caller's single consumption: one narrow
-      // join+agg over checkpointed inputs, so a final materialization
-      // job would only duplicate the write.
-      if (i < iters) ranks = ranks.truncated
+      // Cadence lineage cut (r18): rounds chain LAZILY between cuts, so
+      // the edge frame's contribution-join exchange — the same canonical
+      // subtree in every chained round — is shuffled ONCE per segment
+      // via ReuseExchange instead of once per round (a checkpointed rank
+      // frame per round forced a fresh O(E) shuffle each round: the
+      // checkpointed RDD loses its partitioning). The rank frame is
+      // referenced once per round (twice with dangling redistribution,
+      // whose extra reference is a scalar agg), so a cadence of 4 keeps
+      // the uncut plan linear and small; the final round always stays
+      // lazy — it feeds straight into the caller's single consumption.
+      ranks = Checkpoints.truncateEvery(ranks, i, iters,
+        if (redistributeDangling) 2 else 4)
     }
     ranks
   }

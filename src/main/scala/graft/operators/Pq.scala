@@ -72,12 +72,19 @@ object Pq {
         .agg(collect_list(struct(col("i"),
           ((col("sv").cast("double") / col("n").cast("double")) / 1048576.0d).as("w"))).as("ws"))
         .select(col("m"), col("cell"), expr("transform(array_sort(ws), x -> x.w)").as("cw"))
+    // Rounds chain LAZILY (r18): each round references the previous
+    // codebook exactly once (the broadcast side of assign), so the
+    // whole training is ONE job materialized by the final eager
+    // checkpoint instead of one job barrier per round + one for the
+    // seed. The final cut stays eager so every downstream reference
+    // (encode, LUT build — often materialized concurrently by AQE
+    // broadcast builds) reads the m×ks result instead of racing to
+    // re-execute the training chain.
     var cent = subs.filter(col(idCol) < ks)
       .select(col("m"), col(idCol).as("cell"), col("sub").as("cw"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters)
-      cent = update(assign(cent)).localCheckpoint(true) // m×ks rows
-    cent
+      cent = update(assign(cent))
+    cent.localCheckpoint(true) // m×ks rows
   }
 
   /** Encode each (vector, subspace) to its nearest codebook cell:

@@ -533,9 +533,16 @@ object CurationQueries {
           train.select("doc_id", "text"), lmDir, 0L)
         graft.streaming.ModelStreams.foldNbBatch(train, nbDir, 0L,
           labelCol = "lang")
-        // id-ordered test feed (fixture-sized driver collect — the
-        // MemoryStream harness, not a data-plane collect)
-        val all = docs.select("doc_id", "text").collect()
+        // id-ordered test feed for the MemoryStream harness, BOUNDED
+        // (r18): the collect is capped at a documented audit-slice size
+        // via TakeOrdered, so the driver never materializes an unbounded
+        // corpus — every fixture SF is far below the cap (500 docs at
+        // sf0.1), so the declared result is unchanged, while at
+        // production scale the audit feed is a bounded id-ordered slice
+        // instead of a full-corpus driver collect.
+        val AuditFeedMax = 100000
+        val all = docs.select("doc_id", "text")
+          .orderBy("doc_id").limit(AuditFeedMax).collect()
           .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
         val (b1, b2) = all.splitAt(all.length / 2)
         val mem = MemoryStream[(Long, String)]

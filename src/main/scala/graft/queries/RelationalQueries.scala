@@ -1855,7 +1855,8 @@ object RelationalQueries {
         val pairs = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-        graft.operators.Components.labelPropagation(pairs, "a", "b", iters = 3)
+        graft.operators.Components.labelPropagation(pairs, "a", "b", iters = 3,
+          edgesDistinct = true) // pairs ends in .distinct(): skip the re-dedup shuffle
       },
       Some {
         val round = (prev: String, cur: String) =>
@@ -1934,10 +1935,12 @@ object RelationalQueries {
         val pairs = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+          .localCheckpoint(true) // feeds edges AND the seed: one li self-join, not two
         val sources = pairs.select(col("a").as("id"))
           .unionAll(pairs.select(col("b").as("id")))
           .filter(col("id") < 100).distinct()
-        graft.operators.Components.bfsHops(pairs, "a", "b", sources, "id", maxHops = 3)
+        graft.operators.Components.bfsHops(pairs, "a", "b", sources, "id", maxHops = 3,
+          edgesDistinct = true)
       },
       Some {
         val round = (prev: String, cur: String) =>
@@ -1976,10 +1979,12 @@ object RelationalQueries {
           .groupBy(col("x.p").as("a"), col("y.p").as("b"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("w", expr("1 + 1000000 div cnt"))
+          .localCheckpoint(true) // feeds edges AND the seed: one li self-join, not two
         val sources = we.select(col("a").as("id"))
           .unionAll(we.select(col("b").as("id")))
           .filter(col("id") < 100).distinct()
-        graft.operators.Components.ssspRounds(we, "a", "b", "w", sources, "id", rounds = 3)
+        graft.operators.Components.ssspRounds(we, "a", "b", "w", sources, "id", rounds = 3,
+          edgesPreAggregated = true) // the groupBy above is the parallel-edge collapse
       },
       Some {
         val round = (prev: String, cur: String) =>
@@ -2056,10 +2061,12 @@ object RelationalQueries {
         val pairs = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+          .localCheckpoint(true) // feeds edges AND the landmark seed: one li self-join
         val landmarks = pairs.select(col("a").as("id"))
           .unionAll(pairs.select(col("b").as("id")))
           .filter(col("id") < 40).distinct()
-        graft.operators.Components.landmarkHops(pairs, "a", "b", landmarks, "id", maxHops = 3)
+        graft.operators.Components.landmarkHops(pairs, "a", "b", landmarks, "id",
+          maxHops = 3, edgesDistinct = true)
           .filter(col("hops") > 0)
           .groupBy("id")
           .agg(count(lit(1)).as("n_lm"),
@@ -2475,7 +2482,8 @@ object RelationalQueries {
         val pairs = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-        graft.operators.Components.kCore(pairs, "a", "b", k = 8)
+        graft.operators.Components.kCore(pairs, "a", "b", k = 8,
+          edgesDistinct = true) // pairs ends in .distinct(): skip the re-dedup shuffle
       },
       Some {
         // every round references its predecessor 3× — MATERIALIZED stops

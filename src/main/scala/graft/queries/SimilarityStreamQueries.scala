@@ -2894,15 +2894,11 @@ object SimilarityStreamQueries {
       "sim_ivf_recall",
       "recall@3 of IVF nprobe search vs exact cosine top-3 per query",
       (s, d) => {
-        val probes = ivfRanked(s, d)
-          .filter(col("vec_id") < 32 && col("rn") <= IvfProbe)
-          .select(col("vec_id").as("query_id"), col("cell"))
-        val posts = ivfRanked(s, d).filter(col("rn") <= IvfAssign)
-          .select(col("vec_id").as("cand_id"), col("cell"))
         val cells = ivfCells(s, d)
-        val pairs = probes.join(posts, Seq("cell"))
-          .filter(col("query_id") =!= col("cand_id"))
-          .select("query_id", "cand_id").distinct()
+        // shared memoized pair set (r18, ADVICE r17): the inline probes
+        // × posts derivation was identical to ivfCandPairs but re-ran
+        // the n×K rank window twice per cold pass
+        val pairs = ivfCandPairs(s, d)
         val ann = Knn.heapTopK(pairs
           .join(cells.select(col("vec_id").as("cand_id"),
             col("embedding").as("c_emb"), col("nrm").as("c_norm")), Seq("cand_id"))

@@ -663,11 +663,16 @@ object VectorStreams {
       maxBucket: Int = Dedup.MaxBucket,
       multiProbe: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val m = corpus.agg(max(VectorFunctions.norm("embedding"))).head().getDouble(0)
+    // M (max corpus norm) rides the plan as a broadcast 1-row aggregate
+    // (r18): the old `.head()` was a full extra driver action per serve
+    // construction just to inline the scale as a literal
+    val mRow = broadcast(corpus
+      .agg(max(VectorFunctions.norm("embedding")).as("__m")))
     val lifted = corpus
+      .crossJoin(mRow)
       .select(col("vec_id"),
         org.apache.spark.sql.functions.transform(col("embedding"),
-          v => v.cast("double") / lit(m)).as("sc"))
+          v => v.cast("double") / col("__m")).as("sc"))
       .withColumn("s2", expr("graft_dot_d(sc, sc)"))
       .withColumn("ea", expr(
         "array_append(sc, CASE WHEN s2 >= 1.0D THEN CAST(0.0 AS DOUBLE) ELSE sqrt(1.0D - s2) END)"))
@@ -1417,8 +1422,12 @@ object VectorStreams {
     // over the attrstats histogram (never a corpus scan) — ONE job for
     // both scalars (r17: every .head() is a driver barrier; the serves
     // fold their metadata lookups into single actions)
+    // stats is aggregated to 1 row by construction (ADVICE r17): if the
+    // version's stats table ever accumulated multiple rows, a bare
+    // crossJoin would multiply them against the surv row and head()
+    // would pick an arbitrary n_vecs
     val nSurv = graft.operators.Lakehouse.readVersion(spark, tableDir, ver, "stats")
-      .select(col("n_vecs"))
+      .agg(max(col("n_vecs")).as("n_vecs"))
       .crossJoin(pinned("attrstats").filter(expr(predicate))
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("surv")))
       .head()
@@ -2132,7 +2141,7 @@ object VectorStreams {
       .agg(expr("transform(array_sort(collect_list(struct(m, code, cw))), x -> x.cw)")
         .as("cws"))
     val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
-      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+      s"""transform(sequence(0, size(mn_arr) * 256 - 1), i ->
          |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
          |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
          |              * (mx_arr[i div 256] - mn_arr[i div 256])
@@ -2324,11 +2333,13 @@ object VectorStreams {
     graft.functions.GraftFunctions.register(spark)
     val pinned = pinnedReader(spark, tableDir, version)
     val bounds = spark.read.parquet(s"$tableDir/bounds")
-    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    // dim rides the plan as size(mn_arr) (r18): the old
+    // `bounds.agg(max(dim)).head() + 1` was a full extra driver action
+    // per serve construction just to inline a literal slot count
     // static: slot d·256 + code = the reconstructed value of that code
     // in that dimension (Sq.adcLut's CASE + affine spelled verbatim)
     val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
-      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+      s"""transform(sequence(0, size(mn_arr) * 256 - 1), i ->
          |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
          |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
          |              * (mx_arr[i div 256] - mn_arr[i div 256])
@@ -2509,9 +2520,11 @@ object VectorStreams {
     val pinned = pinnedReader(spark, tableDir, version)
     val cent = spark.read.parquet(s"$tableDir/centroids")
     val bounds = spark.read.parquet(s"$tableDir/bounds")
-    val dim = bounds.agg(max(col("dim"))).head().getInt(0) + 1
+    // dim rides the plan as size(mn_arr) (r18): the old
+    // `bounds.agg(max(dim)).head() + 1` was a full extra driver action
+    // per serve construction just to inline a literal slot count
     val reconArr = graft.operators.Sq.boundsRow(bounds).select(expr(
-      s"""transform(sequence(0, ${dim * 256 - 1}), i ->
+      s"""transform(sequence(0, size(mn_arr) * 256 - 1), i ->
          |  CASE WHEN mx_arr[i div 256] = mn_arr[i div 256] THEN mn_arr[i div 256]
          |       ELSE mn_arr[i div 256] + (i % 256) / 255.0D
          |              * (mx_arr[i div 256] - mn_arr[i div 256])
