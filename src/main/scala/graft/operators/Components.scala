@@ -483,6 +483,12 @@ object Components {
     // round without removing any work.
     val keep = both.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= k).select("v")
+    // (measured r18: ordering the joins so the round ends src-keyed
+    // does NOT carry the partitioning through the probe checkpoint —
+    // AQE's coalesced final stage reports no reusable partitioning —
+    // so the per-round edge exchange is kept as the algorithm's
+    // inherent cost rather than hidden behind a broadcast hint that a
+    // 10⁹-vertex survivor set would overflow.)
     both
       .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
       .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
